@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local differential check mirroring the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+Run after: sbt "runMain graft.Verify <sfDir> <outDir>"
+
+For each query result parquet in outDir and matching oracle_sql.json entry:
+run the oracle in DuckDB over views of the sfDir tables, sort columns by
+name, sort rows, and compare values exactly (with a float tolerance report).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_of(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rel.fetchall():
+        out.append(tuple(norm(row[i]) for i in order))
+    return [cols[i] for i in order], sorted(out, key=lambda r: tuple(map(str, r)))
+
+
+def close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            ocols, orows = rows_of(con.sql(sql))
+            scols, srows = rows_of(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL  {name}: error {e}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in ocols] != [c.lower() for c in scols]:
+            print(f"FAIL  {name}: columns oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if len(orows) != len(srows):
+            print(f"FAIL  {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        exact = orows == srows
+        if exact:
+            print(f"PASS  {name} ({len(orows)} rows, exact)")
+            n_pass += 1
+            continue
+        # find first mismatch, report whether it's within float tolerance
+        n_bad = 0
+        first = None
+        for o, s in zip(orows, srows):
+            if o != s and not all(close(a, b) for a, b in zip(o, s)):
+                n_bad += 1
+                if first is None:
+                    first = (o, s)
+        if n_bad == 0:
+            print(f"WARN  {name} ({len(orows)} rows): float-tolerance only "
+                  f"(NOT exact — driver may flag)")
+            n_fail += 1
+        else:
+            print(f"FAIL  {name}: {n_bad} mismatched rows; first:")
+            print(f"      oracle: {first[0]}")
+            print(f"      spark : {first[1]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
