@@ -23,7 +23,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+    * long (`spark.sql.legacy.parquet.nanosAsLong`, set in every graft
+    * session). Normalize to a microsecond timestamp here — truncating
+    * division, matching how nanos-aware engines (DuckDB) downcast. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -22,6 +22,11 @@ import graft.Tables
 object Relational {
   private val D2 = DecimalType(18, 2)
   private val D4 = DecimalType(18, 4)
+  // Wide decimal for exact (order-independent) sums of double measures:
+  // sum exactly in decimal, convert once to double, then arithmetic on the
+  // deterministic double is bit-identical across engines.
+  private val D12 = DecimalType(28, 12)
+  private val D12W = DecimalType(38, 12)
 
   private def d2(c: org.apache.spark.sql.Column) = c.cast(D2)
 
@@ -130,5 +135,170 @@ object Relational {
         countDistinct($"o_custkey").as("n_customers"),
         count(lit(1)).as("n_orders"))
       .orderBy($"o_orderpriority")
+  }
+
+  /** Left outer join preserving unmatched build rows (SURVEY §2.6 J3/J8,
+    * hive JoinOperator.joinObjectsLeftOuterJoin :228). */
+  def customerOrdersLeft(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum(d2($"o_totalprice")), lit(0).cast(D2)).cast(D2)
+          .as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Override-join (SURVEY §2.6 J4, mapred/join/OverrideRecordReader.java:36):
+    * full outer across N keyed sources, value taken from the rightmost source
+    * that has the key — i.e. full_outer + coalesce(right..left). */
+  def overrideJoinNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val bySupp = Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    byCust.as("c")
+      .join(bySupp.as("s"), $"c.nationkey" === $"s.nationkey", "full_outer")
+      .select(
+        coalesce($"s.nationkey", $"c.nationkey").as("nationkey"),
+        // override semantics: rightmost source wins when both present
+        coalesce($"s.n_supp", $"c.n_cust").as("pop"),
+        $"c.n_cust".as("n_cust"),
+        $"s.n_supp".as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  /** Heterogeneous UNION ALL after schema normalization (SURVEY §2.7 U1-U3,
+    * mapred/lib/MultipleInputs.java:34; hive TOK_UNION). */
+  def unionParties(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select(
+      $"c_name".as("name"), $"c_acctbal".as("acctbal"),
+      $"c_nationkey".cast("int").as("nationkey"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).select(
+      $"s_name".as("name"), $"s_acctbal".as("acctbal"),
+      $"s_nationkey".cast("int").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(s).orderBy($"kind", $"name")
+  }
+
+  /** ValueHistogram-style per-key stats report (SURVEY §2.5 A8,
+    * mapred/lib/aggregate/ValueHistogram.java:33 — count/min/median/max/
+    * avg/stddev of value frequencies). */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val n: Column = count(lit(1))
+    val sumD: Column = sum($"value".cast(D12)).cast("double")
+    val sumSqD: Column = sum(($"value" * $"value").cast(D12W)).cast("double")
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        n.as("n"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"),
+        (sumD / n).as("avg_v"),
+        round(sqrt((sumSqD - sumD * sumD / n) / (n - lit(1))), 6)
+          .as("stddev_v"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"))
+      .orderBy($"event_type")
+  }
+
+  /** Field-selection projection (SURVEY §2.2 P8,
+    * mapred/lib/FieldSelectionMapReduce.java:64 — cut(1)-style field specs)
+    * + JSON attribute extraction from the props payload column. */
+  def fieldSelection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        split($"p_name", " ").getItem(1).as("f1"),
+        split($"p_name", " ").getItem(0).as("f0"))
+      .orderBy($"p_partkey")
+  }
+
+  /** JSON field extraction over the events payload (schema-on-read). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"k")
+  }
+
+  /** Deterministic bucket sampling (SURVEY §2.8 — hive
+    * TABLESAMPLE(BUCKET x OUT OF y ON col), parse/Hive.g:499;
+    * SequenceFileInputFilter percent sampling S5). */
+  def bucketSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" % 7 === 0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(d2($"l_quantity")).cast(D2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Secondary sort: per-group ordering with a grouping comparator coarser
+    * than the sort (SURVEY §2.3 H8, JobConf.java:657) — first 3 orders per
+    * customer by date, via a ranked window. */
+  def secondarySort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Chained multi-way fact⋈dim⋈dim join (SURVEY §2.6 J8 — hive join2.q
+    * shape); dims broadcast. */
+  def chainJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter($"p_size" < 20)),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(d2($"l_quantity")).cast(D2).as("sum_qty"),
+        countDistinct($"s_suppkey").as("n_supp"))
+      .orderBy($"p_brand")
+  }
+
+  /** Lexicographic + numeric min/max (SURVEY §2.5 A6 — StringValueMax/Min,
+    * LongValueMax/Min). */
+  def minMaxByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(
+        min($"c_name").as("min_name"),
+        max($"c_name").as("max_name"),
+        min($"c_acctbal").as("min_bal"),
+        max($"c_acctbal").as("max_bal"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Batch shape of the CQ monitoring query (SURVEY §2.9 C11,
+    * examples/CQ.java:53 — per-key per-time-bucket aggregate). */
+  def eventsByDay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum($"value".cast(D12)).cast("double") / count(lit(1))).as("avg_v"))
+      .orderBy($"event_type", $"day")
   }
 }
