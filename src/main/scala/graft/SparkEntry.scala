@@ -37,8 +37,71 @@ object SparkEntry {
     "q16_secondary_sort" -> ((s, d) => Relational.secondarySort(s, d)),
     "q17_chain_join" -> ((s, d) => Relational.chainJoin(s, d)),
     "q18_minmax_string" -> ((s, d) => Relational.minMaxByNation(s, d)),
-    "q19_events_by_day" -> ((s, d) => Relational.eventsByDay(s, d))
+    "q19_events_by_day" -> ((s, d) => Relational.eventsByDay(s, d)),
+    "q20_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q21_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q22_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q23_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "q24_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q25_embed_neardup" -> ((s, d) => Similarity.cosineNearDup(s, d)),
+    "q26_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q27_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q28_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q29_quality" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q30_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q31_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "q32_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
+    "q33_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d))
   )
+
+  /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
+  private val shinglesCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(len(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+      |    FROM toks))""".stripMargin
+
+  private val minhashSigCte =
+    shinglesCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
+        |    MIN(md5('2:' || s)) AS s2, MIN(md5('3:' || s)) AS s3,
+        |    MIN(md5('4:' || s)) AS s4, MIN(md5('5:' || s)) AS s5,
+        |    MIN(md5('6:' || s)) AS s6, MIN(md5('7:' || s)) AS s7
+        |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val simhashCte =
+    """h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_filter(
+      |        regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS tok
+      |    FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(2 * ((h // CAST(POWER(2, j) AS BIGINT)) % 2) - 1) AS vote
+      |  FROM h, (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, j) AS BIGINT)
+      |             ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val vecsCte =
+    """n AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
+      |  FROM embeddings)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -152,7 +215,7 @@ object SparkEntry {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q16_secondary_sort" ->
-      """SELECT o_custkey, rn, o_orderkey, o_orderdate, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_orderdate, o_totalprice FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders
         |) WHERE rn <= 3
@@ -179,6 +242,150 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_v
         |FROM events
         |GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT keeper, n_copies, h FROM (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY md5(text))
+        |ORDER BY keeper""".stripMargin,
+    "q21_dedup_ngram" ->
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+        |FROM inter
+        |JOIN docLen ca ON d1 = ca.doc_id
+        |JOIN docLen cb ON d2 = cb.doc_id
+        |WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin),
+    "q22_dedup_minhash" ->
+      (s"""WITH $minhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  ((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT + (sa.s2 = sb.s2)::INT
+        |   + (sa.s3 = sb.s3)::INT + (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT
+        |   + (sa.s6 = sb.s6)::INT + (sa.s7 = sb.s7)::INT) / 8.0 AS est_jaccard
+        |FROM cand
+        |JOIN sig sa ON d1 = sa.doc_id
+        |JOIN sig sb ON d2 = sb.doc_id
+        |WHERE ((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT + (sa.s2 = sb.s2)::INT
+        |   + (sa.s3 = sb.s3)::INT + (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT
+        |   + (sa.s6 = sb.s6)::INT + (sa.s7 = sb.s7)::INT) / 8.0 >= 0.5
+        |ORDER BY d1, d2""".stripMargin),
+    "q23_simhash" ->
+      (s"""WITH $simhashCte
+        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin),
+    "q24_simhash_pairs" ->
+      (s"""WITH $simhashCte
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin),
+    "q25_embed_neardup" ->
+      (s"""WITH $vecsCte
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) >= 0.4
+        |ORDER BY v1, v2""".stripMargin),
+    "q26_ann_topk" ->
+      (s"""WITH $vecsCte,
+        |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM q JOIN n b ON q.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM sc)
+        |SELECT q_id, rank, neighbor, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+    "q28_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t <> '')) AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS s_en,
+        |    SUM(CASE WHEN tok IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de,
+        |    SUM(CASE WHEN tok IN ('le','la','et','les','des','un') THEN 1 ELSE 0 END) AS s_fr,
+        |    SUM(CASE WHEN tok IN ('el','los','las','y','es','una') THEN 1 ELSE 0 END) AS s_es,
+        |    SUM(CASE WHEN tok IN ('的','是','在','了','我','和') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM toks GROUP BY doc_id, lang),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+        |         WHEN s_de = m AND m > 0 THEN 'de'
+        |         WHEN s_fr = m AND m > 0 THEN 'fr'
+        |         WHEN s_es = m AND m > 0 THEN 'es'
+        |         WHEN s_zh = m AND m > 0 THEN 'zh'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM (SELECT *, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS m FROM s))
+        |SELECT doc_id, lang, pred_lang,
+        |  CAST(pred_lang = lang AS INTEGER) AS is_match
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q29_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> t <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_tokens, n_types, n_stop,
+        |  length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+        |  n_stop * 1.0 / n_tokens AS stop_ratio,
+        |  n_types * 1.0 / n_tokens AS type_token_ratio,
+        |  LEAST(1.0, GREATEST(0.0,
+        |    0.2 + n_stop * 1.0 / n_tokens * 2.0 + n_types * 1.0 / n_tokens * 0.5
+        |    - length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0 / length(text) * 3.0)) AS quality
+        |FROM documents JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q30_token_count" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(MAX(ws) AS INTEGER) AS max_ws_tokens
+        |FROM (
+        |  SELECT source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  CAST(length(text) AS INTEGER) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_media_stats" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(strlen(text) % 640 AS INTEGER) AS width,
+        |  CAST(strlen(text) * 7 % 480 AS INTEGER) AS height,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_media_summary" ->
+      """SELECT 'text/plain' AS media_type, COUNT(*) AS n,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+        |FROM documents""".stripMargin
   )
 }

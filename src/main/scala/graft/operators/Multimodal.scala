@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: media payloads ride as opaque `binary`
+  * columns beside a typed metadata struct; decode / feature-extraction /
+  * frame-sampling run batch-wise inside `mapPartitions` so a real codec
+  * (image/audio libs are absent in this container) can be slotted in without
+  * touching the plan shape.
+  *
+  * The decode step is a clearly-marked deterministic STUB ([[StubCodec]]):
+  * it derives "dimensions" and a checksum from the bytes alone, so the
+  * Spark-side plumbing — schema, per-partition batching, column pruning,
+  * partition-parallel execution — is real and oracle-checkable, while the
+  * codec is swappable.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (the multimodal column schema). */
+  case class MediaRecord(doc_id: Long, media_type: String, bytes: Array[Byte])
+
+  /** Decoded per-record features (stub: byte-derived, deterministic). */
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      checksum: String)
+
+  /** STUB codec — stands in for image/audio decode (libs not in this
+    * container). Deterministic byte-derived fake: real decode would parse
+    * headers here; everything around it (batching, schema, partitioning)
+    * is production-shaped. */
+  object StubCodec {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sum = md.digest(r.bytes).map("%02x".format(_)).mkString
+      MediaFeatures(
+        r.doc_id, r.media_type, r.bytes.length.toLong,
+        (r.bytes.length % 640).toInt, (r.bytes.length * 7 % 480).toInt, sum)
+    }
+
+    /** Frame sampling stub: every `stride`-th byte (stands in for every
+      * N-th video frame / audio window). */
+    def frameSample(bytes: Array[Byte], stride: Int): Array[Byte] = {
+      val out = Array.ofDim[Byte]((bytes.length + stride - 1) / stride)
+      var i = 0
+      while (i * stride < bytes.length) { out(i) = bytes(i * stride); i += 1 }
+      out
+    }
+  }
+
+  /** The documents table lifted into media rows (text payload as the opaque
+    * binary column — the fixtures carry no real image bytes). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", lit("text/plain").as("media_type"),
+        encode($"text", "UTF-8").as("bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract, batch-per-partition (the `mapInPandas`-shaped
+    * hot path: one codec instance per partition, streamed record batches). */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      // per-partition codec setup would go here (decoder handles, buffers)
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** Driver-contract query: per-record media features (oracle-checkable —
+    * the stub features are pure functions of the payload bytes). */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir).toDF()
+      .select($"doc_id", $"n_bytes", $"width", $"height", $"checksum")
+      .orderBy($"doc_id")
+  }
+
+  /** Aggregate shape over decoded features: per media_type sizes (guards the
+    * schema/partitioning plumbing under aggregation). */
+  def mediaSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir).toDF()
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_bytes").as("total_bytes"),
+        max($"n_bytes").as("max_bytes"))
+      .orderBy($"media_type")
+  }
+}

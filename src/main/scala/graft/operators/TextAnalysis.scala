@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything is per-row (embarrassingly parallel — no shuffle except the
+  * final aggregations) and built from integer counts + linear double
+  * arithmetic only, so the DuckDB oracle reproduces results exactly (no
+  * transcendental functions, whose libm rounding differs across engines).
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword-hit
+    * language-ID heuristic. Order = deterministic tie-break priority. */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "和"))
+
+  /** Language ID by stopword-hit voting: score per language = tokens found
+    * in its lexicon; prediction = first language (lexicon order) reaching
+    * the max score. Compared against the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+    val scores = lexicons.map { case (l, words) =>
+      sum(when($"tok".isin(words: _*), 1).otherwise(0)).as(s"s_$l")
+    }
+    val scored = toks.groupBy($"doc_id", $"lang")
+      .agg(scores.head, scores.tail: _*)
+    val best = lexicons.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = lexicons.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight builds en→de→…→zh; when() picks the FIRST matching branch,
+    // so ties resolve in lexicon order.
+    scored
+      .select($"doc_id", $"lang", pred.as("pred_lang"))
+      .withColumn("is_match", ($"pred_lang" === $"lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword/type-token ratios combined
+    * by a clamped linear score (heuristic filter for pretraining corpora). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val en = lexicons.head._2
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_types"),
+        sum(when($"tok".isin(en: _*), 1).otherwise(0)).as("n_stop"))
+    Tables.documents(spark, dir)
+      .join(toks, "doc_id")
+      .select($"doc_id", $"n_chars",
+        $"n_tokens", $"n_types", $"n_stop",
+        (length(regexp_replace($"text", "[a-z0-9\\s]", "")) * lit(1.0) /
+          length($"text")).as("punct_ratio"),
+        ($"n_stop" * lit(1.0) / $"n_tokens").as("stop_ratio"),
+        ($"n_types" * lit(1.0) / $"n_tokens").as("type_token_ratio"))
+      .withColumn("quality",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.2) + $"stop_ratio" * 2.0 + $"type_token_ratio" * 0.5
+            - $"punct_ratio" * 3.0)))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting per source: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single non-space symbols). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source",
+        size(tokens($"text")).as("ws_tokens"),
+        size(expr(
+          """regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+          .as("bpe_tokens"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("total_ws_tokens"),
+        sum($"bpe_tokens").as("total_bpe_tokens"),
+        max($"ws_tokens").as("max_ws_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Document fingerprinting: digest of whitespace-normalized lowercase text
+    * — the join key for cross-corpus exact dedup at scale. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"),
+        length($"text").as("len"))
+      .orderBy($"doc_id")
+  }
+}

@@ -62,6 +62,14 @@ def main():
             print(f"FAIL  {name}: columns oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        orel, srel = con.sql(sql), con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        otypes = {c: str(t) for c, t in zip(orel.columns, orel.types)}
+        stypes = {c.lower(): str(t) for c, t in zip(srel.columns, srel.types)}
+        tmis = {c: (t, stypes[c.lower()]) for c, t in otypes.items()
+                if stypes[c.lower()] != t}
+        if tmis:
+            print(f"WARN  {name}: dtype mismatch {tmis}")
         if len(orows) != len(srows):
             print(f"FAIL  {name}: rowcount oracle={len(orows)} spark={len(srows)}")
             n_fail += 1
