@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup partitions the corpus") {
+    val res = Dedup.exact(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(res.map(_.getAs[Long]("n_copies")).sum === nDocs)
+    val keepers = res.map(_.getAs[Long]("keeper"))
+    assert(keepers.distinct.length === keepers.length)
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val ngram = Dedup.ngramJaccard(spark, sfDir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.nonEmpty, "fixtures should contain planted near-dups")
+    // LSH with 4 bands x 2 rows at jaccard>=0.9: collision prob per band
+    // is ~0.81, overall ~1-(1-0.81)^4 > 0.998 — demand most are recalled.
+    val recall = ngram.count(lsh.contains).toDouble / ngram.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size})")
+  }
+
+  test("simhash pairs respect the blocking guarantee") {
+    val pairs = Dedup.simhashPairs(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      assert(r.getAs[Int]("dist") <= 3)
+    }
+    // pigeonhole exactness: blocked result == brute force at dist<=3
+    val fp = Dedup.simhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, h1) <- fp; (d2, h2) <- fp if d1 < d2
+      dist = java.lang.Long.bitCount(h1 ^ h2) if dist <= 3
+    } yield (d1, d2)).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
+  }
+
+  test("LSH ANN matches brute force on recalled neighbors") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    // approximate: every LSH cosine must match brute force when the same
+    // pair appears there (same scoring path), never exceed rank-1 cosine
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      brute.get(key).foreach(c => assert(c === r.getDouble(3)))
+    }
+  }
+}

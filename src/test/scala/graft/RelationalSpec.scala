@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("entry flagship query returns rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 25) // 25 nations in the fixtures
+    assert(rows.forall(_.getAs[Long]("n_orders") > 0))
+  }
+
+  test("global sort is totally ordered across partition boundaries") {
+    // TeraValidate-style assertion (SURVEY §5: SortValidator/TeraValidate):
+    // within-partition order AND cross-partition boundary order.
+    val sorted = Relational.globalSort(spark, sfDir)
+      .select(col("l_extendedprice"))
+    val bounds = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      val a = it.map(_.getDouble(0)).toArray
+      if (a.isEmpty) Iterator.empty
+      else {
+        assert(a.zip(a.tail).forall { case (x, y) => x >= y },
+          s"partition $i not sorted")
+        Iterator((i, a.head, a.last))
+      }
+    }.collect().sortBy(_._1)
+    bounds.zip(bounds.tail).foreach { case ((_, _, last), (j, first, _)) =>
+      assert(last >= first, s"boundary violation before partition $j")
+    }
+  }
+
+  test("wordcount total equals independent token count") {
+    val total = Relational.wordCount(spark, sfDir)
+      .agg(sum("cnt")).head().getLong(0)
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .map(_.getString(0).split("\\s+").count(_.nonEmpty).toLong).sum
+    assert(total === expected)
+  }
+
+  test("override join prefers the rightmost source") {
+    Relational.overrideJoinNation(spark, sfDir).collect().foreach { r =>
+      val pop = r.getAs[Long]("pop")
+      if (!r.isNullAt(r.fieldIndex("n_supp")))
+        assert(pop === r.getAs[Long]("n_supp"))
+      else assert(pop === r.getAs[Long]("n_cust"))
+    }
+  }
+
+  test("topk equals sort-then-take") {
+    val topk = Relational.topCustomers(spark, sfDir, 10).collect()
+    assert(topk.length === 10)
+    val spends = topk.map(_.getAs[java.math.BigDecimal]("total_spent").doubleValue())
+    assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("broadcast joins are planned for dimension tables") {
+    val plan = Relational.revenueByNation(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for nation/region dims:\n$plan")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Continuous
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowed streaming counts emit per-window aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val query = Continuous.windowedCounts(events, "10 seconds")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    mem.addData((t(1), "click", 1.0), (t(2), "click", 2.0),
+      (t(11), "click", 4.0), (t(12), "view", 8.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getAs[Timestamp]("w_start").toString,
+        r.getString(1), r.getAs[Long]("n"), r.getAs[Double]("sum_v"))).toSet
+    query.stop()
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 00:00:10.0", "click", 1L, 4.0),
+      ("2024-01-01 00:00:10.0", "view", 1L, 8.0)))
+  }
+
+  test("cq monitor flags the anomalous host") {
+    import spark.implicits._
+    val w = Timestamp.valueOf("2024-01-01 00:00:00")
+    val batch = (1 to 9).flatMap(h =>
+        Seq((w, s"host$h", 10.0), (w, s"host$h", 12.0))) ++
+      Seq((w, "host-hot", 99.0), (w, "host-hot", 101.0))
+    val alerts = Continuous.cqAlerts(
+      batch.toDF("w_start", "key", "value")).collect()
+    val hot = alerts.filter(_.getAs[Boolean]("alert")).map(_.getString(1))
+    assert(hot.toSeq === Seq("host-hot"))
+  }
+
+  test("online aggregation emits progressive snapshots, final frame exact") {
+    import spark.implicits._
+    // stage the events table as a multi-file bounded input
+    val dir = "target/tmp/online_in"
+    val src = Tables.events(spark, sfDir)
+    src.repartition(4).write.mode("overwrite").parquet(dir)
+    val snaps = Continuous.onlineAggregate(
+      spark, dir, src.schema,
+      df => df.groupBy($"event_type").agg(count(lit(1)).as("n")))
+    assert(snaps.nonEmpty)
+    assert(snaps.last.progress === 1.0)
+    // monotone progress and monotone cumulative counts
+    snaps.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.progress <= b.progress)
+        val ca = a.rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cb = b.rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        ca.foreach { case (k, v) => assert(cb.getOrElse(k, 0L) >= v) }
+      case _ =>
+    }
+    // final snapshot == batch answer
+    val batch = src.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fin = snaps.last.rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin === batch)
+  }
+}
