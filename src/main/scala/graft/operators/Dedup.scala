@@ -59,12 +59,18 @@ object Dedup {
     import spark.implicits._
     val sh = shingles(spark, dir).cache()
     val docLen = sh.groupBy($"doc_id").agg(count(lit(1)).as("c"))
-    val rare = sh.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"s")
-    val idx = sh.join(rare, "s")
-    val inter = idx.as("a").join(idx.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+    // Posting-list pair generation: one groupBy on shingle, emit all doc
+    // pairs per posting list (bounded by maxDf ⇒ ≤ maxDf²/2 pairs per
+    // shingle). Halves the shuffle volume of the classic index self-join
+    // and keeps the worst key bounded — the property that matters at scale.
+    val inter = sh.groupBy($"s").agg(collect_list($"doc_id").as("ds"))
+      .filter(size($"ds") between (2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
+          .stripMargin)).as("p"))
+      .groupBy($"p.d1".as("d1"), $"p.d2".as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(docLen.as("ca"), $"d1" === $"ca.doc_id")
@@ -119,22 +125,15 @@ object Dedup {
   }
 
   /** 60-bit SimHash fingerprint per document: md5 of each distinct token
-    * gives a 60-bit hash; fingerprint bit j is the sign of the per-bit
-    * vote sum. Integer-only arithmetic (portable to the oracle). */
+    * gives a 60-bit hash; fingerprint bit j is the sign of the per-bit vote
+    * sum. One shuffle-free pass via the native [[graft.functions.Simhash]]
+    * expression (the relational formulation exploded 60× per token — same
+    * bits, 60× the shuffle). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
       .select($"doc_id",
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
-          .as("h"))
-      .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(sum(expr("2 * ((h div cast(pow(2, j) as bigint)) % 2) - 1"))
-        .as("vote"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"vote" > 0, expr("cast(pow(2, j) as bigint)"))
-        .otherwise(0L)).as("simhash"))
+        graft.functions.TextFunctions.simhash(tokens($"text")).as("simhash"))
       .orderBy($"doc_id")
   }
 

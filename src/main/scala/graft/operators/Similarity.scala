@@ -4,18 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions.dot
 
 /** Similarity search over the `embeddings` fixture (`Array[Float]`, dim 64).
   *
-  * Dot products run as codegen'd higher-order functions (`zip_with` +
-  * `aggregate`) — sequential left-to-right summation in double, so results
-  * are deterministic and bit-comparable with the oracle.
+  * Dot products run through [[graft.functions.DotProduct]] — a native
+  * Catalyst expression that compiles to a primitive loop inside whole-stage
+  * codegen (the interpreted `zip_with`+`aggregate` formulation costs ~10×
+  * on million-pair joins). Summation order is unchanged, so results stay
+  * bit-identical to the DuckDB oracle.
   *
-  * Scale story: [[bruteForceTopK]] is the small-query-set baseline (each
-  * query broadcast against the corpus — linear scans parallelize perfectly
-  * but cost O(n) per query); [[lshTopK]] is the 100 TB path — deterministic
-  * random-hyperplane signatures bucket the corpus so each query only scans
-  * its own Hamming-ball buckets.
+  * Scale story: [[bruteForceTopK]] broadcasts the small query side and
+  * scans the corpus once (linear, perfectly parallel); [[cosineNearDup]]
+  * is the quadratic all-pairs baseline (correct at fixture scale);
+  * [[lshTopK]] is the 100 TB path — deterministic random-hyperplane
+  * signatures bucket the corpus so each query only scans its own
+  * Hamming-ball buckets.
   */
 object Similarity {
 
@@ -25,12 +29,8 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", sqrt(expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
   }
-
-  private val dotExpr =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
 
   /** All-pairs cosine near-duplicates above `threshold` (embedding-cosine
     * near-dup dedup). Quadratic candidate set — correct baseline at fixture
@@ -41,7 +41,7 @@ object Similarity {
     val e = vecs(spark, dir)
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-        round(expr(dotExpr) / $"a.norm" / $"b.norm", 6).as("cos"))
+        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
       .filter($"cos" >= threshold)
       .orderBy($"v1", $"v2")
   }
@@ -57,7 +57,7 @@ object Similarity {
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor")
     broadcast(q).as("a").join(e.as("b"), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("q_id"), $"b.vec_id".as("neighbor"),
-        round(expr(dotExpr) / $"a.norm" / $"b.norm", 6).as("cos"))
+        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q_id", $"rank", $"neighbor", $"cos")
@@ -65,17 +65,22 @@ object Similarity {
   }
 
   private val PLANES = 8
+  private val DIM = 64
 
   /** Deterministic ±1 hyperplane component for (plane p, dim d): the parity
     * of the first hex digit of md5("p:d") — reproducible on any engine, no
     * RNG state to ship. */
-  private def planeComponent(p: Int, d: Int): Int =
+  private def planeComponent(p: Int, d: Int): Double =
     if ((Integer.parseInt(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p:$d".getBytes("UTF-8")).take(1).map("%02x".format(_))
-        .mkString, 16) & 1) == 1) 1 else -1
+        .mkString, 16) & 1) == 1) 1.0 else -1.0
 
-  /** LSH-bucketed approximate top-k: 16 random-hyperplane sign bits form a
+  /** Plane p as an array<double> literal column (codegen'd dot again). */
+  private def planeCol(p: Int): Column =
+    array((0 until DIM).map(d => lit(planeComponent(p, d))): _*)
+
+  /** LSH-bucketed approximate top-k: random-hyperplane sign bits form a
     * bucket key; queries probe their own bucket plus all buckets at Hamming
     * distance 1 (multi-probe). Candidate set per query is a few buckets, not
     * the corpus — the plan that holds at 1000 executors. */
@@ -83,11 +88,8 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = vecs(spark, dir)
-    // sign bit per plane: dot(v, plane) > 0, planes are ±1 vectors
     val sigBits: Column = (0 until PLANES).map { p =>
-      val terms = (0 until 64).map(d =>
-        expr(s"v[$d]") * lit(planeComponent(p, d).toDouble))
-      when(terms.reduce(_ + _) > 0, 1L << p).otherwise(0L)
+      when(dot($"v", planeCol(p)) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     val sig = e.withColumn("sig", sigBits)
     // multi-probe: each query also probes all Hamming-distance-1 buckets
@@ -101,9 +103,7 @@ object Similarity {
     probes.join(sig.as("b"), $"probe_sig" === $"b.sig" &&
         $"q_id" =!= $"b.vec_id")
       .select($"q_id", $"b.vec_id".as("neighbor"),
-        round(expr(
-          "aggregate(zip_with(qv, b.v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)")
-          / $"qnorm" / $"b.norm", 6).as("cos"))
+        round(dot($"qv", $"b.v") / $"qnorm" / $"b.norm", 6).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
