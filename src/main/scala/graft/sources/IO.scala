@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks (SURVEY.md §2.1).
+  *
+  * Most reference InputFormats/OutputFormats collapse onto `spark.read` /
+  * `df.write`; this module pins down the handful with real semantics:
+  * key-value text (S3), sequence files (S5/S14), key-partitioned fan-out
+  * writes (S15 MultipleOutputs), heterogeneous unions (S17/U2), bucketed
+  * sorted tables (the map-side-join layout, J1), JDBC (S7), and the
+  * discard/test sinks (S16/S11).
+  *
+  * Every writer goes through the standard committers — atomic temp-dir +
+  * rename (S18) is Spark's default behavior.
+  */
+object IO {
+
+  /** S2 TextInputFormat: line records. Offsets, when needed, are
+    * `monotonically_increasing_id` (per-partition monotone, like byte
+    * offsets — not globally dense, same as the reference's). */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** S3 KeyValueTextInputFormat: split each line at the first separator. */
+  def readKeyValueText(spark: SparkSession, path: String,
+      sep: String = "\t"): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).select(
+      substring_index($"value", sep, 1).as("key"),
+      when(instr($"value", sep) > 0,
+        expr(s"substring(value, instr(value, '$sep') + ${sep.length})"))
+        .otherwise(lit("")).as("val"))
+  }
+
+  /** S13 TextOutputFormat: `key<sep>value` lines. */
+  def writeKeyValueText(df: DataFrame, path: String,
+      sep: String = "\t"): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** S5/S14 SequenceFile round-trip ((String,String) records) — binary KV
+    * compat path; Parquet is the engine's native store. */
+  def writeSequenceFile(df: DataFrame, path: String): Unit = {
+    val rdd = df.rdd.map(r => (r.get(0).toString, r.get(1).toString))
+    rdd.saveAsSequenceFile(path)
+  }
+
+  def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("key", "val")
+  }
+
+  /** S15 MultipleOutputs/MultipleOutputFormat: fan rows out to files named
+    * by key — `partitionBy` writes one directory per key value. */
+  def writePartitionedByKey(df: DataFrame, keyCol: String,
+      path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).parquet(path)
+
+  /** Hive-style bucketed+sorted table (CLUSTERED BY ... SORTED BY ... INTO n
+    * BUCKETS): the co-partitioned layout that lets joins on the bucket key
+    * skip the shuffle (J1 map-side merge join). */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
+  /** S7 DBInputFormat/DBOutputFormat ≙ Spark JDBC (pass-through; no JDBC
+    * endpoint exists in the offline harness, so this is surface only). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.jdbc(url, table, props)
+
+  /** S16 NullOutputFormat: execute the plan, discard the rows. */
+  def nullSink(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** S11 EmptyInputFormat. */
+  def empty(spark: SparkSession): DataFrame = spark.emptyDataFrame
+
+  /** S12 TeraGen.RangeInputFormat: synthesized row-number ranges. */
+  def range(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("id")
+
+  /** S17/U2 MultipleInputs: heterogeneous per-source frames, normalized to
+    * a common schema and unioned by column name (missing columns null). */
+  def unionHeterogeneous(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** D5 multi-insert: one scan feeding N sinks — cache the source once,
+    * run each branch (the reference's FROM src INSERT ... INSERT ...). */
+  def multiInsert(src: DataFrame,
+      branches: Seq[(DataFrame => DataFrame, String)]): Unit = {
+    src.persist()
+    try branches.foreach { case (f, path) =>
+      f(src).write.mode(SaveMode.Overwrite).parquet(path)
+    } finally src.unpersist()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.IO
+
+class IOSpec extends SparkSpec {
+  private val tmp = "target/tmp/io"
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+  }
+
+  test("key-value text round trip with embedded separators") {
+    import spark.implicits._
+    val df = Seq(("k1", "v1"), ("k2", "v2\twith\ttabs"), ("k3", ""))
+      .toDF("key", "val")
+    IO.writeKeyValueText(df, s"$tmp/kv")
+    val back = IO.readKeyValueText(spark, s"$tmp/kv")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("k1", "v1"), ("k2", "v2\twith\ttabs"), ("k3", "")))
+  }
+
+  test("sequence file round trip") {
+    import spark.implicits._
+    val df = Seq(("a", "1"), ("b", "2")).toDF("key", "val")
+    rmrf(new java.io.File(s"$tmp/seq")) // saveAsSequenceFile has no overwrite
+    IO.writeSequenceFile(df, s"$tmp/seq")
+    val back = IO.readSequenceFile(spark, s"$tmp/seq")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === Set(("a", "1"), ("b", "2")))
+  }
+
+  test("partitioned fan-out write creates one directory per key") {
+    val events = Tables.events(spark, sfDir)
+    IO.writePartitionedByKey(events, "event_type", s"$tmp/by_type")
+    val dirs = new java.io.File(s"$tmp/by_type").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=click")))
+    val back = spark.read.parquet(s"$tmp/by_type")
+    assert(back.count() === events.count())
+  }
+
+  test("bucketed table join plans without a shuffle on the bucketed side") {
+    val orders = Tables.orders(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    rmrf(new java.io.File("spark-warehouse/orders_bucketed"))
+    IO.writeBucketedTable(orders, "orders_bucketed", "o_custkey", 4)
+    val t = spark.table("orders_bucketed")
+    val joined = t.as("a").join(t.as("b"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("heterogeneous union aligns schemas by name") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val u = IO.unionHeterogeneous(Seq(a, b))
+    assert(u.columns.toSet === Set("id", "name", "score"))
+    assert(u.count() === 2)
+  }
+
+  test("multi-insert runs one scan into many sinks") {
+    val src = Tables.orders(spark, sfDir)
+    IO.multiInsert(src, Seq(
+      (df => df.filter(col("o_orderstatus") === "O"), s"$tmp/mi_open"),
+      (df => df.groupBy("o_orderpriority").count(), s"$tmp/mi_counts")))
+    val open = spark.read.parquet(s"$tmp/mi_open")
+    val counts = spark.read.parquet(s"$tmp/mi_counts")
+    assert(open.count() === src.filter(col("o_orderstatus") === "O").count())
+    assert(counts.count() === 5)
+  }
+
+  test("null sink executes without materializing") {
+    IO.nullSink(Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count())
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+/** The Hive-vintage SQL surface (SURVEY.md §2.8 + Hive grammar rows of §2):
+  * golden-query-style assertions over the fixture views, mirroring the
+  * reference's clientpositive corpus shape (groupby*, join*, input*,
+  * sample*, udf*). */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private lazy val views: Unit = Tables.registerAll(spark, sfDir)
+
+  private def sql(q: String) = { views; spark.sql(q) }
+
+  test("select / where / group by / having / order by / limit") {
+    val rows = sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderpriority HAVING count(*) > 10
+        |ORDER BY n DESC, o_orderpriority LIMIT 3""".stripMargin).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(1)).sliding(2).forall(s => s(0) >= s(1)))
+  }
+
+  test("join variants: inner, left, right, full outer") {
+    for (jt <- Seq("JOIN", "LEFT OUTER JOIN", "RIGHT OUTER JOIN",
+        "FULL OUTER JOIN")) {
+      val n = sql(
+        s"""SELECT count(*) FROM customer c $jt orders o
+           |ON c.c_custkey = o.o_custkey""".stripMargin)
+        .head().getLong(0)
+      assert(n > 0, jt)
+    }
+  }
+
+  test("union all / distinct") {
+    val n = sql(
+      """SELECT count(*) FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)""".stripMargin)
+      .head().getLong(0)
+    val c = sql("SELECT count(*) FROM customer").head().getLong(0)
+    val s = sql("SELECT count(*) FROM supplier").head().getLong(0)
+    assert(n === c + s)
+    assert(sql("SELECT count(DISTINCT c_nationkey) FROM customer")
+      .head().getLong(0) === 25)
+  }
+
+  test("distribute by / sort by / cluster by parse and run") {
+    assert(sql("SELECT o_custkey FROM orders DISTRIBUTE BY o_custkey SORT BY o_custkey").count() > 0)
+    assert(sql("SELECT o_custkey FROM orders CLUSTER BY o_custkey").count() > 0)
+  }
+
+  test("scalar function surface of the reference registry") {
+    // concat/substr/upper/lower/trim/like/rlike/regexp_replace/round/floor/
+    // ceil/cast/size — the FunctionRegistry rows (§2.8)
+    val r = sql(
+      """SELECT concat(c_name, '!') AS c1, substr(c_name, 1, 8) AS c2,
+        |  upper(c_mktsegment) AS c3, lower(c_name) AS c4,
+        |  trim('  x  ') AS c5,
+        |  c_name LIKE 'Customer%' AS c6, c_name RLIKE '[0-9]+$' AS c7,
+        |  regexp_replace(c_name, '[0-9]', '#') AS c8,
+        |  round(c_acctbal, 1) AS c9, floor(c_acctbal) AS c10,
+        |  ceil(c_acctbal) AS c11, cast(c_custkey AS STRING) AS c12,
+        |  size(split(c_name, '#')) AS c13,
+        |  c_acctbal + 1 AS c14, -c_acctbal AS c15,
+        |  3 % 2 AS c16, 5 & 3 AS c17, 5 | 3 AS c18, 5 ^ 3 AS c19, ~5 AS c20,
+        |  c_custkey IS NOT NULL AS c21
+        |FROM customer LIMIT 1""".stripMargin).head()
+    assert(r.getString(0).startsWith("Customer"))
+    assert(r.getBoolean(5))
+    assert(r.getInt(15) === 1 && r.getInt(16) === 1 && r.getInt(17) === 7
+      && r.getInt(18) === 6 && r.getInt(19) === -6)
+  }
+
+  test("tablesample bucket semantics") {
+    // deterministic hash-bucket sampling (Hive TABLESAMPLE(BUCKET x OUT OF y
+    // ON col)) expressed portably
+    val n = sql(
+      "SELECT count(*) FROM lineitem WHERE pmod(hash(l_orderkey), 8) = 0")
+      .head().getLong(0)
+    val total = sql("SELECT count(*) FROM lineitem").head().getLong(0)
+    assert(n > 0 && n < total)
+    // native TABLESAMPLE also parses and runs
+    assert(sql("SELECT * FROM lineitem TABLESAMPLE (10 PERCENT)").count() > 0)
+  }
+
+  test("TRANSFORM pipes rows through an external script") {
+    val out = sql(
+      """SELECT TRANSFORM(o_orderpriority) USING 'tr a-z A-Z'
+        |  AS (upper_priority)
+        |FROM orders LIMIT 5""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(out.nonEmpty)
+    assert(out.forall(s => s == s.toUpperCase))
+  }
+
+  test("create partitioned table + static partition insert + pruning") {
+    views
+    spark.sql("DROP TABLE IF EXISTS events_part")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File("spark-warehouse/events_part"))
+    spark.sql(
+      """CREATE TABLE events_part
+        |  (event_id BIGINT, value DOUBLE, event_type STRING)
+        |USING PARQUET PARTITIONED BY (event_type)""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE TABLE events_part PARTITION (event_type)
+        |SELECT event_id, value, event_type FROM events""".stripMargin)
+    val q = spark.sql(
+      "SELECT count(*) FROM events_part WHERE event_type = 'click'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") ||
+      !plan.contains("event_type=error"), "partition pruning expected")
+    assert(q.head().getLong(0) > 0)
+  }
+
+  test("case sensitivity and string comparison quirks of the vintage") {
+    // string-ordered max/min (A6) — lexicographic, as StringValueMax/Min
+    val r = sql(
+      "SELECT max(o_orderpriority), min(o_orderpriority) FROM orders").head()
+    assert(r.getString(0) >= r.getString(1))
+  }
+}
