@@ -60,6 +60,43 @@ object Continuous {
       .select(col("w_start"), col("key"), col("avg_v"), col("alert"))
   }
 
+  /** Inter-job pipelining (C7, PipelineMapTask.java:52): job N+1 consumes
+    * job N's output live. Where the reference wires two MR jobs through the
+    * Quatrain buffer exchange, here stage 1 streams its output to a
+    * replayable directory and stage 2 streams from that directory — each
+    * micro-batch of stage 1 becomes visible to stage 2 without a batch
+    * barrier. Runs both to completion on bounded input (AvailableNow);
+    * returns stage 2's final result table name ("pipeline_out"). */
+  def chainedQueries(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      midDir: String,
+      checkpointDir: String,
+      stage1: DataFrame => DataFrame,
+      stage2: DataFrame => DataFrame): DataFrame = {
+    val q1 = stage1(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(inputDir))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointDir/stage1")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", midDir)
+      .start()
+    q1.awaitTermination()
+    val q2 = stage2(spark.readStream.schema(
+        spark.read.parquet(midDir).schema)
+        .option("maxFilesPerTrigger", "4").parquet(midDir))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointDir/stage2")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("complete")
+      .format("memory").queryName("pipeline_out")
+      .start()
+    q2.awaitTermination()
+    spark.table("pipeline_out")
+  }
+
   /** One progressive snapshot: progress fraction + the aggregate-so-far. */
   case class Snapshot(progress: Double, rows: Seq[Row])
 

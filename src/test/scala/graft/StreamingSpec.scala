@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSpec {
     assert(hot.toSeq === Seq("host-hot"))
   }
 
+  test("chained streaming queries pipeline stage outputs (C7)") {
+    import spark.implicits._
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    val in = "target/tmp/chain_in"
+    rmrf(new java.io.File("target/tmp/chain_mid"))
+    rmrf(new java.io.File("target/tmp/chain_ckpt"))
+    val src = Tables.events(spark, sfDir)
+    src.repartition(3).write.mode("overwrite").parquet(in)
+    val out = Continuous.chainedQueries(
+      spark, in, src.schema, "target/tmp/chain_mid", "target/tmp/chain_ckpt",
+      df => df.filter($"value" > 10).select($"event_type", $"value"),
+      df => df.groupBy($"event_type").agg(count(lit(1)).as("n")))
+    val chained = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = src.filter($"value" > 10).groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(chained === batch)
+  }
+
   test("online aggregation emits progressive snapshots, final frame exact") {
     import spark.implicits._
     // stage the events table as a multi-file bounded input
