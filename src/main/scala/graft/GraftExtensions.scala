@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.{DotProduct, Simhash}
+
+/** Engine extension point: registers the native graft expressions as SQL
+  * functions so the SQL tier can call them (`graft_dot(a, b)`,
+  * `graft_simhash(tokens)`).
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the `SparkSessionExtensions` mechanism — cluster-wide, config-only);
+  *  - [[GraftExtensions.register]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      dotBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
+      simhashBuilder))
+  }
+}
+
+object GraftExtensions {
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def arity(name: String, n: Int)(exprs: Seq[Expr]): Unit =
+    require(exprs.length == n,
+      s"$name requires exactly $n argument(s), got ${exprs.length}")
+
+  private[graft] val dotBuilder: Seq[Expr] => Expr = { exprs =>
+    arity("graft_dot", 2)(exprs)
+    DotProduct(exprs(0), exprs(1))
+  }
+
+  private[graft] val simhashBuilder: Seq[Expr] => Expr = { exprs =>
+    arity("graft_simhash", 1)(exprs)
+    Simhash(exprs.head)
+  }
+
+  /** Register the graft SQL functions into a live session. */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_dot", dotBuilder)
+    Bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
+  }
+}

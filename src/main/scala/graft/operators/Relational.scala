@@ -291,6 +291,23 @@ object Relational {
       .orderBy($"c_nationkey")
   }
 
+  /** Skew-resistant two-stage aggregation — the reference's 2MR group-by
+    * plan (SURVEY §2.5 A11, SemanticAnalyzer.genGroupByPlan2MR:1348): stage
+    * 1 aggregates on (key, salt) so a hot key spreads over `buckets`
+    * reducers, stage 2 merges partials on the key alone. Functionally
+    * identical to a direct groupBy; use when one key dominates (AQE's skew
+    * handling covers joins, not aggregations over pathological keys). */
+  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    salted
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum("_n").as("n"), sum("_s").as("s"))
+  }
+
   /** Batch shape of the CQ monitoring query (SURVEY §2.9 C11,
     * examples/CQ.java:53 — per-key per-time-bucket aggregate). */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame = {

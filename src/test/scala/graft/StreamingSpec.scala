@@ -43,6 +43,25 @@ class StreamingSpec extends SparkSpec {
     assert(hot.toSeq === Seq("host-hot"))
   }
 
+  test("streaming top-k twin matches the batch top-k (O8)") {
+    import spark.implicits._
+    val dir = "target/tmp/topk_in"
+    val docs = Tables.documents(spark, sfDir).select($"text")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val topk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select(explode(split($"text", "\\s+")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val snaps = Continuous.onlineAggregate(spark, dir, docs.schema, topk)
+    def top3(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (w, c) => (-c, w) }.take(3)
+    val streaming = top3(snaps.last.rows)
+    val batch = top3(topk(docs).collect().toSeq)
+    assert(streaming === batch)
+    assert(snaps.size > 1, "expected intermediate snapshot top-k frames")
+  }
+
   test("chained streaming queries pipeline stage outputs (C7)") {
     import spark.implicits._
     def rmrf(p: java.io.File): Unit = {
