@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+
+/** Physical-plan regression tests: the properties that decide whether a
+  * plan survives a 100× scale-up. A green correctness run with a wrong
+  * plan (unpruned scan, shuffled dim join, sort-before-count elision) is
+  * exactly the failure mode these pin down. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan prunes columns and pushes the date filter") {
+    val p = plan(Relational.pricingSummary(spark, sfDir))
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("l_shipdate"), "filter column read")
+    assert(!scan.contains("l_orderkey"),
+      s"unused column not pruned from scan: $scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      scan.contains("PushedFilters"), "pushdown expected")
+  }
+
+  test("q02 pushes both predicates to the scan") {
+    val p = plan(Relational.selectFilter(spark, sfDir))
+    assert(p.contains("PushedFilters") &&
+      p.contains("o_totalprice") && p.contains("o_orderstatus"))
+  }
+
+  test("q03 joins dimensions by broadcast, never shuffle") {
+    val p = plan(Relational.revenueByNation(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 3)
+    assert(!p.contains("SortMergeJoin"),
+      "dim joins must not sort-merge at any scale")
+  }
+
+  test("q05 global sort range-partitions (TotalOrderPartitioner shape)") {
+    val p = plan(Relational.globalSort(spark, sfDir))
+    assert(p.contains("rangepartitioning"),
+      s"expected sampled range partitioning:\n$p")
+  }
+
+  test("aggregations plan partial + final (combiner semantics)") {
+    val p = plan(Relational.wordCount(spark, sfDir))
+    assert(p.contains("HashAggregate(keys="))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected map-side partial aggregate before the shuffle")
+  }
+
+  test("similarity join keeps the native dot product in the plan") {
+    val p = plan(Similarity.cosineNearDup(spark, sfDir))
+    assert(p.contains("graft_dot"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "small corpus side should broadcast for the quadratic baseline")
+  }
+}
