@@ -51,7 +51,10 @@ object SparkEntry {
     "q30_token_count" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q31_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q32_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
-    "q33_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d))
+    "q33_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+    // no oracle (sketches differ across engines): rows-only check; the
+    // error bound vs exact distinct is asserted in RelationalSpec.
+    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */

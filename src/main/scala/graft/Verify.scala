@@ -15,6 +15,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Wipe any previous dump: stale per-query parquet from an earlier run
+    // would make a failed query look like a pass to the differential check.
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

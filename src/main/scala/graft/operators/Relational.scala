@@ -291,6 +291,21 @@ object Relational {
       .orderBy($"c_nationkey")
   }
 
+  /** HLL approximate distinct (SURVEY §2.5 A7's capped/approx flavor —
+    * UniqValueCount beyond maxNumItems degrades to approximate counting;
+    * the scalable form is an HLL sketch, mergeable at any fan-in). No
+    * DuckDB oracle: sketch implementations differ across engines; the spec
+    * asserts relative error against the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Skew-resistant two-stage aggregation — the reference's 2MR group-by
     * plan (SURVEY §2.5 A11, SemanticAnalyzer.genGroupByPlan2MR:1348): stage
     * 1 aggregates on (key, salt) so a hot key spreads over `buckets`

@@ -56,6 +56,17 @@ class RelationalSpec extends SparkSpec {
     assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
   }
 
+  test("approximate distinct stays within the sketch error bound") {
+    val exact = Relational.distinctByPriority(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.approxDistinct(spark, sfDir).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getLong(1).toDouble
+      assert(math.abs(a - e) / e < 0.1,
+        s"approx $a vs exact $e for ${r.getString(0)}")
+    }
+  }
+
   test("broadcast joins are planned for dimension tables") {
     val plan = Relational.revenueByNation(spark, sfDir)
       .queryExecution.executedPlan.toString
