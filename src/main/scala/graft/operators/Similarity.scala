@@ -39,10 +39,15 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
-    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
-      .filter($"cos" >= threshold)
+    // The threshold lives INSIDE the join condition: the nested-loop join
+    // then evaluates the (codegen'd) dot product per candidate pair and
+    // materializes only survivors — never the O(n²) intermediate of wide
+    // vector rows. Survivors recompute cos in the projection (identical
+    // expression ⇒ identical value).
+    def cos = round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6)
+    e.as("a").join(e.as("b"),
+        $"a.vec_id" < $"b.vec_id" && cos >= threshold)
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), cos.as("cos"))
       .orderBy($"v1", $"v2")
   }
 

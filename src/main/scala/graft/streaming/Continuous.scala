@@ -42,6 +42,27 @@ object Continuous {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_v"))
 
+  /** Exact HOP window semantics (C2, ReduceTask.stream():595-629):
+    * processing-time windows, no retained state — every trigger interval the
+    * reducer runs over ONLY that window's input, emits, and frees it. Here
+    * each micro-batch IS the window: `aggregate` is applied to the batch
+    * alone (no streaming state), the result is emitted, nothing carries
+    * over. Event-time windowed aggregation ([[windowedCounts]]) is the
+    * strict superset; this is the parity mode. */
+  def perWindowAggregate(
+      stream: DataFrame,
+      aggregate: DataFrame => DataFrame,
+      trigger: Trigger)(
+      onWindow: (Long, Seq[Row]) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onWindow(id, aggregate(batch).collect().toSeq)
+        ()
+      }
+      .start()
+
   /** CQ alert logic (C11): per-key aggregates for one window batch, flagged
     * where the key's average exceeds the cross-key mean + 2σ. Static
     * transform — apply inside `foreachBatch` so the cross-key statistics

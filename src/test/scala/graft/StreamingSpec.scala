@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:10.0", "view", 1L, 8.0)))
   }
 
+  test("per-window aggregate is state-free (HOP C2 parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Long])]
+    val q = Continuous.perWindowAggregate(
+      mem.toDF().toDF("k", "v"),
+      b => b.groupBy("k").count(),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { (id, rows) =>
+      frames.synchronized {
+        frames += ((id, rows.map(r => r.getString(0) -> r.getLong(1)).toMap))
+      }
+    }
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 1.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = frames.filter(_._2.nonEmpty)
+    assert(nonEmpty.length === 2)
+    // window 2 counts ONLY its own input — no state carried from window 1
+    assert(nonEmpty(0)._2 === Map("a" -> 2L, "b" -> 1L))
+    assert(nonEmpty(1)._2 === Map("a" -> 1L))
+  }
+
   test("cq monitor flags the anomalous host") {
     import spark.implicits._
     val w = Timestamp.valueOf("2024-01-01 00:00:00")
