@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Aggregators
+import graft.pipeline.MrPipeline
+
+/** Property-based checks (the robustness layer the reference lacked —
+  * SURVEY §5 notes "no property-based tests"). */
+class PropertySpec extends SparkSpec {
+
+  private def holds(prop: Prop, runs: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(runs), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("simhash is invariant under token order and duplication") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      toks <- Gen.nonEmptyListOf(Gen.oneOf(
+        "spark", "table", "row", "key", "merge", "batch", "window", "graft"))
+      shuffled <- Gen.const(scala.util.Random.shuffle(toks))
+    } yield (toks, shuffled ++ toks.take(1))
+    // evaluate via the engine's SQL function on literal arrays
+    GraftExtensions.register(spark)
+    holds(Prop.forAll(gen) { case (a, b) =>
+      def fp(ts: List[String]): Long = {
+        val arr = ts.map(t => s"'${t}'").mkString(",")
+        spark.sql(s"SELECT graft_simhash(array($arr))").head().getLong(0)
+      }
+      fp(a) == fp(b) && fp(a) >= 0 && fp(a) < (1L << 60)
+    }, runs = 15)
+  }
+
+  test("secondarySorted equals in-memory group-sort for arbitrary data") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(-100, 100)))
+    holds(Prop.forAll(gen) { data =>
+      data.isEmpty || {
+        val ds = spark.createDataset(data)
+        val got = MrPipeline.secondarySorted(
+          ds, 3, (t: (Long, Int)) => t._1,
+          Ordering.by[(Long, Int), Int](_._2))(
+          (k, it) => Iterator.single(k -> it.toList.map(_._2)))
+          .collect().toMap
+        val want = data.groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).sorted }
+        got == want
+      }
+    }, runs = 8)
+  }
+
+  test("UniqValueCount merge is associative with reduce") {
+    val agg = new Aggregators.UniqValueCount(1000)
+    val gen = Gen.listOf(Gen.alphaStr.map(_.take(4)))
+    holds(Prop.forAll(Gen.zip(gen, gen)) { case (a, b) =>
+      val whole = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val parts = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(whole) == agg.finish(parts)
+    })
+  }
+
+  test("histogram report is consistent for arbitrary values") {
+    val agg = new Aggregators.ValueHistogram()
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+    holds(Prop.forAll(gen) { vs =>
+      val r = agg.finish(vs.foldLeft(agg.zero)(agg.reduce))
+      r.count == vs.length &&
+        r.min == vs.min && r.max == vs.max &&
+        r.median >= r.min && r.median <= r.max &&
+        math.abs(r.avg - vs.sum / vs.length) < 1e-6 * math.max(1, math.abs(r.avg)) &&
+        r.stddev >= 0
+    })
+  }
+}
