@@ -57,7 +57,8 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
     import spark.implicits._
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = sh.groupBy($"doc_id").agg(count(lit(1)).as("c"))
     // Posting-list pair generation: one groupBy on shingle, emit all doc
     // pairs per posting list (bounded by maxDf ⇒ ≤ maxDf²/2 pairs per

@@ -28,16 +28,22 @@ object TextAnalysis {
 
   /** Language ID by stopword-hit voting: score per language = tokens found
     * in its lexicon; prediction = first language (lexicon order) reaching
-    * the max score. Compared against the labeled `lang` column. */
+    * the max score. Compared against the labeled `lang` column.
+    *
+    * Entirely per-row (token scores via `filter(tokens, ...)` lambdas) —
+    * zero shuffles before the final sort, so the operator is a pure map at
+    * any corpus size. Values identical to the explode+groupBy formulation
+    * the oracle uses. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
-    val scores = lexicons.map { case (l, words) =>
-      sum(when($"tok".isin(words: _*), 1).otherwise(0)).as(s"s_$l")
+    def score(words: Seq[String]): Column = {
+      val list = words.map(w => s"'$w'").mkString(",")
+      size(expr(s"filter(t, x -> x IN ($list))")).cast("long")
     }
-    val scored = toks.groupBy($"doc_id", $"lang")
-      .agg(scores.head, scores.tail: _*)
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", tokens($"text").as("t"))
+      .select($"doc_id" +: $"lang" +:
+        lexicons.map { case (l, ws) => score(ws).as(s"s_$l") }: _*)
     val best = lexicons.map { case (l, _) => col(s"s_$l") }
       .reduce((a, b) => greatest(a, b))
     val pred = lexicons.foldRight(lit("und"): Column) { case ((l, _), acc) =>
@@ -52,19 +58,18 @@ object TextAnalysis {
   }
 
   /** Quality scoring: length/punctuation/stopword/type-token ratios combined
-    * by a clamped linear score (heuristic filter for pretraining corpora). */
+    * by a clamped linear score (heuristic filter for pretraining corpora).
+    * Per-row only — token statistics come from array lambdas on the token
+    * column, so no shuffle or self-join touches the corpus. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val en = lexicons.head._2
-    val toks = Tables.documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct($"tok").as("n_types"),
-        sum(when($"tok".isin(en: _*), 1).otherwise(0)).as("n_stop"))
+    val en = lexicons.head._2.map(w => s"'$w'").mkString(",")
     Tables.documents(spark, dir)
-      .join(toks, "doc_id")
+      .withColumn("t", tokens($"text"))
+      .select($"doc_id", $"n_chars", $"text",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_types"),
+        size(expr(s"filter(t, x -> x IN ($en))")).cast("long").as("n_stop"))
       .select($"doc_id", $"n_chars",
         $"n_tokens", $"n_types", $"n_stop",
         (length(regexp_replace($"text", "[a-z0-9\\s]", "")) * lit(1.0) /

@@ -22,45 +22,56 @@ import org.apache.spark.sql.functions._
   */
 object MrPipeline {
 
-  /** Secondary sort: repartition by key, sort runs by (key, sort columns)
-    * inside each partition, then stream each key-run through `reduce` —
-    * values are presented in sort order with no per-key buffering, exactly
-    * the reference's sorted-reduce contract. Scales: one shuffle, no state
-    * beyond the run iterator.
+  /** Partitions `(K, T)` shuffle keys by K alone while the shuffle sorts by
+    * the full (K, sort-order) pair — the grouping-comparator split. */
+  private class KeyPartitioner(partitions: Int)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = partitions
+    def getPartition(key: Any): Int =
+      java.lang.Math.floorMod(key.asInstanceOf[(Any, Any)]._1.hashCode, partitions)
+  }
+
+  /** Secondary sort with the reference's exact execution contract: records
+    * shuffle partitioned by key and arrive sorted by (key, `ordering`) via
+    * Spark's spilling shuffle sort (`repartitionAndSortWithinPartitions` —
+    * external sort, no in-memory materialization of the partition), then
+    * each key run streams through `reduceFn`. Values are presented in sort
+    * order with no per-key buffering — any partition size works.
     */
-  def secondarySorted[T: Encoder, K: Encoder : Ordering, O: Encoder](
+  def secondarySorted[T: Encoder, K: Encoder : Ordering,
+      O: Encoder : scala.reflect.ClassTag](
       ds: Dataset[T],
       numPartitions: Int,
       key: T => K,
       ordering: Ordering[T])(
       reduceFn: (K, Iterator[T]) => Iterator[O]): Dataset[O] = {
-    implicit val kt: Encoder[(K, T)] = Encoders.tuple(
-      implicitly[Encoder[K]], implicitly[Encoder[T]])
-    ds.map(t => (key(t), t))
-      .repartition(numPartitions, col("_1"))
-      .mapPartitions { it =>
-        // Sort the partition's records by (key, ordering), then split into
-        // key runs. Partition sizing is the caller's memory contract, as
-        // with Hadoop's sort buffer.
-        implicit val kOrd: Ordering[(K, T)] =
-          Ordering.Tuple2(implicitly[Ordering[K]], ordering)
-        val sorted = it.toArray.sorted
-        new Iterator[O] {
-          private var i = 0
-          private var cur: Iterator[O] = Iterator.empty
-          @annotation.tailrec
-          private def advance(): Unit =
-            if (!cur.hasNext && i < sorted.length) {
-              val k = sorted(i)._1
-              val start = i
-              while (i < sorted.length && sorted(i)._1 == k) i += 1
-              cur = reduceFn(k, sorted.slice(start, i).iterator.map(_._2))
-              advance()
+    val spark = ds.sparkSession
+    implicit val kOrd: Ordering[(K, T)] =
+      Ordering.Tuple2(implicitly[Ordering[K]], ordering)
+    val sorted = ds.rdd.map(t => ((key(t), t), null))
+      .repartitionAndSortWithinPartitions(new KeyPartitioner(numPartitions))
+    val out = sorted.mapPartitions { raw =>
+      val buf = raw.map(_._1).buffered
+      new Iterator[O] {
+        private var cur: Iterator[O] = Iterator.empty
+        private var run: Iterator[T] = Iterator.empty
+        private def advance(): Unit =
+          while (!cur.hasNext && { while (run.hasNext) run.next(); buf.hasNext }) {
+            // Hadoop contract: unconsumed values of the previous key are
+            // skipped (the run is drained above before moving on).
+            val k = buf.head._1
+            run = new Iterator[T] {
+              def hasNext: Boolean = buf.hasNext &&
+                implicitly[Ordering[K]].equiv(buf.head._1, k)
+              def next(): T = buf.next()._2
             }
-          def hasNext: Boolean = { advance(); cur.hasNext }
-          def next(): O = { advance(); cur.next() }
-        }
+            cur = reduceFn(k, run)
+          }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): O = { advance(); cur.next() }
       }
+    }
+    spark.createDataset(out)
   }
 
   /** Hadoop-Streaming-style pipe: run `command` once per partition, write
