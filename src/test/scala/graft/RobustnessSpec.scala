@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Bad-record handling and compression (SURVEY §4.2: "bad-record skip →
+  * PERMISSIVE readers"; §1.4 codecs). */
+class RobustnessSpec extends SparkSpec {
+
+  test("permissive reader skips malformed records instead of failing the job") {
+    val dir = "target/tmp/badcsv"
+    new java.io.File(dir).mkdirs()
+    Files.write(Paths.get(s"$dir/part.csv"),
+      "1,alpha,10.5\n2,beta\nnot,a,number\n4,delta,7.25\n"
+        .getBytes("UTF-8"))
+    val schema = "id INT, name STRING, score DOUBLE"
+    val ok = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_c")
+      .csv(dir)
+    val rows = ok.collect()
+    assert(rows.length === 4, "permissive keeps all rows")
+    // malformed rows surface as nulls, not job failure
+    assert(rows.count(_.isNullAt(2)) >= 1)
+    // DROPMALFORMED = the reference's SkipBadRecords behavior
+    val dropped = spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED").csv(dir).collect()
+    assert(dropped.length < rows.length)
+    assert(dropped.forall(!_.isNullAt(0)))
+  }
+
+  test("gzip text round trip (gzip-aware line reader, S2)") {
+    import spark.implicits._
+    val dir = "target/tmp/gz"
+    val lines = Seq("line one", "line two", "line three")
+    spark.createDataset(lines).write.mode("overwrite")
+      .option("compression", "gzip").text(dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".gz")), "expected gzip part files")
+    val back = spark.read.text(dir).collect().map(_.getString(0)).sorted
+    assert(back.toSeq === lines.sorted)
+  }
+}
