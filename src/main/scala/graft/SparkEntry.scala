@@ -54,7 +54,8 @@ object SparkEntry {
     "q33_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     // no oracle (sketches differ across engines): rows-only check; the
     // error bound vs exact distinct is asserted in RelationalSpec.
-    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
+    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -389,6 +390,24 @@ object SparkEntry {
       """SELECT 'text/plain' AS media_type, COUNT(*) AS n,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q35_dedup_decisions" ->
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT d2 AS doc_id FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id
+        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8)
+        |SELECT d.doc_id,
+        |  CASE WHEN l.doc_id IS NOT NULL THEN 0 ELSE 1 END AS keep
+        |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

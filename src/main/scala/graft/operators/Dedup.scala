@@ -82,6 +82,25 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** End-to-end dedup decisions: one row per document with `keep` ∈ {0,1}.
+    * A document is dropped iff it near-duplicates (3-shingle Jaccard ≥
+    * `threshold`) a smaller-id document — the greedy min-id-representative
+    * rule over the pair list (identical texts have Jaccard 1, so exact dups
+    * are subsumed). This is the operator a pipeline user actually calls;
+    * the building blocks above are its stages. */
+  def deduplicate(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val losers = ngramJaccard(spark, dir, threshold)
+      .select($"d2".as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(losers.withColumn("drop", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"drop".isNotNull, 0).otherwise(1).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   private val K = 8 // minhash signature length
   private def sigCol(i: Int): Column =
     min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i")

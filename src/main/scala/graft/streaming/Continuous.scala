@@ -118,6 +118,14 @@ object Continuous {
     spark.table("pipeline_out")
   }
 
+  /** Streaming exact dedup: drop records whose fingerprint was already seen
+    * within the watermark horizon (state is bounded by the horizon — the
+    * only way streaming dedup survives an unbounded stream). Expects
+    * columns `ts` (event time) and `fp` (the dedup key, e.g. a
+    * fingerprint from TextAnalysis.fingerprints). */
+  def streamingDedup(stream: DataFrame, horizon: String): DataFrame =
+    stream.withWatermark("ts", horizon).dropDuplicates("fp")
+
   /** One progressive snapshot: progress fraction + the aggregate-so-far. */
   case class Snapshot(progress: Double, rows: Seq[Row])
 

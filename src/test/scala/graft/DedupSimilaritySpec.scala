@@ -26,6 +26,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("dedup decisions drop exactly the near-dup pair losers") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val losers = pairs.map(_._2).toSet
+    val decisions = Dedup.deduplicate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(decisions.size === Tables.documents(spark, sfDir).count())
+    losers.foreach(d => assert(decisions(d) === 0, s"doc $d should drop"))
+    assert(decisions.count(_._2 == 0) === losers.size)
+    // the kept side of every pair survives unless itself a loser elsewhere
+    pairs.foreach { case (d1, _) =>
+      if (!losers.contains(d1)) assert(decisions(d1) === 1)
+    }
+  }
+
   test("simhash pairs respect the blocking guarantee") {
     val pairs = Dedup.simhashPairs(spark, sfDir).collect()
     pairs.foreach { r =>

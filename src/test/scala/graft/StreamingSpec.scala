@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
     assert(hot.toSeq === Seq("host-hot"))
   }
 
+  test("streaming dedup drops repeated fingerprints within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val q = Continuous.streamingDedup(
+      mem.toDF().toDF("ts", "fp"), "1 minute")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData((t(1), "A"), (t(2), "A"), (t(3), "B"))
+    q.processAllAvailable()
+    mem.addData((t(4), "A"), (t(5), "C"))
+    q.processAllAvailable()
+    q.stop()
+    val fps = spark.table("dedup_out").collect().map(_.getString(1)).sorted
+    assert(fps.toSeq === Seq("A", "B", "C"), "duplicates dropped across batches")
+  }
+
   test("streaming top-k twin matches the batch top-k (O8)") {
     import spark.implicits._
     val dir = "target/tmp/topk_in"
