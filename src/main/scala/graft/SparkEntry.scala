@@ -68,7 +68,7 @@ object SparkEntry {
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(len(t) - 2),
-      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+      |        i -> substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16))) AS s
       |    FROM toks))""".stripMargin
 
   private val minhashSigCte =

@@ -27,13 +27,20 @@ object Dedup {
   private def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  /** Distinct word 3-shingles per document: (doc_id, s). */
+  /** Distinct word 3-shingles per document, keyed by a fixed 16-hex-char
+    * md5 prefix: (doc_id, s). Hashing before the distinct/groupBy shuffles
+    * caps per-record shuffle width regardless of shingle text length —
+    * at corpus scale the shuffle volume is the cost that matters. 64-bit
+    * prefix collisions are ~n²/2⁶⁵ (negligible), and the oracle hashes
+    * identically so results stay bit-equal. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", tokens($"text").as("t"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        """transform(sequence(0, size(t)-3),
+          |  i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))"""
+          .stripMargin))
         .as("s"))
       .distinct()
   }
