@@ -27,6 +27,17 @@ case class Simhash(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    if (child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<string>, got ${child.dataType.simpleString}")
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val md = MessageDigest.getInstance("MD5")

@@ -76,9 +76,12 @@ object MrPipeline {
 
   /** Hadoop-Streaming-style pipe: run `command` once per partition, write
     * records to its stdin (one line each), read transformed lines from its
-    * stdout. A dedicated writer thread prevents pipe-buffer deadlock —
-    * the same design as the reference's PipeMapRed output threads. */
-  def pipe(ds: Dataset[String], command: Seq[String]): Dataset[String] = {
+    * stdout. Dedicated writer and stderr-drain threads prevent pipe-buffer
+    * deadlock — the same design as the reference's PipeMapRed output
+    * threads — and, matching Hadoop Streaming, a nonzero child exit fails
+    * the task (disable with `failOnNonZeroExit = false`). */
+  def pipe(ds: Dataset[String], command: Seq[String],
+      failOnNonZeroExit: Boolean = true): Dataset[String] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
@@ -89,14 +92,43 @@ object MrPipeline {
         val writer = new Thread {
           override def run(): Unit = {
             val out = new java.io.PrintWriter(proc.getOutputStream)
-            try it.foreach(out.println) finally out.close()
+            try it.foreach(out.println)
+            catch { case _: java.io.IOException => () } // child died early
+            finally out.close()
           }
         }
         writer.setDaemon(true)
         writer.start()
+        // drain stderr so a chatty child can't block on a full pipe;
+        // keep a bounded tail for the failure message
+        val errTail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val errDrain = new Thread {
+          override def run(): Unit = {
+            val er = new java.io.BufferedReader(
+              new java.io.InputStreamReader(proc.getErrorStream))
+            var line = er.readLine()
+            while (line != null) {
+              errTail.add(line)
+              while (errTail.size > 20) errTail.poll()
+              line = er.readLine()
+            }
+          }
+        }
+        errDrain.setDaemon(true)
+        errDrain.start()
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
-        Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        val lines = Iterator.continually(reader.readLine())
+          .takeWhile(_ != null)
+        lines ++ {
+          // runs after stdout is drained: enforce the exit-status contract
+          val code = proc.waitFor()
+          if (code != 0 && failOnNonZeroExit)
+            throw new RuntimeException(
+              s"pipe command '${command.mkString(" ")}' exited $code; " +
+                s"stderr tail: ${String.join(" | ", errTail)}")
+          Iterator.empty
+        }
       }
     }
   }

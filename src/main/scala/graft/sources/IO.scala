@@ -27,10 +27,11 @@ object IO {
   def readKeyValueText(spark: SparkSession, path: String,
       sep: String = "\t"): DataFrame = {
     import spark.implicits._
+    val pos = instr($"value", sep)
     spark.read.text(path).select(
       substring_index($"value", sep, 1).as("key"),
-      when(instr($"value", sep) > 0,
-        expr(s"substring(value, instr(value, '$sep') + ${sep.length})"))
+      when(pos > 0,
+        $"value".substr(pos + lit(sep.length), length($"value")))
         .otherwise(lit("")).as("val"))
   }
 

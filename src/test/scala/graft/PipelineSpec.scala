@@ -47,4 +47,30 @@ class PipelineSpec extends SparkSpec {
       .collect().sorted
     assert(out === Array("GRAFT ENGINE", "HELLO WORLD"))
   }
+
+  test("pipe fails the task on nonzero child exit (Hadoop Streaming contract)") {
+    import spark.implicits._
+    val lines = spark.createDataset(Seq("a", "b")).repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      MrPipeline.pipe(lines, Seq("sh", "-c", "head -1; exit 3")).collect()
+    }
+    assert(e.getMessage.contains("exited 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited 3")))
+    // opt-out keeps partial output without failing
+    val partial = MrPipeline.pipe(lines,
+      Seq("sh", "-c", "head -1; exit 3"), failOnNonZeroExit = false)
+      .collect()
+    assert(partial.length === 1)
+  }
+
+  test("pipe survives a stderr-chatty child (drain prevents deadlock)") {
+    import spark.implicits._
+    val lines = spark.createDataset(Seq("x", "y")).repartition(1)
+    // ~1 MB of stderr before touching stdin — would deadlock without the
+    // stderr drain thread
+    val out = MrPipeline.pipe(lines, Seq("sh", "-c",
+      "i=0; while [ $i -lt 20000 ]; do echo noisenoisenoisenoisenoise >&2; i=$((i+1)); done; tr x-z X-Z"))
+      .collect().sorted
+    assert(out === Array("X", "Y"))
+  }
 }
