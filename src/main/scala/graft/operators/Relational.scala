@@ -173,6 +173,29 @@ object Relational {
       .orderBy($"nationkey")
   }
 
+  /** N-source override join (SURVEY §2.6 J4 general form,
+    * mapred/join/OverrideRecordReader.java:36 + package.html:61-63): full
+    * outer across all keyed sources; for each key the value comes from the
+    * RIGHTMOST source that has it. Each input is (frame, value column);
+    * frames must share `keyCol`. */
+  def overrideJoin(inputs: Seq[(DataFrame, String)],
+      keyCol: String): DataFrame = {
+    require(inputs.size >= 2, "override join needs at least 2 sources")
+    val aliased = inputs.zipWithIndex.map { case ((df, v), i) =>
+      df.select(col(keyCol).as(s"k$i"), col(v).as(s"v$i"))
+    }
+    val joined = aliased.zipWithIndex.reduceLeft[(DataFrame, Int)] {
+      case ((acc, _), (next, i)) =>
+        val accKey = coalesce((0 until i).reverse.map(j => col(s"k$j")): _*)
+        (acc.join(next, accKey === col(s"k$i"), "full_outer"), i)
+    }._1
+    val n = inputs.size
+    joined.select(
+      coalesce((n - 1 to 0 by -1).map(i => col(s"k$i")): _*).as(keyCol),
+      coalesce((n - 1 to 0 by -1).map(i => col(s"v$i")): _*).as("value"))
+      .orderBy(col(keyCol))
+  }
+
   /** Heterogeneous UNION ALL after schema normalization (SURVEY §2.7 U1-U3,
     * mapred/lib/MultipleInputs.java:34; hive TOK_UNION). */
   def unionParties(spark: SparkSession, dir: String): DataFrame = {

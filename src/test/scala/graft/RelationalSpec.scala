@@ -49,6 +49,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("N-source override join prefers the rightmost source per key") {
+    import spark.implicits._
+    val a = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("k", "v")
+    val b = Seq((2, "b2"), (4, "b4")).toDF("k", "v")
+    val c = Seq((3, "c3"), (4, "c4"), (5, "c5")).toDF("k", "v")
+    val out = Relational.overrideJoin(
+      Seq((a, "v"), (b, "v"), (c, "v")), "k")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1 -> "a1",  // only in a
+      2 -> "b2",  // b overrides a
+      3 -> "c3",  // c overrides a
+      4 -> "c4",  // c overrides b
+      5 -> "c5")) // only in c
+  }
+
   test("topk equals sort-then-take") {
     val topk = Relational.topCustomers(spark, sfDir, 10).collect()
     assert(topk.length === 10)
