@@ -55,7 +55,8 @@ object SparkEntry {
     // no oracle (sketches differ across engines): rows-only check; the
     // error bound vs exact distinct is asserted in RelationalSpec.
     "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
-    "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d))
+    "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d)),
+    "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -408,6 +409,22 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CASE WHEN l.doc_id IS NOT NULL THEN 0 ELSE 1 END AS keep
         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin),
+    "q36_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin
   )
 }

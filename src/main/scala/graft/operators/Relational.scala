@@ -314,6 +314,22 @@ object Relational {
       .orderBy($"c_nationkey")
   }
 
+  /** Sessionization: per-user event sessions with a 5-minute inactivity gap
+    * (SURVEY §2.9 C13 — session windows, the strict superset of the
+    * reference's tumbling-only windows; also the standard training-data
+    * user-journey operator). Batch form via `session_window`; the same
+    * expression works on a stream. */
+  def sessionize(spark: SparkSession, dir: String,
+      gap: String = "5 minutes"): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(d2($"value")).cast(D2).as("sum_v"))
+      .select($"user_id", $"w.start".as("s_start"), $"n", $"sum_v")
+      .orderBy($"user_id", $"s_start")
+  }
+
   /** HLL approximate distinct (SURVEY §2.5 A7's capped/approx flavor —
     * UniqValueCount beyond maxNumItems degrades to approximate counting;
     * the scalable form is an HLL sketch, mergeable at any fan-in). No

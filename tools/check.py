@@ -48,6 +48,8 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional: check a single query by name
+        oracle = {k: v for k, v in oracle.items() if k == sys.argv[3]}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
