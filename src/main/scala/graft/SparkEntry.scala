@@ -56,7 +56,8 @@ object SparkEntry {
     // error bound vs exact distinct is asserted in RelationalSpec.
     "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d)),
-    "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d))
+    "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -425,6 +426,18 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin
+        |ORDER BY user_id, s_start""".stripMargin,
+    "q37_sliding_windows" ->
+      // window k covers [k*slide, k*slide + size); event t falls in
+      // k ∈ (floor((t-size)/slide), floor(t/slide)] — exact integer µs math
+      """SELECT make_timestamp(k * 300000000) AS w_start, event_type,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    unnest(range((epoch_us(ts) - 600000000) // 300000000 + 1,
+        |                 epoch_us(ts) // 300000000 + 1)) AS k
+        |  FROM events)
+        |GROUP BY k, event_type
+        |ORDER BY w_start, event_type""".stripMargin
   )
 }

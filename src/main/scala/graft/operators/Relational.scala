@@ -330,6 +330,18 @@ object Relational {
       .orderBy($"user_id", $"s_start")
   }
 
+  /** Sliding-window aggregation (SURVEY §2.9 C13 superset): 10-minute
+    * windows sliding every 5 — each event contributes to 2 windows. Same
+    * expression works on a stream with a watermark. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
   /** HLL approximate distinct (SURVEY §2.5 A7's capped/approx flavor —
     * UniqValueCount beyond maxNumItems degrades to approximate counting;
     * the scalable form is an HLL sketch, mergeable at any fan-in). No
