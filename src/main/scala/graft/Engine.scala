@@ -27,6 +27,8 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft_dot / graft_simhash available on the SQL tier out of the box
+    GraftExtensions.register(spark)
     spark
   }
 }

@@ -84,6 +84,33 @@ class GoldenQuerySpec extends SparkSpec {
     "SELECT DISTINCT n_regionkey FROM nation",
     Tables.nation(spark, sfDir).select($"n_regionkey").distinct())
 
+  check("case when buckets",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |  WHEN o_totalprice < 200000 THEN 'mid' ELSE 'large' END, count(*)
+      |FROM orders GROUP BY 1""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .groupBy(when($"o_totalprice" < 50000, "small")
+        .when($"o_totalprice" < 200000, "mid").otherwise("large"))
+      .agg(count(lit(1))))
+
+  check("between and in-list predicates",
+    """SELECT count(*) FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20
+      |  AND l_returnflag IN ('A', 'R')""".stripMargin,
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity".between(10, 20) &&
+        $"l_returnflag".isin("A", "R"))
+      .agg(count(lit(1))))
+
+  check("coalesce over outer-join nulls",
+    """SELECT c.c_custkey, coalesce(o.o_orderkey, -1)
+      |FROM customer c LEFT JOIN orders o
+      |ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000""".stripMargin,
+    Tables.customer(spark, sfDir).as("c")
+      .join(Tables.orders(spark, sfDir).as("o"),
+        $"c_custkey" === $"o_custkey" && $"o_totalprice" > 400000, "left")
+      .select($"c_custkey", coalesce($"o_orderkey", lit(-1L))))
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
