@@ -114,9 +114,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -129,7 +129,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q03_join_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -141,7 +141,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, total_spent, n_orders
         |FROM (
         |  SELECT o_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
         |    COUNT(*) AS n_orders
         |  FROM orders GROUP BY o_custkey
         |) t JOIN customer ON o_custkey = c_custkey
@@ -172,7 +172,7 @@ object SparkEntry {
     "q09_join_left" ->
       """SELECT c_custkey, c_name,
         |  COUNT(o_orderkey) AS n_orders,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
@@ -215,7 +215,7 @@ object SparkEntry {
         |ORDER BY k""".stripMargin,
     "q15_bucket_sample" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey % 7 = 0
         |GROUP BY l_returnflag
@@ -228,7 +228,7 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q17_chain_join" ->
       """SELECT p_brand, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(DISTINCT s_suppkey) AS n_supp
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_size < 20
@@ -415,7 +415,7 @@ object SparkEntry {
       """WITH marked AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -423,8 +423,8 @@ object SparkEntry {
         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM marked)
-        |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS s_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
     "q37_sliding_windows" ->

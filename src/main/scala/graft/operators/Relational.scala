@@ -21,10 +21,12 @@ import graft.Tables
   */
 object Relational {
   private val D2 = DecimalType(18, 2)
-  private val D4 = DecimalType(18, 4)
-  // Wide decimal for exact (order-independent) sums of double measures:
-  // sum exactly in decimal, convert once to double, then arithmetic on the
-  // deterministic double is bit-identical across engines.
+  // Money/measure sums run over decimal casts so the aggregate is
+  // order-independent (double sums flake under shuffle), then the FINAL
+  // result converts to double exactly once: decimal→double is the same
+  // correctly-rounded IEEE division in Spark and DuckDB, and double is the
+  // only fractional type whose driver-side rendering is engine-independent
+  // (DECIMAL outputs hash-mismatched in round 1 — trailing-zero rendering).
   private val D12 = DecimalType(28, 12)
   private val D12W = DecimalType(38, 12)
 
@@ -38,10 +40,10 @@ object Relational {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(d2($"l_quantity")).cast(D2).as("sum_qty"),
-        sum(d2($"l_extendedprice")).cast(D2).as("sum_base_price"),
+        sum(d2($"l_quantity")).cast("double").as("sum_qty"),
+        sum(d2($"l_extendedprice")).cast("double").as("sum_base_price"),
         sum(d2($"l_extendedprice") * (lit(1).cast(D2) - d2($"l_discount")))
-          .cast(D4).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -71,7 +73,7 @@ object Relational {
       .join(region, $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(d2($"o_totalprice")).cast(D2).as("revenue"),
+        sum(d2($"o_totalprice")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"r_name", $"n_name")
   }
@@ -84,7 +86,7 @@ object Relational {
     val customer = Tables.customer(spark, dir)
     orders
       .groupBy($"o_custkey")
-      .agg(sum(d2($"o_totalprice")).cast(D2).as("total_spent"),
+      .agg(sum(d2($"o_totalprice")).cast("double").as("total_spent"),
         count(lit(1)).as("n_orders"))
       .join(customer, $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"total_spent", $"n_orders")
@@ -146,7 +148,7 @@ object Relational {
       .groupBy($"c_custkey", $"c_name")
       .agg(
         count($"o_orderkey").as("n_orders"),
-        coalesce(sum(d2($"o_totalprice")), lit(0).cast(D2)).cast(D2)
+        coalesce(sum(d2($"o_totalprice")).cast("double"), lit(0.0))
           .as("total_spent"))
       .orderBy($"c_custkey")
   }
@@ -264,7 +266,7 @@ object Relational {
       .filter($"l_orderkey" % 7 === 0)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(d2($"l_quantity")).cast(D2).as("sum_qty"))
+        sum(d2($"l_quantity")).cast("double").as("sum_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -295,7 +297,7 @@ object Relational {
         $"l_suppkey" === $"s_suppkey")
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n"),
-        sum(d2($"l_quantity")).cast(D2).as("sum_qty"),
+        sum(d2($"l_quantity")).cast("double").as("sum_qty"),
         countDistinct($"s_suppkey").as("n_supp"))
       .orderBy($"p_brand")
   }
@@ -325,7 +327,7 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy($"user_id", session_window($"ts", gap).as("w"))
       .agg(count(lit(1)).as("n"),
-        sum(d2($"value")).cast(D2).as("sum_v"))
+        sum(d2($"value")).cast("double").as("sum_v"))
       .select($"user_id", $"w.start".as("s_start"), $"n", $"sum_v")
       .orderBy($"user_id", $"s_start")
   }

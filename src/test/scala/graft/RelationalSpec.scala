@@ -68,7 +68,7 @@ class RelationalSpec extends SparkSpec {
   test("topk equals sort-then-take") {
     val topk = Relational.topCustomers(spark, sfDir, 10).collect()
     assert(topk.length === 10)
-    val spends = topk.map(_.getAs[java.math.BigDecimal]("total_spent").doubleValue())
+    val spends = topk.map(_.getAs[Double]("total_spent"))
     assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
   }
 

@@ -71,7 +71,20 @@ def main():
         tmis = {c: (t, stypes[c.lower()]) for c, t in otypes.items()
                 if stypes[c.lower()] != t}
         if tmis:
-            print(f"WARN  {name}: dtype mismatch {tmis}")
+            # Round-1 lesson: the driver hashes canonicalized values, and
+            # same-value-different-type (DECIMAL vs DOUBLE, TIMESTAMP_NS vs
+            # TIMESTAMP) renders differently on the two sides. Treat any
+            # dtype divergence as a hard failure.
+            print(f"FAIL  {name}: dtype mismatch {tmis}")
+            n_fail += 1
+            continue
+        banned = {c: t for c, t in {**otypes, **stypes}.items()
+                  if "DECIMAL" in t.upper() or "TIMESTAMP_NS" in t.upper()}
+        if banned:
+            print(f"FAIL  {name}: banned output types (driver-rendering "
+                  f"unstable): {banned}")
+            n_fail += 1
+            continue
         if len(orows) != len(srows):
             print(f"FAIL  {name}: rowcount oracle={len(orows)} spark={len(srows)}")
             n_fail += 1
@@ -90,8 +103,8 @@ def main():
                 if first is None:
                     first = (o, s)
         if n_bad == 0:
-            print(f"WARN  {name} ({len(orows)} rows): float-tolerance only "
-                  f"(NOT exact — driver may flag)")
+            print(f"FAIL  {name} ({len(orows)} rows): float-tolerance only "
+                  f"(NOT exact — driver hash will flag)")
             n_fail += 1
         else:
             print(f"FAIL  {name}: {n_bad} mismatched rows; first:")
