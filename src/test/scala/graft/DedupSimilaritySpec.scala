@@ -41,6 +41,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hot shingles are df-gated before any posting list forms") {
+    import spark.implicits._
+    // Every doc shares the stopword-grade shingle "the quick fox"; only
+    // docs 1 and 2 share rare shingles. With maxDf=3 the hot shingle
+    // (df=6) must be discarded as a (shingle, count) pair — never collected.
+    val docs = Seq(
+      (1L, "the quick fox alpha beta gamma delta"),
+      (2L, "the quick fox alpha beta gamma delta"),
+      (3L, "the quick fox zeta eta theta"),
+      (4L, "the quick fox iota kappa lambda"),
+      (5L, "the quick fox mu nu xi"),
+      (6L, "the quick fox omicron pi rho")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOf(docs, threshold = 0.5, maxDf = 3)
+    // docs 1,2: 5 shingles each, 4 survive the gate -> j = 4/(5+5-4) = 0.667
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // plan shape: the df semi-join gates the index BEFORE the collect_list
+    // aggregation (the round-1 OOM hazard was collecting first).
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected df semi-join gate in:\n$plan")
+  }
+
+  test("documents with fewer than 3 tokens produce no shingles or pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, ""), (3L, "one two"), (4L, "one two"),
+      (5L, "solo token here"), (6L, "solo token here")).toDF("doc_id", "text")
+    // empty/short docs must NOT pair (unguarded sequence() fabricated
+    // shingles for them, pairing empty docs at jaccard 1.0)
+    val got = Dedup.ngramJaccardOf(docs, threshold = 0.1, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 6L)))
+  }
+
   test("simhash pairs respect the blocking guarantee") {
     val pairs = Dedup.simhashPairs(spark, sfDir).collect()
     pairs.foreach { r =>
