@@ -57,7 +57,8 @@ object SparkEntry {
     "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d)),
     "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
-    "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d))
+    "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d)),
+    "q38_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -315,6 +316,38 @@ object SparkEntry {
         |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
         |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
         |  FROM q JOIN n b ON q.vec_id <> b.vec_id),
+        |r AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM sc)
+        |SELECT q_id, rank, neighbor, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+    "q38_ann_ivf" ->
+      (s"""WITH $vecsCte,
+        |piv AS (SELECT vec_id AS pid, v AS pv, norm AS pnorm FROM n
+        |        WHERE vec_id % 16 = 1),
+        |assign AS (
+        |  SELECT vec_id, pid FROM (
+        |    SELECT b.vec_id, p.pid, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_dot_product(b.v, p.pv) / b.norm / p.pnorm DESC,
+        |               p.pid) AS rk
+        |    FROM n b, piv p) WHERE rk = 1),
+        |cells AS (SELECT pid FROM assign GROUP BY pid HAVING COUNT(*) <= 65536),
+        |gated AS (SELECT assign.* FROM assign JOIN cells USING (pid)),
+        |probes AS (
+        |  SELECT q_id, pid FROM (
+        |    SELECT q.vec_id AS q_id, p.pid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, p.pv) / q.norm / p.pnorm DESC,
+        |               p.pid) AS rk
+        |    FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q, piv p)
+        |  WHERE rk <= 20),
+        |cand AS (
+        |  SELECT probes.q_id, gated.vec_id AS neighbor
+        |  FROM probes JOIN gated USING (pid)
+        |  WHERE probes.q_id <> gated.vec_id),
+        |sc AS (
+        |  SELECT q_id, neighbor,
+        |    ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |  FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
         |r AS (SELECT q_id, neighbor, cos,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
         |       AS INTEGER) AS rank FROM sc)

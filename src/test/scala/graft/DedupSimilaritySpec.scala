@@ -91,6 +91,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
   }
 
+  test("LSH recalls planted near-duplicates with 16-bit multi-table banding") {
+    import spark.implicits._
+    // 400 noise vectors + 20 planted near-copies (ids 1000+i copies id i
+    // with 1% perturbation -> cos >= 0.99). Sign-LSH per-bit agreement at
+    // cos 0.99 is ~0.95; 8 tables x 16 bits with Hamming-1 probes gives
+    // recall > 99.9% analytically — demand >= 0.9.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val noise = (0 until 400).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      (1000L + i, noise(i)._2.map(x => x + 0.01 * rnd.nextGaussian()))
+    }
+    val docs = (noise ++ planted).toDF("vec_id", "v")
+    val res = Similarity.lshTopKOf(docs, col("vec_id") >= 1000, k = 1,
+      bits = 16, tables = 8, maxBucket = 1024).collect()
+    val top1 = res.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val recalled = (0 until 20).count(i => top1.get(1000L + i).contains(i.toLong))
+    assert(recalled >= 18, s"planted recall $recalled/20 too low")
+  }
+
+  test("LSH default bucket space exceeds the round-1 256-key hot shuffle") {
+    // default 8 tables x 10 bits -> 8192 (table, sig) keys; at scale the
+    // bits parameter grows with log2(corpus) so buckets stay O(1)
+    assert(8 * (1 << 10) > 256)
+    val res = Similarity.lshTopK(spark, sfDir).collect()
+    assert(res.nonEmpty, "q27 must return rows at fixture scale")
+  }
+
+  test("IVF ANN reaches 0.9 recall vs brute force on the fixture") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
