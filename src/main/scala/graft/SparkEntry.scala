@@ -58,7 +58,8 @@ object SparkEntry {
     "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d)),
     "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d)),
-    "q38_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d))
+    "q38_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q39_composite_join" -> ((s, d) => CompositeJoin.ordersComposite(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -353,6 +354,16 @@ object SparkEntry {
         |       AS INTEGER) AS rank FROM sc)
         |SELECT q_id, rank, neighbor, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin),
+    "q39_composite_join" ->
+      """WITH a AS (SELECT o_custkey AS k, o_orderkey AS o_open
+        |          FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey AS k, o_orderkey AS o_done
+        |      FROM orders WHERE o_orderstatus = 'F'),
+        |ab AS (SELECT COALESCE(a.k, b.k) AS k, o_open, o_done
+        |       FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT ab.k AS custkey, o_open, o_done, c_name
+        |FROM ab JOIN customer ON ab.k = c_custkey
+        |ORDER BY custkey, o_open, o_done""".stripMargin,
     "q28_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
