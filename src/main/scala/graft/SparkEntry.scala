@@ -59,7 +59,8 @@ object SparkEntry {
     "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d)),
     "q38_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    "q39_composite_join" -> ((s, d) => CompositeJoin.ordersComposite(s, d))
+    "q39_composite_join" -> ((s, d) => CompositeJoin.ordersComposite(s, d)),
+    "q40_md5_sample" -> ((s, d) => Relational.md5Sample(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -364,6 +365,21 @@ object SparkEntry {
         |SELECT ab.k AS custkey, o_open, o_done, c_name
         |FROM ab JOIN customer ON ab.k = c_custkey
         |ORDER BY custkey, o_open, o_done""".stripMargin,
+    "q40_md5_sample" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS u
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT *, CASE WHEN u >= 9223372036854775808
+        |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+        |    ELSE CAST(u AS HUGEINT) END AS h
+        |  FROM t)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM s WHERE h % 7 = 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q28_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -270,6 +270,21 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Content-deterministic MD5 record sampling (SURVEY §2.1 S5 —
+    * SequenceFileInputFilter.MD5Filter, the split-layout-independent
+    * sampling mode) feeding an aggregate: the same keys survive on any
+    * cluster layout, so the sample is reproducible and joinable. */
+  def md5Sample(spark: SparkSession, dir: String,
+      frequency: Int = 7): DataFrame = {
+    import spark.implicits._
+    graft.sources.IO.md5KeyFilter(
+      Tables.lineitem(spark, dir), "l_orderkey", frequency)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(d2($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Secondary sort: per-group ordering with a grouping comparator coarser
     * than the sort (SURVEY §2.3 H8, JobConf.java:657) — first 3 orders per
     * customer by date, via a ranked window. */

@@ -133,6 +133,39 @@ object MrPipeline {
     }
   }
 
+  /** The reference's stream-output key/value split (PipeMapRed.splitKeyVal,
+    * PipeMapRed.java:338-352): the key is everything before the
+    * `numKeyFields`-th occurrence of `sep` (so a multi-field key KEEPS its
+    * embedded separators), the value everything after it; a line with fewer
+    * separators becomes `(line, "")`. */
+  private[graft] def splitKeyVal(line: String, sep: String,
+      numKeyFields: Int): (String, String) = {
+    var pos = line.indexOf(sep)
+    var k = 1
+    while (k < numKeyFields && pos != -1) {
+      pos = line.indexOf(sep, pos + sep.length)
+      k += 1
+    }
+    if (pos == -1) (line, "")
+    else (line.substring(0, pos), line.substring(pos + sep.length))
+  }
+
+  /** Keyed Hadoop-Streaming pipe with the reference's separator surface
+    * (stream.map.output.field.separator / stream.num.map.output.key.fields,
+    * PipeMapRed.java:338-352): records are written to the child as
+    * `key<sep>value` lines and its output lines are split back into typed
+    * `(key, value)` pairs at the `numKeyFields`-th separator. Same
+    * per-partition process model and exit-code contract as [[pipe]]. */
+  def pipeKeyed(ds: Dataset[(String, String)], command: Seq[String],
+      fieldSeparator: String = "\t", numKeyFields: Int = 1,
+      failOnNonZeroExit: Boolean = true): Dataset[(String, String)] = {
+    import ds.sparkSession.implicits._
+    val sep = fieldSeparator
+    val n = numKeyFields
+    pipe(ds.map { case (k, v) => k + sep + v }, command, failOnNonZeroExit)
+      .map(l => splitKeyVal(l, sep, n))
+  }
+
   /** WordCount on the typed tier (flatMap → groupByKey → count) — the
     * reference's canonical Mapper/Reducer example (examples/WordCount.java)
     * expressed as Dataset verbs; Catalyst still plans partial+final agg. */

@@ -53,6 +53,37 @@ object IO {
     spark.sparkContext.sequenceFile[String, String](path).toDF("key", "val")
   }
 
+  /** S5 SequenceFileInputFilter.RegexFilter
+    * (mapred/SequenceFileInputFilter.java:101): accept records whose key
+    * FULLY matches the regex (the reference uses `Matcher.matches()`, not
+    * find — anchor accordingly). */
+  def regexKeyFilter(df: DataFrame, keyCol: String, regex: String): DataFrame =
+    df.filter(col(keyCol).rlike("^(?:" + regex + ")$"))
+
+  /** S5 SequenceFileInputFilter.PercentFilter
+    * (mapred/SequenceFileInputFilter.java:145): accept every `frequency`-th
+    * record of each split, starting with the first. The reference counts
+    * records per record-reader (= per split); the per-partition row number
+    * of `monotonically_increasing_id` reproduces exactly that. */
+  def percentFilter(df: DataFrame, frequency: Int): DataFrame = {
+    require(frequency > 0, s"Negative frequency: $frequency")
+    df.filter(
+      (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+        % frequency) === 0)
+  }
+
+  /** S5 SequenceFileInputFilter.MD5Filter
+    * (mapred/SequenceFileInputFilter.java:190): hashcode = first 8 bytes of
+    * MD5(key) as a big-endian SIGNED long; accept iff hashcode % frequency
+    * == 0. Unlike PercentFilter this is content-deterministic — the same
+    * keys survive regardless of split layout, so it composes with joins. */
+  def md5KeyFilter(df: DataFrame, keyCol: String, frequency: Int): DataFrame = {
+    require(frequency > 0, s"Negative frequency: $frequency")
+    val hashcode = expr(
+      s"cast(conv(substring(md5(cast(`$keyCol` as string)), 1, 16), 16, -10) as bigint)")
+    df.filter(hashcode % frequency === 0)
+  }
+
   /** S15 MultipleOutputs/MultipleOutputFormat: fan rows out to files named
     * by key — `partitionBy` writes one directory per key value. */
   def writePartitionedByKey(df: DataFrame, keyCol: String,

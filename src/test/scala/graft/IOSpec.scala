@@ -55,6 +55,49 @@ class IOSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("regex key filter accepts only fully matching keys") {
+    import spark.implicits._
+    val df = Seq("alpha", "alp", "xalpha", "alpha2").toDF("key")
+    val got = IO.regexKeyFilter(df, "key", "alp.*a").collect()
+      .map(_.getString(0)).toSet
+    // 'xalpha' contains a match but does not fully match (reference uses
+    // Matcher.matches); 'alpha2' has a trailing char
+    assert(got === Set("alpha"))
+  }
+
+  test("percent filter keeps every f-th record per split starting at 0") {
+    import spark.implicits._
+    val df = spark.range(100).toDF("id").repartition(1)
+    val got = IO.percentFilter(df, 10).collect().map(_.getLong(0))
+    assert(got.length === 10)
+    // exactly one of every 10 records per split, first record included
+    val all = df.collect().map(_.getLong(0))
+    assert(got.toSeq === all.grouped(10).map(_.head).toSeq)
+    intercept[IllegalArgumentException](IO.percentFilter(df, 0))
+  }
+
+  test("md5 key filter reproduces the reference MD5Filter hashcode") {
+    import spark.implicits._
+    // reference algorithm, reimplemented independently: big-endian signed
+    // long from the first 8 digest bytes, accept iff hashcode % f == 0
+    def refAccept(key: String, f: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) =>
+        acc | ((d(i) & 0xffL) << (8 * (7 - i))))
+      h % f == 0
+    }
+    val keys = (0 until 500).map(i => s"key$i")
+    val df = keys.toDF("key")
+    for (f <- Seq(2, 7, 10)) {
+      val got = IO.md5KeyFilter(df, "key", f).collect()
+        .map(_.getString(0)).toSet
+      val want = keys.filter(refAccept(_, f)).toSet
+      assert(got === want, s"frequency $f")
+      assert(want.nonEmpty && want.size < keys.size)
+    }
+  }
+
   test("heterogeneous union aligns schemas by name") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "name")

@@ -63,6 +63,46 @@ class PipelineSpec extends SparkSpec {
     assert(partial.length === 1)
   }
 
+  test("splitKeyVal honors numKeyFields and missing separators") {
+    // reference PipeMapRed.java:338-352 semantics
+    assert(MrPipeline.splitKeyVal("a\tb\tc", "\t", 1) === ("a", "b\tc"))
+    assert(MrPipeline.splitKeyVal("a\tb\tc", "\t", 2) === ("a\tb", "c"))
+    // fewer separators than key fields -> whole line is the key, empty value
+    assert(MrPipeline.splitKeyVal("a\tb", "\t", 3) === ("a\tb", ""))
+    assert(MrPipeline.splitKeyVal("noseparator", "\t", 1)
+      === ("noseparator", ""))
+    // multi-char separators find whole occurrences
+    assert(MrPipeline.splitKeyVal("a::b::c", "::", 2) === ("a::b", "c"))
+  }
+
+  test("pipeKeyed round-trips typed key/value pairs through a child") {
+    import spark.implicits._
+    val kv = spark.createDataset(Seq("k1" -> "v one", "k2" -> "v two"))
+    val out = MrPipeline.pipeKeyed(kv, Seq("cat")).collect().sorted
+    assert(out === Array("k1" -> "v one", "k2" -> "v two"))
+  }
+
+  test("pipeKeyed splits multi-field keys after the child transform") {
+    import spark.implicits._
+    // the child uppercases; numKeyFields=2 keeps 'date<tab>user' as the key
+    val kv = spark.createDataset(Seq(
+      "2026-01-01\tu1" -> "click", "2026-01-02\tu2" -> "view"))
+    val out = MrPipeline.pipeKeyed(kv, Seq("tr", "a-z", "A-Z"),
+      numKeyFields = 2).collect().sorted
+    assert(out === Array(
+      "2026-01-01\tU1" -> "CLICK", "2026-01-02\tU2" -> "VIEW"))
+  }
+
+  test("pipeKeyed keeps the exit-code contract") {
+    import spark.implicits._
+    val kv = spark.createDataset(Seq("a" -> "1", "b" -> "2")).repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      MrPipeline.pipeKeyed(kv, Seq("sh", "-c", "exit 5")).collect()
+    }
+    assert(e.getMessage.contains("exited 5") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited 5")))
+  }
+
   test("pipe survives a stderr-chatty child (drain prevents deadlock)") {
     import spark.implicits._
     val lines = spark.createDataset(Seq("x", "y")).repartition(1)
