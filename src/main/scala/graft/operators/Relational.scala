@@ -391,6 +391,26 @@ object Relational {
       .agg(sum("_n").as("n"), sum("_s").as("s"))
   }
 
+  /** Successive-snapshot top-K comparison (SURVEY §2.4 O8,
+    * examples/TopK.java:332-343): diff two ranked top-K frames — which keys
+    * entered, exited, or moved between snapshots. Inputs carry `keyCol` +
+    * `rankCol` (1-based); output one row per key present in either
+    * snapshot with both ranks (null when absent) and the transition
+    * status. Pairs with [[graft.streaming.Continuous]] online-aggregation
+    * snapshots for the reference's streaming TopK monitor. */
+  def topKDelta(prev: DataFrame, cur: DataFrame, keyCol: String,
+      rankCol: String): DataFrame = {
+    val p = prev.select(col(keyCol).as("key"), col(rankCol).as("prev_rank"))
+    val c = cur.select(col(keyCol).as("key"), col(rankCol).as("cur_rank"))
+    p.join(c, Seq("key"), "full_outer")
+      .select(col("key"), col("prev_rank"), col("cur_rank"),
+        when(col("prev_rank").isNull, "entered")
+          .when(col("cur_rank").isNull, "exited")
+          .when(col("prev_rank") === col("cur_rank"), "stable")
+          .otherwise("moved").as("status"))
+      .orderBy(col("cur_rank").asc_nulls_last, col("prev_rank"))
+  }
+
   /** Batch shape of the CQ monitoring query (SURVEY §2.9 C11,
     * examples/CQ.java:53 — per-key per-time-bucket aggregate). */
   def eventsByDay(spark: SparkSession, dir: String): DataFrame = {

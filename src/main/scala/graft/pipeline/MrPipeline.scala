@@ -166,6 +166,20 @@ object MrPipeline {
       .map(l => splitKeyVal(l, sep, n))
   }
 
+  /** Custom join over co-grouped per-key value streams (SURVEY §2.10 F9 —
+    * the reference's pluggable join ops, contrib/data_join
+    * DataJoinReducerBase:46): both sides shuffle once on the key and the
+    * user function sees the two value iterators per key, free to implement
+    * semi/anti/interval/custom-product semantics that don't fit a single
+    * join condition. */
+  def cogroupJoin[K: Encoder, A: Encoder, B: Encoder, O: Encoder](
+      left: Dataset[A], right: Dataset[B])(
+      keyA: A => K, keyB: B => K)(
+      f: (K, Iterator[A], Iterator[B]) => IterableOnce[O]): Dataset[O] =
+    left.groupByKey(keyA).cogroup(right.groupByKey(keyB)) {
+      (k, as, bs) => f(k, as, bs).iterator
+    }
+
   /** WordCount on the typed tier (flatMap → groupByKey → count) — the
     * reference's canonical Mapper/Reducer example (examples/WordCount.java)
     * expressed as Dataset verbs; Catalyst still plans partial+final agg. */

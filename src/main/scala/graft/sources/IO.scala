@@ -99,15 +99,71 @@ object IO {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
-  /** S7 DBInputFormat/DBOutputFormat ≙ Spark JDBC (pass-through; no JDBC
-    * endpoint exists in the offline harness, so this is surface only). */
+  /** S7 DBInputFormat/DBOutputFormat ≙ Spark JDBC. Exercised end-to-end in
+    * IOSpec against embedded Derby (on the Spark-image classpath); for a
+    * server database pass partitioning options via `props` so the read
+    * parallelizes (`partitionColumn`/`lowerBound`/`upperBound`/
+    * `numPartitions` — the reference's DBInputFormat splits by LIMIT/OFFSET
+    * chunks, DBInputFormat.java:49). */
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit =
-    df.write.jdbc(url, table, props)
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** S15 MultipleOutputs named side outputs
+    * (mapred/lib/MultipleOutputs.java:116): N independently named sinks,
+    * each with its own projection/filter, format and path, fed from ONE
+    * pass over the source — the source persists across the branch writes
+    * (first branch materializes it, the rest read the cached partitions),
+    * then unpersists. */
+  final case class NamedOutput(name: String, format: String, path: String,
+      transform: DataFrame => DataFrame = identity)
+
+  def namedOutputs(src: DataFrame, outputs: Seq[NamedOutput]): Unit = {
+    val names = outputs.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate named outputs: ${names.mkString(",")}")
+    src.persist()
+    try outputs.foreach { o =>
+      o.transform(src).write.mode(SaveMode.Overwrite)
+        .format(o.format).save(o.path)
+    } finally src.unpersist()
+  }
+
+  /** S4 NLineInputFormat exact semantics (mapred/lib/NLineInputFormat
+    * .java:59): splits of EXACTLY `n` lines each (last split takes the
+    * remainder), preserving file order — unlike `repartition`, which only
+    * approximates the count. Returns `(split_id, line)` with one split per
+    * partition, so a downstream `mapPartitions` sees precisely its N lines
+    * in order — the reference's per-mapper batching contract (used to
+    * meter external-process invocations). */
+  def readNLine(spark: SparkSession, path: String, n: Int): DataFrame = {
+    import spark.implicits._
+    require(n > 0, s"n must be positive: $n")
+    val lines = spark.read.textFile(path).rdd.zipWithIndex()
+    val nSplits = math.max(1,
+      math.ceil(lines.count().toDouble / n).toInt)
+    lines
+      .map { case (line, idx) => ((idx / n).toInt, (idx, line)) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nSplits
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .mapPartitions(_.toSeq.sortBy(_._2._1).iterator.map {
+        case (split, (_, line)) => (split, line)
+      }, preservesPartitioning = true)
+      .toDF("split_id", "line")
+  }
+
+  /** S8 StreamXmlRecordReader ≙ Spark's native XML source: one row per
+    * `rowTag` element (the reference scans for begin/end tag byte
+    * sequences; the XML source does the same split-aware scan, then
+    * actually parses the element). */
+  def readXml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).xml(path)
 
   /** S16 NullOutputFormat: execute the plan, discard the rows. */
   def nullSink(df: DataFrame): Unit =

@@ -118,6 +118,83 @@ class IOSpec extends SparkSpec {
     assert(counts.count() === 5)
   }
 
+  test("jdbc round trip through embedded Derby") {
+    import spark.implicits._
+    rmrf(new java.io.File("target/tmp/derbydb"))
+    val url = "jdbc:derby:target/tmp/derbydb;create=true"
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
+    IO.writeJdbc(df, url, "t_people")
+    val back = IO.readJdbc(spark, url, "t_people")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // overwrite semantics: a second write replaces, not appends
+    IO.writeJdbc(df.filter($"id" <= 1), url, "t_people")
+    assert(IO.readJdbc(spark, url, "t_people").count() === 1)
+  }
+
+  test("named side outputs fan out one scan to differently-formatted sinks") {
+    import spark.implicits._
+    val scans = spark.sparkContext.longAccumulator("scans")
+    val counting = udf { (id: Long) => scans.add(1); id }
+    val src = spark.range(100).toDF("id")
+      .withColumn("id", counting($"id"))
+      .withColumn("bucket", $"id" % 3)
+    IO.namedOutputs(src, Seq(
+      IO.NamedOutput("all", "parquet", s"$tmp/named/all"),
+      IO.NamedOutput("small", "json", s"$tmp/named/small",
+        _.filter($"bucket" === 0)),
+      IO.NamedOutput("wide", "csv", s"$tmp/named/wide",
+        _.select(($"id" * 2).as("id2")))))
+    // every sink wrote, with its own shape
+    assert(spark.read.parquet(s"$tmp/named/all").count() === 100)
+    assert(spark.read.json(s"$tmp/named/small").count() === 34)
+    assert(spark.read.csv(s"$tmp/named/wide").count() === 100)
+    // ONE pass over the source fed all three sinks (cache materialized
+    // once; without it the UDF would have run ~300 times)
+    assert(scans.value === 100L, s"source scanned ${scans.value / 100.0}x")
+    intercept[IllegalArgumentException] {
+      IO.namedOutputs(src, Seq(
+        IO.NamedOutput("dup", "parquet", s"$tmp/named/d1"),
+        IO.NamedOutput("dup", "parquet", s"$tmp/named/d2")))
+    }
+  }
+
+  test("nline splits carry exactly N ordered lines each") {
+    import spark.implicits._
+    val path = s"$tmp/nline"
+    spark.createDataset((0 until 103).map(i => f"line$i%03d"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    val df = IO.readNLine(spark, path, 10)
+    val perSplit = df.groupBy("split_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSplit.size === 11)
+    (0 until 10).foreach(i => assert(perSplit(i) === 10L, s"split $i"))
+    assert(perSplit(10) === 3L) // remainder split
+    // one split per partition, order preserved within the split
+    val parts = df.rdd.mapPartitions(it => Iterator.single(it.toSeq))
+      .collect().filter(_.nonEmpty)
+    parts.foreach { rows =>
+      assert(rows.map(_.getInt(0)).distinct.length === 1)
+      val ls = rows.map(_.getString(1))
+      assert(ls === ls.sorted, "lines out of order within split")
+    }
+  }
+
+  test("xml reader yields one row per rowTag element") {
+    val path = s"$tmp/xml/recs.xml"
+    new java.io.File(s"$tmp/xml").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """<records>
+        |  <rec><id>1</id><name>alpha</name></rec>
+        |  <rec><id>2</id><name>beta</name></rec>
+        |  <rec><id>3</id><name>gamma &amp; delta</name></rec>
+        |</records>""".stripMargin)
+    val df = IO.readXml(spark, path, "rec")
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"))).toSet
+    assert(got === Set((1L, "alpha"), (2L, "beta"), (3L, "gamma & delta")))
+  }
+
   test("null sink executes without materializing") {
     IO.nullSink(Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count())
   }

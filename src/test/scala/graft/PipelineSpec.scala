@@ -103,6 +103,26 @@ class PipelineSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("exited 5")))
   }
 
+  test("cogroupJoin implements custom per-key join semantics") {
+    import spark.implicits._
+    val purchases = spark.createDataset(Seq(
+      ("u1", 10.0), ("u1", 5.0), ("u2", 7.0), ("u4", 1.0)))
+    val refunds = spark.createDataset(Seq(
+      ("u1", 3.0), ("u3", 2.0)))
+    // custom semantics no single join expresses: net spend per user with
+    // purchase-count, emitting users from EITHER side (refund-only users
+    // appear with zero purchases)
+    val net = MrPipeline.cogroupJoin(purchases, refunds)(_._1, _._1) {
+      (user, ps, rs) =>
+        val bought = ps.map(_._2).toSeq
+        val back = rs.map(_._2).sum
+        Iterator.single((user, bought.sum - back, bought.size))
+    }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(net === Map(
+      "u1" -> ((12.0, 2)), "u2" -> ((7.0, 1)),
+      "u3" -> ((-2.0, 0)), "u4" -> ((1.0, 1))))
+  }
+
   test("pipe survives a stderr-chatty child (drain prevents deadlock)") {
     import spark.implicits._
     val lines = spark.createDataset(Seq("x", "y")).repartition(1)

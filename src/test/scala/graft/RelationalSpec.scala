@@ -72,6 +72,45 @@ class RelationalSpec extends SparkSpec {
     assert(spends.zip(spends.tail).forall { case (a, b) => a >= b })
   }
 
+  test("topKDelta classifies entered, exited, moved and stable keys") {
+    import spark.implicits._
+    val prev = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "rank")
+    val cur = Seq(("b", 1), ("a", 2), ("d", 3)).toDF("k", "rank")
+    val got = Relational.topKDelta(prev, cur, "k", "rank").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getString(3))).toMap
+    assert(got("a") === (Some(1), Some(2), "moved"))
+    assert(got("b") === (Some(2), Some(1), "moved"))
+    assert(got("c") === (Some(3), None, "exited"))
+    assert(got("d") === (None, Some(3), "entered"))
+    // stable case
+    val same = Relational.topKDelta(cur, cur, "k", "rank").collect()
+    assert(same.forall(_.getString(3) === "stable"))
+  }
+
+  test("topKDelta diffs successive top-k snapshots of the fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // snapshot 1: top-5 customers by spend over orders with key < median;
+    // snapshot 2: over all orders — the entered/exited sets partition
+    val orders = Tables.orders(spark, sfDir)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"o_custkey").agg(sum($"o_totalprice").as("s"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"s".desc, $"o_custkey")))
+      .filter($"rank" <= 5)
+    val median = orders.stat.approxQuantile("o_orderkey", Array(0.5), 0.0)(0)
+    val delta = Relational.topKDelta(
+      topk(orders.filter($"o_orderkey" < median)), topk(orders),
+      "o_custkey", "rank").collect()
+    assert(delta.length >= 5)
+    val statuses = delta.map(_.getString(3)).toSet
+    assert(statuses.subsetOf(Set("entered", "exited", "moved", "stable")))
+    // ranks on each side are a permutation of 1..5
+    assert(delta.flatMap(r => Option(r.get(2))).map(_.asInstanceOf[Int])
+      .sorted.toSeq === (1 to 5))
+  }
+
   test("approximate distinct stays within the sketch error bound") {
     val exact = Relational.distinctByPriority(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
