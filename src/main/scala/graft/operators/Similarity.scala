@@ -85,6 +85,13 @@ object Similarity {
   private def planeCol(p: Int): Column =
     array((0 until DIM).map(d => lit(planeComponent(p, d))): _*)
 
+  /** ALL hyperplanes as ONE nested-array literal. `typedLit` emits a single
+    * Literal node — building 80 separate 64-element `array(lit...)` trees
+    * put ~10k expression nodes in the plan and Catalyst analysis dominated
+    * the query (4.2 s on a 500-vector fixture). */
+  private def planesLit(n: Int): Column =
+    typedLit((0 until n).map(p => (0 until DIM).map(d => planeComponent(p, d))))
+
   /** Multi-table sign-LSH approximate top-k over an arbitrary
     * `(vec_id, v: array<double>)` frame — the library form of [[lshTopK]].
     *
@@ -111,20 +118,24 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    // one pass computes every sign bit from the single planes literal, then
+    // per-table signatures assemble from the tiny signs array
+    val signs = transform(planesLit(tables * bits),
+      p => when(dot(col("v"), p) > 0, 1L).otherwise(0L))
     def sigBits(t: Int): Column =
-      (0 until bits).map { b =>
-        when(dot(col("v"), planeCol(t * bits + b)) > 0, 1L << b).otherwise(0L)
-      }.reduce(_ + _)
+      (0 until bits).map(b =>
+        element_at(col("signs"), t * bits + b + 1) * (1L << b)).reduce(_ + _)
     val sigEntries = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), sigBits(t).as("sig"))): _*)).as("ts")
-    val sigs = e.select(col("vec_id"), sigEntries)
+    val sigs = e.withColumn("signs", signs).select(col("vec_id"), sigEntries)
       .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
     // hot-bucket gate: count first, semi-join, never materialize a list
     val smallBuckets = sigs.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("tbl"), col("sig"))
     val idx = sigs.join(smallBuckets, Seq("tbl", "sig"), "left_semi")
-    val probes = e.filter(isQuery).select(col("vec_id").as("q_id"), sigEntries)
+    val probes = e.filter(isQuery).withColumn("signs", signs)
+      .select(col("vec_id").as("q_id"), sigEntries)
       .select(col("q_id"), col("ts.tbl").as("tbl"),
         explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*))
           .as("flip"),
