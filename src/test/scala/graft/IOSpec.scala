@@ -195,6 +195,43 @@ class IOSpec extends SparkSpec {
     assert(got === Set((1L, "alpha"), (2L, "beta"), (3L, "gamma & delta")))
   }
 
+  test("inverted index round-trips conjunctive search against a text scan") {
+    import spark.implicits._
+    import graft.sources.InvertedIndex
+    val docs = Tables.documents(spark, sfDir)
+    InvertedIndex.write(docs, s"$tmp/invidx", nShards = 4)
+    val got = InvertedIndex.searchAll(spark, s"$tmp/invidx",
+      Seq("query", "window")).collect().map(_.getLong(0)).toSet
+    // ground truth: direct tokenized scan
+    val want = docs.select($"doc_id",
+      filter(split(lower($"text"), "\\s+"), t => t =!= "").as("t"))
+      .filter(array_contains($"t", "query") && array_contains($"t", "window"))
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got === want)
+    // sharding: every shard directory belongs to pmod(hash(term), 4)
+    val shards = new java.io.File(s"$tmp/invidx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(shards.nonEmpty && shards.toSet.subsetOf(
+      (0 until 4).map(i => s"shard=$i").toSet))
+  }
+
+  test("inverted index df-cap records stop terms and rejects them at query") {
+    import spark.implicits._
+    import graft.sources.InvertedIndex
+    val docs = Seq(
+      (1L, "common rare1"), (2L, "common rare2"), (3L, "common rare1 x"))
+      .toDF("doc_id", "text")
+    InvertedIndex.write(docs, s"$tmp/invidx2", nShards = 2, maxDf = 2)
+    val got = InvertedIndex.searchAll(spark, s"$tmp/invidx2", Seq("rare1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+    // 'common' (df=3 > 2) must be rejected, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.searchAll(spark, s"$tmp/invidx2", Seq("common"))
+    }
+    assert(e.getMessage.contains("df-capped"))
+  }
+
   test("null sink executes without materializing") {
     IO.nullSink(Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count())
   }
