@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Similarity}
+import graft.operators.{CompositeJoin, Dedup, Relational, Similarity}
 
 /** Physical-plan regression tests: the properties that decide whether a
   * plan survives a 100× scale-up. A green correctness run with a wrong
@@ -52,5 +52,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"))
     assert(p.contains("BroadcastNestedLoopJoin"),
       "small corpus side should broadcast for the quadratic baseline")
+  }
+
+  test("q38 IVF broadcasts the pivot table on both assignment and probe") {
+    val p = plan(Similarity.ivfTopK(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
+      "pivot cross joins must broadcast the small pivot side")
+    // nearest-cell assignment is an aggregate (map-side partial), not a
+    // window over the pivot-wide frame
+    assert(p.contains("max_by"), s"expected max_by assignment:\n$p")
+  }
+
+  test("q39 composite join plans broadcast for the small keyed sources") {
+    val p = plan(CompositeJoin.ordersComposite(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "composite join must never plan a cartesian product")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      s"outer node must plan a real full outer join:\n$p")
+  }
+
+  test("ngram pair stage gates the index with a semi-join before aggregating") {
+    val p = Dedup.ngramJaccardOf(
+      Tables.documents(spark, sfDir)).queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), "df gate must survive into the physical plan")
+    val semiIdx = p.indexOf("LeftSemi")
+    val collectIdx = p.indexOf("collect_list")
+    assert(collectIdx >= 0 && semiIdx > collectIdx,
+      "collect_list (printed above its semi-join input) must consume the gated index")
   }
 }
