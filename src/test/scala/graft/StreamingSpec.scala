@@ -56,6 +56,75 @@ class StreamingSpec extends SparkSpec {
     assert(nonEmpty(1)._2 === Map("a" -> 1L))
   }
 
+  test("streaming session windows match the batch sessionize (C13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a small fixture slice through a real stream; a far-future sentinel
+    // event advances the watermark so append mode flushes every session
+    val rows = Tables.events(spark, sfDir)
+      .filter($"user_id" <= 10)
+      .select($"user_id", $"ts", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sess = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 second")
+      .groupBy($"user_id", session_window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("s_start"), $"n")
+    val q = sess.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    mem.addData(rows.toSeq: _*)
+    q.processAllAvailable()
+    val maxTs = rows.map(_._2.getTime).max
+    mem.addData((999L, new Timestamp(maxTs + 86400000L), 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    q.stop()
+    // batch twin: the SAME expression over the same rows
+    val batch = rows.toSeq.toDF("user_id", "ts", "value")
+      .groupBy($"user_id", session_window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("s_start"), $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
+  test("streaming sliding windows match the batch q37 twin (C13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .filter($"user_id" <= 10)
+      .select($"ts", $"event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 second")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+    val q = agg.writeStream.format("memory").queryName("slide_stream")
+      .outputMode("append").start()
+    mem.addData(rows.toSeq: _*)
+    q.processAllAvailable()
+    val maxTs = rows.map(_._1.getTime).max
+    mem.addData((new Timestamp(maxTs + 86400000L), "sentinel"))
+    q.processAllAvailable()
+    val streamed = spark.table("slide_stream").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .filter(_._2 != "sentinel").toSet
+    q.stop()
+    val batch = rows.toSeq.toDF("ts", "event_type")
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("w_start"), $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("cq monitor flags the anomalous host") {
     import spark.implicits._
     val w = Timestamp.valueOf("2024-01-01 00:00:00")
