@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity smoke: stages an N× copy of the sf dir (key-shifted
+  * unions, so joins/dedup see real cardinality growth, not repeated keys)
+  * and times representative operators at 1× and N×. An operator whose
+  * time grows super-linearly here would melt at 100 TB — this is the
+  * measure-don't-guess check behind README's scale numbers.
+  *
+  * Usage: `sbt "runMain graft.ScaleSmoke [mult]"` (default 10; reads
+  * `SPARK_GRAFT_SF_DIR`, default sf0.1; stages under `target/scale/`).
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val staged = s"target/scale/x$mult"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def stage(table: String, keyCols: Seq[String], textCol: Option[String])
+        : Unit = {
+      val src = spark.read.parquet(s"$sfDir/$table.parquet")
+      val maxKeys = keyCols.map(k =>
+        k -> (src.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      val copies = src.withColumn("_i",
+        explode(lit((0 until mult).toArray)))
+      val shifted = keyCols.foldLeft(copies) { (df, k) =>
+        df.withColumn(k, col(k) + col("_i") * maxKeys(k))
+      }
+      // perturb text so N× docs are near-dups of their source, not exact
+      // clones (exact clones would just re-test the 1× structure)
+      val out = textCol.fold(shifted)(t => shifted.withColumn(t,
+        concat(col(t), lit(" uniq"), col("_i"))))
+      out.drop("_i").write.mode("overwrite").parquet(s"$staged/$table.parquet")
+    }
+    stage("lineitem", Seq("l_orderkey"), None)
+    stage("orders", Seq("o_orderkey"), None)
+    stage("documents", Seq("doc_id"), Some("text"))
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$staged/$t.parquet")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","sec":$s%.2f}""")
+    }
+
+    for ((label, dir) <- Seq("1x" -> sfDir, s"${mult}x" -> staged)) {
+      println(s"== $label ($dir)")
+      time(s"pricing_summary_$label")(
+        operators.Relational.pricingSummary(spark, dir))
+      time(s"global_sort_$label")(
+        operators.Relational.globalSort(spark, dir))
+      time(s"join_revenue_$label")(
+        operators.Relational.revenueByNation(spark, dir))
+      time(s"md5_sample_$label")(
+        operators.Relational.md5Sample(spark, dir))
+      time(s"simhash_$label")(operators.Dedup.simhash(spark, dir))
+      // df caps scale with the corpus so the 1x rare-shingle structure
+      // survives the N-fold df inflation of staged copies
+      time(s"ngram_jaccard_$label")(operators.Dedup.ngramJaccardOf(
+        Tables.documents(spark, dir),
+        maxDf = if (dir == sfDir) 100 else 100 * mult))
+    }
+    spark.stop()
+  }
+}

@@ -93,9 +93,14 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     val sh = shinglesOf(docs)
     val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    // the keep-list is O(distinct shingles) — at corpus scale broadcasting
+    // it kills the driver (observed at a 10x staged smoke), so pin the
+    // semi-join to a shuffled hash join: both sides are already hashed on
+    // `s` and the per-partition build side stays bounded
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .select(col("s"))
+      .hint("shuffle_hash")
     val idx = sh.join(keep, Seq("s"), "left_semi")
     val inter = idx.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(expr(
@@ -105,9 +110,13 @@ object Dedup {
           .stripMargin)).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("i"))
+    // docLen is O(corpus documents) — broadcast would die at scale just
+    // like the keep-list; keep these as shuffled joins on the doc id
     inter
-      .join(docLen.as("ca"), col("d1") === col("ca.doc_id"))
-      .join(docLen.as("cb"), col("d2") === col("cb.doc_id"))
+      .join(docLen.as("ca").hint("shuffle_hash"),
+        col("d1") === col("ca.doc_id"))
+      .join(docLen.as("cb").hint("shuffle_hash"),
+        col("d2") === col("cb.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("i") * lit(1.0) / (col("ca.c") + col("cb.c") - col("i")), 6)
           .as("jaccard"))
