@@ -64,6 +64,54 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("splitKeyVal partitions any line losslessly at the right separator") {
+    val tok = Gen.stringOf(Gen.alphaNumChar).map(_.take(6))
+    val gen = Gen.zip(Gen.nonEmptyListOf(tok), Gen.choose(1, 5))
+    holds(Prop.forAll(gen) { case (fields, n) =>
+      val line = fields.mkString("\t")
+      val (k, v) = MrPipeline.splitKeyVal(line, "\t", n)
+      val expectKey = fields.take(n).mkString("\t")
+      if (fields.size > n)
+        k == expectKey && v == fields.drop(n).mkString("\t") &&
+          k + "\t" + v == line
+      else k == line && v == ""
+    })
+  }
+
+  test("md5 filter frequencies partition the keyspace consistently") {
+    import spark.implicits._
+    import graft.sources.IO
+    // freq=1 accepts everything; every accepted key of freq f*g is
+    // accepted by freq f (divisibility is monotone under factors)
+    val keys = (0 until 300).map(i => s"k$i")
+    val df = keys.toDF("key")
+    val all = IO.md5KeyFilter(df, "key", 1).count()
+    assert(all === 300)
+    val f6 = IO.md5KeyFilter(df, "key", 6).collect().map(_.getString(0)).toSet
+    val f2 = IO.md5KeyFilter(df, "key", 2).collect().map(_.getString(0)).toSet
+    val f3 = IO.md5KeyFilter(df, "key", 3).collect().map(_.getString(0)).toSet
+    assert(f6.subsetOf(f2) && f6.subsetOf(f3))
+    assert((f2 intersect f3) === f6)
+  }
+
+  test("composite inner join row counts equal the per-key product") {
+    import spark.implicits._
+    import graft.operators.CompositeJoin
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.choose(0, 5)), Gen.listOfN(30, Gen.choose(0, 5)))
+    holds(Prop.forAll(gen) { case (ka, kb) =>
+      val a = ka.zipWithIndex.map { case (k, i) => (k, s"a$i") }
+      val b = kb.zipWithIndex.map { case (k, i) => (k, s"b$i") }
+      val got = CompositeJoin.run("inner(a, b)",
+        Map("a" -> a.toDF("k", "v"), "b" -> b.toDF("k", "v")), "k").count()
+      val ca = a.groupBy(_._1).view.mapValues(_.size)
+      val cb = b.groupBy(_._1).view.mapValues(_.size)
+      val want = (ca.keySet & cb.keySet).toSeq
+        .map(k => ca(k).toLong * cb(k)).sum
+      got == want
+    }, runs = 6)
+  }
+
   test("histogram report is consistent for arbitrary values") {
     val agg = new Aggregators.ValueHistogram()
     val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
