@@ -60,7 +60,9 @@ object SparkEntry {
     "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d)),
     "q38_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q39_composite_join" -> ((s, d) => CompositeJoin.ordersComposite(s, d)),
-    "q40_md5_sample" -> ((s, d) => Relational.md5Sample(s, d))
+    "q40_md5_sample" -> ((s, d) => Relational.md5Sample(s, d)),
+    "q41_asof_join" -> ((s, d) => TemporalJoins.eventsAsofClicks(s, d)),
+    "q42_range_join" -> ((s, d) => TemporalJoins.eventsInPurchaseHour(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -380,6 +382,25 @@ object SparkEntry {
         |FROM s WHERE h % 7 = 0
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q41_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_v
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, c.click_ts, c.click_v
+        |FROM events e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts > c.click_ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q42_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, COUNT(*) AS n_in_window,
+        |  COUNT(DISTINCT e.event_id) AS n_events
+        |FROM events e JOIN w ON e.user_id = w.user_id
+        |  AND e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin,
     "q28_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
