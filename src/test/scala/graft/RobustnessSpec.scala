@@ -27,6 +27,23 @@ class RobustnessSpec extends SparkSpec {
     assert(dropped.forall(!_.isNullAt(0)))
   }
 
+  test("degenerate inputs: empty corpora and empty join sides stay empty") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TemporalJoins}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardOf(noDocs).count() === 0)
+    val left = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "k", "ts")
+    val noRight = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("k", "rts", "v")
+    val asof = TemporalJoins.asofJoin(left, noRight, Seq("k"), "ts", "rts",
+      Seq("v")).collect()
+    // left rows survive with null payloads (left-join semantics)
+    assert(asof.length === 1 && asof.head.isNullAt(3))
+    assert(TemporalJoins.rangeJoin(left, noRight.select($"k",
+      $"rts".as("s"), $"rts".as("e")), Seq("k"), "ts", "s", "e").count() === 0)
+  }
+
   test("gzip text round trip (gzip-aware line reader, S2)") {
     import spark.implicits._
     val dir = "target/tmp/gz"
