@@ -62,7 +62,9 @@ object SparkEntry {
     "q39_composite_join" -> ((s, d) => CompositeJoin.ordersComposite(s, d)),
     "q40_md5_sample" -> ((s, d) => Relational.md5Sample(s, d)),
     "q41_asof_join" -> ((s, d) => TemporalJoins.eventsAsofClicks(s, d)),
-    "q42_range_join" -> ((s, d) => TemporalJoins.eventsInPurchaseHour(s, d))
+    "q42_range_join" -> ((s, d) => TemporalJoins.eventsInPurchaseHour(s, d)),
+    "q43_chunking" -> ((s, d) => TextAnalysis.chunks(s, d)),
+    "q44_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -401,6 +403,35 @@ object SparkEntry {
         |  AND e.ts >= w.w_start AND e.ts < w.w_end
         |GROUP BY e.user_id
         |ORDER BY e.user_id""".stripMargin,
+    "q43_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n = 0 THEN 0
+        |         WHEN n <= 30 THEN 1
+        |         ELSE (n - 30 + 19) // 20 + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, t, n,
+        |    unnest(range(n_chunks)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(LEAST(n - chunk_id * 20, 30) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(t[chunk_id * 20 + 1 : chunk_id * 20 + 30], ' ') AS chunk_text
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q44_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket,
+        |    (CAST(substr(source, 4) AS INTEGER) % 10 + 1) * 50 AS rate
+        |  FROM documents)
+        |WHERE bucket < rate
+        |ORDER BY doc_id""".stripMargin,
     "q28_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -285,6 +285,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic stratified sampling — per-stratum rates with a
+    * content-derived hash bucket instead of RNG state, so the SAME rows
+    * are kept on any cluster, any partitioning, any rerun (the property
+    * `df.stat.sampleBy` lacks). Bucket = md5(source:doc_id) mod 1000;
+    * keep while bucket < 10 × rate%(stratum). Training pipelines use this
+    * shape to rebalance source mixes reproducibly. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-source rate: 5% .. 50% derived from the numeric source suffix
+    val rate = (substring($"source", 4, 10).cast("int") % 10 + 1) * 50
+    val bucket = expr(
+      "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter($"bucket" < rate)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Secondary sort: per-group ordering with a grouping comparator coarser
     * than the sort (SURVEY §2.3 H8, JobConf.java:657) — first 3 orders per
     * customer by date, via a ranked window. */

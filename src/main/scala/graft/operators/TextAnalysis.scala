@@ -112,4 +112,43 @@ object TextAnalysis {
         length($"text").as("len"))
       .orderBy($"doc_id")
   }
+
+  /** Token-window document chunking — the context-window preprocessing
+    * step of an LLM training pipeline: fixed `chunkTokens`-token windows
+    * advancing by `chunkTokens - overlap`, the last window taking the
+    * remainder. A doc with ≤ chunkTokens tokens yields one chunk; an empty
+    * doc yields none. Pure per-row explode (integer window math, no
+    * shuffle) — embarrassingly parallel at any corpus size. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 30,
+      overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")))
+      // empty docs are dropped BEFORE the sequence-explode: Spark's
+      // sequence(0, -1) descends ([0,-1]) and would fabricate chunks
+      // (the same footgun the shingle generator guards against)
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunkTokens, 1)
+          .otherwise(floor((col("n") - chunkTokens + stride - 1) / stride)
+            .cast("int") + 1))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        least(col("n") - col("chunk_id") * stride, lit(chunkTokens))
+          .cast("int").as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("t"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Fixture form (q43). */
+  def chunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkDocuments(Tables.documents(spark, dir))
+      .orderBy($"doc_id", $"chunk_id")
+  }
 }
