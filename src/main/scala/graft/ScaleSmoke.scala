@@ -33,7 +33,7 @@ object ScaleSmoke {
         : Unit = {
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
       val maxKeys = keyCols.map(k =>
-        k -> (src.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+        k -> (src.agg(max(col(k))).head().getLong(0) + 1L)).toMap
       val copies = src.withColumn("_i",
         explode(lit((0 until mult).toArray)))
       val shifted = keyCols.foldLeft(copies) { (df, k) =>

@@ -99,7 +99,7 @@ object CompositeJoin {
     case Source(name) =>
       val df = src.getOrElse(name,
         throw new IllegalArgumentException(s"unregistered source '$name'"))
-      val vals = df.columns.filterNot(_ == keyCol)
+      val vals = df.columns.toSeq.filterNot(_ == keyCol)
       require(vals.nonEmpty, s"source '$name' has no value columns")
       val v = if (vals.length == 1) col(vals.head)
         else struct(vals.map(col): _*)

@@ -38,7 +38,7 @@ object IO {
   /** S13 TextOutputFormat: `key<sep>value` lines. */
   def writeKeyValueText(df: DataFrame, path: String,
       sep: String = "\t"): Unit =
-    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+    df.select(concat_ws(sep, df.columns.toSeq.map(col): _*).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** S5/S14 SequenceFile round-trip ((String,String) records) — binary KV
