@@ -64,7 +64,8 @@ object SparkEntry {
     "q41_asof_join" -> ((s, d) => TemporalJoins.eventsAsofClicks(s, d)),
     "q42_range_join" -> ((s, d) => TemporalJoins.eventsInPurchaseHour(s, d)),
     "q43_chunking" -> ((s, d) => TextAnalysis.chunks(s, d)),
-    "q44_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d))
+    "q44_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "q45_frame_sample" -> ((s, d) => Multimodal.frameSamples(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -432,6 +433,19 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < rate
         |ORDER BY doc_id""".stripMargin,
+    "q45_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n
+        |  FROM documents WHERE length(text) > 0),
+        |e AS (
+        |  SELECT doc_id, text, n,
+        |    unnest(range((n + 255) // 256)) AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(LEAST(n - frame_idx * 256, 256) AS INTEGER) AS frame_chars,
+        |  md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+        |FROM e WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q28_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

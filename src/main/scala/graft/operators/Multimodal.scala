@@ -83,6 +83,31 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Frame sampling over the payload (q45) — every `stride`-th fixed-width
+    * window of the payload with a per-frame digest: the video
+    * frame-sample / audio window shape of a real pipeline (a codec would
+    * emit decoded frames; the stub digests the raw window). Windows are
+    * character-based so the DuckDB oracle reproduces digests exactly
+    * (blob slicing differs across engines; char slicing does not). Pure
+    * per-row explode — no shuffle before the final sort. */
+  def frameSamples(spark: SparkSession, dir: String, frameChars: Int = 256,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .filter($"n" > 0) // sequence(0,-1) would descend (see chunkDocuments)
+      .withColumn("n_frames",
+        floor(($"n" + frameChars - 1) / frameChars).cast("int"))
+      .withColumn("frame_idx", explode(sequence(lit(0), $"n_frames" - 1)))
+      .filter($"frame_idx" % stride === 0)
+      .select($"doc_id", $"frame_idx",
+        least($"n" - $"frame_idx" * frameChars, lit(frameChars)).cast("int")
+          .as("frame_chars"),
+        md5(expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)"))
+          .as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Aggregate shape over decoded features: per media_type sizes (guards the
     * schema/partitioning plumbing under aggregation). */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -25,4 +25,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.frameSample(Array.emptyByteArray, 4).toSeq
       === Seq.empty)
   }
+
+  test("frameSamples emits every stride-th window with exact digests") {
+    val rows = Multimodal.frameSamples(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // stride 2: only even frame indexes; widths bounded by the frame size
+    rows.foreach { r =>
+      assert(r.getInt(1) % 2 === 0)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 256)
+      assert(r.getString(3).length === 32)
+    }
+    // digest spot-check against an independent computation for one doc
+    import spark.implicits._
+    val (docId, text) = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").head() match {
+        case row => (row.getLong(0), row.getString(1))
+      }
+    val frame0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.substring(0, math.min(256, text.length)).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = rows.find(r => r.getLong(0) == docId && r.getInt(1) == 0).get
+    assert(got.getString(3) === frame0)
+  }
 }
