@@ -52,13 +52,21 @@ object Continuous {
   def perWindowAggregate(
       stream: DataFrame,
       aggregate: DataFrame => DataFrame,
-      trigger: Trigger)(
+      trigger: Trigger,
+      maxRowsPerWindow: Int = 100000)(
       onWindow: (Long, Seq[Row]) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        onWindow(id, aggregate(batch).collect().toSeq)
+        // the collect() is the operator's contract (window results go to a
+        // driver-side consumer, like the reference's reducer emit) — but an
+        // unexpectedly wide aggregate must fail loudly, not OOM the driver
+        val rows = aggregate(batch).limit(maxRowsPerWindow + 1).collect()
+        require(rows.length <= maxRowsPerWindow,
+          s"window $id aggregate exceeds maxRowsPerWindow=$maxRowsPerWindow; " +
+            "aggregate tighter or raise the cap")
+        onWindow(id, rows.toSeq)
         ()
       }
       .start()
@@ -138,7 +146,8 @@ object Continuous {
       inputDir: String,
       schema: StructType,
       aggregate: DataFrame => DataFrame,
-      filesPerTrigger: Int = 1): Seq[Snapshot] = {
+      filesPerTrigger: Int = 1,
+      maxSnapshotRows: Int = 100000): Seq[Snapshot] = {
     val files = new java.io.File(inputDir).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val totalChunks = math.ceil(files.toDouble / filesPerTrigger)
@@ -149,9 +158,15 @@ object Continuous {
     val query = aggregate(stream).writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // snapshot frames are aggregates (bounded by group-key cardinality);
+        // cap the driver-side materialization so a mistakenly ungrouped
+        // plan fails loudly instead of OOMing the driver
+        val rows = batch.limit(maxSnapshotRows + 1).collect()
+        require(rows.length <= maxSnapshotRows,
+          s"snapshot $id exceeds maxSnapshotRows=$maxSnapshotRows")
         snapshots.synchronized {
           snapshots += Snapshot(
-            math.min((id + 1) / totalChunks, 1.0), batch.collect().toSeq)
+            math.min((id + 1) / totalChunks, 1.0), rows.toSeq)
         }
         ()
       }
