@@ -41,6 +41,15 @@ object Dedup {
     stageMemo.getOrElseUpdate((spark, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop and unpersist every memoized stage. The memo assumes input
+    * directories are immutable for the session (the fixture contract); call
+    * this after rewriting an input dir in place, or to release the pinned
+    * storage of stages no longer needed. */
+  def clearStageCache(): Unit = {
+    stageMemo.values.foreach(_.unpersist())
+    stageMemo.clear()
+  }
+
   /** Distinct word 3-shingles of a `(doc_id, text)` frame, keyed by a fixed
     * 16-hex-char md5 prefix: (doc_id, s). Hashing before the distinct/groupBy
     * shuffles caps per-record shuffle width regardless of shingle text

@@ -56,7 +56,8 @@ object KeyFields {
   private def keyColumn(line: Column, sep: String, s: KeySpec): Column =
     if (s.numeric)
       coalesce(
-        regexp_extract(span(line, sep, s), "^\\s*(-?\\d+\\.?\\d*)", 1)
+        regexp_extract(span(line, sep, s),
+          "^\\s*(-?(?:\\d+\\.?\\d*|\\.\\d+))", 1)
           .cast("double"),
         lit(0.0)) // unix sort: a non-numeric key compares as 0
     else span(line, sep, s)

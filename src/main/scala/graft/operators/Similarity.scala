@@ -80,11 +80,6 @@ object Similarity {
         .digest(s"$p:$d".getBytes("UTF-8")).take(1).map("%02x".format(_))
         .mkString, 16) & 1) == 1) 1.0 else -1.0
 
-  /** Plane p as an array<double> literal column (constant-folded by
-    * Catalyst; the dot against it is the codegen'd native expression). */
-  private def planeCol(p: Int): Column =
-    array((0 until DIM).map(d => lit(planeComponent(p, d))): _*)
-
   /** ALL hyperplanes as ONE nested-array literal. `typedLit` emits a single
     * Literal node — building 80 separate 64-element `array(lit...)` trees
     * put ~10k expression nodes in the plan and Catalyst analysis dominated

@@ -69,14 +69,27 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, startTs: String, endTs: String,
       binWidthSec: Long = 3600L): DataFrame = {
+    val overlap = (left.columns.toSet - leftTs)
+      .intersect(right.columns.toSet -- keyCols)
+    require(overlap.isEmpty,
+      s"left and right share non-key columns: ${overlap.mkString(",")}")
     val bin: Column => Column = c => floor(unix_timestamp(c) / binWidthSec)
-    val l = left.withColumn("_bin", bin(col(leftTs)))
+    // alias both sides so the join resolves by qualifier even when left
+    // and right descend from the SAME source (self-joins otherwise lean on
+    // Spark's ambiguous-self-join repair, which an intervening alias or
+    // select can silently defeat)
+    val l = left.withColumn("_bin", bin(col(leftTs))).alias("_rjl")
     val r = right.withColumn("_bin",
-      explode(sequence(bin(col(startTs)), bin(col(endTs)))))
-    l.join(r, keyCols.map(k => l(k) === r(k))
-        .reduce(_ && _) && l("_bin") === r("_bin") &&
-        col(leftTs) >= col(startTs) && col(leftTs) < col(endTs))
-      .drop(l("_bin"), keyCols.map(r(_)) :+ r("_bin"): _*)
+      explode(sequence(bin(col(startTs)), bin(col(endTs))))).alias("_rjr")
+    val cond = keyCols.map(k => col(s"_rjl.$k") === col(s"_rjr.$k"))
+      .reduce(_ && _) &&
+      col("_rjl._bin") === col("_rjr._bin") &&
+      col(s"_rjl.$leftTs") >= col(s"_rjr.$startTs") &&
+      col(s"_rjl.$leftTs") < col(s"_rjr.$endTs")
+    l.join(r, cond)
+      .select(left.columns.toSeq.map(c => col(s"_rjl.$c")) ++
+        right.columns.toSeq.filterNot(keyCols.contains)
+          .map(c => col(s"_rjr.$c")): _*)
   }
 
   /** Fixture query (q41): every event joined as-of to the user's most

@@ -109,9 +109,13 @@ object IO {
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Default mode is Append — the reference's DBOutputFormat semantics
+    * (INSERT rows, create the table when absent); pass
+    * `SaveMode.Overwrite` explicitly to replace a table. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      props: java.util.Properties = new java.util.Properties()): Unit =
-    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+      props: java.util.Properties = new java.util.Properties(),
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 
   /** S15 MultipleOutputs named side outputs
     * (mapred/lib/MultipleOutputs.java:116): N independently named sinks,
@@ -143,9 +147,14 @@ object IO {
   def readNLine(spark: SparkSession, path: String, n: Int): DataFrame = {
     import spark.implicits._
     require(n > 0, s"n must be positive: $n")
-    val lines = spark.read.textFile(path).rdd.zipWithIndex()
-    val nSplits = math.max(1,
-      math.ceil(lines.count().toDouble / n).toInt)
+    // exact split assignment needs the line count up front (the reference's
+    // getSplits also scans for line offsets); cache the raw lines so
+    // zipWithIndex's count pass, the total, and the shuffle all read the
+    // file ONCE — and the snapshot is consistent if the dir changes under us
+    val raw = spark.read.textFile(path).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lines = raw.zipWithIndex()
+    val nSplits = math.max(1, math.ceil(raw.count().toDouble / n).toInt)
     lines
       .map { case (line, idx) => ((idx / n).toInt, (idx, line)) }
       .partitionBy(new org.apache.spark.Partitioner {

@@ -33,18 +33,23 @@ object InvertedIndex {
   def write(docs: DataFrame, path: String, nShards: Int = 8,
       maxDf: Int = 1000000): String = {
     val t = terms(docs)
+    // two writes consume the df counts (index + stop-term sidecar);
+    // persist so the tokenize+distinct+count pipeline runs once, not per job
     val dfCounts = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val keep = dfCounts.filter(col("df") <= maxDf).select(col("term"))
-    val dropped = dfCounts.filter(col("df") > maxDf)
-    t.join(keep, Seq("term"), "left_semi")
-      .groupBy(col("term"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
-        count(lit(1)).as("df"))
-      .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("term"))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
-    dropped.write.mode(SaveMode.Overwrite).parquet(s"$path/_stopterms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keep = dfCounts.filter(col("df") <= maxDf).select(col("term"))
+      val dropped = dfCounts.filter(col("df") > maxDf)
+      t.join(keep, Seq("term"), "left_semi")
+        .groupBy(col("term"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+          count(lit(1)).as("df"))
+        .withColumn("shard", pmod(hash(col("term")), lit(nShards)))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("term"))
+        .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+      dropped.write.mode(SaveMode.Overwrite).parquet(s"$path/_stopterms")
+    } finally dfCounts.unpersist()
     path
   }
 

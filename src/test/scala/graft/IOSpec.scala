@@ -123,12 +123,16 @@ class IOSpec extends SparkSpec {
     rmrf(new java.io.File("target/tmp/derbydb"))
     val url = "jdbc:derby:target/tmp/derbydb;create=true"
     val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "name")
-    IO.writeJdbc(df, url, "t_people")
+    IO.writeJdbc(df, url, "t_people") // Append creates the absent table
     val back = IO.readJdbc(spark, url, "t_people")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back === Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
-    // overwrite semantics: a second write replaces, not appends
+    // default mode appends (DBOutputFormat INSERT semantics)...
     IO.writeJdbc(df.filter($"id" <= 1), url, "t_people")
+    assert(IO.readJdbc(spark, url, "t_people").count() === 4)
+    // ...and Overwrite must be requested explicitly
+    IO.writeJdbc(df.filter($"id" <= 1), url, "t_people",
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
     assert(IO.readJdbc(spark, url, "t_people").count() === 1)
   }
 

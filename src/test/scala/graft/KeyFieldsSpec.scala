@@ -24,7 +24,7 @@ class KeyFieldsSpec extends SparkSpec {
 
   private val lines = Seq(
     "apple 12 3", "pear 4 10", "plum 12 10", "fig 4 3", "date 100 1",
-    "kiwi 4 10", "lime 12 3")
+    "kiwi 4 10", "lime 12 3", "yuzu .5 2", "mango -.25 7")
 
   /** Ground truth: the real unix sort binary, C locale, stable. */
   private def unixSort(flags: String): Seq[String] = {
