@@ -48,6 +48,7 @@ object ScaleSmoke {
     stage("lineitem", Seq("l_orderkey"), None)
     stage("orders", Seq("o_orderkey"), None)
     stage("documents", Seq("doc_id"), Some("text"))
+    stage("events", Seq("event_id", "user_id"), None)
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$staged/$t.parquet")
@@ -70,6 +71,12 @@ object ScaleSmoke {
       time(s"md5_sample_$label")(
         operators.Relational.md5Sample(spark, dir))
       time(s"simhash_$label")(operators.Dedup.simhash(spark, dir))
+      time(s"asof_join_$label")(
+        operators.TemporalJoins.eventsAsofClicks(spark, dir))
+      time(s"range_join_$label")(
+        operators.TemporalJoins.eventsInPurchaseHour(spark, dir))
+      time(s"sessionize_$label")(
+        operators.Relational.sessionize(spark, dir))
       // df caps scale with the corpus so the 1x rare-shingle structure
       // survives the N-fold df inflation of staged copies
       time(s"ngram_jaccard_$label")(operators.Dedup.ngramJaccardOf(
