@@ -65,7 +65,12 @@ object SparkEntry {
     "q42_range_join" -> ((s, d) => TemporalJoins.eventsInPurchaseHour(s, d)),
     "q43_chunking" -> ((s, d) => TextAnalysis.chunks(s, d)),
     "q44_stratified_sample" -> ((s, d) => Relational.stratifiedSample(s, d)),
-    "q45_frame_sample" -> ((s, d) => Multimodal.frameSamples(s, d))
+    "q45_frame_sample" -> ((s, d) => Multimodal.frameSamples(s, d)),
+    "q46_decontaminate" -> ((s, d) => Curation.decontaminate(s, d)),
+    "q47_repetition" -> ((s, d) => Curation.repetitionSignals(s, d)),
+    "q48_source_cap" -> ((s, d) => Curation.sourceCap(s, d)),
+    "q49_bloom_dedup" -> ((s, d) => Curation.bloomDedup(s, d)),
+    "q50_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -553,6 +558,106 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+    "q46_decontaminate" ->
+      (s"""WITH $shinglesCte,
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM sh JOIN bsh USING (s)
+        |  WHERE doc_id % 10 <> 7
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN ov.n_overlap IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d LEFT JOIN ov USING (doc_id)
+        |WHERE d.doc_id % 10 <> 7
+        |ORDER BY d.doc_id""".stripMargin),
+    "q47_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  GROUP BY doc_id, tok),
+        |ts AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens,
+        |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup,
+        |    MAX(c) AS max_tok
+        |  FROM tc GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, bg, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |         i -> t[i+1] || ' ' || t[i+2])) AS bg FROM toks)
+        |  GROUP BY doc_id, bg),
+        |bs AS (
+        |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_bigram
+        |  FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  ROUND(COALESCE(n_dup * 1.0 / n_tokens, 0.0), 6) AS dup_token_frac,
+        |  ROUND(COALESCE(max_tok * 1.0 / n_tokens, 0.0), 6) AS top_token_frac,
+        |  ROUND(COALESCE(max_bigram * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN ts USING (doc_id)
+        |LEFT JOIN bs USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q48_source_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
+    "q49_bloom_dedup" ->
+      (s"""WITH $minhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |bk AS (SELECT doc_id, CAST(band AS VARCHAR) || ':' || bh AS bkey FROM bands),
+        |prior AS (SELECT DISTINCT bkey FROM bk WHERE doc_id % 3 = 0),
+        |hit AS (
+        |  SELECT DISTINCT doc_id FROM bk JOIN prior USING (bkey)
+        |  WHERE doc_id % 3 <> 0)
+        |SELECT d.doc_id,
+        |  CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM documents d LEFT JOIN hit h USING (doc_id)
+        |WHERE d.doc_id % 3 <> 0
+        |ORDER BY d.doc_id""".stripMargin),
+    "q50_dedup_clusters" ->
+      (s"""WITH RECURSIVE $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id
+        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
+        |edges AS (
+        |  SELECT d1 AS u, d2 AS v FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "q37_sliding_windows" ->
       // window k covers [k*slide, k*slide + size); event t falls in
       // k ∈ (floor((t-size)/slide), floor(t/slide)] — exact integer µs math

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs after
+  * the per-document analyses ([[TextAnalysis]]) and pairwise dedup stages
+  * ([[Dedup]]): benchmark decontamination, repetition quality signals,
+  * per-source caps, incremental dedup of a new shard against an existing
+  * corpus, and duplicate-cluster resolution.
+  *
+  * Scale contracts mirror the rest of the engine: every stage is a
+  * shuffle-on-key plan with df/count gates before any list materializes,
+  * O(corpus)-sized frames are never broadcast (joins pinned with
+  * `shuffle_hash` where Catalyst could misestimate), and all hashing is md5
+  * so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object Curation {
+
+  /** Word tokens of `text` (whitespace split, empties dropped) — same
+    * tokenizer as [[Dedup]]/[[TextAnalysis]]. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------
+
+  /** Training-set decontamination: flag every training document that shares
+    * at least one word 3-shingle with a held-out benchmark set (here the
+    * deterministic fixture slice `doc_id % benchMod = benchRem`).
+    *
+    * The standard pipeline op before training: n-gram overlap against eval
+    * benchmarks (the GPT-3 / Pile decontamination recipe, with the fixture's
+    * 3-shingles standing in for the 13-grams used at production scale).
+    *
+    * Scale shape: the benchmark shingle set is distinct-projected FIRST
+    * (benchmarks are tiny next to the corpus, but the semi-join is still
+    * pinned to `shuffle_hash` — a misestimated broadcast of a big eval
+    * suite would die at the driver); the corpus side then left-semi joins
+    * on the 64-bit shingle key and aggregates a per-document overlap count.
+    * One shuffle each side, no posting list ever materializes. */
+  def decontaminate(spark: SparkSession, dir: String,
+      benchMod: Int = 10, benchRem: Int = 7): DataFrame = {
+    import spark.implicits._
+    decontaminateOf(Tables.documents(spark, dir), Dedup.shingles(spark, dir),
+      $"doc_id" % benchMod === benchRem)
+  }
+
+  /** [[decontaminate]] over an arbitrary `(doc_id, …)` frame and its
+    * `(doc_id, s)` shingle frame, with `isBench` selecting the held-out
+    * slice (evaluated against `doc_id`). */
+  def decontaminateOf(docs: DataFrame, shingles: DataFrame,
+      isBench: Column): DataFrame = {
+    val benchShingles = shingles.filter(isBench).select(col("s")).distinct()
+      .hint("shuffle_hash")
+    val overlap = shingles.filter(!isBench)
+      .join(benchShingles, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    docs
+      .filter(!isBench)
+      .select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_overlap").isNotNull, 1).otherwise(0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Repetition quality signals
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition signals (the Gopher/MassiveText repetition
+    * filters, token-level): fraction of tokens belonging to a token type
+    * that occurs ≥ 2 times, fraction taken by the single most frequent
+    * token, and the same top-fraction over word bigrams. High values mark
+    * boilerplate and degenerate (looping) text.
+    *
+    * Scale shape: explode → (doc_id, term) count → per-doc aggregate; both
+    * aggregations partial-apply map-side and shuffle on (doc_id, term) /
+    * doc_id — per-row state is O(1), no per-document list is ever held. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignalsOf(Tables.documents(spark, dir))
+
+  /** [[repetitionSignals]] over an arbitrary `(doc_id, text)` frame. */
+  def repetitionSignalsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"doc_id", tokens($"text").as("t"))
+    val tokStats = t.select($"doc_id", explode($"t").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum(when($"c" >= 2, $"c").otherwise(0L)).as("n_dup"),
+        max($"c").as("max_tok"))
+    val biStats = t.select($"doc_id", explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))
+          |ELSE cast(array() as array<string>) END""".stripMargin)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), max($"c").as("max_bigram"))
+    docs.select($"doc_id")
+      .join(tokStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        round(coalesce($"n_dup" * lit(1.0) / $"n_tokens", lit(0.0)), 6)
+          .as("dup_token_frac"),
+        round(coalesce($"max_tok" * lit(1.0) / $"n_tokens", lit(0.0)), 6)
+          .as("top_token_frac"),
+        round(coalesce($"max_bigram" * lit(1.0) / $"n_bigrams", lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-source document cap
+  // ---------------------------------------------------------------------
+
+  /** Keep at most `n` documents per source (largest `n_chars` first,
+    * doc_id tie-break) — the per-domain cap a crawl pipeline applies so a
+    * single giant host cannot dominate the training mix.
+    *
+    * Scale shape: a single window over `source` puts one source's entire
+    * partition on one task — a hot domain with billions of rows stalls the
+    * stage. So top-n runs in TWO stages: a partial top-n per
+    * (source, salt) — `salts` deterministic salt buckets from the doc id —
+    * leaves ≤ salts·n survivors per source, then the exact window runs on
+    * that bounded frame. Stage 1 bounds every task; stage 2's worst key is
+    * salts·n rows regardless of skew. Any global top-n member is its salt
+    * bucket's top-n member, so the two-stage result is exactly the
+    * one-stage result. */
+  def sourceCap(spark: SparkSession, dir: String,
+      n: Int = 10, salts: Int = 8): DataFrame =
+    sourceCapOf(Tables.documents(spark, dir), n, salts)
+
+  /** [[sourceCap]] over an arbitrary `(doc_id, source, n_chars)` frame. */
+  def sourceCapOf(docsIn: DataFrame, n: Int, salts: Int): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn.select($"doc_id", $"source", $"n_chars")
+    val partial = Window.partitionBy($"source", $"doc_id" % salts)
+      .orderBy($"n_chars".desc, $"doc_id")
+    val exact = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    docs
+      .withColumn("prn", row_number().over(partial))
+      .filter($"prn" <= n)
+      .withColumn("rn", row_number().over(exact))
+      .filter($"rn" <= n)
+      .select($"doc_id", $"source", $"n_chars", $"rn")
+      .orderBy($"source", $"rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental dedup: new shard vs existing corpus
+  // ---------------------------------------------------------------------
+
+  /** Incremental near-dup detection of an incoming shard against a prior
+    * corpus — the production shape of dedup: a new crawl is checked against
+    * everything already ingested, not all-pairs against itself. Fixture
+    * split: prior = `doc_id % priorMod = 0`, incoming = the rest. A document
+    * is a duplicate iff it shares a MinHash LSH band bucket with any prior
+    * document.
+    *
+    * Scale shape: the prior corpus collapses to its DISTINCT band-bucket
+    * keys, compressed into a driver-built Bloom filter (1% fpp — ~1.2 MB
+    * per million buckets; at larger scale, raise fpp or shard the filter)
+    * that broadcasts to every task. The incoming side drops every
+    * non-matching row map-side — at 100 TB this eliminates ~all of the
+    * shuffle for a mostly-novel shard — and only Bloom survivors enter the
+    * exact semi-join that removes false positives, so the result is exact
+    * (Bloom filters have no false negatives). */
+  def bloomDedup(spark: SparkSession, dir: String,
+      priorMod: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bands = Dedup.bandBuckets(Dedup.signatures(spark, dir))
+      .select($"doc_id",
+        concat($"band".cast("string"), lit(":"), $"bh").as("bkey"))
+    val isPrior = $"doc_id" % priorMod === 0
+    val priorKeys = bands.filter(isPrior).select($"bkey").distinct()
+    val nPrior = priorKeys.count()
+    val bloom = priorKeys.stat.bloomFilter("bkey", math.max(nPrior, 1L), 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
+    val confirmed = bands.filter(!isPrior)
+      .filter(mightContain($"bkey"))
+      .join(priorKeys.hint("shuffle_hash"), Seq("bkey"), "left_semi")
+      .select($"doc_id").distinct()
+    Tables.documents(spark, dir)
+      .filter(!isPrior)
+      .select($"doc_id")
+      .join(confirmed.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id", when($"hit".isNotNull, 1).otherwise(0).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Duplicate-cluster resolution (connected components)
+  // ---------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list `(d1, d2)` by
+    * iterative min-label propagation: every vertex converges to the
+    * smallest doc_id reachable from it. Deterministic; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow — chains
+    * of pairwise-similar docs — so the bound is small in practice; a
+    * production job at adversarial diameters would switch to the
+    * large-star/small-star contraction, which converges in O(log n)).
+    *
+    * Each round is one shuffle join + one min-aggregate on the EDGE frame
+    * only (vertices with no pair never enter the loop), localCheckpointed
+    * so lineage stays flat across rounds. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2"), col("d1")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == 0L // empty pair list: nothing to propagate
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so an unchanged sum means a fixpoint
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters over the fixture corpus: connected components of
+    * the 3-shingle Jaccard ≥ 0.8 near-dup pair graph (q21's memoized pair
+    * stage). One row per document: its cluster representative (smallest
+    * doc_id in the component — singletons map to themselves) and the
+    * keep/drop decision (keep iff representative). The cluster form is the
+    * one real dedup pipelines ship: pairwise output alone can drop both
+    * ends of a chain A~B~C. */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramPairs(spark, dir, threshold, 100)
+      .select($"d1", $"d2")
+    val comp = connectedComponents(pairs)
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster"))
+      .withColumn("keep", when($"cluster" === $"doc_id", 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+}

@@ -71,8 +71,12 @@ object Dedup {
         .as("s"))
       .distinct()
 
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.documents(spark, dir))
+  /** Memoized shingle stage over the fixture corpus — the input of BOTH the
+    * ngram-pair pipeline (q21/q35) and the minhash signature build (q22), so
+    * one verify/bench round scans + shuffles the shingle frame once, not
+    * once per consumer. */
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"shingles:$dir")(shinglesOf(Tables.documents(spark, dir)))
 
   /** Exact dedup: group identical texts by digest, keep the smallest doc_id
     * (SURVEY north-star op; hash-groupBy — one shuffle, no skew risk beyond
@@ -99,8 +103,14 @@ object Dedup {
     * (bounded by maxDf ⇒ ≤ maxDf²/2 pairs per shingle), halving the shuffle
     * volume of the classic index self-join with a bounded worst key. */
   def ngramJaccardOf(docs: DataFrame, threshold: Double = 0.8,
-      maxDf: Int = 100): DataFrame = {
-    val sh = shinglesOf(docs)
+      maxDf: Int = 100): DataFrame =
+    ngramJaccardOfShingles(shinglesOf(docs), threshold, maxDf)
+
+  /** [[ngramJaccardOf]] over an already-built `(doc_id, s)` shingle frame —
+    * lets the fixture entry points share the memoized shingle stage with the
+    * minhash pipeline instead of re-scanning the corpus. */
+  private[graft] def ngramJaccardOfShingles(sh: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
     val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     // the keep-list is O(distinct shingles) — at corpus scale broadcasting
     // it kills the driver (observed at a 10x staged smoke), so pin the
@@ -135,10 +145,10 @@ object Dedup {
   /** Memoized, persisted pair stage over the fixture corpus — shared by
     * [[ngramJaccard]] (q21) and [[deduplicate]] (q35) so a verify/bench
     * round computes the shingle pipeline once. */
-  private def ngramPairs(spark: SparkSession, dir: String, threshold: Double,
-      maxDf: Int): DataFrame =
+  private[graft] def ngramPairs(spark: SparkSession, dir: String,
+      threshold: Double, maxDf: Int): DataFrame =
     memo(spark, s"ngram:$dir:$threshold:$maxDf") {
-      ngramJaccardOf(Tables.documents(spark, dir), threshold, maxDf)
+      ngramJaccardOfShingles(shingles(spark, dir), threshold, maxDf)
     }
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via a df-gated inverted
@@ -180,8 +190,9 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir).orderBy(col("doc_id"))
 
-  /** Memoized unordered signature stage (used 3× inside [[minhashLsh]]). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
+  /** Memoized unordered signature stage (used 3× inside [[minhashLsh]],
+    * and by [[Curation.bloomDedup]]'s incremental band-membership check). */
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"minhash:$dir") {
       shingles(spark, dir)
         .groupBy(col("doc_id"))
@@ -192,15 +203,22 @@ object Dedup {
     * band bucket become candidates; estimated Jaccard = matching signature
     * fraction. The band join only ever touches colliding buckets — the
     * scale path for near-dedup at 100 TB. */
+  /** LSH band buckets of a signature frame: (doc_id, band, bh) — K/2 bands
+    * of 2 signature rows each, bucket key = md5 of the concatenated rows.
+    * Shared by [[minhashLsh]] (all-pairs candidates) and
+    * [[Curation.bloomDedup]] (incremental membership vs a prior corpus). */
+  private[graft] def bandBuckets(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      (0 until K / 2).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh"))): _*
+    )).as("e")).select(col("doc_id"), col("e.band"), col("e.bh"))
+
   def minhashLsh(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.5): DataFrame = {
     import spark.implicits._
     val sig = signatures(spark, dir)
-    val bands = sig.select($"doc_id", explode(array(
-      (0 until K / 2).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh"))): _*
-    )).as("e")).select($"doc_id", $"e.band", $"e.bh")
+    val bands = bandBuckets(sig)
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")

@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextAnalysis}
+import graft.operators.{Curation, Dedup, Relational, TextAnalysis}
 
-/** Training-data curation operators: token-window chunking and
-  * deterministic stratified sampling. */
+/** Training-data curation operators: token-window chunking, deterministic
+  * stratified sampling, benchmark decontamination, repetition signals,
+  * per-source caps, incremental bloom dedup, and duplicate clusters. */
 class CurationSpec extends SparkSpec {
 
   test("chunking windows cover every token with the configured overlap") {
@@ -62,5 +63,116 @@ class CurationSpec extends SparkSpec {
     val high = (frac("src9") + frac("src19")) / 2
     val low = (frac("src0") + frac("src10")) / 2
     assert(high > low, s"high-rate sources ($high) <= low-rate ($low)")
+  }
+
+  test("decontaminate flags exactly the docs sharing a shingle with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "alpha beta gamma delta"),   // benchmark (isBench: id % 10 == 7)
+      (1L, "alpha beta gamma epsilon"), // shares shingle "alpha beta gamma"
+      (2L, "zeta eta theta iota"),      // disjoint
+      (3L, "x y"),                      // too short: no shingles at all
+      (17L, "beta gamma delta kappa")   // also benchmark
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateOf(docs, Dedup.shinglesOf(docs),
+        col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L), "benchmark docs excluded")
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1 shares "alpha beta gamma" (from 7) and "beta gamma delta"? no —
+    // its shingles are {alpha beta gamma, beta gamma epsilon}: 1 overlap
+    assert(byId(1L) === ((1L, 1)))
+    assert(byId(2L) === ((0L, 0)))
+    assert(byId(3L) === ((0L, 0)))
+  }
+
+  test("repetition signals match hand-computed fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),   // dup: a×2 of 3; top tok a; bigrams "a a","a b"
+      (2L, "x"),       // single token, no bigrams
+      (3L, ""),        // empty
+      (4L, "p q p q p") // p×3,q×2 all dup; bigrams: pq×2, qp×2
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignalsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(out === Seq(
+      (1L, 3L, 2.0 / 3, 2.0 / 3, 0.5),
+      (2L, 1L, 0.0, 1.0, 0.0),
+      (3L, 0L, 0.0, 0.0, 0.0),
+      (4L, 5L, 1.0, 0.6, 0.5)
+    ).map(t => (t._1, t._2,
+      math.rint(t._3 * 1e6) / 1e6, math.rint(t._4 * 1e6) / 1e6,
+      math.rint(t._5 * 1e6) / 1e6)))
+  }
+
+  test("two-stage source cap equals the one-stage window top-n") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 60 docs over 3 sources with colliding n_chars to exercise tie-breaks
+    val docs = (1L to 60L)
+      .map(i => (i, s"src${i % 3}", (i * 7 % 13).toInt))
+      .toDF("doc_id", "source", "n_chars")
+    val twoStage = Curation.sourceCapOf(docs, n = 5, salts = 4).collect()
+      .map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSeq
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val oneStage = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).orderBy($"source", $"rn").collect()
+      .map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSeq
+    assert(twoStage === oneStage)
+  }
+
+  test("bloom dedup equals the exact band-membership differential") {
+    import spark.implicits._
+    val out = Curation.bloomDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    // exact recomputation without the bloom pre-filter
+    val bands = Dedup.bandBuckets(Dedup.signatures(spark, sfDir))
+    val prior = bands.filter($"doc_id" % 3 === 0)
+      .select($"band", $"bh").distinct()
+    val expectDup = bands.filter($"doc_id" % 3 =!= 0)
+      .join(prior, Seq("band", "bh"), "left_semi")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val incoming = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 3 =!= 0).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.keySet === incoming)
+    assert(out.filter(_._2 == 1).keySet === expectDup)
+    assert(expectDup.nonEmpty, "fixture must contain incremental dups")
+  }
+
+  test("connected components label every vertex with its component minimum") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) + isolated pair (10, 11)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val labels = Curation.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val empty = Curation.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.count() === 0L)
+  }
+
+  test("dedup clusters keep exactly one representative per cluster") {
+    import spark.implicits._
+    val out = Curation.dedupClusters(spark, sfDir)
+    val byCluster = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._2)
+    // every cluster keeps exactly its minimum doc_id
+    byCluster.foreach { case (cluster, members) =>
+      val keepers = members.filter(_._3 == 1).map(_._1).toSeq
+      assert(keepers === Seq(members.map(_._1).min))
+      assert(cluster === members.map(_._1).min)
+    }
+    // every near-dup pair is in one cluster; some cluster has >= 2 members
+    val cl = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cl(a) === cl(b)) }
   }
 }
