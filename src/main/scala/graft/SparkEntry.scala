@@ -52,9 +52,10 @@ object SparkEntry {
     "q31_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "q32_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
     "q33_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
-    // no oracle (sketches differ across engines): rows-only check; the
-    // error bound vs exact distinct is asserted in RelationalSpec.
-    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    // KMV (k-min md5 values) sketch — engine-independent, so unlike HLL it
+    // is oracle-exact; the HLL surface (Relational.approxDistinct) keeps its
+    // error-bound assertion in RelationalSpec.
+    "q34_approx_distinct" -> ((s, d) => Relational.kmvDistinct(s, d)),
     "q35_dedup_decisions" -> ((s, d) => Dedup.deduplicate(s, d)),
     "q36_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q37_sliding_windows" -> ((s, d) => Relational.slidingWindows(s, d)),
@@ -333,6 +334,51 @@ object SparkEntry {
         |       AS INTEGER) AS rank FROM sc)
         |SELECT q_id, rank, neighbor, cos FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin),
+    "q27_ann_lsh" ->
+      // Multi-table sign-LSH (Similarity.lshTopKOf, defaults bits=10,
+      // tables=8, maxBucket=2048, k=5). The ±1 hyperplanes are the parity
+      // of the first md5 byte of "p:d" (Similarity.planeComponent), so the
+      // signatures — and therefore the candidate sets — are reproducible in
+      // any engine; dot products sum in index order on both sides.
+      (s"""WITH $vecsCte,
+        |planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+        |                || CAST(d AS VARCHAR)), 1, 2))::INT % 2 = 1
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+        |  FROM (SELECT unnest(range(80)) AS p)),
+        |bits AS (
+        |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
+        |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM n, planes),
+        |sigs AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
+        |  FROM bits GROUP BY vec_id, tbl),
+        |small AS (
+        |  SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 2048),
+        |idx AS (
+        |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s JOIN small USING (tbl, sig)),
+        |flips AS (
+        |  SELECT CAST(0 AS BIGINT) AS flip
+        |  UNION ALL
+        |  SELECT CAST(POWER(2, b) AS BIGINT) FROM (SELECT unnest(range(10)) AS b)),
+        |probes AS (
+        |  SELECT s.vec_id AS q_id, s.tbl, xor(s.sig, f.flip) AS sig
+        |  FROM sigs s, flips f WHERE s.vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, i.vec_id AS neighbor
+        |  FROM probes p JOIN idx i USING (tbl, sig)
+        |  WHERE p.q_id <> i.vec_id),
+        |sc AS (
+        |  SELECT q_id, neighbor,
+        |    ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |  FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
+        |r AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM sc)
+        |SELECT q_id, rank, neighbor, cos FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
     "q38_ann_ivf" ->
       (s"""WITH $vecsCte,
         |piv AS (SELECT vec_id AS pid, v AS pv, norm AS pnorm FROM n
@@ -524,6 +570,28 @@ object SparkEntry {
         |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |  CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
         |FROM documents""".stripMargin,
+    "q34_approx_distinct" ->
+      // KMV estimator: (k−1) / (h_k / 2^60) over the k=64 smallest 60-bit
+      // md5 prefixes of the distinct group members; < k members → exact.
+      """WITH hv AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, h,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        |  FROM hv),
+        |kth AS (SELECT o_orderpriority, h AS hk FROM r WHERE rn = 64),
+        |d AS (
+        |  SELECT o_orderpriority, COUNT(*) AS exact_distinct
+        |  FROM hv GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority,
+        |  CAST(d.exact_distinct AS BIGINT) AS exact_distinct,
+        |  ROUND(CASE WHEN kth.hk IS NULL THEN CAST(d.exact_distinct AS DOUBLE)
+        |        ELSE 63.0 * 1152921504606846976.0 / CAST(kth.hk AS DOUBLE)
+        |        END, 6) AS kmv_distinct
+        |FROM d LEFT JOIN kth USING (o_orderpriority)
+        |ORDER BY d.o_orderpriority""".stripMargin,
     "q35_dedup_decisions" ->
       (s"""WITH $shinglesCte,
         |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),

@@ -393,6 +393,45 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** KMV (k-minimum-values) approximate distinct count — the oracle-exact
+    * counterpart of [[approxDistinct]]: unlike HLL registers, the k smallest
+    * md5 values of a group are engine-independent, so DuckDB reproduces the
+    * estimate bit-for-bit. Estimator (Bar-Yossef et al. 2002): with U(h) =
+    * h / 2^60 the normalized k-th smallest 60-bit hash, distinct ≈
+    * (k−1) / U(h_k); groups with fewer than k distinct hashes report the
+    * exact count (the sketch IS the value set there).
+    *
+    * Scale shape: distinct-project hashes first (one shuffle), then the
+    * same two-stage salted top-k as [[Curation.sourceCapOf]] — a partial
+    * per-(group, salt) rank bounds every task at k survivors, the exact
+    * rank runs on ≤ salts·k rows per group, so a billion-member group never
+    * lands on one task. Any global k-minimum is its salt bucket's
+    * k-minimum, so two-stage equals one-stage exactly. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64,
+      salts: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hv = Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        conv(substring(md5($"o_custkey".cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val partial = Window.partitionBy($"o_orderpriority", $"h" % salts)
+      .orderBy($"h")
+    val exact = Window.partitionBy($"o_orderpriority").orderBy($"h")
+    val kth = hv
+      .withColumn("prn", row_number().over(partial)).filter($"prn" <= k)
+      .withColumn("rn", row_number().over(exact)).filter($"rn" === k)
+      .select($"o_orderpriority", $"h".as("hk"))
+    hv.groupBy($"o_orderpriority").agg(count(lit(1)).as("exact_distinct"))
+      .join(kth, Seq("o_orderpriority"), "left")
+      .select($"o_orderpriority", $"exact_distinct",
+        round(when($"hk".isNull, $"exact_distinct".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+            / $"hk".cast("double")), 6).as("kmv_distinct"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Skew-resistant two-stage aggregation — the reference's 2MR group-by
     * plan (SURVEY §2.5 A11, SemanticAnalyzer.genGroupByPlan2MR:1348): stage
     * 1 aggregates on (key, salt) so a hot key spreads over `buckets`

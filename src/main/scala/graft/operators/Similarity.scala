@@ -157,8 +157,11 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Fixture entry point for [[lshTopKOf]] (q27; rows-only — LSH candidate
-    * sets are parameter-dependent, the recall contract is spec-asserted). */
+  /** Fixture entry point for [[lshTopKOf]] (q27). The hyperplanes are
+    * md5-deterministic precisely so another engine can rebuild the same
+    * signatures — the DuckDB oracle reproduces the full multi-table
+    * pipeline (planes → sign bits → bucket gate → Hamming-1 probes)
+    * bit-for-bit; the recall contract is additionally spec-asserted. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     lshTopKOf(vecs(spark, dir), col("vec_id") % 100 === 0, k)
 
