@@ -39,7 +39,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional comma-separated query filter (bisection / single-query runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (name, fn) => runOnce(name, fn, warmDir) }
     // two timed laps, min per query — damps co-tenant scheduling noise
     val lap1 = ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }

@@ -28,27 +28,19 @@ object Dedup {
     filter(split(c, "\\s+"), t => t =!= "")
 
   /** Session-scoped memo for shared pipeline stages (shingle pairs, minhash
-    * signatures, simhash fingerprints). The end-to-end operators (q35) are
-    * built FROM the pairwise operators (q21), and a verify/bench round runs
-    * both — memoizing the persisted stage means the expensive shuffle runs
-    * once per session instead of once per caller, and `persist` is called
-    * exactly once per plan (no "already cached" churn across bench laps). */
-  private val stageMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
+    * signatures, simhash fingerprints) — see [[graft.StageMemo]]. The
+    * end-to-end operators (q35) are built FROM the pairwise operators (q21),
+    * and a verify/bench round runs both. */
   private def memo(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame =
-    stageMemo.getOrElseUpdate((spark, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.StageMemo(spark, key)(build)
 
-  /** Drop and unpersist every memoized stage. The memo assumes input
-    * directories are immutable for the session (the fixture contract); call
-    * this after rewriting an input dir in place, or to release the pinned
-    * storage of stages no longer needed. */
-  def clearStageCache(): Unit = {
-    stageMemo.values.foreach(_.unpersist())
-    stageMemo.clear()
-  }
+  /** Drop and unpersist every memoized stage (all operators' — dedup,
+    * similarity). The memo assumes input directories are immutable for the
+    * session (the fixture contract); call this after rewriting an input dir
+    * in place, or to release the pinned storage of stages no longer
+    * needed. */
+  def clearStageCache(): Unit = graft.StageMemo.clear()
 
   /** Distinct word 3-shingles of a `(doc_id, text)` frame, keyed by a fixed
     * 16-hex-char md5 prefix: (doc_id, s). Hashing before the distinct/groupBy
