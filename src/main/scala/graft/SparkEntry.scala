@@ -71,7 +71,15 @@ object SparkEntry {
     "q47_repetition" -> ((s, d) => Curation.repetitionSignals(s, d)),
     "q48_source_cap" -> ((s, d) => Curation.sourceCap(s, d)),
     "q49_bloom_dedup" -> ((s, d) => Curation.bloomDedup(s, d)),
-    "q50_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d))
+    "q50_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d)),
+    // Continuous tier (SURVEY §2.9) surfaced as driver-checked rows: both
+    // run REAL Structured Streaming queries (file source, maxFilesPerTrigger
+    // micro-batches, AvailableNow) whose deterministic final frames the
+    // batch-SQL oracles below reproduce.
+    "q51_stream_windows" ->
+      ((s, d) => graft.streaming.Continuous.streamedWindowedCounts(s, d)),
+    "q52_stream_online" ->
+      ((s, d) => graft.streaming.Continuous.streamedOnlineSummary(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -737,6 +745,27 @@ object SparkEntry {
         |                 epoch_us(ts) // 300000000 + 1)) AS k
         |  FROM events)
         |GROUP BY k, event_type
-        |ORDER BY w_start, event_type""".stripMargin
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q51_stream_windows" ->
+      // batch twin of the streamed tumbling-window reduce: event-time
+      // windows are chunking-independent, so the streaming final frame
+      // equals this plain GROUP BY
+      """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q52_stream_online" ->
+      // online aggregation's final snapshot is exact — the q01 batch SQL
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }

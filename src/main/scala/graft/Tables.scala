@@ -33,6 +33,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Table by name through the normalizing loaders (`events` gets its
+    * microsecond `ts`); every other table is the raw parquet read. */
+  def tableOf(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n => load(spark, dir, n)
+    }
+
   /** Register all fixture tables as temp views (for `spark.sql` surfaces). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -126,6 +126,104 @@ object Continuous {
     spark.table("pipeline_out")
   }
 
+  // ---------------------------------------------------------------------
+  // Driver-facing streamed queries (oracle-checked rows for the tier)
+  // ---------------------------------------------------------------------
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage `table` from `dir` as a `files`-file parquet copy under
+    * `target/streamstage/` so the file stream source yields real multi-batch
+    * incremental execution — the fixture tables are single-file, which would
+    * collapse `maxFilesPerTrigger` streaming to one micro-batch. Idempotent
+    * per (dir, table): bench laps re-use the staged copy. */
+  private def stageChunks(spark: SparkSession, dir: String, table: String,
+      files: Int = 8): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val out = s"target/streamstage/$key/$table"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_SUCCESS")))
+      graft.Tables.tableOf(spark, dir, table)
+        .repartition(files).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    }
+  }
+
+  /** Windowed streaming reduce surfaced to the driver harness (C2, the HOP
+    * `mapred.reduce.window` loop, ReduceTask.java:595-629): the events table
+    * streamed file-by-file (`maxFilesPerTrigger=1`) through an event-time
+    * tumbling-window count/sum, run to completion with `AvailableNow`. The
+    * final frame is deterministic — event-time windows are
+    * chunking-independent — so the same tumbling-window SQL oracle-checks
+    * the streaming tier end-to-end (q51).
+    *
+    * The memory sink in complete mode is the snapshot contract (driver-side
+    * frame, like [[onlineAggregate]]): its size is bounded by window-count ×
+    * event-type cardinality (time-range/5min × ~5), NOT by the stream
+    * volume — at 100 TB the same plan with a parquet sink + append mode +
+    * watermark is the production shape ([[windowedCounts]] carries the
+    * watermark already; StreamingSpec proves append-mode parity). Sum runs
+    * over DECIMAL so the result is shuffle- and chunk-order-independent. */
+  def streamedWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageChunks(spark, dir, "events")
+    val schema = spark.read.parquet(staged).schema
+    val name = s"q51_stream_${runSeq.incrementAndGet()}"
+    val ckpt = s"target/streamstage/ckpt/$name"
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name)
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt) // each invocation is a fresh bounded run
+    spark.table(name).orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** Online aggregation surfaced to the driver harness (C4,
+    * ReduceTask.java:631-669 / OutputFile.Type SNAPSHOT): the lineitem table
+    * streamed 2 files per trigger through the q01 pricing-summary aggregate
+    * via [[onlineAggregate]] — progressive cumulative snapshots, final frame
+    * exact. Returns the final (progress = 1.0) snapshot as a DataFrame, so
+    * the q01 SQL oracle-checks that online aggregation converges to the
+    * batch answer (q52). */
+  def streamedOnlineSummary(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageChunks(spark, dir, "lineitem")
+    val schema = spark.read.parquet(staged).schema
+    val agg = (df: DataFrame) => df
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+    val snaps = onlineAggregate(spark, staged, schema, agg, filesPerTrigger = 2)
+    require(snaps.nonEmpty && snaps.last.progress >= 1.0,
+      s"online aggregation did not reach progress 1.0 (got ${snaps.map(_.progress)})")
+    import scala.jdk.CollectionConverters._
+    val outSchema = agg(spark.read.parquet(staged)).schema
+    spark.createDataFrame(snaps.last.rows.asJava, outSchema)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Streaming exact dedup: drop records whose fingerprint was already seen
     * within the watermark horizon (state is bounded by the horizon — the
     * only way streaming dedup survives an unbounded stream). Expects

@@ -9,6 +9,31 @@ import graft.streaming.Continuous
 
 class StreamingSpec extends SparkSpec {
 
+  test("q51: streamed windowed counts equal the batch tumbling twin") {
+    import spark.implicits._
+    val streamed = Continuous.streamedWindowedCounts(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select($"window.start", $"event_type", $"n", $"sum_v")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
+  test("q52: online aggregation final frame equals batch pricing summary") {
+    val streamed = Continuous.streamedOnlineSummary(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Relational.pricingSummary(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(batch.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("windowed streaming counts emit per-window aggregates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
