@@ -221,14 +221,16 @@ object Curation {
   /** Connected components over an undirected pair list `(d1, d2)` by
     * iterative min-label propagation: every vertex converges to the
     * smallest doc_id reachable from it. Deterministic; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow — chains
-    * of pairwise-similar docs — so the bound is small in practice; a
-    * production job at adversarial diameters would switch to the
-    * large-star/small-star contraction, which converges in O(log n)).
+    * O(component diameter) rounds — fine for the shallow clusters near-dup
+    * graphs produce, but an adversarial chain needs diameter rounds: use
+    * [[connectedComponentsStar]] (O(log n) contraction) when diameters are
+    * unbounded. [[dedupClusters]] ships on the star form.
     *
     * Each round is one shuffle join + one min-aggregate on the EDGE frame
     * only (vertices with no pair never enter the loop), localCheckpointed
-    * so lineage stays flat across rounds. */
+    * so lineage stays flat across rounds. Convergence counts labels that
+    * changed this round (a label-SUM fixpoint check would wrap Long at
+    * billion-vertex/large-id scale and could alias two states). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2"), col("d1")))
@@ -236,10 +238,7 @@ object Curation {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = prevSum == 0L // empty pair list: nothing to propagate
+    var converged = labels.isEmpty // empty pair list: nothing to propagate
     var it = 0
     while (!converged && it < maxIter) {
       val next = edges
@@ -249,15 +248,84 @@ object Curation {
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      // labels only ever decrease, so an unchanged sum means a fixpoint
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+      converged = changed.limit(1).count() == 0L
       labels = next
       it += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star contraction
+    * — the O(log n)-round algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014), diameter-independent: the
+    * scale-safe form for adversarial chain-shaped clusters where
+    * [[connectedComponents]] would need O(diameter) rounds.
+    *
+    * Edges are kept canonically oriented big→small. Large-star hangs every
+    * neighbor larger than `u` off `u`'s minimum; small-star hangs `u` and
+    * its (all smaller) neighbors off the minimum. Both are one groupBy-min
+    * plus one join on the edge frame — no vertex ever materializes its
+    * neighborhood as a list, so a hot vertex costs a shuffle key, not an
+    * aggregation buffer. At the fixpoint the edge set is a union of stars
+    * rooted at each component's minimum. Convergence = edge set unchanged,
+    * checked with except+count (overflow-free). Returns (id, label) for
+    * every vertex of `pairs`. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    starContract(pairs, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the round count (spec evidence for
+    * the O(log n) bound). */
+  private[graft] def starContract(pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical big→small orientation, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val vertices = pairs.select(col("d1").as("id"))
+      .union(pairs.select(col("d2")))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // (v, m) for v ∈ Γ(u), v > u; m ≤ u < v keeps orientation canonical
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // (v, m) for v ∈ N(u) ∪ {u}; every v ≥ m keeps orientation canonical
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides distinct: equal counts + empty difference ⇔ equal sets
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      it += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    val labels = vertices
+      .join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("label"))
+    (labels, it)
   }
 
   /** Duplicate clusters over the fixture corpus: connected components of
@@ -272,7 +340,7 @@ object Curation {
     import spark.implicits._
     val pairs = Dedup.ngramPairs(spark, dir, threshold, 100)
       .select($"d1", $"d2")
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponentsStar(pairs)
     Tables.documents(spark, dir)
       .select($"doc_id")
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -162,6 +162,38 @@ class CurationSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("star contraction solves an adversarial 1000-chain in O(log n) rounds") {
+    import spark.implicits._
+    // a 1001-vertex chain (diameter 1000) with shuffled ids: label
+    // propagation at its default maxIter=20 cannot finish this — the star
+    // contraction must, in ~log2(n) rounds, labelling everything with the
+    // minimum id
+    val perm = new scala.util.Random(7).shuffle((0L to 1000L).toVector)
+    val pairs = perm.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("d1", "d2")
+    val (labels, rounds) = Curation.starContract(pairs)
+    assert(rounds <= 15, s"took $rounds rounds — not O(log n)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 1001)
+    assert(got.forall(_._2 === 0L))
+  }
+
+  test("star contraction equals label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 120 vertices, sparse random edges: many components of varied shape
+    val pairs = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("d1", "d2")
+    val star = Curation.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = Curation.connectedComponents(pairs, maxIter = 120).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star === prop)
+    val empty = Curation.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(empty.count() === 0L)
+  }
+
   test("dedup clusters keep exactly one representative per cluster") {
     import spark.implicits._
     val out = Curation.dedupClusters(spark, sfDir)
