@@ -22,6 +22,20 @@ class KeyFieldsSpec extends SparkSpec {
     intercept[IllegalArgumentException](KeyFields.parse("-kx"))
   }
 
+  test("parses pos.char offsets") {
+    assert(KeyFields.parse("-k2.3,2.5") === Seq(
+      KeySpec(2, Some(2), numeric = false, reverse = false,
+        fromChar = 3, toChar = Some(5))))
+    // end char 0 = last char of the field (GNU sort)
+    assert(KeyFields.parse("-k2.3,2.0") === Seq(
+      KeySpec(2, Some(2), numeric = false, reverse = false,
+        fromChar = 3, toChar = None)))
+    assert(KeyFields.parse("-k1.2,3.1nr") === Seq(
+      KeySpec(1, Some(3), numeric = true, reverse = true,
+        fromChar = 2, toChar = Some(1))))
+    intercept[IllegalArgumentException](KeyFields.parse("-k1.0"))
+  }
+
   private val lines = Seq(
     "apple 12 3", "pear 4 10", "plum 12 10", "fig 4 3", "date 100 1",
     "kiwi 4 10", "lime 12 3", "yuzu .5 2", "mango -.25 7")
@@ -54,6 +68,43 @@ class KeyFieldsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     val want = unixSort("-k3 -k1,1")
     assert(got === want)
+  }
+
+  private val charLines = Seq(
+    "aa 12345 19", "bb 12954 28", "cc 99111 37", "dd 12321 46",
+    "ee 45999 55", "ff 12345 64", "gg 459 73", "hh 1 82")
+
+  private def unixSortOf(input: Seq[String], flags: String): Seq[String] = {
+    import scala.sys.process._
+    val cmd = Seq("env", "LC_ALL=C", "sort", "-s", "-t", " ") ++
+      flags.split(" ").toSeq
+    val in = new java.io.ByteArrayInputStream(
+      (input.mkString("\n") + "\n").getBytes("UTF-8"))
+    (cmd #< in).lazyLines_!.toList
+  }
+
+  test("sorted matches unix sort -k2.3,2.5 (char offsets within a field)") {
+    import spark.implicits._
+    val got = KeyFields.sorted(charLines.toDF("line"), "line", " ",
+      "-k2.3,2.5 -k1")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === unixSortOf(charLines, "-k2.3,2.5 -k1,1"))
+  }
+
+  test("sorted matches unix sort -k1.2,2.3 (char span crossing a field)") {
+    import spark.implicits._
+    val got = KeyFields.sorted(charLines.toDF("line"), "line", " ",
+      "-k1.2,2.3 -k1")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === unixSortOf(charLines, "-k1.2,2.3 -k1,1"))
+  }
+
+  test("sorted matches unix sort -k2.2,2.0n (numeric char-offset key)") {
+    import spark.implicits._
+    val got = KeyFields.sorted(charLines.toDF("line"), "line", " ",
+      "-k2.2,2.0n -k1")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === unixSortOf(charLines, "-k2.2,2.0n -k1,1"))
   }
 
   test("partitioned co-locates equal key spans") {
