@@ -9,19 +9,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `persist` is called exactly once per plan (no "already cached" churn
   * across bench laps). Inputs are assumed immutable for the session (the
   * fixture contract); call [[clear]] after rewriting an input dir in place.
+  *
+  * Retention is bounded: at most [[maxEntries]] stages stay pinned, evicted
+  * least-recently-used (the evicted frame is unpersisted — its plan still
+  * works, it just recomputes). A long-lived session cycling through many
+  * corpora therefore cannot accumulate unbounded pinned storage; [[clear]]
+  * remains the explicit full release.
   */
 private[graft] object StageMemo {
+
+  /** Eviction budget: max stages kept pinned. The engine's distinct shared
+    * stages per corpus number ~6 (shingles, minhash sigs, bands, simhash,
+    * ANN vectors, ngram pairs), so 16 comfortably covers two corpora being
+    * compared side-by-side while bounding a many-corpus session. */
+  @volatile private[graft] var maxEntries: Int = 16
+
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size() > maxEntries) { e.getValue.unpersist(); true } else false
+    }
 
   def apply(spark: SparkSession, key: String)(
-      build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      build: => DataFrame): DataFrame = memo.synchronized {
+    val k = (spark, key)
+    val cached = memo.get(k) // get() refreshes LRU order
+    if (cached != null) cached
+    else {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      memo.put(k, df)
+      df
+    }
+  }
 
   /** Drop and unpersist every memoized stage. */
-  def clear(): Unit = {
-    memo.values.foreach(_.unpersist())
+  def clear(): Unit = memo.synchronized {
+    memo.values().forEach(_.unpersist())
     memo.clear()
   }
+
+  private[graft] def size: Int = memo.synchronized(memo.size())
 }
