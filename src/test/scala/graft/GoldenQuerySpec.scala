@@ -111,6 +111,117 @@ class GoldenQuerySpec extends SparkSpec {
         $"c_custkey" === $"o_custkey" && $"o_totalprice" > 400000, "left")
       .select($"c_custkey", coalesce($"o_orderkey", lit(-1L))))
 
+  check("groupby3: sum/avg/avg-distinct/max/min over a derived numeric",
+    """SELECT sum(cast(o_totalprice AS DECIMAL(18,2))),
+      |  avg(cast(o_totalprice AS DECIMAL(18,2))),
+      |  avg(DISTINCT cast(o_orderkey % 7 AS DECIMAL(18,2))),
+      |  max(o_totalprice), min(o_totalprice)
+      |FROM orders""".stripMargin,
+    Tables.orders(spark, sfDir).agg(
+      sum($"o_totalprice".cast("decimal(18,2)")),
+      avg($"o_totalprice".cast("decimal(18,2)")),
+      expr("avg(DISTINCT cast(o_orderkey % 7 AS DECIMAL(18,2)))"),
+      max($"o_totalprice"), min($"o_totalprice")))
+
+  check("groupby4: group by substr of a column",
+    """SELECT substr(o_orderpriority, 1, 1), count(*)
+      |FROM orders GROUP BY substr(o_orderpriority, 1, 1)""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .groupBy(substring($"o_orderpriority", 1, 1)).agg(count(lit(1))))
+
+  check("groupby6: select distinct substr",
+    "SELECT DISTINCT substr(c_name, 1, 11) FROM customer",
+    Tables.customer(spark, sfDir)
+      .select(substring($"c_name", 1, 11)).distinct())
+
+  check("groupby8: count(distinct) beside plain aggregates per key",
+    """SELECT o_orderstatus, count(DISTINCT o_orderpriority), count(*),
+      |  min(o_orderkey)
+      |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    Tables.orders(spark, sfDir).groupBy($"o_orderstatus")
+      .agg(count_distinct($"o_orderpriority"), count(lit(1)),
+        min($"o_orderkey")))
+
+  check("groupby1_limit: group by, order by, limit",
+    """SELECT o_custkey, count(*) AS n FROM orders
+      |GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+    Tables.orders(spark, sfDir).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"o_custkey").limit(10))
+
+  check("join4: left outer join of two filtered subqueries",
+    """SELECT a.c1, a.c2, b.c3, b.c4 FROM
+      |  (SELECT o_orderkey AS c1, o_totalprice AS c2 FROM orders
+      |   WHERE o_orderkey > 10 AND o_orderkey < 500) a
+      |LEFT OUTER JOIN
+      |  (SELECT o_orderkey AS c3, o_orderpriority AS c4 FROM orders
+      |   WHERE o_orderkey > 300 AND o_orderkey < 700) b
+      |ON a.c1 = b.c3""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" > 10 && $"o_orderkey" < 500)
+      .select($"o_orderkey".as("c1"), $"o_totalprice".as("c2"))
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderkey" > 300 && $"o_orderkey" < 700)
+          .select($"o_orderkey".as("c3"), $"o_orderpriority".as("c4")),
+        $"c1" === $"c3", "left")
+      .select($"c1", $"c2", $"c3", $"c4"))
+
+  check("join6: full outer join of two filtered subqueries",
+    """SELECT a.c1, b.c3 FROM
+      |  (SELECT c_custkey AS c1 FROM customer WHERE c_custkey < 200) a
+      |FULL OUTER JOIN
+      |  (SELECT c_custkey AS c3 FROM customer
+      |   WHERE c_custkey > 100 AND c_custkey < 300) b
+      |ON a.c1 = b.c3""".stripMargin,
+    Tables.customer(spark, sfDir).filter($"c_custkey" < 200)
+      .select($"c_custkey".as("c1"))
+      .join(Tables.customer(spark, sfDir)
+          .filter($"c_custkey" > 100 && $"c_custkey" < 300)
+          .select($"c_custkey".as("c3")),
+        $"c1" === $"c3", "full")
+      .select($"c1", $"c3"))
+
+  check("join8: outer join nulls filtered back out",
+    """SELECT a.c1, b.c3 FROM
+      |  (SELECT c_custkey AS c1 FROM customer WHERE c_custkey < 200) a
+      |LEFT OUTER JOIN
+      |  (SELECT o_custkey AS c3 FROM orders WHERE o_totalprice > 300000) b
+      |ON a.c1 = b.c3
+      |WHERE b.c3 IS NOT NULL""".stripMargin,
+    Tables.customer(spark, sfDir).filter($"c_custkey" < 200)
+      .select($"c_custkey".as("c1"))
+      .join(Tables.orders(spark, sfDir).filter($"o_totalprice" > 300000)
+          .select($"o_custkey".as("c3")),
+        $"c1" === $"c3", "left")
+      .filter($"c3".isNotNull)
+      .select($"c1", $"c3"))
+
+  check("subq: aggregate over a subquery in FROM",
+    """SELECT unioninput.okey, count(*) FROM
+      |  (SELECT o_orderkey % 100 AS okey FROM orders
+      |   WHERE o_totalprice > 100000) unioninput
+      |GROUP BY unioninput.okey""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_totalprice" > 100000)
+      .select(($"o_orderkey" % 100).as("okey"))
+      .groupBy($"okey").agg(count(lit(1))))
+
+  check("union: union all of two subqueries then aggregated",
+    """SELECT src, count(*) FROM (
+      |  SELECT 'o' AS src, o_custkey AS k FROM orders WHERE o_custkey < 500
+      |  UNION ALL
+      |  SELECT 'c' AS src, c_custkey AS k FROM customer WHERE c_custkey < 500
+      |) u GROUP BY src""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_custkey" < 500)
+      .select(lit("o").as("src"), $"o_custkey".as("k"))
+      .union(Tables.customer(spark, sfDir).filter($"c_custkey" < 500)
+        .select(lit("c").as("src"), $"c_custkey".as("k")))
+      .groupBy($"src").agg(count(lit(1))))
+
+  check("case_sensitivity: mixed-case identifiers resolve",
+    "SELECT N_NAME, n_regionkey FROM nation WHERE N_NATIONKEY < 10",
+    Tables.nation(spark, sfDir).filter($"n_nationkey" < 10)
+      .select($"n_name", $"n_regionkey"))
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }
