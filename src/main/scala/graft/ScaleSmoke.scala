@@ -54,6 +54,7 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$staged/$t.parquet")
 
     def time(name: String)(df: => DataFrame): Unit = {
+      StageMemo.clear() // each op pays its own shared stages — honest scaling
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val s = (System.nanoTime() - t0) / 1e9
@@ -82,6 +83,19 @@ object ScaleSmoke {
       time(s"ngram_jaccard_$label")(operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, dir),
         maxDf = if (dir == sfDir) 100 else 100 * mult))
+      // curation five — their 100 TB claims get measured, not just planned
+      time(s"decontaminate_$label")(
+        operators.Curation.decontaminate(spark, dir))
+      time(s"repetition_$label")(
+        operators.Curation.repetitionSignals(spark, dir))
+      time(s"source_cap_$label")(operators.Curation.sourceCap(spark, dir))
+      time(s"bloom_dedup_$label")(operators.Curation.bloomDedup(spark, dir))
+      // budget-exceeded path: the Bloom prefilter is skipped and the shard
+      // goes straight to the exact semi-join
+      time(s"bloom_fallback_$label")(operators.Curation.bloomDedup(spark, dir,
+        bloomBudgetBytes = 1L))
+      time(s"dedup_clusters_$label")(
+        operators.Curation.dedupClusters(spark, dir))
     }
     spark.stop()
   }
