@@ -622,7 +622,7 @@ object SparkEntry {
       """WITH marked AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -356,9 +356,17 @@ object Relational {
     * user-journey operator). Batch form via `session_window`; the same
     * expression works on a stream. */
   def sessionize(spark: SparkSession, dir: String,
-      gap: String = "5 minutes"): DataFrame = {
-    import spark.implicits._
-    Tables.events(spark, dir)
+      gap: String = "5 minutes"): DataFrame =
+    sessionizeOf(Tables.events(spark, dir), gap)
+
+  /** [[sessionize]] over an arbitrary `(user_id, ts, value)` frame.
+    * Boundary semantics (spec-asserted): two events EXACTLY `gap` apart
+    * MERGE into one session — `session_window` extends a session whenever
+    * the next event is within a closed `gap` of the last, so the oracle's
+    * new-session predicate must be the strict `ts - lag(ts) > gap`. */
+  def sessionizeOf(events: DataFrame, gap: String): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .groupBy($"user_id", session_window($"ts", gap).as("w"))
       .agg(count(lit(1)).as("n"),
         sum(d2($"value")).cast("double").as("sum_v"))

@@ -128,4 +128,29 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast join for nation/region dims:\n$plan")
   }
+
+  test("sessionize splits sessions at exactly the gap, keeps them inside it") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: second event EXACTLY 5 minutes later -> ONE session
+      // (session_window extends on a closed gap; the oracle's strict
+      // `> gap` new-session predicate agrees)
+      (1L, t("2024-01-01 00:00:00"), 1.0),
+      (1L, t("2024-01-01 00:05:00"), 2.0),
+      // user 2: one second PAST the gap -> TWO sessions
+      (2L, t("2024-01-01 00:00:00"), 3.0),
+      (2L, t("2024-01-01 00:05:01"), 4.0),
+      // user 3: inside the gap -> ONE session
+      (3L, t("2024-01-01 00:00:00"), 5.0),
+      (3L, t("2024-01-01 00:04:59"), 6.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Relational.sessionizeOf(events, "5 minutes").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (2L, "2024-01-01 00:00:00.0", 1L),
+      (2L, "2024-01-01 00:05:01.0", 1L),
+      (3L, "2024-01-01 00:00:00.0", 2L)))
+  }
 }
