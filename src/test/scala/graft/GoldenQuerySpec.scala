@@ -217,6 +217,31 @@ class GoldenQuerySpec extends SparkSpec {
         .select(lit("c").as("src"), $"c_custkey".as("k")))
       .groupBy($"src").agg(count(lit(1))))
 
+  check("input_testxpath: array index, struct field, map key access",
+    """SELECT t.a[1], t.s.mystring, t.m['key_2'] FROM
+      |  (SELECT array(o_orderkey, o_custkey) AS a,
+      |     named_struct('mystring', o_orderpriority) AS s,
+      |     map('key_2', o_orderstatus) AS m
+      |   FROM orders WHERE o_orderkey < 100) t""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_orderkey" < 100)
+      .select(array($"o_orderkey", $"o_custkey").as("a"),
+        struct($"o_orderpriority".as("mystring")).as("s"),
+        map(lit("key_2"), $"o_orderstatus").as("m"))
+      .select($"a".getItem(1), $"s".getField("mystring"),
+        $"m".getItem("key_2")))
+
+  check("input_testxpath2: collection sizes under null guards",
+    """SELECT size(t.a), size(t.m) FROM
+      |  (SELECT array(o_orderkey, o_custkey, o_custkey) AS a,
+      |     map(o_orderstatus, o_totalprice) AS m
+      |   FROM orders WHERE o_orderkey < 200) t
+      |WHERE t.a IS NOT NULL AND NOT (t.m IS NULL)""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_orderkey" < 200)
+      .select(array($"o_orderkey", $"o_custkey", $"o_custkey").as("a"),
+        map($"o_orderstatus", $"o_totalprice").as("m"))
+      .filter($"a".isNotNull && !$"m".isNull)
+      .select(size($"a"), size($"m")))
+
   check("case_sensitivity: mixed-case identifiers resolve",
     "SELECT N_NAME, n_regionkey FROM nation WHERE N_NATIONKEY < 10",
     Tables.nation(spark, sfDir).filter($"n_nationkey" < 10)

@@ -112,6 +112,23 @@ class PropertySpec extends SparkSpec {
     }, runs = 6)
   }
 
+  test("star contraction equals label propagation on arbitrary graphs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+      .map(_.filter(p => p._1 != p._2))
+    holds(Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val pairs = edges.toDF("d1", "d2")
+        val star = graft.operators.Curation.connectedComponentsStar(pairs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val prop = graft.operators.Curation.connectedComponents(pairs, 60)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        star == prop
+      }
+    }, runs = 6)
+  }
+
   test("histogram report is consistent for arbitrary values") {
     val agg = new Aggregators.ValueHistogram()
     val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
