@@ -141,7 +141,16 @@ object Continuous {
       files: Int = 8): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val out = s"target/streamstage/$key/$table"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/_SUCCESS")))
+    val success = java.nio.file.Paths.get(s"$out/_SUCCESS")
+    // re-stage when missing OR older than the source table — a regenerated
+    // fixture must never stream from a stale copy
+    val srcMtime = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .max.orElse(Long.MaxValue)
+    val fresh = java.nio.file.Files.exists(success) &&
+      java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
+    if (!fresh)
       graft.Tables.tableOf(spark, dir, table)
         .repartition(files).write.mode("overwrite").parquet(out)
     out
@@ -190,7 +199,19 @@ object Continuous {
       .start()
     q.awaitTermination()
     deleteRecursively(ckpt) // each invocation is a fresh bounded run
-    spark.table(name).orderBy(col("w_start"), col("event_type"))
+    // snapshot the sink into a local frame and drop the temp view, so
+    // repeated invocations don't accumulate memory-sink tables; bounded by
+    // window-count x event-type cardinality, capped loudly like every
+    // driver-side snapshot in this tier
+    val maxRows = 1000000
+    val rows = spark.table(name).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"windowed aggregate exceeds $maxRows rows — widen the window")
+    val schemaOut = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+      .orderBy(col("w_start"), col("event_type"))
   }
 
   /** Online aggregation surfaced to the driver harness (C4,
