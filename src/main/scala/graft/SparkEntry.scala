@@ -79,7 +79,9 @@ object SparkEntry {
     "q51_stream_windows" ->
       ((s, d) => graft.streaming.Continuous.streamedWindowedCounts(s, d)),
     "q52_stream_online" ->
-      ((s, d) => graft.streaming.Continuous.streamedOnlineSummary(s, d))
+      ((s, d) => graft.streaming.Continuous.streamedOnlineSummary(s, d)),
+    "q53_stream_pipeline" ->
+      ((s, d) => graft.streaming.Continuous.streamedPipeline(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -766,6 +768,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q53_stream_pipeline" ->
+      // composed batch twin of the two chained streaming jobs: stage 1's
+      // filter/project then stage 2's per-type aggregate
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE event_type <> 'view'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

@@ -95,7 +95,7 @@ object Continuous {
     * replayable directory and stage 2 streams from that directory — each
     * micro-batch of stage 1 becomes visible to stage 2 without a batch
     * barrier. Runs both to completion on bounded input (AvailableNow);
-    * returns stage 2's final result table name ("pipeline_out"). */
+    * returns stage 2's final result (memory table `queryName`). */
   def chainedQueries(
       spark: SparkSession,
       inputDir: String,
@@ -103,7 +103,8 @@ object Continuous {
       midDir: String,
       checkpointDir: String,
       stage1: DataFrame => DataFrame,
-      stage2: DataFrame => DataFrame): DataFrame = {
+      stage2: DataFrame => DataFrame,
+      queryName: String = "pipeline_out"): DataFrame = {
     val q1 = stage1(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(inputDir))
@@ -120,10 +121,10 @@ object Continuous {
       .option("checkpointLocation", s"$checkpointDir/stage2")
       .trigger(Trigger.AvailableNow())
       .outputMode("complete")
-      .format("memory").queryName("pipeline_out")
+      .format("memory").queryName(queryName)
       .start()
     q2.awaitTermination()
-    spark.table("pipeline_out")
+    spark.table(queryName)
   }
 
   // ---------------------------------------------------------------------
@@ -243,6 +244,38 @@ object Continuous {
     val outSchema = agg(spark.read.parquet(staged)).schema
     spark.createDataFrame(snaps.last.rows.asJava, outSchema)
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Inter-job pipelining surfaced to the driver harness (C7,
+    * PipelineMapTask.java:52): the events table streamed through TWO
+    * chained streaming jobs via [[chainedQueries]] — stage 1 filters and
+    * projects to a replayable parquet directory whose files stage 2
+    * consumes as they appear, aggregating per event type. The final frame
+    * is chunking-independent, so plain composed SQL oracle-checks the
+    * pipelined path end-to-end (q53). Per-run mid/checkpoint dirs are
+    * deleted after the snapshot so repeated invocations stay independent. */
+  def streamedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageChunks(spark, dir, "events")
+    val schema = spark.read.parquet(staged).schema
+    val run = runSeq.incrementAndGet()
+    val mid = s"target/streamstage/mid/run$run"
+    val ckpt = s"target/streamstage/ckpt/pipeline$run"
+    val name = s"q53_pipeline_$run"
+    val out = chainedQueries(spark, staged, schema, mid, ckpt,
+      df => df.filter(col("event_type") =!= "view")
+        .select(col("event_type"), col("value")),
+      df => df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v")),
+      queryName = name)
+    val rows = out.collect() // grouped by event type: a handful of rows
+    val schemaOut = out.schema
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt)
+    deleteRecursively(mid)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+      .orderBy(col("event_type"))
   }
 
   /** Streaming exact dedup: drop records whose fingerprint was already seen

@@ -26,6 +26,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("q53: chained streaming pipeline equals the composed batch query") {
+    import spark.implicits._
+    val streamed = Continuous.streamedPipeline(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = Tables.events(spark, sfDir)
+      .filter($"event_type" =!= "view")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .orderBy($"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("q52: online aggregation final frame equals batch pricing summary") {
     val streamed = Continuous.streamedOnlineSummary(spark, sfDir)
       .collect().map(_.toSeq)
