@@ -81,7 +81,9 @@ object SparkEntry {
     "q52_stream_online" ->
       ((s, d) => graft.streaming.Continuous.streamedOnlineSummary(s, d)),
     "q53_stream_pipeline" ->
-      ((s, d) => graft.streaming.Continuous.streamedPipeline(s, d))
+      ((s, d) => graft.streaming.Continuous.streamedPipeline(s, d)),
+    "q54_cq_monitor" ->
+      ((s, d) => graft.streaming.Continuous.cqMonitor(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -777,6 +779,33 @@ object SparkEntry {
         |FROM events
         |WHERE event_type <> 'view'
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "q54_cq_monitor" ->
+      // cross-key mean/σ as LEFT FOLDS over the SORTED per-key averages —
+      // the identical IEEE op sequence Spark runs (sort_array + aggregate)
+      """WITH pk AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
+        |    event_type AS key,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT w_start, COUNT(*) AS n, list_sort(list(avg_v)) AS xs
+        |  FROM pk GROUP BY w_start),
+        |g2 AS (
+        |  SELECT w_start, n, xs,
+        |    list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) / n AS mu
+        |  FROM g),
+        |g3 AS (
+        |  SELECT w_start, mu,
+        |    CASE WHEN n > 1 THEN
+        |      sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(xs, x -> (x - mu) * (x - mu))), (a, b) -> a + b)
+        |        / (n - 1))
+        |    ELSE 0.0 END AS sigma
+        |  FROM g2)
+        |SELECT pk.w_start, pk.key, pk.avg_v,
+        |  CASE WHEN pk.avg_v > g3.mu + 2.0 * g3.sigma THEN 1 ELSE 0 END AS alert
+        |FROM pk JOIN g3 USING (w_start)
+        |ORDER BY pk.w_start, pk.key""".stripMargin
   )
 }

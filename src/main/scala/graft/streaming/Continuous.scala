@@ -246,6 +246,43 @@ object Continuous {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The CQ monitoring query surfaced to the driver harness (C11,
+    * examples/CQ.java:482-499): per (5-minute window, event type) value
+    * averages, flagged where a type's average exceeds the cross-type mean
+    * plus two sample standard deviations — [[cqAlerts]]'s logic on the
+    * event-time window form, oracle-checked as q54.
+    *
+    * Exact cross-engine determinism for the statistics: the per-key average
+    * is a DECIMAL sum with ONE double division; the cross-key mean and
+    * sum-of-squared-deviations are LEFT FOLDS over the SORTED list of
+    * averages (`sort_array` + `aggregate`, ≙ DuckDB `list_sort` +
+    * `list_reduce`), so both engines run the identical IEEE operation
+    * sequence — order-dependent double aggregation is the one thing a plain
+    * AVG/STDDEV over a shuffle cannot promise. The per-window list is
+    * bounded by event-type cardinality, not stream volume. */
+  def cqMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val pk = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type").as("key"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_v"))
+      .select(col("window.start").as("w_start"), col("key"), col("avg_v"))
+    val g = pk.groupBy(col("w_start"))
+      .agg(sort_array(collect_list(col("avg_v"))).as("xs"),
+        count(lit(1)).as("n"))
+      .withColumn("mu", expr("aggregate(xs, 0D, (a, x) -> a + x) / n"))
+      .withColumn("sigma", expr(
+        """CASE WHEN n > 1 THEN
+          |  sqrt(aggregate(transform(xs, x -> (x - mu) * (x - mu)),
+          |       0D, (a, x) -> a + x) / (n - 1))
+          |ELSE 0D END""".stripMargin))
+      .select(col("w_start"), col("mu"), col("sigma"))
+    pk.join(g, "w_start")
+      .select(col("w_start"), col("key"), col("avg_v"),
+        when(col("avg_v") > col("mu") + lit(2.0) * col("sigma"), 1)
+          .otherwise(0).as("alert"))
+      .orderBy(col("w_start"), col("key"))
+  }
+
   /** Inter-job pipelining surfaced to the driver harness (C7,
     * PipelineMapTask.java:52): the events table streamed through TWO
     * chained streaming jobs via [[chainedQueries]] — stage 1 filters and

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("q54: fold-based cq statistics agree with built-in avg/stddev") {
+    import spark.implicits._
+    val got = Continuous.cqMonitor(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    // naive twin with Spark's own avg/stddev_samp (order-dependent sums,
+    // fine within a float tolerance)
+    val pk = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type".as("key"))
+      .agg(avg($"value").as("avg_v"))
+      .select($"window.start".as("w_start"), $"key", $"avg_v")
+    val g = pk.groupBy($"w_start")
+      .agg(avg($"avg_v").as("mu"),
+        coalesce(stddev_samp($"avg_v"), lit(0.0)).as("sigma"))
+    val want = pk.join(g, "w_start")
+      .select($"w_start", $"key", $"avg_v",
+        when($"avg_v" > $"mu" + lit(2.0) * $"sigma", 1).otherwise(0)
+          .as("alert"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (k, (a, alert)) =>
+      val (wa, wAlert) = want(k)
+      assert(math.abs(a - wa) < 1e-9 * math.max(1.0, math.abs(wa)), s"avg at $k")
+      assert(alert === wAlert, s"alert flag at $k")
+    }
+    // NB: zero alerts is a legitimate outcome — with ~5 type-averages per
+    // window, mean+2σ is a high bar; the per-row flag agreement above is
+    // the assertion that matters
+  }
+
   test("q52: online aggregation final frame equals batch pricing summary") {
     val streamed = Continuous.streamedOnlineSummary(spark, sfDir)
       .collect().map(_.toSeq)
