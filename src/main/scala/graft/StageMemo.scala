@@ -29,7 +29,8 @@ private[graft] object StageMemo {
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        if (size() > maxEntries) { e.getValue.unpersist(); true } else false
+        if (this.size() > maxEntries) { e.getValue.unpersist(); true }
+        else false
     }
 
   def apply(spark: SparkSession, key: String)(
