@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
       s"outer node must plan a real full outer join:\n$p")
   }
 
+  test("q54 cq monitor plans no cartesian product and bounded collect_list") {
+    val p = plan(graft.streaming.Continuous.cqMonitor(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cq monitor must join per-key and global frames on w_start:\n$p")
+    // collect_list only appears AFTER the per-(window, key) aggregate, so
+    // its buffer is bounded by event-type cardinality, not stream volume
+    assert(p.contains("collect_list") || p.contains("sort_array"))
+  }
+
   test("ngram pair stage gates the index with a semi-join before aggregating") {
     val p = Dedup.ngramJaccardOf(
       Tables.documents(spark, sfDir)).queryExecution.executedPlan.toString

@@ -44,6 +44,23 @@ class RobustnessSpec extends SparkSpec {
       $"rts".as("s"), $"rts".as("e")), Seq("k"), "ts", "s", "e").count() === 0)
   }
 
+  test("star contraction tolerates self-loops, duplicates, both orientations") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // the same component expressed messily: duplicate pairs, reversed
+    // duplicates, and self-loops must not change the answer
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), // dup + reversed dup
+      (2L, 3L),
+      (7L, 7L),                     // self-loop-only vertex
+      (9L, 8L)
+    ).toDF("d1", "d2")
+    val labels = Curation.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("gzip text round trip (gzip-aware line reader, S2)") {
     import spark.implicits._
     val dir = "target/tmp/gz"
