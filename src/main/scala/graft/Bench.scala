@@ -64,12 +64,17 @@ object Bench {
       name -> runOnce(name, fn, sfDir)
     }
     StageMemo.clear()
+    // Millisecond precision halves the line length, and the totals go LAST:
+    // the driver captures a bounded tail of stdout, so anything that must
+    // survive truncation of an over-long line belongs at the end (r5's
+    // artifact lost the warm total off the front).
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
     def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""cold_total":$coldTotal,"queries_cold":${json(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results)},""" +
+      s""""queries_cold":${json(cold)},"value":${fmt(total)},"cold_total":${fmt(coldTotal)}}""")
     spark.stop()
   }
 }

@@ -72,10 +72,14 @@ object SparkEntry {
     "q48_source_cap" -> ((s, d) => Curation.sourceCap(s, d)),
     "q49_bloom_dedup" -> ((s, d) => Curation.bloomDedup(s, d)),
     "q50_dedup_clusters" -> ((s, d) => Curation.dedupClusters(s, d)),
-    // Continuous tier (SURVEY §2.9) surfaced as driver-checked rows: both
-    // run REAL Structured Streaming queries (file source, maxFilesPerTrigger
-    // micro-batches, AvailableNow) whose deterministic final frames the
-    // batch-SQL oracles below reproduce.
+    // Continuous tier (SURVEY §2.9) surfaced as driver-checked rows: all
+    // four run REAL Structured Streaming queries (file source,
+    // maxFilesPerTrigger micro-batches, AvailableNow) whose deterministic
+    // final frames the batch-SQL oracles below reproduce. q54 streams the
+    // per-(window,key) aggregate and applies the cross-key mean+2σ flags to
+    // the emitted window frame, where the reference's CQ reducer computes
+    // them; Continuous.cqMonitor is the batch twin the spec checks parity
+    // against.
     "q51_stream_windows" ->
       ((s, d) => graft.streaming.Continuous.streamedWindowedCounts(s, d)),
     "q52_stream_online" ->
@@ -83,7 +87,7 @@ object SparkEntry {
     "q53_stream_pipeline" ->
       ((s, d) => graft.streaming.Continuous.streamedPipeline(s, d)),
     "q54_cq_monitor" ->
-      ((s, d) => graft.streaming.Continuous.cqMonitor(s, d))
+      ((s, d) => graft.streaming.Continuous.streamedCqMonitor(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */

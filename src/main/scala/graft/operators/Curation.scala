@@ -189,7 +189,11 @@ object Curation {
       .select($"doc_id",
         concat($"band".cast("string"), lit(":"), $"bh").as("bkey"))
     val isPrior = $"doc_id" % priorMod === 0
+    // localCheckpoint materializes the distinct ONCE; the count, the Bloom
+    // build, and the exact semi-join below all read the cached blocks
+    // instead of re-shuffling the prior corpus's band keys three times.
     val priorKeys = bands.filter(isPrior).select($"bkey").distinct()
+      .localCheckpoint()
     val nPrior = priorKeys.count()
     // optimal Bloom size at fpp 0.01 is n·ln(0.01)/ln(2)² ≈ 9.59 bits/key
     val estBloomBytes = nPrior * 12 / 10 + 1
@@ -200,8 +204,8 @@ object Curation {
         val bloom =
           priorKeys.stat.bloomFilter("bkey", math.max(nPrior, 1L), 0.01)
         val bloomBc = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf((k: String) => bloomBc.value.mightContain(k))
-        incoming.filter(mightContain($"bkey"))
+        // native codegen probe — no Scala-UDF break in the prefilter stage
+        incoming.filter(graft.functions.BloomFunctions.mightContain($"bkey", bloomBc))
       }
     val confirmed = prefiltered
       .join(priorKeys.hint("shuffle_hash"), Seq("bkey"), "left_semi")

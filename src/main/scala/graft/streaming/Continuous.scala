@@ -137,18 +137,31 @@ object Continuous {
     * `target/streamstage/` so the file stream source yields real multi-batch
     * incremental execution — the fixture tables are single-file, which would
     * collapse `maxFilesPerTrigger` streaming to one micro-batch. Idempotent
-    * per (dir, table): bench laps re-use the staged copy. */
+    * per (dir, table): bench laps re-use the staged copy.
+    *
+    * The relative `target/streamstage/` root is the single-JVM harness
+    * convention; on a real cluster the staged dir (and every checkpoint dir
+    * below) must live on a shared filesystem (HDFS/S3) visible to all
+    * executors — pass-through of the usual Structured Streaming deployment
+    * rule, not a new constraint. */
   private def stageChunks(spark: SparkSession, dir: String, table: String,
       files: Int = 8): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    // readable slug + a path hash: distinct fixture dirs that slug to the
+    // same string (/data/sf0.1 vs /data_sf0.1) must not share a staged copy
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_") +
+      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
     val out = s"target/streamstage/$key/$table"
     val success = java.nio.file.Paths.get(s"$out/_SUCCESS")
     // re-stage when missing OR older than the source table — a regenerated
     // fixture must never stream from a stale copy
-    val srcMtime = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(s"$dir/$table.parquet"))
-      .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      .max.orElse(Long.MaxValue)
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    val srcMtime =
+      try walk
+        .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .max.orElse(Long.MaxValue)
+      finally walk.close()
     val fresh = java.nio.file.Files.exists(success) &&
       java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
     if (!fresh)
@@ -160,8 +173,10 @@ object Continuous {
   private def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { java.nio.file.Files.delete(f); () })
+      finally walk.close()
     }
   }
 
@@ -198,21 +213,25 @@ object Continuous {
       .trigger(Trigger.AvailableNow())
       .format("memory").queryName(name)
       .start()
-    q.awaitTermination()
-    deleteRecursively(ckpt) // each invocation is a fresh bounded run
     // snapshot the sink into a local frame and drop the temp view, so
     // repeated invocations don't accumulate memory-sink tables; bounded by
     // window-count x event-type cardinality, capped loudly like every
-    // driver-side snapshot in this tier
-    val maxRows = 1000000
-    val rows = spark.table(name).limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"windowed aggregate exceeds $maxRows rows — widen the window")
-    val schemaOut = spark.table(name).schema
-    spark.catalog.dropTempView(name)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toSeq.asJava, schemaOut)
-      .orderBy(col("w_start"), col("event_type"))
+    // driver-side snapshot in this tier. Cleanup runs even when the cap
+    // trips — a long session of retries must not accumulate sinks/ckpts.
+    try {
+      q.awaitTermination()
+      val maxRows = 1000000
+      val rows = spark.table(name).limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"windowed aggregate exceeds $maxRows rows — widen the window")
+      val schemaOut = spark.table(name).schema
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+        .orderBy(col("w_start"), col("event_type"))
+    } finally {
+      spark.catalog.dropTempView(name)
+      deleteRecursively(ckpt) // each invocation is a fresh bounded run
+    }
   }
 
   /** Online aggregation surfaced to the driver harness (C4,
@@ -250,7 +269,8 @@ object Continuous {
     * examples/CQ.java:482-499): per (5-minute window, event type) value
     * averages, flagged where a type's average exceeds the cross-type mean
     * plus two sample standard deviations — [[cqAlerts]]'s logic on the
-    * event-time window form, oracle-checked as q54.
+    * event-time window form. This is the BATCH twin ([[streamedCqMonitor]]
+    * ships as q54 and must agree with it — StreamingSpec checks parity).
     *
     * Exact cross-engine determinism for the statistics: the per-key average
     * is a DECIMAL sum with ONE double division; the cross-key mean and
@@ -260,12 +280,60 @@ object Continuous {
     * sequence — order-dependent double aggregation is the one thing a plain
     * AVG/STDDEV over a shuffle cannot promise. The per-window list is
     * bounded by event-type cardinality, not stream volume. */
-  def cqMonitor(spark: SparkSession, dir: String): DataFrame = {
-    val pk = graft.Tables.events(spark, dir)
+  def cqMonitor(spark: SparkSession, dir: String): DataFrame =
+    cqStats(perKeyWindowAverages(graft.Tables.events(spark, dir)))
+
+  /** [[cqMonitor]] run as a REAL streaming query (q54): the events table
+    * streamed file-by-file through the per-(window, key) average — a genuine
+    * stateful streaming aggregation in complete mode, run to completion with
+    * `AvailableNow` — then the cross-key mean+2σ flagging applied to the
+    * emitted window frame, exactly where the reference computes it (the CQ
+    * reducer flags over the window's emitted aggregates, CQ.java:482-499).
+    * The per-key average is a decimal sum + one double division, so the
+    * final streamed frame equals the batch frame and the same SQL oracle
+    * gates both. */
+  def streamedCqMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageChunks(spark, dir, "events")
+    val schema = spark.read.parquet(staged).schema
+    val name = s"q54_cq_${runSeq.incrementAndGet()}"
+    val ckpt = s"target/streamstage/ckpt/$name"
+    val q = perKeyWindowAverages(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name)
+      .start()
+    try {
+      q.awaitTermination()
+      val maxRows = 1000000
+      val rows = spark.table(name).limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"per-key window aggregate exceeds $maxRows rows — widen the window")
+      val schemaOut = spark.table(name).schema
+      import scala.jdk.CollectionConverters._
+      cqStats(spark.createDataFrame(rows.toSeq.asJava, schemaOut))
+    } finally {
+      spark.catalog.dropTempView(name)
+      deleteRecursively(ckpt)
+    }
+  }
+
+  /** Per-(5-minute window, event type) value averages — the windowed
+    * reducer emission the CQ statistics run over. Decimal sum + ONE double
+    * division, so batch and streamed-complete-mode frames are bit-equal. */
+  private def perKeyWindowAverages(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "5 minutes"), col("event_type").as("key"))
       .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
         count(lit(1))).as("avg_v"))
       .select(col("window.start").as("w_start"), col("key"), col("avg_v"))
+
+  /** Cross-key mean+2σ alert flags over the emitted per-key window frame
+    * (deterministic fold-over-sorted-list statistics — see [[cqMonitor]]). */
+  private def cqStats(pk: DataFrame): DataFrame = {
     val g = pk.groupBy(col("w_start"))
       .agg(sort_array(collect_list(col("avg_v"))).as("xs"),
         count(lit(1)).as("n"))
@@ -298,21 +366,26 @@ object Continuous {
     val mid = s"target/streamstage/mid/run$run"
     val ckpt = s"target/streamstage/ckpt/pipeline$run"
     val name = s"q53_pipeline_$run"
-    val out = chainedQueries(spark, staged, schema, mid, ckpt,
-      df => df.filter(col("event_type") =!= "view")
-        .select(col("event_type"), col("value")),
-      df => df.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v")),
-      queryName = name)
-    val rows = out.collect() // grouped by event type: a handful of rows
-    val schemaOut = out.schema
-    spark.catalog.dropTempView(name)
-    deleteRecursively(ckpt)
-    deleteRecursively(mid)
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toSeq.asJava, schemaOut)
-      .orderBy(col("event_type"))
+    try {
+      val out = chainedQueries(spark, staged, schema, mid, ckpt,
+        df => df.filter(col("event_type") =!= "view")
+          .select(col("event_type"), col("value")),
+        df => df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v")),
+        queryName = name)
+      val rows = out.collect() // grouped by event type: a handful of rows
+      val schemaOut = out.schema
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+        .orderBy(col("event_type"))
+    } finally {
+      // the view may not exist if stage 1/2 failed before the sink started
+      try spark.catalog.dropTempView(name)
+      catch { case _: Exception => () }
+      deleteRecursively(ckpt)
+      deleteRecursively(mid)
+    }
   }
 
   /** Streaming exact dedup: drop records whose fingerprint was already seen

@@ -148,6 +148,33 @@ class CurationSpec extends SparkSpec {
       "budget fallback must produce the identical dup set")
   }
 
+  test("bloom prefilter is a native codegen probe, not a Scala UDF") {
+    val plan = Curation.bloomDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_might_contain"),
+      "prefilter stage must carry the native might_contain expression")
+    assert(!plan.contains("UDF("), "no Scala UDF may survive in the plan")
+  }
+
+  test("native might_contain agrees with the filter's own membership") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => s"key_$i")
+    val df = keys.toDF("k")
+    val bloom = df.stat.bloomFilter("k", 2000, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = (0 until 4000).map(i => s"key_$i").toDF("k")
+    val kept = probe
+      .filter(graft.functions.BloomFunctions.mightContain($"k", bc))
+      .collect().map(_.getString(0)).toSet
+    // no false negatives: every inserted key must pass
+    assert(keys.forall(kept.contains), "bloom filters have no false negatives")
+    // the expression must agree bit-for-bit with the driver-side probe (the
+    // UTF-8 binary path vs mightContain(String) — same hash input)
+    val expect = (0 until 4000).map(i => s"key_$i")
+      .filter(bloom.mightContain).toSet
+    assert(kept === expect)
+  }
+
   test("connected components label every vertex with its component minimum") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3) + isolated pair (10, 11)

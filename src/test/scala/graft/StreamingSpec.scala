@@ -72,6 +72,60 @@ class StreamingSpec extends SparkSpec {
     // the assertion that matters
   }
 
+  test("q54: streamed cq monitor equals the batch twin") {
+    val streamed = Continuous.streamedCqMonitor(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = Continuous.cqMonitor(spark, sfDir)
+      .collect().map(_.toSeq)
+    // decimal sums + one double division on both paths → bit-equal frames
+    assert(batch.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
+  test("q52: intermediate snapshots match the batch answer on the same file prefix") {
+    import spark.implicits._
+    // Four chunk files with explicit, strictly increasing mtimes: the file
+    // stream source processes oldest-first, so micro-batch k consumes
+    // exactly chunks 0..k — every INTERMEDIATE snapshot (not just the final
+    // frame) is reproducible and must equal the batch aggregate over that
+    // known prefix. This is the HOP early-results contract (OutputFile.Type
+    // SNAPSHOT at progress < 1), checked mid-stream.
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    val dir = "target/tmp/online_prefix_in"
+    rmrf(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val src = Tables.events(spark, sfDir)
+    val slices = (0 until 4).map(i => src.filter($"user_id" % 4 === i))
+    val base = System.currentTimeMillis() - 600000
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = s"target/tmp/online_prefix_tmp$i"
+      s.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$dir/chunk$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      rmrf(new java.io.File(tmp))
+    }
+    val agg = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"))
+    val snaps = Continuous.onlineAggregate(spark, dir, src.schema, agg)
+    assert(snaps.size === 4)
+    def asSet(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    (1 to 4).foreach { k =>
+      val want = asSet(agg(slices.take(k).reduce(_ union _)).collect().toSeq)
+      assert(asSet(snaps(k - 1).rows) === want,
+        s"snapshot $k/4 (progress ${snaps(k - 1).progress})")
+    }
+    assert(snaps(1).progress === 0.5, "the mid-stream snapshot is the 2/4 one")
+  }
+
   test("q52: online aggregation final frame equals batch pricing summary") {
     val streamed = Continuous.streamedOnlineSummary(spark, sfDir)
       .collect().map(_.toSeq)
