@@ -247,6 +247,230 @@ class GoldenQuerySpec extends SparkSpec {
     Tables.nation(spark, sfDir).filter($"n_nationkey" < 10)
       .select($"n_name", $"n_regionkey"))
 
+  // --- round-6 corpus broadening: the shapes from the reference suite the
+  // --- first 26 goldens left out (join2/join3 computed-key chains, join5/
+  // --- join7/join9 outer-join nests, udf1-udf4 batteries, sample2-7 bucket
+  // --- forms, subq2, input9/input11_limit/groupby2_limit)
+
+  check("join2_exact: chained join keyed on the SUM of two joined keys",
+    // join2.q: src1 JOIN src2 ON key equal, JOIN src3 ON (key1 + key2 = key3)
+    """SELECT src1.o_orderkey, src3.o_orderpriority
+      |FROM orders src1 JOIN orders src2 ON src1.o_orderkey = src2.o_orderkey
+      |JOIN orders src3 ON src1.o_orderkey + src2.o_orderkey = src3.o_orderkey""".stripMargin,
+    Tables.orders(spark, sfDir).as("src1")
+      .join(Tables.orders(spark, sfDir).as("src2"),
+        col("src1.o_orderkey") === col("src2.o_orderkey"))
+      .join(Tables.orders(spark, sfDir).as("src3"),
+        col("src1.o_orderkey") + col("src2.o_orderkey") === col("src3.o_orderkey"))
+      .select(col("src1.o_orderkey"), col("src3.o_orderpriority")))
+
+  check("join3: three-way join on the same key",
+    """SELECT src1.o_custkey, src3.o_orderpriority
+      |FROM orders src1 JOIN orders src2 ON src1.o_custkey = src2.o_custkey
+      |JOIN orders src3 ON src1.o_custkey = src3.o_custkey
+      |WHERE src1.o_orderkey < 100""".stripMargin,
+    Tables.orders(spark, sfDir).as("src1")
+      .join(Tables.orders(spark, sfDir).as("src2"),
+        col("src1.o_custkey") === col("src2.o_custkey"))
+      .join(Tables.orders(spark, sfDir).as("src3"),
+        col("src1.o_custkey") === col("src3.o_custkey"))
+      .filter(col("src1.o_orderkey") < 100)
+      .select(col("src1.o_custkey"), col("src3.o_orderpriority")))
+
+  check("join5: right outer join of two filtered subqueries",
+    """SELECT a.c1, a.c2, b.c3, b.c4 FROM
+      |  (SELECT o_orderkey AS c1, o_orderpriority AS c2 FROM orders
+      |   WHERE o_orderkey > 10 AND o_orderkey < 500) a
+      |RIGHT OUTER JOIN
+      |  (SELECT o_orderkey AS c3, o_orderstatus AS c4 FROM orders
+      |   WHERE o_orderkey > 300 AND o_orderkey < 700) b
+      |ON a.c1 = b.c3""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .filter($"o_orderkey" > 10 && $"o_orderkey" < 500)
+      .select($"o_orderkey".as("c1"), $"o_orderpriority".as("c2"))
+      .join(Tables.orders(spark, sfDir)
+          .filter($"o_orderkey" > 300 && $"o_orderkey" < 700)
+          .select($"o_orderkey".as("c3"), $"o_orderstatus".as("c4")),
+        $"c1" === $"c3", "right")
+      .select($"c1", $"c2", $"c3", $"c4"))
+
+  check("join7: full outer then left outer over three filtered subqueries",
+    """SELECT a.c1, a.c2, b.c3, b.c4, c.c5, c.c6 FROM
+      |  (SELECT c_custkey AS c1, c_mktsegment AS c2 FROM customer
+      |   WHERE c_custkey > 10 AND c_custkey < 200) a
+      |FULL OUTER JOIN
+      |  (SELECT c_custkey AS c3, c_mktsegment AS c4 FROM customer
+      |   WHERE c_custkey > 150 AND c_custkey < 250) b ON a.c1 = b.c3
+      |LEFT OUTER JOIN
+      |  (SELECT c_custkey AS c5, c_mktsegment AS c6 FROM customer
+      |   WHERE c_custkey > 200 AND c_custkey < 250) c ON a.c1 = c.c5""".stripMargin,
+    Tables.customer(spark, sfDir)
+      .filter($"c_custkey" > 10 && $"c_custkey" < 200)
+      .select($"c_custkey".as("c1"), $"c_mktsegment".as("c2"))
+      .join(Tables.customer(spark, sfDir)
+          .filter($"c_custkey" > 150 && $"c_custkey" < 250)
+          .select($"c_custkey".as("c3"), $"c_mktsegment".as("c4")),
+        $"c1" === $"c3", "full")
+      .join(Tables.customer(spark, sfDir)
+          .filter($"c_custkey" > 200 && $"c_custkey" < 250)
+          .select($"c_custkey".as("c5"), $"c_mktsegment".as("c6")),
+        $"c1" === $"c5", "left")
+      .select($"c1", $"c2", $"c3", $"c4", $"c5", $"c6"))
+
+  check("join9: join with the filter applied in the select-where (input9 shape)",
+    """SELECT src1.l_orderkey, src2.o_orderpriority
+      |FROM lineitem src1 JOIN orders src2 ON src1.l_orderkey = src2.o_orderkey
+      |WHERE src1.l_returnflag = 'R' AND src2.o_orderstatus = 'F'""".stripMargin,
+    Tables.lineitem(spark, sfDir).as("src1")
+      .join(Tables.orders(spark, sfDir).as("src2"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter($"l_returnflag" === "R" && $"o_orderstatus" === "F")
+      .select($"l_orderkey", $"o_orderpriority"))
+
+  check("subq2: where-filter on the group key of an aggregate subquery",
+    """SELECT a.k, a.c FROM
+      |  (SELECT b.o_custkey AS k, count(1) AS c FROM orders b
+      |   GROUP BY b.o_custkey) a
+      |WHERE a.k >= 90 AND a.k < 200""".stripMargin,
+    Tables.orders(spark, sfDir).as("b")
+      .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("c"))
+      .filter($"k" >= 90 && $"k" < 200)
+      .select($"k", $"c"))
+
+  check("udf1: LIKE / RLIKE / REGEXP_REPLACE battery",
+    """SELECT 'a' LIKE '%a%', 'b' LIKE '%a%', 'ab' LIKE '%a%', 'ab' LIKE '%a_',
+      |  'ab' LIKE '_a%', 'ab' LIKE 'a',
+      |  '' RLIKE '.*', 'a' RLIKE '[ab]', '' RLIKE '[ab]',
+      |  'hadoop' RLIKE '[a-z]*', 'hadoop' RLIKE 'o*',
+      |  REGEXP_REPLACE('abc', 'b', 'c'), REGEXP_REPLACE('abc', 'z', 'a'),
+      |  REGEXP_REPLACE('abbbb', 'bb', 'b'),
+      |  REGEXP_REPLACE('hadoop', '(.)[a-z]*', '$1ive')
+      |FROM region WHERE r_regionkey = 0""".stripMargin,
+    Tables.region(spark, sfDir).filter($"r_regionkey" === 0)
+      .select(lit("a").like("%a%"), lit("b").like("%a%"),
+        lit("ab").like("%a%"), lit("ab").like("%a_"),
+        lit("ab").like("_a%"), lit("ab").like("a"),
+        lit("").rlike(".*"), lit("a").rlike("[ab]"), lit("").rlike("[ab]"),
+        lit("hadoop").rlike("[a-z]*"), lit("hadoop").rlike("o*"),
+        regexp_replace(lit("abc"), "b", "c"),
+        regexp_replace(lit("abc"), "z", "a"),
+        regexp_replace(lit("abbbb"), "bb", "b"),
+        regexp_replace(lit("hadoop"), "(.)[a-z]*", "$1ive")))
+
+  check("udf2: trim / rtrim / ltrim battery",
+    """SELECT '|', trim('  abc  '), '|', rtrim('  abc  '), '|',
+      |  ltrim('  abc  '), '|' FROM region WHERE r_regionkey = 0""".stripMargin,
+    Tables.region(spark, sfDir).filter($"r_regionkey" === 0)
+      .select(lit("|"), trim(lit("  abc  ")), lit("|"),
+        rtrim(lit("  abc  ")), lit("|"), ltrim(lit("  abc  ")), lit("|")))
+
+  check("udf3: aggregates over an all-null numeric (Hive CAST('' AS INT))",
+    // Hive's CAST('' AS INT) yields NULL; the vintage-faithful spelling
+    // under ANSI Spark is try_cast — count 0, sum/avg/min/max NULL
+    """SELECT count(try_cast('' AS INT)), sum(try_cast('' AS INT)),
+      |  avg(try_cast('' AS INT)), min(try_cast('' AS INT)),
+      |  max(try_cast('' AS INT)) FROM orders""".stripMargin,
+    Tables.orders(spark, sfDir).agg(
+      count(expr("try_cast('' AS INT)")), sum(expr("try_cast('' AS INT)")),
+      avg(expr("try_cast('' AS INT)")), min(expr("try_cast('' AS INT)")),
+      max(expr("try_cast('' AS INT)"))))
+
+  check("udf4: round / floor / ceil / unary-operator battery",
+    """SELECT round(1.0), round(1.5), round(-1.5), floor(1.0), floor(1.5),
+      |  floor(-1.5), ceil(1.0), ceil(1.5), ceil(-1.5), ceiling(1.0),
+      |  +3, -3, 1+-2, ~1
+      |FROM region WHERE r_regionkey = 0""".stripMargin,
+    Tables.region(spark, sfDir).filter($"r_regionkey" === 0)
+      // SQL 1.0/1.5 literals are DECIMAL(2,1); match that on this tier
+      .select(round(lit(1.0).cast("decimal(2,1)")),
+        round(lit(1.5).cast("decimal(2,1)")),
+        round(lit(-1.5).cast("decimal(2,1)")),
+        floor(lit(1.0).cast("decimal(2,1)")),
+        floor(lit(1.5).cast("decimal(2,1)")),
+        floor(lit(-1.5).cast("decimal(2,1)")),
+        ceil(lit(1.0).cast("decimal(2,1)")),
+        ceil(lit(1.5).cast("decimal(2,1)")),
+        ceil(lit(-1.5).cast("decimal(2,1)")),
+        ceil(lit(1.0).cast("decimal(2,1)")),
+        lit(3), lit(-3), lit(1) + lit(-2), expr("~1")))
+
+  // sample2/4/5/6/7.q: BUCKET x OUT OF y ON key — Hive buckets an INT key
+  // by (key mod y); spelled explicitly so both tiers share the exact
+  // deterministic semantics (the TABLESAMPLE(BUCKET..) parse path is
+  // covered in SqlSurfaceSpec; Spark's own BUCKET sampling is random-split,
+  // not hash-on-column)
+  check("sample2: bucket 1 out of 2 on key",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE pmod(l_orderkey, 2) = 0",
+    Tables.lineitem(spark, sfDir).filter(pmod($"l_orderkey", lit(2)) === 0)
+      .select($"l_orderkey", $"l_linenumber"))
+
+  check("sample5: bucket 1 out of 5 on key (no input pruning, sample filter)",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE pmod(l_orderkey, 5) = 0",
+    Tables.lineitem(spark, sfDir).filter(pmod($"l_orderkey", lit(5)) === 0)
+      .select($"l_orderkey", $"l_linenumber"))
+
+  check("sample6: bucket 1 out of 4 on key",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE pmod(l_orderkey, 4) = 0",
+    Tables.lineitem(spark, sfDir).filter(pmod($"l_orderkey", lit(4)) === 0)
+      .select($"l_orderkey", $"l_linenumber"))
+
+  check("sample7: bucket 1 out of 4 on key plus a residual predicate",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE pmod(l_orderkey, 4) = 0 AND l_orderkey > 100""".stripMargin,
+    Tables.lineitem(spark, sfDir)
+      .filter(pmod($"l_orderkey", lit(4)) === 0 && $"l_orderkey" > 100)
+      .select($"l_orderkey", $"l_linenumber"))
+
+  check("input9: NULL = NULL filters everything (counted, so the row survives)",
+    "SELECT count(*) FROM orders WHERE NULL = NULL",
+    Tables.orders(spark, sfDir)
+      .filter(lit(null) === lit(null)).agg(count(lit(1))))
+
+  check("input11_limit: filter + deterministic order + limit",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE o_orderkey < 100 ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_orderkey" < 100)
+      .select($"o_orderkey", $"o_orderpriority")
+      .orderBy($"o_orderkey").limit(10))
+
+  check("groupby2_limit: grouped aggregate ordered and limited",
+    """SELECT o_custkey, sum(o_totalprice) AS s FROM orders
+      |GROUP BY o_custkey ORDER BY s DESC, o_custkey LIMIT 5""".stripMargin,
+    Tables.orders(spark, sfDir).groupBy($"o_custkey")
+      .agg(sum($"o_totalprice").as("s"))
+      .orderBy($"s".desc, $"o_custkey").limit(5))
+
+  test("input_testxpath via the native XML source (array/struct access)") {
+    // input_testxpath.q reads src_thrift and projects lint[1],
+    // lintstring[0].mystring, mstringstring['key_2']; here the nested rows
+    // come through IO.readXml (S8 StreamXmlRecordReader), and the same
+    // projections run on both tiers over the parsed frame
+    val dir = new java.io.File("target/tmp/xpath_xml")
+    dir.mkdirs()
+    val xml = (0 until 10).map { i =>
+      s"""<rec><id>$i</id>
+         |  <lint>${i * 1}</lint><lint>${i * 2}</lint><lint>${i * 3}</lint>
+         |  <lintstring><myint>$i</myint><mystring>fld_$i</mystring></lintstring>
+         |  <lintstring><myint>${i + 1}</myint><mystring>fld_${i + 1}</mystring></lintstring>
+         |  <key_2>val_$i</key_2>
+         |</rec>""".stripMargin
+    }.mkString("<recs>\n", "\n", "\n</recs>")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/tmp/xpath_xml/recs.xml"), xml)
+    val parsed = graft.sources.IO.readXml(
+      spark, "target/tmp/xpath_xml/recs.xml", rowTag = "rec")
+    parsed.createOrReplaceTempView("src_xml")
+    val a = spark.sql(
+      """SELECT lint[1], lintstring[0].mystring, key_2 FROM src_xml""")
+      .collect().map(_.toSeq).toSet
+    val b = parsed.select($"lint".getItem(1),
+        $"lintstring".getItem(0).getField("mystring"), $"key_2")
+      .collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView("src_xml")
+    assert(a === b && a.nonEmpty)
+    assert(a.exists(_.head == 2L), "lint[1] of rec 1 must be 2")
+  }
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -116,6 +116,47 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(q.head().getLong(0) > 0)
   }
 
+  test("SQL multi-insert: FROM src INSERT ... INSERT ... (Hive.g:383-392)") {
+    // groupby7.q shape: ONE source scan fans out to two insert targets in a
+    // single statement; must agree with the DataFrame form (IO.multiInsert)
+    views
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    Seq("mi_dest1", "mi_dest2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    spark.sql("CREATE TABLE mi_dest1 (k BIGINT, s DOUBLE) USING PARQUET")
+    spark.sql("CREATE TABLE mi_dest2 (k STRING, n BIGINT) USING PARQUET")
+    spark.sql(
+      """FROM orders
+        |INSERT OVERWRITE TABLE mi_dest1
+        |  SELECT o_custkey, sum(o_totalprice) GROUP BY o_custkey
+        |INSERT OVERWRITE TABLE mi_dest2
+        |  SELECT o_orderpriority, count(*) GROUP BY o_orderpriority""".stripMargin)
+    val sql1 = spark.table("mi_dest1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sql2 = spark.table("mi_dest2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DataFrame twin through the one-scan multi-insert operator
+    import org.apache.spark.sql.functions._
+    val out1 = "target/tmp/mi_df1"
+    val out2 = "target/tmp/mi_df2"
+    graft.sources.IO.multiInsert(Tables.orders(spark, sfDir), Seq(
+      ((df: org.apache.spark.sql.DataFrame) => df.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("s")), out1),
+      ((df: org.apache.spark.sql.DataFrame) => df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")), out2)))
+    val df1 = spark.read.parquet(out1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val df2 = spark.read.parquet(out2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sql1 === df1 && sql1.nonEmpty)
+    assert(sql2 === df2 && sql2.nonEmpty)
+    Seq("mi_dest1", "mi_dest2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("case sensitivity and string comparison quirks of the vintage") {
     // string-ordered max/min (A6) — lexicographic, as StringValueMax/Min
     val r = sql(
