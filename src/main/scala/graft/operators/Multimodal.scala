@@ -31,11 +31,24 @@ object Multimodal {
       height: Int,
       checksum: String)
 
+  /** The pluggable codec seam: implementations are shipped into task
+    * closures (hence `Serializable`), and [[open]] runs ONCE PER PARTITION
+    * before any record is decoded — the place for decoder handles, native
+    * buffers, model weights. The returned function is the per-record hot
+    * path. Swapping a real image/audio decoder in means implementing this
+    * trait; no plan, schema, or partitioning change. */
+  trait MediaCodec extends Serializable {
+    /** Per-partition setup; returns the per-record decode function. */
+    def open(): MediaRecord => MediaFeatures
+  }
+
   /** STUB codec — stands in for image/audio decode (libs not in this
     * container). Deterministic byte-derived fake: real decode would parse
     * headers here; everything around it (batching, schema, partitioning)
     * is production-shaped. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
+    override def open(): MediaRecord => MediaFeatures = decode
+
     def decode(r: MediaRecord): MediaFeatures = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val sum = md.digest(r.bytes).map("%02x".format(_)).mkString
@@ -65,12 +78,22 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, batch-per-partition (the `mapInPandas`-shaped
-    * hot path: one codec instance per partition, streamed record batches). */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    * hot path: one codec instance per partition, streamed record batches).
+    * `codec` defaults to the stub; any [[MediaCodec]] slots in unchanged. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
-      // per-partition codec setup would go here (decoder handles, buffers)
-      it.map(StubCodec.decode)
+    decodeWith(mediaTable(spark, dir), codec)
+  }
+
+  /** [[decodeFeatures]] over an arbitrary media dataset — the seam the
+    * fake-codec spec drives directly. */
+  def decodeWith(media: Dataset[MediaRecord],
+      codec: MediaCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decode = codec.open() // once per partition: handles, buffers
+      it.map(decode)
     }
   }
 

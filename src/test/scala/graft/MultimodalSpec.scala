@@ -17,6 +17,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a custom codec slots into the seam; open() runs once per partition") {
+    import spark.implicits._
+    // a non-trivial fake: parses a 2-byte "header" (width, height) like a
+    // real decoder parses container headers; counts open() calls through an
+    // accumulator to prove per-partition (NOT per-record) setup
+    val opens = spark.sparkContext.longAccumulator("codec_opens")
+    class HeaderCodec extends Multimodal.MediaCodec {
+      override def open(): Multimodal.MediaRecord => Multimodal.MediaFeatures = {
+        opens.add(1)
+        r => {
+          require(r.bytes.length >= 2, "payload must carry the fake header")
+          Multimodal.MediaFeatures(r.doc_id, r.media_type,
+            r.bytes.length.toLong,
+            r.bytes(0) & 0xff, r.bytes(1) & 0xff, "")
+        }
+      }
+    }
+    val media = (0L until 100L)
+      .map(i => Multimodal.MediaRecord(i, "img/fake",
+        Array[Byte]((i % 256).toByte, ((i * 3) % 256).toByte, 0, 0)))
+      .toDS().repartition(4)
+    val feats = Multimodal.decodeWith(media, new HeaderCodec).collect()
+    assert(feats.length === 100)
+    feats.foreach { f =>
+      assert(f.width === (f.doc_id % 256).toInt, "width from header byte 0")
+      assert(f.height === ((f.doc_id * 3) % 256).toInt, "height from header byte 1")
+      assert(f.n_bytes === 4L)
+    }
+    assert(opens.value === 4L, "open() must run once per partition")
+  }
+
   test("frame sampling strides the payload deterministically") {
     val bytes = Array.tabulate[Byte](10)(_.toByte)
     assert(Multimodal.StubCodec.frameSample(bytes, 3).toSeq ===
