@@ -133,6 +133,23 @@ object Continuous {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered to
+    * `n` — streaming aggregations pin their STATE STORE partition count to
+    * the shuffle-partition setting at first batch, and every micro-batch
+    * commits every state partition. The driver-facing bounded runs here
+    * aggregate tiny key spaces (window × event-type), so batch-sized
+    * shuffle parallelism (32) just multiplies per-trigger state-commit
+    * overhead ~4×. Sizing state partitions to the aggregate cardinality is
+    * the standard Structured Streaming deployment tuning; at 100 TB the
+    * stream's KEY cardinality (not its volume) still governs this knob.
+    * Safe per-query because each invocation starts a fresh checkpoint. */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Stage `table` from `dir` as a `files`-file parquet copy under
     * `target/streamstage/` so the file stream source yields real multi-batch
     * incremental execution — the fixture tables are single-file, which would
@@ -207,30 +224,32 @@ object Continuous {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_v"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .format("memory").queryName(name)
-      .start()
     // snapshot the sink into a local frame and drop the temp view, so
     // repeated invocations don't accumulate memory-sink tables; bounded by
     // window-count x event-type cardinality, capped loudly like every
     // driver-side snapshot in this tier. Cleanup runs even when the cap
     // trips — a long session of retries must not accumulate sinks/ckpts.
-    try {
-      q.awaitTermination()
-      val maxRows = 1000000
-      val rows = spark.table(name).limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"windowed aggregate exceeds $maxRows rows — widen the window")
-      val schemaOut = spark.table(name).schema
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, schemaOut)
-        .orderBy(col("w_start"), col("event_type"))
-    } finally {
-      spark.catalog.dropTempView(name)
-      deleteRecursively(ckpt) // each invocation is a fresh bounded run
+    withStreamShuffle(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name)
+        .start()
+      try {
+        q.awaitTermination()
+        val maxRows = 1000000
+        val rows = spark.table(name).limit(maxRows + 1).collect()
+        require(rows.length <= maxRows,
+          s"windowed aggregate exceeds $maxRows rows — widen the window")
+        val schemaOut = spark.table(name).schema
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+          .orderBy(col("w_start"), col("event_type"))
+      } finally {
+        spark.catalog.dropTempView(name)
+        deleteRecursively(ckpt) // each invocation is a fresh bounded run
+      }
     }
   }
 
@@ -256,7 +275,9 @@ object Continuous {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
-    val snaps = onlineAggregate(spark, staged, schema, agg, filesPerTrigger = 2)
+    val snaps = withStreamShuffle(spark, 8) {
+      onlineAggregate(spark, staged, schema, agg, filesPerTrigger = 2)
+    }
     require(snaps.nonEmpty && snaps.last.progress >= 1.0,
       s"online aggregation did not reach progress 1.0 (got ${snaps.map(_.progress)})")
     import scala.jdk.CollectionConverters._
@@ -297,27 +318,29 @@ object Continuous {
     val schema = spark.read.parquet(staged).schema
     val name = s"q54_cq_${runSeq.incrementAndGet()}"
     val ckpt = s"target/streamstage/ckpt/$name"
-    val q = perKeyWindowAverages(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(staged))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .format("memory").queryName(name)
-      .start()
-    try {
-      q.awaitTermination()
-      val maxRows = 1000000
-      val rows = spark.table(name).limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"per-key window aggregate exceeds $maxRows rows — widen the window")
-      val schemaOut = spark.table(name).schema
-      import scala.jdk.CollectionConverters._
-      cqStats(spark.createDataFrame(rows.toSeq.asJava, schemaOut))
-    } finally {
-      spark.catalog.dropTempView(name)
-      deleteRecursively(ckpt)
+    withStreamShuffle(spark, 8) {
+      val q = perKeyWindowAverages(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name)
+        .start()
+      try {
+        q.awaitTermination()
+        val maxRows = 1000000
+        val rows = spark.table(name).limit(maxRows + 1).collect()
+        require(rows.length <= maxRows,
+          s"per-key window aggregate exceeds $maxRows rows — widen the window")
+        val schemaOut = spark.table(name).schema
+        import scala.jdk.CollectionConverters._
+        cqStats(spark.createDataFrame(rows.toSeq.asJava, schemaOut))
+      } finally {
+        spark.catalog.dropTempView(name)
+        deleteRecursively(ckpt)
+      }
     }
   }
 
@@ -366,7 +389,7 @@ object Continuous {
     val mid = s"target/streamstage/mid/run$run"
     val ckpt = s"target/streamstage/ckpt/pipeline$run"
     val name = s"q53_pipeline_$run"
-    try {
+    try withStreamShuffle(spark, 8) {
       val out = chainedQueries(spark, staged, schema, mid, ckpt,
         df => df.filter(col("event_type") =!= "view")
           .select(col("event_type"), col("value")),

@@ -440,6 +440,22 @@ class GoldenQuerySpec extends SparkSpec {
       .agg(sum($"o_totalprice").as("s"))
       .orderBy($"s".desc, $"o_custkey").limit(5))
 
+  check("input6: IS NULL filter keeps only genuinely null keys",
+    """SELECT o_orderkey, nullif(o_orderstatus, 'F') AS s FROM orders
+      |WHERE nullif(o_orderstatus, 'F') IS NULL AND o_orderkey < 500""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", nullif($"o_orderstatus", lit("F")).as("s"))
+      .filter($"s".isNull && $"o_orderkey" < 500))
+
+  check("input8: null arithmetic propagates (4+NULL, key-NULL, NULL+NULL)",
+    """SELECT 4 + CAST(NULL AS INT), o_orderkey - CAST(NULL AS BIGINT),
+      |  CAST(NULL AS INT) + CAST(NULL AS INT)
+      |FROM orders WHERE o_orderkey < 5""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_orderkey" < 5)
+      .select(lit(4) + lit(null).cast("int"),
+        $"o_orderkey" - lit(null).cast("bigint"),
+        lit(null).cast("int") + lit(null).cast("int")))
+
   test("input_testxpath via the native XML source (array/struct access)") {
     // input_testxpath.q reads src_thrift and projects lint[1],
     // lintstring[0].mystring, mstringstring['key_2']; here the nested rows
