@@ -154,6 +154,10 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("graft_might_contain"),
       "prefilter stage must carry the native might_contain expression")
     assert(!plan.contains("UDF("), "no Scala UDF may survive in the plan")
+    // the prior-key distinct is built ONCE (localCheckpoint): the exact
+    // semi-join must scan the checkpointed blocks, not re-run the distinct
+    assert(plan.contains("ExistingRDD"),
+      "prior keys must come from the one checkpointed build")
   }
 
   test("native might_contain agrees with the filter's own membership") {

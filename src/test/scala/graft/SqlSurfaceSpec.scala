@@ -157,6 +157,44 @@ class SqlSurfaceSpec extends SparkSpec {
     Seq("mi_dest1", "mi_dest2").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("SQL multi-insert: three branches incl. a static-partition target (input12.q)") {
+    // input12.q: one scan, disjoint filters fan out to three tables, the
+    // third a static partition — the branches must tile the source exactly
+    views
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    Seq("mi3_d1", "mi3_d2", "mi3_d3").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    spark.sql("CREATE TABLE mi3_d1 (k BIGINT, p STRING) USING PARQUET")
+    spark.sql("CREATE TABLE mi3_d2 (k BIGINT, p STRING) USING PARQUET")
+    spark.sql(
+      """CREATE TABLE mi3_d3 (k BIGINT) USING PARQUET
+        |PARTITIONED BY (ds STRING)""".stripMargin)
+    spark.sql(
+      """FROM orders
+        |INSERT OVERWRITE TABLE mi3_d1
+        |  SELECT o_orderkey, o_orderpriority WHERE o_orderkey < 100
+        |INSERT OVERWRITE TABLE mi3_d2
+        |  SELECT o_orderkey, o_orderpriority
+        |  WHERE o_orderkey >= 100 AND o_orderkey < 200
+        |INSERT OVERWRITE TABLE mi3_d3 PARTITION (ds='2008-04-08')
+        |  SELECT o_orderkey WHERE o_orderkey >= 200""".stripMargin)
+    val n1 = spark.table("mi3_d1").count()
+    val n2 = spark.table("mi3_d2").count()
+    val n3 = spark.table("mi3_d3").count()
+    val total = spark.table("orders").count()
+    assert(n1 > 0 && n2 > 0 && n3 > 0)
+    assert(n1 + n2 + n3 === total, "disjoint branches must tile the source")
+    // the static partition really landed under ds=2008-04-08
+    assert(spark.table("mi3_d3")
+      .filter(org.apache.spark.sql.functions.col("ds") === "2008-04-08")
+      .count() === n3)
+    Seq("mi3_d1", "mi3_d2", "mi3_d3").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("case sensitivity and string comparison quirks of the vintage") {
     // string-ordered max/min (A6) — lexicographic, as StringValueMax/Min
     val r = sql(
