@@ -456,6 +456,31 @@ class GoldenQuerySpec extends SparkSpec {
         $"o_orderkey" - lit(null).cast("bigint"),
         lit(null).cast("int") + lit(null).cast("int")))
 
+  test("input14: TRANSFORM script parity across tiers (SQL vs typed pipe)") {
+    // input14.q pipes (key, value) through /bin/cat with CLUSTER BY and
+    // filters the mapped output; here both tiers run the same external
+    // command over the same rows — SQL TRANSFORM ... USING vs the typed
+    // process-pipe operator (F1 streaming mapper) — and must agree
+    views
+    import org.apache.spark.sql.Encoders
+    val a = spark.sql(
+      """SELECT tkey, tvalue FROM (
+        |  SELECT TRANSFORM(o_orderkey, o_orderpriority)
+        |    USING 'tr a-z A-Z' AS (tkey, tvalue)
+        |  FROM orders
+        |) t WHERE cast(tkey AS BIGINT) < 100""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lines = Tables.orders(spark, sfDir)
+      .selectExpr("concat(o_orderkey, '\t', o_orderpriority)")
+      .as(Encoders.STRING)
+    val b = graft.pipeline.MrPipeline.pipe(lines, Seq("tr", "a-z", "A-Z"))
+      .collect()
+      .map { l => val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1)) }
+      .filter(_._1.toLong < 100)
+      .toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("input_testxpath via the native XML source (array/struct access)") {
     // input_testxpath.q reads src_thrift and projects lint[1],
     // lintstring[0].mystring, mstringstring['key_2']; here the nested rows
