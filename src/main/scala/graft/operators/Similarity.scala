@@ -43,11 +43,23 @@ object Similarity {
 
   /** All-pairs cosine near-duplicates above `threshold` (embedding-cosine
     * near-dup dedup). Quadratic candidate set — correct baseline at fixture
-    * scale; production path is [[lshTopK]]-style bucketing first. */
+    * scale; production path is [[lshTopK]]-style bucketing first.
+    *
+    * Budget-gated like [[Curation.bloomDedup]]: the all-pairs plan is the
+    * BASELINE contract, so rather than silently submitting an O(n²) join
+    * over an oversized corpus it refuses loudly above `maxCorpus` and names
+    * the scale paths. (No silent fallback here — LSH/IVF change results, so
+    * the switch must be the caller's.) The gate count reads the memoized
+    * vector frame the query needs anyway. */
   def cosineNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxCorpus: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
+    val n = e.count()
+    require(n <= maxCorpus,
+      s"cosineNearDup is the all-pairs baseline: corpus size $n exceeds " +
+        s"maxCorpus=$maxCorpus — use sign-LSH bucketing (lshTopK/q27), IVF " +
+        "(ivfTopK/q38), or MinHash-LSH dedup (q22) at this scale")
     // The threshold lives INSIDE the join condition: the nested-loop join
     // then evaluates the (codegen'd) dot product per candidate pair and
     // materializes only survivors — never the O(n²) intermediate of wide

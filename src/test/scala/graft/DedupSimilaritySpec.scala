@@ -91,6 +91,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
   }
 
+  test("all-pairs cosine baseline refuses an over-budget corpus loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.cosineNearDup(spark, sfDir, maxCorpus = 10L)
+    }
+    assert(e.getMessage.contains("all-pairs baseline"))
+    assert(e.getMessage.contains("lshTopK"), "must name the scale paths")
+  }
+
   test("LSH recalls planted near-duplicates with 16-bit multi-table banding") {
     import spark.implicits._
     // 400 noise vectors + 20 planted near-copies (ids 1000+i copies id i
