@@ -68,7 +68,9 @@ object Bench {
     // the driver captures a bounded tail of stdout, so anything that must
     // survive truncation of an over-long line belongs at the end (r5's
     // artifact lost the warm total off the front).
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -55,14 +55,22 @@ object SideData {
     * Guarded: side data is per-executor-resident, so an unexpectedly large
     * frame must fail loudly rather than OOM every executor. */
   def broadcastLookup(df: DataFrame, keyCol: String, valCol: String,
-      maxEntries: Long = 10000000L): Broadcast[Map[String, String]] = {
+      maxEntries: Int = 10000000): Broadcast[Map[String, String]] = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue): $maxEntries — side data " +
+        "is per-executor-resident and cannot be unbounded")
     val rows = df.selectExpr(s"cast($keyCol as string)",
         s"cast($valCol as string)")
-      .limit(math.min(maxEntries + 1, Int.MaxValue).toInt).collect()
+      .limit(maxEntries + 1).collect()
     require(rows.length <= maxEntries,
       s"side lookup exceeds $maxEntries entries — use a broadcast join " +
         "or a shuffle join instead of DistributedCache-style side data")
-    df.sparkSession.sparkContext.broadcast(
-      rows.map(r => r.getString(0) -> r.getString(1)).toMap)
+    // duplicate keys would resolve last-wins in partition order —
+    // nondeterministic side data; force the caller to dedup deliberately
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    require(m.size == rows.length,
+      "side lookup has duplicate keys — aggregate to one value per key " +
+        "before broadcasting (last-wins would be partition-order-dependent)")
+    df.sparkSession.sparkContext.broadcast(m)
   }
 }

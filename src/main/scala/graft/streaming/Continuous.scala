@@ -146,7 +146,10 @@ object Continuous {
   private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    // only ever LOWER: a session already running narrower than `n` (tests
+    // and bisection runs use 4) must not have its state fan-out raised
+    val eff = math.min(scala.util.Try(old.toInt).getOrElse(n), n)
+    spark.conf.set(key, eff.toString)
     try f finally spark.conf.set(key, old)
   }
 
@@ -197,6 +200,36 @@ object Continuous {
     }
   }
 
+  /** Shared driver-facing bounded-run shape: start `streaming` into a
+    * fresh complete-mode memory sink, run to completion (`AvailableNow`),
+    * snapshot the sink into a local frame (capped loudly — memory sinks
+    * are aggregates bounded by key cardinality, never stream volume), and
+    * ALWAYS drop the temp view + checkpoint so a long session of retries
+    * accumulates nothing. State partitions sized to the aggregate via
+    * [[withStreamShuffle]]. */
+  private def runBoundedToFrame(spark: SparkSession, streaming: DataFrame,
+      name: String, ckpt: String, maxRows: Int = 1000000): DataFrame =
+    withStreamShuffle(spark, 8) {
+      val q = streaming.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("memory").queryName(name)
+        .start()
+      try {
+        q.awaitTermination()
+        val rows = spark.table(name).limit(maxRows + 1).collect()
+        require(rows.length <= maxRows,
+          s"$name aggregate exceeds $maxRows rows — widen the window")
+        val schemaOut = spark.table(name).schema
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+      } finally {
+        spark.catalog.dropTempView(name)
+        deleteRecursively(ckpt) // each invocation is a fresh bounded run
+      }
+    }
+
   /** Windowed streaming reduce surfaced to the driver harness (C2, the HOP
     * `mapred.reduce.window` loop, ReduceTask.java:595-629): the events table
     * streamed file-by-file (`maxFilesPerTrigger=1`) through an event-time
@@ -224,33 +257,8 @@ object Continuous {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_v"))
-    // snapshot the sink into a local frame and drop the temp view, so
-    // repeated invocations don't accumulate memory-sink tables; bounded by
-    // window-count x event-type cardinality, capped loudly like every
-    // driver-side snapshot in this tier. Cleanup runs even when the cap
-    // trips — a long session of retries must not accumulate sinks/ckpts.
-    withStreamShuffle(spark, 8) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .format("memory").queryName(name)
-        .start()
-      try {
-        q.awaitTermination()
-        val maxRows = 1000000
-        val rows = spark.table(name).limit(maxRows + 1).collect()
-        require(rows.length <= maxRows,
-          s"windowed aggregate exceeds $maxRows rows — widen the window")
-        val schemaOut = spark.table(name).schema
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(rows.toSeq.asJava, schemaOut)
-          .orderBy(col("w_start"), col("event_type"))
-      } finally {
-        spark.catalog.dropTempView(name)
-        deleteRecursively(ckpt) // each invocation is a fresh bounded run
-      }
-    }
+    runBoundedToFrame(spark, agg, name, ckpt)
+      .orderBy(col("w_start"), col("event_type"))
   }
 
   /** Online aggregation surfaced to the driver harness (C4,
@@ -318,30 +326,11 @@ object Continuous {
     val schema = spark.read.parquet(staged).schema
     val name = s"q54_cq_${runSeq.incrementAndGet()}"
     val ckpt = s"target/streamstage/ckpt/$name"
-    withStreamShuffle(spark, 8) {
-      val q = perKeyWindowAverages(
-          spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(staged))
-        .writeStream
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .format("memory").queryName(name)
-        .start()
-      try {
-        q.awaitTermination()
-        val maxRows = 1000000
-        val rows = spark.table(name).limit(maxRows + 1).collect()
-        require(rows.length <= maxRows,
-          s"per-key window aggregate exceeds $maxRows rows — widen the window")
-        val schemaOut = spark.table(name).schema
-        import scala.jdk.CollectionConverters._
-        cqStats(spark.createDataFrame(rows.toSeq.asJava, schemaOut))
-      } finally {
-        spark.catalog.dropTempView(name)
-        deleteRecursively(ckpt)
-      }
-    }
+    cqStats(runBoundedToFrame(spark,
+      perKeyWindowAverages(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)),
+      name, ckpt))
   }
 
   /** Per-(5-minute window, event type) value averages — the windowed

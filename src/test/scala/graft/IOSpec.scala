@@ -7,10 +7,6 @@ import graft.sources.IO
 class IOSpec extends SparkSpec {
   private val tmp = "target/tmp/io"
 
-  private def rmrf(p: java.io.File): Unit = {
-    if (p.isDirectory) p.listFiles().foreach(rmrf)
-    p.delete()
-  }
 
   test("key-value text round trip with embedded separators") {
     import spark.implicits._

@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Recursive delete for per-test scratch dirs. */
+  protected def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+    ()
+  }
+  protected def rmrf(path: String): Unit = rmrf(new java.io.File(path))
 }
 
 object SparkSpec {

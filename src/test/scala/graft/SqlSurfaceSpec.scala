@@ -96,10 +96,6 @@ class SqlSurfaceSpec extends SparkSpec {
   test("create partitioned table + static partition insert + pruning") {
     views
     spark.sql("DROP TABLE IF EXISTS events_part")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete()
-    }
     rmrf(new java.io.File("spark-warehouse/events_part"))
     spark.sql(
       """CREATE TABLE events_part
@@ -120,9 +116,6 @@ class SqlSurfaceSpec extends SparkSpec {
     // groupby7.q shape: ONE source scan fans out to two insert targets in a
     // single statement; must agree with the DataFrame form (IO.multiInsert)
     views
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
-    }
     Seq("mi_dest1", "mi_dest2").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       rmrf(new java.io.File(s"spark-warehouse/$t"))
@@ -161,9 +154,6 @@ class SqlSurfaceSpec extends SparkSpec {
     // input12.q: one scan, disjoint filters fan out to three tables, the
     // third a static partition — the branches must tile the source exactly
     views
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
-    }
     Seq("mi3_d1", "mi3_d2", "mi3_d3").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       rmrf(new java.io.File(s"spark-warehouse/$t"))

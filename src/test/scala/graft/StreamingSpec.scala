@@ -89,9 +89,6 @@ class StreamingSpec extends SparkSpec {
     // frame) is reproducible and must equal the batch aggregate over that
     // known prefix. This is the HOP early-results contract (OutputFile.Type
     // SNAPSHOT at progress < 1), checked mid-stream.
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
-    }
     val dir = "target/tmp/online_prefix_in"
     rmrf(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
@@ -301,10 +298,6 @@ class StreamingSpec extends SparkSpec {
 
   test("chained streaming queries pipeline stage outputs (C7)") {
     import spark.implicits._
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete()
-    }
     val in = "target/tmp/chain_in"
     rmrf(new java.io.File("target/tmp/chain_mid"))
     rmrf(new java.io.File("target/tmp/chain_ckpt"))
@@ -325,9 +318,6 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val in = "target/tmp/chk/in"
     val chk = "target/tmp/chk/state"
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
-    }
     rmrf(new java.io.File("target/tmp/chk"))
     new java.io.File(in).mkdirs()
     def writeBatch(name: String, rows: Seq[String]): Unit =
