@@ -421,6 +421,21 @@ class GoldenQuerySpec extends SparkSpec {
       .filter(pmod($"l_orderkey", lit(4)) === 0 && $"l_orderkey" > 100)
       .select($"l_orderkey", $"l_linenumber"))
 
+  check("union_exact: non-aggregated union of differently-filtered projections",
+    // union.q: FROM (subquery UNION ALL subquery) SELECT * — the projected
+    // union itself is the result, not an aggregate over it
+    """SELECT u.k, u.p FROM (
+      |  SELECT o_orderkey AS k, o_orderpriority AS p FROM orders
+      |  WHERE o_orderkey < 100
+      |  UNION ALL
+      |  SELECT o_orderkey AS k, o_orderstatus AS p FROM orders
+      |  WHERE o_orderkey > 5900
+      |) u""".stripMargin,
+    Tables.orders(spark, sfDir).filter($"o_orderkey" < 100)
+      .select($"o_orderkey".as("k"), $"o_orderpriority".as("p"))
+      .union(Tables.orders(spark, sfDir).filter($"o_orderkey" > 5900)
+        .select($"o_orderkey".as("k"), $"o_orderstatus".as("p"))))
+
   check("input9: NULL = NULL filters everything (counted, so the row survives)",
     "SELECT count(*) FROM orders WHERE NULL = NULL",
     Tables.orders(spark, sfDir)
