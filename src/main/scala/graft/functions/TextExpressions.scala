@@ -81,8 +81,87 @@ case class Simhash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Single-pass word-shingle hashing kernel shared by interpreted eval and
+  * generated code: for each window of `n` tokens, the 16-hex-char md5
+  * prefix of the space-joined shingle — bit-identical to the portable SQL
+  * `substring(md5(concat_ws(' ', t[i], …, t[i+n-1])), 1, 16)` the DuckDB
+  * oracle runs (space-joined UTF-8 bytes into md5; first 8 digest bytes
+  * hex-encoded), but with no intermediate shingle/hex/substring strings —
+  * the digest is fed token bytes directly and only the final 16-byte key
+  * allocates. */
+object ShingleKernel {
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val count = if (m >= n) m - n + 1 else 0
+    val out = new Array[AnyRef](count)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < count) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](16)
+      var b = 0
+      while (b < 8) {
+        hex(2 * b) = HEX((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HEX(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** 16-hex-char md5 shingle keys of a token array as a native expression —
+  * the hot inner loop of every shingle-based pipeline (n-gram Jaccard,
+  * MinHash-LSH, decontamination, bloom dedup, duplicate clusters), one
+  * pass, codegen-friendly like [[Simhash]]. Fewer than `n` tokens yield an
+  * empty array (≙ the guarded SQL CASE). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    child.dataType match {
+      case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes requires array<string> and n >= 1, got " +
+          s"${other.simpleString}, n=$n")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** SimHash fingerprint of an array<string> token column. */
   def simhash(tokens: Column): Column =
     Bridge.column(Simhash(Bridge.expression(tokens)))
+
+  /** md5-prefix hashes of all `n`-token shingles of a token array. */
+  def shingleHashes(tokens: Column, n: Int = 3): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
 }

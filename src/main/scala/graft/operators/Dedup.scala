@@ -47,20 +47,21 @@ object Dedup {
     * shuffles caps per-record shuffle width regardless of shingle text
     * length — at corpus scale the shuffle volume is the cost that matters.
     * 64-bit prefix collisions are ~n²/2⁶⁵ (negligible), and the oracle hashes
-    * identically so results stay bit-equal. Documents with fewer than 3
-    * tokens yield NO shingles — unguarded `sequence(0, size-3)` would
-    * descend (e.g. `sequence(0,-1) = [0,-1]`) and fabricate shingles from
-    * null token lookups. */
+    * identically so results stay bit-equal.
+    *
+    * The per-shingle hash runs in the native [[graft.functions.ShingleHashes]]
+    * expression — one digest pass per shingle, no intermediate concat/hex/
+    * substring strings — and is bit-identical to the portable SQL
+    * `substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16)` the
+    * DuckDB oracle runs (differential-tested in DedupSimilaritySpec).
+    * Documents with fewer than 3 tokens yield NO shingles (empty array →
+    * explode drops the row). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(t) >= 3 THEN
-          |  transform(sequence(0, size(t)-3),
-          |    i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
-          |ELSE cast(array() as array<string>) END"""
-          .stripMargin))
-        .as("s"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("t"), 3))
+          .as("s"))
       .distinct()
 
   /** Memoized shingle stage over the fixture corpus — the input of BOTH the

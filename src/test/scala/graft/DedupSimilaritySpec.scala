@@ -91,6 +91,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
   }
 
+  test("native shingle hashes are bit-identical to the portable SQL formula") {
+    import spark.implicits._
+    // the exact expression the DuckDB oracle runs, over the fixture corpus
+    val sqlForm = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "filter(split(text, '\\\\s+'), t -> t <> '') AS t")
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(t) >= 3 THEN
+          |  transform(sequence(0, size(t)-3),
+          |    i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
+          |ELSE cast(array() as array<string>) END) AS s""".stripMargin)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = Dedup.shingles(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native === sqlForm && native.nonEmpty)
+    // unicode + short-doc edges: multi-byte tokens hash over UTF-8 bytes,
+    // <3 tokens yield nothing
+    val edge = Seq((1L, "héllo wörld ünïcode têst"), (2L, "too short"))
+      .toDF("doc_id", "text")
+    val e1 = graft.operators.Dedup.shinglesOf(edge)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val e2 = edge
+      .selectExpr("doc_id", "filter(split(text, '\\\\s+'), t -> t <> '') AS t")
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(t) >= 3 THEN
+          |  transform(sequence(0, size(t)-3),
+          |    i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
+          |ELSE cast(array() as array<string>) END) AS s""".stripMargin)
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(e1 === e2)
+    assert(e1.forall(_._1 == 1L), "2-token doc must produce no shingles")
+  }
+
   test("all-pairs cosine baseline refuses an over-budget corpus loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Similarity.cosineNearDup(spark, sfDir, maxCorpus = 10L)
