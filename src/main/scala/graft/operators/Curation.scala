@@ -316,13 +316,18 @@ object Curation {
         .distinct()
     }
     var it = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // both sides distinct: equal counts + empty difference ⇔ equal sets
-      converged = next.count() == edges.count() &&
+      // both sides distinct: equal counts + empty difference ⇔ equal sets;
+      // the previous round's count is carried over, so each round pays one
+      // count + one bounded except probe, not two counts
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.except(edges).limit(1).count() == 0L
       edges = next
+      edgeCount = nextCount
       it += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
