@@ -64,19 +64,40 @@ object Bench {
       name -> runOnce(name, fn, sfDir)
     }
     StageMemo.clear()
-    // Millisecond precision halves the line length, and the totals go LAST:
-    // the driver captures a bounded tail of stdout, so anything that must
-    // survive truncation of an over-long line belongs at the end (r5's
-    // artifact lost the warm total off the front).
-    def fmt(v: Double): String =
+    // The driver captures a bounded tail of stdout, so one long JSON line
+    // gets its FRONT sheared off and never parses (r5/r6 artifacts). Emit
+    // several short SELF-CONTAINED lines instead — per-query values split
+    // into <1 KB part records, totals on the final line — so the captured
+    // tail always ends with at least one complete, parseable record.
+    def fmt(v: Double, prec: Int): String =
       if (v < 0) "-1.0"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    def json(rs: Seq[(String, Double)], prec: Int): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results)},""" +
-      s""""queries_cold":${json(cold)},"value":${fmt(total)},"cold_total":${fmt(coldTotal)}}""")
+    // Line 1 (human-facing, may truncate in the tail): the full dict.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results, 3)},""" +
+      s""""queries_cold":${json(cold, 3)},"value":${fmt(total, 3)},"cold_total":${fmt(coldTotal, 3)}}""")
+    // Part lines: centisecond precision, <1 KB each, every line valid JSON.
+    def emitParts(metric: String, field: String, rs: Seq[(String, Double)]): Unit = {
+      val parts = rs.grouped(math.max(1, (rs.size + 1) / 2)).toSeq
+      parts.zipWithIndex.foreach { case (p, i) =>
+        println(s"""{"metric":"$metric","part":${i + 1},"of":${parts.size},""" +
+          s""""$field":${json(p, 2)}}""")
+      }
+    }
+    emitParts("warm_part", "queries", results)
+    emitParts("cold_part", "queries_cold", cold)
+    // Last two lines each carry ALL 54 queries under abbreviated keys
+    // ("q01_pricing_summary" -> "q01") so even a tiny tail capture ending at
+    // the final line recovers both totals and every cold entry.
+    def short(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    println(s"""{"metric":"total_warm","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
+      s""""queries":${json(short(results), 2)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
+      s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""")
     spark.stop()
   }
 }

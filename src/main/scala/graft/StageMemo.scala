@@ -45,10 +45,27 @@ private[graft] object StageMemo {
     }
   }
 
+  /** Small scalar companion memo (e.g. the corpus count a budget gate
+    * needs): same lifetime as the frames, cleared together. Keeps an eager
+    * `count()` job from re-running on every warm invocation of a gated
+    * operator. Unbounded by design — entries are a few bytes and keyed by
+    * the same per-corpus stage names as the frame memo. */
+  private val scalars =
+    new java.util.HashMap[(SparkSession, String), Any]()
+
+  def scalar[T](spark: SparkSession, key: String)(build: => T): T =
+    memo.synchronized {
+      val k = (spark, key)
+      val cached = scalars.get(k)
+      if (cached != null) cached.asInstanceOf[T]
+      else { val v = build; scalars.put(k, v); v }
+    }
+
   /** Drop and unpersist every memoized stage. */
   def clear(): Unit = memo.synchronized {
     memo.values().forEach(_.unpersist())
     memo.clear()
+    scalars.clear()
   }
 
   private[graft] def size: Int = memo.synchronized(memo.size())

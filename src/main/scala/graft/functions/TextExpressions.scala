@@ -19,7 +19,9 @@ object SimhashKernel {
     val votes = new Array[Int](60)
     var idx = 0
     while (idx < arr.numElements()) {
-      val tok = arr.getUTF8String(idx).toString
+      // null tokens are skipped, like the portable SQL formulation (whose
+      // explode+filter drops them before hashing)
+      val tok = if (arr.isNullAt(idx)) "" else arr.getUTF8String(idx).toString
       if (tok.nonEmpty && seen.add(tok)) {
         val d = md.digest(tok.getBytes("UTF-8")) // digest() resets md
         var h = 0L
@@ -100,10 +102,15 @@ object ShingleKernel {
     var i = 0
     while (i < count) {
       md.reset()
+      // null tokens vanish (separator included), exactly like concat_ws
       var j = 0
+      var emitted = false
       while (j < n) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(arr.getUTF8String(i + j).getBytes)
+        if (!arr.isNullAt(i + j)) {
+          if (emitted) md.update(' '.toByte)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          emitted = true
+        }
         j += 1
       }
       val d = md.digest()

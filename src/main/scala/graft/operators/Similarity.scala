@@ -55,7 +55,9 @@ object Similarity {
       threshold: Double = 0.4, maxCorpus: Long = 2000000L): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
-    val n = e.count()
+    // gate count memoized with the vector frame: one job per session, not
+    // one per invocation (the count is over the already-persisted frame)
+    val n = graft.StageMemo.scalar(spark, s"vecs_count:$dir")(e.count())
     require(n <= maxCorpus,
       s"cosineNearDup is the all-pairs baseline: corpus size $n exceeds " +
         s"maxCorpus=$maxCorpus — use sign-LSH bucketing (lshTopK/q27), IVF " +

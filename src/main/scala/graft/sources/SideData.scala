@@ -59,18 +59,26 @@ object SideData {
     require(maxEntries > 0 && maxEntries < Int.MaxValue,
       s"maxEntries must be in (0, Int.MaxValue): $maxEntries — side data " +
         "is per-executor-resident and cannot be unbounded")
-    val rows = df.selectExpr(s"cast($keyCol as string)",
-        s"cast($valCol as string)")
+    // null keys/values can't index a lookup map — fail loudly, and collapse
+    // rows that are duplicated in full (same key AND value): those are
+    // deterministic and shouldn't trip the ambiguity guard below
+    val rows = df.selectExpr(s"cast($keyCol as string) as k",
+        s"cast($valCol as string) as v")
+      .distinct()
       .limit(maxEntries + 1).collect()
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "side lookup has null keys or values — a lookup map cannot " +
+        "represent them; filter or default them before broadcasting")
     require(rows.length <= maxEntries,
       s"side lookup exceeds $maxEntries entries — use a broadcast join " +
         "or a shuffle join instead of DistributedCache-style side data")
-    // duplicate keys would resolve last-wins in partition order —
-    // nondeterministic side data; force the caller to dedup deliberately
+    // conflicting values per key would resolve last-wins in partition
+    // order — nondeterministic side data; force a deliberate dedup
     val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     require(m.size == rows.length,
-      "side lookup has duplicate keys — aggregate to one value per key " +
-        "before broadcasting (last-wins would be partition-order-dependent)")
+      "side lookup has conflicting values for a key — aggregate to one " +
+        "value per key before broadcasting (last-wins would be " +
+        "partition-order-dependent)")
     df.sparkSession.sparkContext.broadcast(m)
   }
 }

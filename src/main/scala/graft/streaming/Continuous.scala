@@ -142,7 +142,15 @@ object Continuous {
     * overhead ~4×. Sizing state partitions to the aggregate cardinality is
     * the standard Structured Streaming deployment tuning; at 100 TB the
     * stream's KEY cardinality (not its volume) still governs this knob.
-    * Safe per-query because each invocation starts a fresh checkpoint. */
+    * Safe per-query because each invocation starts a fresh checkpoint.
+    *
+    * ASSUMES single-threaded use of the session: the conf set/restore is
+    * session-global, so a CONCURRENT query on the same SparkSession could
+    * plan with the lowered value or restore out of order. The sequential
+    * driver/bench/test harness satisfies this; a multi-tenant session
+    * should instead run bounded streams on `spark.newSession()` with the
+    * setting applied there (kept out of this helper because the memory
+    * sink's temp view and the stage memo are session-scoped). */
   private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
@@ -232,8 +240,11 @@ object Continuous {
 
   /** Windowed streaming reduce surfaced to the driver harness (C2, the HOP
     * `mapred.reduce.window` loop, ReduceTask.java:595-629): the events table
-    * streamed file-by-file (`maxFilesPerTrigger=1`) through an event-time
-    * tumbling-window count/sum, run to completion with `AvailableNow`. The
+    * streamed incrementally (`maxFilesPerTrigger=2` over 8 staged files = 4
+    * genuine stateful micro-batches; trigger overhead is fixed per commit,
+    * so halving commits halves the scale-independent cost) through an
+    * event-time tumbling-window count/sum, run to completion with
+    * `AvailableNow`. The
     * final frame is deterministic — event-time windows are
     * chunking-independent — so the same tumbling-window SQL oracle-checks
     * the streaming tier end-to-end (q51).
@@ -251,7 +262,7 @@ object Continuous {
     val name = s"q51_stream_${runSeq.incrementAndGet()}"
     val ckpt = s"target/streamstage/ckpt/$name"
     val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .option("maxFilesPerTrigger", "2").parquet(staged)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
@@ -313,7 +324,8 @@ object Continuous {
     cqStats(perKeyWindowAverages(graft.Tables.events(spark, dir)))
 
   /** [[cqMonitor]] run as a REAL streaming query (q54): the events table
-    * streamed file-by-file through the per-(window, key) average — a genuine
+    * streamed incrementally (4 micro-batches, like
+    * [[streamedWindowedCounts]]) through the per-(window, key) average — a genuine
     * stateful streaming aggregation in complete mode, run to completion with
     * `AvailableNow` — then the cross-key mean+2σ flagging applied to the
     * emitted window frame, exactly where the reference computes it (the CQ
@@ -329,7 +341,7 @@ object Continuous {
     cqStats(runBoundedToFrame(spark,
       perKeyWindowAverages(
         spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(staged)),
+          .option("maxFilesPerTrigger", "2").parquet(staged)),
       name, ckpt))
   }
 
