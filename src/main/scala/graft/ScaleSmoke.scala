@@ -78,6 +78,11 @@ object ScaleSmoke {
         operators.TemporalJoins.eventsInPurchaseHour(spark, dir))
       time(s"sessionize_$label")(
         operators.Relational.sessionize(spark, dir))
+      // streaming shape at scale: trigger/commit overhead is fixed per
+      // micro-batch, so the 1x -> Nx delta must track data volume only
+      // (the key space — windows x event types — is unchanged by staging)
+      time(s"stream_windows_$label")(
+        streaming.Continuous.streamedWindowedCounts(spark, dir))
       // df caps scale with the corpus so the 1x rare-shingle structure
       // survives the N-fold df inflation of staged copies
       time(s"ngram_jaccard_$label")(operators.Dedup.ngramJaccardOf(

@@ -496,11 +496,9 @@ class GoldenQuerySpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
-  test("input_testxpath via the native XML source (array/struct access)") {
-    // input_testxpath.q reads src_thrift and projects lint[1],
-    // lintstring[0].mystring, mstringstring['key_2']; here the nested rows
-    // come through IO.readXml (S8 StreamXmlRecordReader), and the same
-    // projections run on both tiers over the parsed frame
+  /** The src_thrift-like nested fixture shared by the input_testxpath*
+    * goldens, parsed through IO.readXml (S8 StreamXmlRecordReader). */
+  private def xpathFrame(): DataFrame = {
     val dir = new java.io.File("target/tmp/xpath_xml")
     dir.mkdirs()
     val xml = (0 until 10).map { i =>
@@ -513,8 +511,16 @@ class GoldenQuerySpec extends SparkSpec {
     }.mkString("<recs>\n", "\n", "\n</recs>")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/tmp/xpath_xml/recs.xml"), xml)
-    val parsed = graft.sources.IO.readXml(
+    graft.sources.IO.readXml(
       spark, "target/tmp/xpath_xml/recs.xml", rowTag = "rec")
+  }
+
+  test("input_testxpath via the native XML source (array/struct access)") {
+    // input_testxpath.q reads src_thrift and projects lint[1],
+    // lintstring[0].mystring, mstringstring['key_2']; here the nested rows
+    // come through IO.readXml (S8 StreamXmlRecordReader), and the same
+    // projections run on both tiers over the parsed frame
+    val parsed = xpathFrame()
     parsed.createOrReplaceTempView("src_xml")
     val a = spark.sql(
       """SELECT lint[1], lintstring[0].mystring, key_2 FROM src_xml""")
@@ -525,6 +531,55 @@ class GoldenQuerySpec extends SparkSpec {
     spark.catalog.dropTempView("src_xml")
     assert(a === b && a.nonEmpty)
     assert(a.exists(_.head == 2L), "lint[1] of rec 1 must be 2")
+  }
+
+  test("input_testxpath3: struct-field projection across an array + map access") {
+    // input_testxpath3.q projects mstringstring['key_9'] and
+    // src_thrift.lintstring.myint — the field pulled across the WHOLE
+    // array (yielding array<int>), not one element. The map column is
+    // synthesized from the fixture's key_2 element.
+    val parsed = xpathFrame()
+    parsed.createOrReplaceTempView("src_xml3")
+    val a = spark.sql(
+      """SELECT map('key_2', key_2)['key_2'], lintstring.myint
+        |FROM src_xml3""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val b = parsed.select(
+        map(lit("key_2"), $"key_2").getItem("key_2"),
+        $"lintstring".getField("myint"))
+      .collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView("src_xml3")
+    assert(a === b && a.nonEmpty)
+    assert(a.exists(r => r(1) == Seq(1L, 2L)),
+      "rec 1's lintstring.myint must project to [1, 2]")
+  }
+
+  check("udf_to_date: string cast to date feeding a grouped count",
+    // §2.8 UDFToDate: to_date over the string form of a timestamp, the
+    // result grouped — the reference's date extraction idiom
+    """SELECT to_date(date_format(o_orderdate, 'yyyy-MM-dd')) AS d,
+      |  count(*) AS n
+      |FROM orders GROUP BY to_date(date_format(o_orderdate, 'yyyy-MM-dd'))""".stripMargin,
+    Tables.orders(spark, sfDir)
+      .groupBy(to_date(date_format($"o_orderdate", "yyyy-MM-dd")).as("d"))
+      .agg(count(lit(1)).as("n")))
+
+  test("input_testsequencefile: projection round-trips through a SequenceFile") {
+    // input_testsequencefile.q: INSERT a (key, value) projection into a
+    // table STORED AS SEQUENCEFILE, then read it back unchanged — here the
+    // S5/S14 writer/reader pair carries the golden's round-trip contract
+    views
+    val out = "target/tmp/seqfile_golden"
+    rmrf(out)
+    val src = spark.sql(
+      """SELECT cast(o_orderkey AS STRING) AS key, o_orderpriority AS value
+        |FROM orders""".stripMargin)
+    graft.sources.IO.writeSequenceFile(src, out)
+    val back = graft.sources.IO.readSequenceFile(spark, out)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val direct = src.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === direct && back.nonEmpty)
   }
 
   private implicit class Dollar(val sc: StringContext) {

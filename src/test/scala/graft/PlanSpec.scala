@@ -82,6 +82,93 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_list") || p.contains("sort_array"))
   }
 
+  test("partitioned table prunes to the one filtered ds directory (input_part1)") {
+    // the reference's PartitionPruner (ql/parse/PartitionPruner.java:49)
+    // plans only matching ds= partitions; Spark-first that is partition
+    // discovery + PartitionFilters on the scan. writePartitionedByKey (S15)
+    // is the layout mechanism.
+    import org.apache.spark.sql.functions._
+    val out = "target/tmp/events_ds_part"
+    rmrf(out)
+    val src = Tables.events(spark, sfDir)
+      .withColumn("ds", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.IO.writePartitionedByKey(
+      src.select(col("event_id"), col("event_type"), col("value"), col("ds")),
+      "ds", out)
+    val dsDirs = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("ds="))
+    assert(dsDirs >= 2, "fixture must fan out to multiple ds partitions")
+    val q = spark.read.parquet(out)
+      .filter(col("ds") === "2024-01-03")
+      .select(col("event_id"), col("event_type"))
+    val rows = q.collect()
+    // correctness: identical to the date filter over the unpartitioned source
+    val twin = src.filter(col("ds") === "2024-01-03")
+      .select(col("event_id"), col("event_type")).collect()
+    assert(rows.map(_.toSeq).toSet === twin.map(_.toSeq).toSet && rows.nonEmpty)
+    val p = q.queryExecution.executedPlan
+    assert(p.toString.contains("PartitionFilters") &&
+      p.toString.contains("2024-01-03"),
+      s"ds predicate must become a partition filter on the scan:\n$p")
+    // pruned FILE count: the scan's file index, narrowed by its partition
+    // filters, must list exactly the one ds directory
+    val scan = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pruned = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(pruned.length === 1,
+      s"expected exactly 1 pruned partition, got ${pruned.length} of $dsDirs")
+  }
+
+  test("bucketed catalog tables join with zero exchanges (J1 CLUSTERED BY form)") {
+    // Hive.g:222 CLUSTERED BY ... INTO n BUCKETS: co-bucketed layout makes
+    // the join shuffle-free — the catalog-table twin of the path-based
+    // composite join. Broadcast disabled so the plan must prove it with a
+    // sort-merge join over the bucketed scans, not by broadcasting.
+    import org.apache.spark.sql.functions._
+    Seq("bkt_orders", "bkt_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(s"spark-warehouse/$t")
+    }
+    graft.sources.IO.writeBucketedTable(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "bkt_orders", "o_custkey", 4)
+    graft.sources.IO.writeBucketedTable(
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+      "bkt_customer", "c_custkey", 4)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val j = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("o_totalprice"))
+      val rows = j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"both scans must read bucketed:\n$p")
+      // correctness twin: same join over the raw (unbucketed) tables
+      val twin = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"), col("o_totalprice"))
+        .collect()
+      assert(rows.map(_.toSeq).toSet === twin.map(_.toSeq).toSet
+        && rows.nonEmpty)
+    } finally {
+      spark.conf.set(key, old)
+      Seq("bkt_orders", "bkt_customer").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ngram pair stage gates the index with a semi-join before aggregating") {
     val p = Dedup.ngramJaccardOf(
       Tables.documents(spark, sfDir)).queryExecution.executedPlan.toString

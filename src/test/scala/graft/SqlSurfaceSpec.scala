@@ -185,6 +185,121 @@ class SqlSurfaceSpec extends SparkSpec {
     Seq("mi3_d1", "mi3_d2", "mi3_d3").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("input_part1: ds/hr-partitioned table, one-partition query (dual-tier)") {
+    // input_part1.q: srcpart is partitioned by (ds, hr) and the query names
+    // one partition of each — the single most common real-user pattern of
+    // the reference's Hive layer (ql/parse/PartitionPruner.java:49). Here
+    // the DDL form: CREATE ... PARTITIONED BY (ds, hr), dynamic insert
+    // deriving ds/hr from the event time, then the one-partition query on
+    // both tiers, checked against the unpartitioned source twin.
+    views
+    spark.sql("DROP TABLE IF EXISTS srcpart_events")
+    rmrf(new java.io.File("spark-warehouse/srcpart_events"))
+    spark.sql(
+      """CREATE TABLE srcpart_events
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |USING PARQUET PARTITIONED BY (ds STRING, hr STRING)""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE TABLE srcpart_events PARTITION (ds, hr)
+        |SELECT event_id, event_type, value,
+        |  date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') AS ds,
+        |  if(hour(timestamp_micros(ts div 1000)) < 12, '00', '12') AS hr
+        |FROM events""".stripMargin)
+    val q = spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM srcpart_events WHERE ds = '2024-01-03' AND hr = '12'
+        |GROUP BY event_type""".stripMargin)
+    val a = q.collect().map(_.toSeq).toSet
+    import org.apache.spark.sql.functions._
+    val b = spark.table("srcpart_events")
+      .filter(col("ds") === "2024-01-03" && col("hr") === "12")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(_.toSeq).toSet
+    // source twin over the unpartitioned events view
+    val c = sql(
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM events
+        |WHERE date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')
+        |    = '2024-01-03'
+        |  AND hour(timestamp_micros(ts div 1000)) >= 12
+        |GROUP BY event_type""".stripMargin).collect().map(_.toSeq).toSet
+    assert(a === b && a === c && a.nonEmpty)
+    // the partition predicates must prune, not filter rows post-scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-03"), s"partition pruning expected:\n$plan")
+    spark.sql("DROP TABLE srcpart_events")
+  }
+
+  test("groupby7: identical string-coercing aggregate fans out to two targets") {
+    // groupby7.q: the SAME sum(SUBSTR(value, 4)) GROUP BY key lands in two
+    // insert targets of one FROM — distinct from the disjoint-branch
+    // multi-inserts above; the aggregate coerces a numeric substring to a
+    // number (c_name 'Customer#000000001' -> 1). Substring-of-digits sums
+    // are integer-valued, so the double totals are order-exact.
+    views
+    Seq("gb7_d1", "gb7_d2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    spark.sql("CREATE TABLE gb7_d1 (k BIGINT, s DOUBLE) USING PARQUET")
+    spark.sql("CREATE TABLE gb7_d2 (k BIGINT, s DOUBLE) USING PARQUET")
+    spark.sql(
+      """FROM customer
+        |INSERT OVERWRITE TABLE gb7_d1
+        |  SELECT c_nationkey, sum(cast(substr(c_name, 10) AS DOUBLE))
+        |  GROUP BY c_nationkey
+        |INSERT OVERWRITE TABLE gb7_d2
+        |  SELECT c_nationkey, sum(cast(substr(c_name, 10) AS DOUBLE))
+        |  GROUP BY c_nationkey""".stripMargin)
+    val d1 = spark.table("gb7_d1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d2 = spark.table("gb7_d2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import org.apache.spark.sql.functions._
+    val df = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(substring(col("c_name"), 10, 100000).cast("double")).as("s"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+    assert(d1 === d2 && d1 === df && d1.nonEmpty)
+    Seq("gb7_d1", "gb7_d2").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("sample4: bucket-aligned sample is exactly one bucket's files") {
+    // sample4.q: TABLESAMPLE(BUCKET 1 OUT OF 2 ON key) over a table
+    // CLUSTERED BY key INTO 2 BUCKETS — sampling aligned with bucketing
+    // needs no row filter, it IS bucket selection. Spark-first proof:
+    // `pmod(hash(key), 2)` is literally the bucket-assignment expression
+    // (Murmur3, seed 42) of bucketBy, so the predicate form over the table
+    // must equal reading only bucket 0's files.
+    views
+    spark.sql("DROP TABLE IF EXISTS srcbucket")
+    rmrf(new java.io.File("spark-warehouse/srcbucket"))
+    import org.apache.spark.sql.functions.col
+    graft.sources.IO.writeBucketedTable(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber")),
+      "srcbucket", "l_orderkey", 2)
+    val a = spark.sql(
+      """SELECT l_orderkey, l_linenumber FROM srcbucket
+        |WHERE pmod(hash(l_orderkey), 2) = 0""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val bucket0 = new java.io.File("spark-warehouse/srcbucket").listFiles()
+      .filter(_.getName.matches("part-.*_00000\\.c.*\\.parquet"))
+      .map(_.getPath)
+    assert(bucket0.nonEmpty, "bucket 0 must have at least one file")
+    val b = spark.read.parquet(bucket0.toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+    // and the sample is a strict subset of the table
+    assert(a.size < spark.table("srcbucket").count())
+    spark.sql("DROP TABLE srcbucket")
+  }
+
   test("case sensitivity and string comparison quirks of the vintage") {
     // string-ordered max/min (A6) — lexicographic, as StringValueMax/Min
     val r = sql(
