@@ -185,13 +185,10 @@ class SqlSurfaceSpec extends SparkSpec {
     Seq("mi3_d1", "mi3_d2", "mi3_d3").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
-  test("input_part1: ds/hr-partitioned table, one-partition query (dual-tier)") {
-    // input_part1.q: srcpart is partitioned by (ds, hr) and the query names
-    // one partition of each — the single most common real-user pattern of
-    // the reference's Hive layer (ql/parse/PartitionPruner.java:49). Here
-    // the DDL form: CREATE ... PARTITIONED BY (ds, hr), dynamic insert
-    // deriving ds/hr from the event time, then the one-partition query on
-    // both tiers, checked against the unpartitioned source twin.
+  /** (Re)builds the `srcpart_events` ds/hr-partitioned catalog table the
+    * input_part* goldens query — srcpart of the reference suite, with ds/hr
+    * derived from event time (hr the half-day bucket, like srcpart's 11/12). */
+  private def buildSrcpart(): Unit = {
     views
     spark.sql("DROP TABLE IF EXISTS srcpart_events")
     rmrf(new java.io.File("spark-warehouse/srcpart_events"))
@@ -205,6 +202,16 @@ class SqlSurfaceSpec extends SparkSpec {
         |  date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') AS ds,
         |  if(hour(timestamp_micros(ts div 1000)) < 12, '00', '12') AS hr
         |FROM events""".stripMargin)
+  }
+
+  test("input_part1: ds/hr-partitioned table, one-partition query (dual-tier)") {
+    // input_part1.q: srcpart is partitioned by (ds, hr) and the query names
+    // one partition of each — the single most common real-user pattern of
+    // the reference's Hive layer (ql/parse/PartitionPruner.java:49). Here
+    // the DDL form: CREATE ... PARTITIONED BY (ds, hr), dynamic insert
+    // deriving ds/hr from the event time, then the one-partition query on
+    // both tiers, checked against the unpartitioned source twin.
+    buildSrcpart()
     val q = spark.sql(
       """SELECT event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS s
@@ -233,6 +240,77 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("2024-01-03"), s"partition pruning expected:\n$plan")
     spark.sql("DROP TABLE srcpart_events")
+  }
+
+  test("input_part2: multi-insert branches each prune to their own partition") {
+    // input_part2.q: one FROM srcpart fans out to two targets, each branch
+    // filtered to a DIFFERENT ds — pruning is per-branch, and each dest
+    // holds exactly its branch's partition slice
+    buildSrcpart()
+    Seq("part2_d1", "part2_d2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    spark.sql("CREATE TABLE part2_d1 (event_id BIGINT, et STRING) USING PARQUET")
+    spark.sql("CREATE TABLE part2_d2 (event_id BIGINT, et STRING) USING PARQUET")
+    spark.sql(
+      """FROM srcpart_events
+        |INSERT OVERWRITE TABLE part2_d1
+        |  SELECT event_id, event_type WHERE ds = '2024-01-03' AND hr = '12'
+        |INSERT OVERWRITE TABLE part2_d2
+        |  SELECT event_id, event_type WHERE ds = '2024-01-04' AND hr = '12'""".stripMargin)
+    import org.apache.spark.sql.functions.col
+    def twin(ds: String): Set[Seq[Any]] = spark.table("srcpart_events")
+      .filter(col("ds") === ds && col("hr") === "12")
+      .select(col("event_id"), col("event_type"))
+      .collect().map(_.toSeq).toSet
+    val d1 = spark.table("part2_d1").collect().map(_.toSeq).toSet
+    val d2 = spark.table("part2_d2").collect().map(_.toSeq).toSet
+    assert(d1 === twin("2024-01-03") && d1.nonEmpty)
+    assert(d2 === twin("2024-01-04") && d2.nonEmpty)
+    assert(d1.intersect(d2).isEmpty, "different partitions, disjoint rows")
+    Seq("part2_d1", "part2_d2", "srcpart_events")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
+  test("input13: multi-insert with an INSERT OVERWRITE DIRECTORY branch") {
+    // input13.q: disjoint filters fan out to two tables, a static
+    // partition, AND a raw directory sink — the directory branch is the
+    // new surface vs input12 (SQL writes files outside the catalog)
+    views
+    Seq("in13_d1", "in13_d2", "in13_d3").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    val dirOut = new java.io.File("target/tmp/in13_dest4").getAbsolutePath
+    rmrf(dirOut)
+    spark.sql("CREATE TABLE in13_d1 (k BIGINT, p STRING) USING PARQUET")
+    spark.sql("CREATE TABLE in13_d2 (k BIGINT, p STRING) USING PARQUET")
+    spark.sql(
+      """CREATE TABLE in13_d3 (k BIGINT) USING PARQUET
+        |PARTITIONED BY (ds STRING, hr STRING)""".stripMargin)
+    spark.sql(
+      s"""FROM orders
+         |INSERT OVERWRITE TABLE in13_d1
+         |  SELECT o_orderkey, o_orderpriority WHERE o_orderkey < 100
+         |INSERT OVERWRITE TABLE in13_d2
+         |  SELECT o_orderkey, o_orderpriority
+         |  WHERE o_orderkey >= 100 AND o_orderkey < 200
+         |INSERT OVERWRITE TABLE in13_d3 PARTITION (ds='2008-04-08', hr='12')
+         |  SELECT o_orderkey WHERE o_orderkey >= 200 AND o_orderkey < 300
+         |INSERT OVERWRITE DIRECTORY '$dirOut' USING PARQUET
+         |  SELECT o_orderpriority WHERE o_orderkey >= 300""".stripMargin)
+    val n1 = spark.table("in13_d1").count()
+    val n2 = spark.table("in13_d2").count()
+    val n3 = spark.table("in13_d3").count()
+    val n4 = spark.read.parquet(dirOut).count()
+    val total = spark.table("orders").count()
+    assert(n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0)
+    assert(n1 + n2 + n3 + n4 === total,
+      "disjoint branches incl. the directory sink must tile the source")
+    assert(spark.sql("SHOW PARTITIONS in13_d3").collect()
+      .map(_.getString(0)).toSeq === Seq("ds=2008-04-08/hr=12"))
+    Seq("in13_d1", "in13_d2", "in13_d3").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("groupby7: identical string-coercing aggregate fans out to two targets") {
