@@ -125,6 +125,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e1.forall(_._1 == 1L), "2-token doc must produce no shingles")
   }
 
+  test("shingle and simhash kernels skip null tokens like concat_ws") {
+    // null-bearing token arrays are legal input (ArrayType(..,
+    // containsNull=true)); the kernels must match the portable SQL
+    // formulation, whose concat_ws drops nulls separator-and-all — and
+    // must not NPE (the pre-fix behavior)
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, Seq("a", null, "b", "c")),
+      (2L, Seq(null, null, "x", "y", "z")),
+      (3L, Seq[String]("p", "q", "r")))
+      .toDF("id", "t")
+    val sqlForm = df.selectExpr("id",
+      """CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3),
+        |  i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
+        |ELSE cast(array() as array<string>) END AS s""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    val native = df.select($"id",
+        TextFunctions.shingleHashes($"t", 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    assert(native === sqlForm && native.nonEmpty)
+    // simhash: null tokens contribute nothing, same as filtering them out
+    val withNulls = df.select($"id", TextFunctions.simhash($"t").as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = df.selectExpr("id", "filter(t, x -> x IS NOT NULL) AS t")
+      .select($"id", TextFunctions.simhash($"t").as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withNulls === filtered)
+  }
+
   test("all-pairs cosine baseline refuses an over-budget corpus loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Similarity.cosineNearDup(spark, sfDir, maxCorpus = 10L)

@@ -57,4 +57,25 @@ class SideDataSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("broadcast join"))
   }
+
+  test("broadcastLookup rejects nulls, dedups identical rows, refuses conflicts") {
+    import spark.implicits._
+    // a null key cannot index a lookup map — loud failure, not a null entry
+    val nullKey = Seq((null.asInstanceOf[String], "v"), ("k", "v"))
+      .toDF("k", "v")
+    val en = intercept[IllegalArgumentException] {
+      SideData.broadcastLookup(nullKey, "k", "v")
+    }
+    assert(en.getMessage.contains("null"))
+    // rows duplicated IN FULL are deterministic — collapsed, not rejected
+    val dupRows = Seq(("k1", "v1"), ("k1", "v1"), ("k2", "v2")).toDF("k", "v")
+    assert(SideData.broadcastLookup(dupRows, "k", "v").value ===
+      Map("k1" -> "v1", "k2" -> "v2"))
+    // conflicting values for one key stay a loud failure
+    val conflict = Seq(("k1", "v1"), ("k1", "v2")).toDF("k", "v")
+    val ec = intercept[IllegalArgumentException] {
+      SideData.broadcastLookup(conflict, "k", "v")
+    }
+    assert(ec.getMessage.contains("conflicting"))
+  }
 }
