@@ -87,7 +87,11 @@ object SparkEntry {
     "q53_stream_pipeline" ->
       ((s, d) => graft.streaming.Continuous.streamedPipeline(s, d)),
     "q54_cq_monitor" ->
-      ((s, d) => graft.streaming.Continuous.streamedCqMonitor(s, d))
+      ((s, d) => graft.streaming.Continuous.streamedCqMonitor(s, d)),
+    // Per-source length quantiles — quality-filter threshold setting.
+    // Exact sort-based percentiles (≡ DuckDB quantile_cont bit-for-bit on
+    // integer inputs); the 100 TB path swaps in approx_percentile.
+    "q55_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -810,6 +814,14 @@ object SparkEntry {
         |SELECT pk.w_start, pk.key, pk.avg_v,
         |  CASE WHEN pk.avg_v > g3.mu + 2.0 * g3.sigma THEN 1 ELSE 0 END AS alert
         |FROM pk JOIN g3 USING (w_start)
-        |ORDER BY pk.w_start, pk.key""".stripMargin
+        |ORDER BY pk.w_start, pk.key""".stripMargin,
+    "q55_length_quantiles" ->
+      """SELECT source,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.95) AS p95,
+        |  count(*) AS n, min(n_chars) AS min_c, max(n_chars) AS max_c
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

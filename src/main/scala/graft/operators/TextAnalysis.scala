@@ -151,4 +151,35 @@ object TextAnalysis {
     chunkDocuments(Tables.documents(spark, dir))
       .orderBy($"doc_id", $"chunk_id")
   }
+
+  /** Per-source document-length quantiles — the threshold-setting primitive
+    * of quality filtering (pick the p25/p95 cut-offs per source BEFORE
+    * filtering, so thresholds adapt to each source's length distribution).
+    *
+    * EXACT percentiles: `percentile` sorts the group and linearly
+    * interpolates at rank q·(n−1) — the same definition as DuckDB's
+    * `quantile_cont`, and on integer inputs both engines run the identical
+    * double arithmetic, so the oracle hash-checks it. The exact form costs
+    * one shuffle of (source, n_chars) pairs with per-group sort state; at
+    * 100 TB substitute `approx_percentile` (t-digest sketch, partial-agg
+    * mergeable, bounded state) at the call site when a sketch is
+    * acceptable — the quantile CONSUMERS (filter thresholds) usually are. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE percentile buffer per group (array of percentages), not four —
+    // the buffer holds the group's value multiset, so n calls would hold
+    // it n times
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
+        count(lit(1)).as("n"),
+        min($"n_chars").as("min_c"),
+        max($"n_chars").as("max_c"))
+      .select($"source",
+        $"ps".getItem(0).as("p25"), $"ps".getItem(1).as("p50"),
+        $"ps".getItem(2).as("p75"), $"ps".getItem(3).as("p95"),
+        $"n", $"min_c", $"max_c")
+      .orderBy($"source")
+  }
 }

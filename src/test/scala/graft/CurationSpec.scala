@@ -244,4 +244,34 @@ class CurationSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) => assert(cl(a) === cl(b)) }
   }
+
+  test("length quantiles match a driver-side sort-and-interpolate oracle") {
+    import spark.implicits._
+    val out = graft.operators.TextAnalysis.lengthQuantiles(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // reference: exact sorted-rank linear interpolation per source, in the
+    // lo*(1-f) + hi*f form both engines evaluate (the algebraically equal
+    // lo + f*(hi-lo) rounds differently in the last ulp)
+    def q(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) * (1.0 - frac) + s(lo + 1) * frac
+      else s(lo).toDouble
+    }
+    val bySource = Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.keySet === bySource.keySet && out.nonEmpty)
+    bySource.foreach { case (src, xs) =>
+      val (p25, p50, p75, p95) = out(src)
+      assert(p25 === q(xs, 0.25) && p50 === q(xs, 0.5) &&
+        p75 === q(xs, 0.75) && p95 === q(xs, 0.95), src)
+    }
+  }
 }
