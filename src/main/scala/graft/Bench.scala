@@ -89,7 +89,7 @@ object Bench {
     }
     emitParts("warm_part", "queries", results)
     emitParts("cold_part", "queries_cold", cold)
-    // Last two lines each carry ALL 54 queries under abbreviated keys
+    // Last two lines each carry ALL queries under abbreviated keys
     // ("q01_pricing_summary" -> "q01") so even a tiny tail capture ending at
     // the final line recovers both totals and every cold entry.
     def short(rs: Seq[(String, Double)]): Seq[(String, Double)] =
