@@ -64,11 +64,21 @@ object Bench {
       name -> runOnce(name, fn, sfDir)
     }
     StageMemo.clear()
-    // The driver captures a bounded tail of stdout, so one long JSON line
-    // gets its FRONT sheared off and never parses (r5/r6 artifacts). Emit
-    // several short SELF-CONTAINED lines instead — per-query values split
-    // into <1 KB part records, totals on the final line — so the captured
-    // tail always ends with at least one complete, parseable record.
+    reportLines(sfDir, results, cold).foreach(println)
+    spark.stop()
+  }
+
+  /** The driver captures a bounded tail of stdout, so one long JSON line
+    * gets its FRONT sheared off and never parses (r5/r6 artifacts). Emit
+    * several short SELF-CONTAINED lines instead — line 1 the full
+    * millisecond-precision dict (may truncate), then per-query values split
+    * into <1 KB part records, then two compact total lines carrying ALL
+    * queries under abbreviated keys ("q01_pricing_summary" -> "q01") — so a
+    * captured tail of any size ends with at least one complete record, and
+    * the final line alone recovers both totals and every cold entry. */
+  private[graft] def reportLines(sfDir: String,
+      results: Seq[(String, Double)],
+      cold: Seq[(String, Double)]): Seq[String] = {
     def fmt(v: Double, prec: Int): String =
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
@@ -76,28 +86,33 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
-    // Line 1 (human-facing, may truncate in the tail): the full dict.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results, 3)},""" +
-      s""""queries_cold":${json(cold, 3)},"value":${fmt(total, 3)},"cold_total":${fmt(coldTotal, 3)}}""")
-    // Part lines: centisecond precision, <1 KB each, every line valid JSON.
-    def emitParts(metric: String, field: String, rs: Seq[(String, Double)]): Unit = {
-      val parts = rs.grouped(math.max(1, (rs.size + 1) / 2)).toSeq
-      parts.zipWithIndex.foreach { case (p, i) =>
-        println(s"""{"metric":"$metric","part":${i + 1},"of":${parts.size},""" +
-          s""""$field":${json(p, 2)}}""")
+    def parts(metric: String, field: String, rs: Seq[(String, Double)]): Seq[String] = {
+      // greedy packing against the 1 KB line budget: entry ≈ "name":12.34,
+      // costs name.length + 10 chars; leave ~100 for the envelope
+      val budget = 900
+      val groups = rs.foldLeft(List(List.empty[(String, Double)])) {
+        case (acc @ cur :: done, e) =>
+          val curLen = cur.map(_._1.length + 10).sum
+          if (cur.nonEmpty && curLen + e._1.length + 10 > budget)
+            List(e) :: acc
+          else (e :: cur) :: done
+        case (Nil, e) => List(List(e)) // unreachable; keeps the match total
+      }.map(_.reverse).reverse.filter(_.nonEmpty)
+      groups.zipWithIndex.map { case (p, i) =>
+        s"""{"metric":"$metric","part":${i + 1},"of":${groups.size},""" +
+          s""""$field":${json(p, 2)}}"""
       }
     }
-    emitParts("warm_part", "queries", results)
-    emitParts("cold_part", "queries_cold", cold)
-    // Last two lines each carry ALL queries under abbreviated keys
-    // ("q01_pricing_summary" -> "q01") so even a tiny tail capture ending at
-    // the final line recovers both totals and every cold entry.
     def short(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    println(s"""{"metric":"total_warm","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
-      s""""queries":${json(short(results), 2)}}""")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
-      s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""")
-    spark.stop()
+    Seq(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results, 3)},""" +
+        s""""queries_cold":${json(cold, 3)},"value":${fmt(total, 3)},"cold_total":${fmt(coldTotal, 3)}}""") ++
+      parts("warm_part", "queries", results) ++
+      parts("cold_part", "queries_cold", cold) ++ Seq(
+      s"""{"metric":"total_warm","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
+        s""""queries":${json(short(results), 2)}}""",
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
+        s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""")
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact contract: the driver tail-captures stdout, so every
+  * emitted line must be self-contained JSON, the part lines must stay under
+  * 1 KB, and the FINAL line alone must recover both totals and every
+  * per-query cold number. Parsed with Jackson (on the Spark classpath) —
+  * the same class of strict parser the driver uses. */
+class BenchReportSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // realistic worst case: the full suite with long query names
+  private val names = (1 to 55).map(i => f"q$i%02d_some_longer_query_name_$i")
+  private val warm = names.map(n => n -> 1.234)
+  private val cold = names.map(n => n -> 12.345)
+  private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold)
+
+  test("every emitted line is self-contained parseable JSON") {
+    lines.foreach { l =>
+      val node = mapper.readTree(l)
+      assert(node.has("metric"), l.take(80))
+    }
+  }
+
+  test("every line after the first stays under 1 KB") {
+    lines.tail.foreach(l =>
+      assert(l.length < 1024, s"${l.length} bytes: ${l.take(60)}..."))
+  }
+
+  test("the final line alone recovers totals and all cold entries") {
+    val last = mapper.readTree(lines.last)
+    assert(last.get("metric").asText === "total")
+    assert(math.abs(last.get("value").asDouble - 55 * 1.234) < 0.05)
+    assert(math.abs(last.get("cold_total").asDouble - 55 * 12.345) < 0.05)
+    val qs = last.get("queries")
+    assert(qs.size === 55)
+    names.foreach { n =>
+      val shortKey = n.takeWhile(_ != '_')
+      assert(qs.has(shortKey), shortKey)
+      assert(math.abs(qs.get(shortKey).asDouble - 12.345) < 0.01)
+    }
+  }
+
+  test("part lines reassemble the full-name per-query maps") {
+    val warmParts = lines.map(mapper.readTree)
+      .filter(_.get("metric").asText == "warm_part")
+    val recovered = warmParts.flatMap { p =>
+      val it = p.get("queries").properties().iterator()
+      var acc = List.empty[(String, Double)]
+      while (it.hasNext) { val e = it.next(); acc ::= e.getKey -> e.getValue.asDouble }
+      acc
+    }.toMap
+    assert(recovered.keySet === names.toSet)
+  }
+
+  test("failed queries keep their -1 marker through formatting") {
+    val ls = Bench.reportLines("/sf", Seq("q01_x" -> -1.0), Seq("q01_x" -> -1.0))
+    val last = mapper.readTree(ls.last)
+    assert(last.get("queries").get("q01").asDouble === -1.0)
+  }
+}
