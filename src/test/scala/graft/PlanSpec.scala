@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_list") || p.contains("sort_array"))
   }
 
+  test("q55 percentile plans one partial buffer before the shuffle") {
+    val p = plan(graft.operators.TextAnalysis.lengthQuantiles(spark, sfDir))
+    // map-side partial aggregation (combiner) must run before the exchange,
+    // and the array-of-percentages form must keep ONE value buffer per
+    // group — four separate percentile calls would quadruple agg state
+    assert(p.contains("partial_percentile"), s"expected partial agg:\n$p")
+    assert("partial_percentile".r.findAllIn(p).size === 1,
+      "one buffered percentile call, not one per quantile")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("source") && scan.contains("n_chars") &&
+      !scan.contains("text"), s"scan must prune to (source, n_chars): $scan")
+  }
+
   test("partitioned table prunes to the one filtered ds directory (input_part1)") {
     // the reference's PartitionPruner (ql/parse/PartitionPruner.java:49)
     // plans only matching ds= partitions; Spark-first that is partition
