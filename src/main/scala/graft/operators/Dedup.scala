@@ -60,9 +60,13 @@ object Dedup {
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.shingleHashes(col("t"), 3))
+        // per-document shingle dedup is array_distinct BEFORE the explode —
+        // per-row, no shuffle; a global .distinct() here cost a full
+        // exchange of the fattest frame in the pipeline for the same
+        // (doc_id, s) set (rows are unique per doc already)
+        explode(array_distinct(
+          graft.functions.TextFunctions.shingleHashes(col("t"), 3)))
           .as("s"))
-      .distinct()
 
   /** Memoized shingle stage over the fixture corpus — the input of BOTH the
     * ngram-pair pipeline (q21/q35) and the minhash signature build (q22), so
