@@ -58,12 +58,19 @@ object Dedup {
     * explode drops the row). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
+      // round-robin the RAW docs so the explode+hash stage fans out to full
+      // parallelism even from a few-file scan, and doc-length skew spreads.
+      // This exchanges text bytes once — ~3x less data than the exploded
+      // shingle frame (16 hex bytes per token vs ~5 text bytes per token),
+      // which is what the global .distinct() here used to shuffle.
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         // per-document shingle dedup is array_distinct BEFORE the explode —
-        // per-row, no shuffle; a global .distinct() here cost a full
-        // exchange of the fattest frame in the pipeline for the same
-        // (doc_id, s) set (rows are unique per doc already)
+        // per-row, no shuffle; a global .distinct() cost a full exchange of
+        // the fattest frame in the pipeline for the same (doc_id, s) set
+        // (rows are unique per doc already)
         explode(array_distinct(
           graft.functions.TextFunctions.shingleHashes(col("t"), 3)))
           .as("s"))
