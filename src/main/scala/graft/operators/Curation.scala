@@ -89,7 +89,13 @@ object Curation {
   /** [[repetitionSignals]] over an arbitrary `(doc_id, text)` frame. */
   def repetitionSignalsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val t = docs.select($"doc_id", tokens($"text").as("t"))
+    // round-robin the raw docs first (like Dedup.shinglesOf): both explode
+    // pipelines below inherit the scan's partitioning for their map sides,
+    // and a few-file corpus would run them nearly serial otherwise
+    val t = docs
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .select($"doc_id", tokens($"text").as("t"))
     val tokStats = t.select($"doc_id", explode($"t").as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
