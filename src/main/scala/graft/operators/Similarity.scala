@@ -68,7 +68,14 @@ object Similarity {
     // vector rows. Survivors recompute cos in the projection (identical
     // expression ⇒ identical value).
     def cos = round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6)
-    e.as("a").join(e.as("b"),
+    // stream side round-robined to full width: the nested-loop scan is the
+    // quadratic cost, and a few-file corpus would run it nearly serial;
+    // the build side broadcasts regardless, so only one side pays the
+    // exchange (per-consumer, not on the shared memoized frame — the other
+    // ANN paths are broadcast- or aggregate-shaped and don't need it)
+    val wide = e.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    wide.as("a").join(broadcast(e.as("b")),
         $"a.vec_id" < $"b.vec_id" && cos >= threshold)
       .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), cos.as("cos"))
       .orderBy($"v1", $"v2")
