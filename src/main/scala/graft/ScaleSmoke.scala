@@ -49,6 +49,23 @@ object ScaleSmoke {
     stage("orders", Seq("o_orderkey"), None)
     stage("documents", Seq("doc_id"), Some("text"))
     stage("events", Seq("event_id", "user_id"), None)
+    // embeddings: shift ids and flip a per-(copy, dim) pseudo-random sign
+    // pattern so copies are near-orthogonal to their source — near-dup pair
+    // structure then grows linearly with mult (exact clones would grow the
+    // pair output quadratically, which is the exact-dedup regime, and would
+    // re-test bucket skew rather than corpus growth)
+    locally {
+      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val maxId = src.agg(max($"vec_id")).head().getLong(0) + 1L
+      src.withColumn("_i", explode(lit((0 until mult).toArray)))
+        .withColumn("vec_id", $"vec_id" + $"_i" * maxId)
+        .withColumn("embedding", expr(
+          """transform(embedding, (x, d) ->
+            |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
+            |       THEN x ELSE -x END)""".stripMargin))
+        .drop("_i")
+        .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
+    }
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$staged/$t.parquet")
@@ -101,6 +118,11 @@ object ScaleSmoke {
         bloomBudgetBytes = 1L))
       time(s"dedup_clusters_$label")(
         operators.Curation.dedupClusters(spark, dir))
+      // the q25-semantics scale path: candidate join bounded by the bucket
+      // gate, so 1x -> Nx must track the (linearized) pair structure
+      time(s"neardup_lsh_$label")(
+        operators.Similarity.cosineNearDupLsh(spark, dir))
+      time(s"tfidf_$label")(operators.TextAnalysis.tfidfTopTerms(spark, dir))
     }
     spark.stop()
   }

@@ -91,7 +91,13 @@ object SparkEntry {
     // Per-source length quantiles — quality-filter threshold setting.
     // Exact sort-based percentiles (≡ DuckDB quantile_cont bit-for-bit on
     // integer inputs); the 100 TB path swaps in approx_percentile.
-    "q55_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d))
+    "q55_length_quantiles" -> ((s, d) => TextAnalysis.lengthQuantiles(s, d)),
+    // LSH-bucketed near-dup pairs — the production-scale path q25's budget
+    // gate names. Bucket-collision candidates + exact cosine verify; the
+    // oracle rebuilds the full deterministic pipeline (same md5 planes).
+    "q56_neardup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
+    // Per-document top TF-IDF terms (keyword extraction / term weighting).
+    "q57_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -822,6 +828,56 @@ object SparkEntry {
         |  quantile_cont(n_chars, 0.75) AS p75,
         |  quantile_cont(n_chars, 0.95) AS p95,
         |  count(*) AS n, min(n_chars) AS min_c, max(n_chars) AS max_c
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q56_neardup_lsh" ->
+      // Same planes/signatures/bucket-gate CTEs as q27 (the operators share
+      // the sign-LSH index build); candidates = same-bucket pairs in any
+      // table, then the exact rounded cosine verifies each candidate.
+      (s"""WITH $vecsCte,
+        |planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+        |                || CAST(d AS VARCHAR)), 1, 2))::INT % 2 = 1
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+        |  FROM (SELECT unnest(range(80)) AS p)),
+        |bits AS (
+        |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
+        |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM n, planes),
+        |sigs AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
+        |  FROM bits GROUP BY vec_id, tbl),
+        |small AS (
+        |  SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 2048),
+        |idx AS (
+        |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s JOIN small USING (tbl, sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM idx a JOIN idx b USING (tbl, sig)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT v1, v2,
+        |  ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) >= 0.4
+        |ORDER BY v1, v2""".stripMargin),
+    "q57_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                       t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), nn),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, tfidf FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

@@ -138,13 +138,13 @@ object Similarity {
     * cos ≥ 0.95 with 16-bit tables recall is ≳ 99% (asserted in
     * DedupSimilaritySpec on planted duplicates); for weakly-similar top-k
     * over unclustered corpora use [[ivfTopK]]. */
-  def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = vecsDf.select(col("vec_id"), col("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    // one pass computes every sign bit from the single planes literal, then
-    // per-table signatures assemble from the tiny signs array
+  /** (vec_id, tbl, sig) sign-LSH signature frame of a (vec_id, v, …) frame:
+    * one pass computes every sign bit from the single planes literal, then
+    * per-table signatures assemble from the tiny signs array. Shared by the
+    * top-k probe path ([[lshTopKOf]]) and the near-dup pair path
+    * ([[cosineNearDupLshOf]]) so both bucket identically — and identically
+    * to the DuckDB oracles, which rebuild the same md5 planes. */
+  private def sigFrame(e: DataFrame, bits: Int, tables: Int): DataFrame = {
     val signs = transform(planesLit(tables * bits),
       p => when(dot(col("v"), p) > 0, 1L).otherwise(0L))
     def sigBits(t: Int): Column =
@@ -152,19 +152,30 @@ object Similarity {
         element_at(col("signs"), t * bits + b + 1) * (1L << b)).reduce(_ + _)
     val sigEntries = explode(array((0 until tables).map(t =>
       struct(lit(t).as("tbl"), sigBits(t).as("sig"))): _*)).as("ts")
-    val sigs = e.withColumn("signs", signs).select(col("vec_id"), sigEntries)
+    e.withColumn("signs", signs).select(col("vec_id"), sigEntries)
       .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    // hot-bucket gate: count first, semi-join, never materialize a list
-    val smallBuckets = sigs.groupBy(col("tbl"), col("sig"))
+  }
+
+  /** (tbl, sig) pairs of buckets at-or-under `maxBucket` members — the
+    * hot-bucket gate: count first, semi-join, never materialize a list. */
+  private def smallBucketsOf(sigs: DataFrame, maxBucket: Int): DataFrame =
+    sigs.groupBy(col("tbl"), col("sig"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("tbl"), col("sig"))
-    val idx = sigs.join(smallBuckets, Seq("tbl", "sig"), "left_semi")
-    val probes = e.filter(isQuery).withColumn("signs", signs)
-      .select(col("vec_id").as("q_id"), sigEntries)
-      .select(col("q_id"), col("ts.tbl").as("tbl"),
+
+  def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
+      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecsDf.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val sigs = sigFrame(e, bits, tables)
+    val idx = sigs.join(smallBucketsOf(sigs, maxBucket),
+      Seq("tbl", "sig"), "left_semi")
+    val probes = sigFrame(e.filter(isQuery), bits, tables)
+      .select(col("vec_id").as("q_id"), col("tbl"),
         explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*))
           .as("flip"),
-        col("ts.sig").as("qsig"))
+        col("sig").as("qsig"))
       .select(col("q_id"), col("tbl"),
         expr("qsig ^ flip").as("sig"))
     val cand = probes.join(idx, Seq("tbl", "sig"))
@@ -194,6 +205,59 @@ object Similarity {
     * bit-for-bit; the recall contract is additionally spec-asserted. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     lshTopKOf(vecs(spark, dir), col("vec_id") % 100 === 0, k)
+
+  /** LSH-bucketed cosine near-dup pairs — the PRODUCTION-SCALE path for
+    * [[cosineNearDup]]'s semantics (the operator its budget gate names).
+    *
+    * Candidates are pairs sharing a sign-LSH bucket in ANY of the `tables`
+    * hash tables; each candidate is then verified with the exact codegen
+    * dot product, so precision is 1 — every emitted pair genuinely clears
+    * `threshold`, with the same rounded cosine [[cosineNearDup]] reports.
+    * Recall is the multi-table sign-LSH collision probability
+    * (1 − (1 − a^bits)^tables, a = 1 − θ/π per-bit agreement): ≳ 99% in the
+    * near-duplicate regime this operator targets (cos ≥ 0.95 — asserted on
+    * planted duplicates in DedupSimilaritySpec), and deliberately low for
+    * weakly-similar pairs — those are top-k work ([[ivfTopK]]), not dedup.
+    *
+    * Scale shape (never quadratic, unlike the all-pairs baseline):
+    *  - the pair join shuffles on (tbl, sig) — 2^bits keys per table — and
+    *    the hot-bucket gate bounds every bucket to `maxBucket` members
+    *    BEFORE pairing, so the worst key emits ≤ maxBucket²/2 pairs;
+    *  - only (vec_id, tbl, sig) triples move through candidate generation;
+    *    the wide vectors join in AFTER the distinct pair set is formed;
+    *  - exact verification is linear in candidates, which the planted-dup
+    *    regime keeps near-linear in corpus size. */
+  def cosineNearDupLshOf(vecsDf: DataFrame, threshold: Double = 0.4,
+      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
+    val e = vecsDf.select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val sigs = sigFrame(e, bits, tables)
+    val idx = sigs.join(smallBucketsOf(sigs, maxBucket),
+      Seq("tbl", "sig"), "left_semi")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    def cos =
+      round(dot(col("av.v"), col("bv.v")) / col("av.norm") / col("bv.norm"), 6)
+    cand
+      .join(e.as("av"), col("v1") === col("av.vec_id"))
+      .join(e.as("bv"), col("v2") === col("bv.vec_id"))
+      .select(col("v1"), col("v2"), cos.as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Fixture entry point (q56): [[cosineNearDup]]'s threshold over the
+    * embeddings corpus, via the bucketed path. Same output shape as q25;
+    * on the near-uniform fixture the weak 0.4 threshold recalls only the
+    * bucket-colliding subset (the oracle reproduces the full pipeline, so
+    * the driver checks pipeline fidelity; the recall CONTRACT at the
+    * operator's target regime is the planted-duplicate spec). */
+  def cosineNearDupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame =
+    cosineNearDupLshOf(vecs(spark, dir), threshold)
 
   /** IVF (inverted-file) approximate top-k — the scale path for top-k over
     * weakly-clustered corpora, where sign-LSH recall collapses (per-bit

@@ -182,4 +182,41 @@ object TextAnalysis {
         $"n", $"min_c", $"max_c")
       .orderBy($"source")
   }
+
+  /** Per-document top TF-IDF terms — keyword extraction / term weighting
+    * over an arbitrary `(doc_id, text)` frame: tf = term count in the doc,
+    * df = documents containing the term, tfidf = tf · ln(N/df). The corpus
+    * size N is a one-row aggregate frame cross-joined in (broadcast of a
+    * single row — never a driver-side count baked into the plan).
+    *
+    * Scale shape: explode → two partial-agg shuffles ((doc_id, term) then
+    * term) → a join on term (vocabulary-sized — shuffled, not broadcast:
+    * a 100 TB web corpus's vocabulary is itself huge) → one window shuffle
+    * on doc_id for the top-k rank. Every stage is a plain shuffle-on-key
+    * with map-side combine; per-group state is O(1). */
+  def tfidfTopTermsOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Fixture entry point (q57). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOf(Tables.documents(spark, dir))
 }

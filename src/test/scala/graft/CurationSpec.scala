@@ -274,4 +274,34 @@ class CurationSpec extends SparkSpec {
         p75 === q(xs, 0.75) && p95 === q(xs, 0.95), src)
     }
   }
+
+  test("tf-idf top terms match a hand-computed corpus") {
+    import spark.implicits._
+    // 4 docs, small vocabulary: "rare" appears in one doc (highest idf),
+    // "common" in all four (idf 0 -> tfidf 0 regardless of tf)
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common mid mid"),
+      (3L, "common mid"),
+      (4L, "common")
+    ).toDF("doc_id", "text")
+    val res = TextAnalysis.tfidfTopTermsOf(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    def tfidf(tf: Long, df: Long): Double =
+      BigDecimal(tf * math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: rare (tf 1, df 1) beats common (tf 2, df 4 -> 0)
+    assert(res((1L, 1)) === (("rare", 1L, 1L, tfidf(1, 1))))
+    assert(res((1L, 2)) === (("common", 2L, 4L, 0.0)))
+    // doc 2: mid tf 2 df 2; doc 3: mid tf 1
+    assert(res((2L, 1)) === (("mid", 2L, 2L, tfidf(2, 2))))
+    assert(res((3L, 1)) === (("mid", 1L, 2L, tfidf(1, 2))))
+    // doc 4 has only the zero-idf term; ranks are dense per doc and the
+    // zero-score term still surfaces (rank ties break by term asc)
+    assert(res((4L, 1)) === (("common", 1L, 4L, 0.0)))
+    assert(res.keySet === Set((1L, 1), (1L, 2), (2L, 1), (2L, 2),
+      (3L, 1), (3L, 2), (4L, 1)))
+  }
 }

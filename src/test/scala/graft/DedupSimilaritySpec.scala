@@ -200,6 +200,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  test("LSH near-dup pairs recall planted duplicates with exact cosines") {
+    import spark.implicits._
+    // same planted-duplicate construction as the top-k recall test: the
+    // near-dup regime (cos >= 0.99) is the operator's contract
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val noise = (0 until 400).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      (1000L + i, noise(i)._2.map(x => x + 0.01 * rnd.nextGaussian()))
+    }
+    val docs = (noise ++ planted).toDF("vec_id", "v")
+    val res = Similarity.cosineNearDupLshOf(docs, threshold = 0.9,
+      bits = 16, tables = 8, maxBucket = 1024).collect()
+    val pairs = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(recalled >= 18, s"planted near-dup recall $recalled/20 too low")
+    res.foreach(r => assert(r.getDouble(2) >= 0.9,
+      "every emitted pair must clear the exact-cosine verify"))
+  }
+
+  test("LSH near-dup pairs are a subset of the baseline with equal cosines") {
+    val exact = Similarity.cosineNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupLsh(spark, sfDir).collect()
+    assert(lsh.nonEmpty, "q56 must return rows at fixture scale")
+    // precision 1: every bucketed pair appears in the all-pairs baseline
+    // with the identical rounded cosine (same scoring expression)
+    lsh.foreach { r =>
+      val c = exact.get((r.getLong(0), r.getLong(1)))
+      assert(c.contains(r.getDouble(2)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) missing from the baseline")
+    }
+  }
+
+  test("near-dup hot buckets are gated before pairing") {
+    import spark.implicits._
+    // a degenerate corpus (one shared direction) collides into ONE bucket
+    // per table; with maxBucket below the corpus size the gate must drop
+    // those buckets and emit zero pairs — never a quadratic bucket join
+    val docs = (0 until 50).map(i => (i.toLong, Array.fill(64)(1.0)))
+      .toDF("vec_id", "v")
+    val res = Similarity.cosineNearDupLshOf(docs, threshold = 0.0,
+      maxBucket = 10).collect()
+    assert(res.isEmpty, "over-budget buckets must be dropped before pairing")
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

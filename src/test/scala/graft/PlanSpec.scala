@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
       "small corpus side should broadcast for the quadratic baseline")
   }
 
+  test("q56 LSH near-dup never plans the quadratic join q25 declares") {
+    val p = plan(Similarity.cosineNearDupLsh(spark, sfDir))
+    // the scale path's whole point: candidates come from a bounded
+    // (tbl, sig) equi-join, never a nested-loop scan of vector pairs
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"near-dup scale path must stay equi-join shaped:\n$p")
+    assert(p.contains("graft_dot"),
+      "exact verify must run the native codegen dot product")
+  }
+
   test("q38 IVF broadcasts the pivot table on both assignment and probe") {
     val p = plan(Similarity.ivfTopK(spark, sfDir))
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
