@@ -97,7 +97,12 @@ object SparkEntry {
     // oracle rebuilds the full deterministic pipeline (same md5 planes).
     "q56_neardup_lsh" -> ((s, d) => Similarity.cosineNearDupLsh(s, d)),
     // Per-document top TF-IDF terms (keyword extraction / term weighting).
-    "q57_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d))
+    "q57_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    // Embedding-quality diagnostics: per-label centroid coordinates
+    // (decimal-summed, order-independent) and farthest-from-centroid
+    // outliers (native-dot distance identity).
+    "q58_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q59_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -878,6 +883,44 @@ object SparkEntry {
         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY tfidf DESC, term) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, rank, term, tf, df, tfidf FROM r
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q58/q59 share the per-(label, dim) decimal-summed centroid CTE; the
+    // outlier distance expands |x-c|^2 into three list_dot_products so both
+    // engines run the identical index-order IEEE sequence.
+    "q58_centroids" ->
+      """WITH e AS (
+        |  SELECT label, d.d,
+        |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |s AS (
+        |  SELECT label, d, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY label, d)
+        |SELECT label, CAST(d AS INTEGER) AS dim, ROUND(c, 6) AS c, n
+        |FROM s ORDER BY label, dim""".stripMargin,
+    "q59_outliers" ->
+      """WITH e AS (
+        |  SELECT label, d.d,
+        |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |s AS (
+        |  SELECT label, d, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c
+        |  FROM e GROUP BY label, d),
+        |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM s GROUP BY label),
+        |v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |dist AS (
+        |  SELECT v.vec_id, v.label,
+        |    ROUND(sqrt(list_dot_product(x, x) - 2.0 * list_dot_product(x, cv)
+        |          + list_dot_product(cv, cv)), 6) AS dist
+        |  FROM v JOIN cent USING (label)),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |            ORDER BY dist DESC, vec_id) AS INTEGER) AS rank
+        |  FROM dist)
+        |SELECT label, rank, vec_id, dist FROM r
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
   )
 }

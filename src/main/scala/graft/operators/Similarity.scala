@@ -35,7 +35,7 @@ object Similarity {
     import spark.implicits._
     graft.StageMemo(spark, s"vecs:$dir") {
       Tables.embeddings(spark, dir)
-        .select($"vec_id",
+        .select($"vec_id", $"label",
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("norm", sqrt(dot($"v", $"v")))
     }
@@ -258,6 +258,67 @@ object Similarity {
   def cosineNearDupLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame =
     cosineNearDupLshOf(vecs(spark, dir), threshold)
+
+  /** Per-(label, dimension) centroid coordinate of a (label, v) frame —
+    * the embedding-quality diagnostic behind [[labelCentroids]] and
+    * [[centroidOutliers]]. Per-dim sums run over DECIMAL(28,14) casts so
+    * the result is shuffle-order-independent (the README bit-equality
+    * rule), converted to double exactly once before the single division.
+    *
+    * Scale shape: `posexplode` moves 64 (label, d, x) rows per vector —
+    * the same bytes as the vector itself — into ONE partial-agg shuffle
+    * keyed by (label, d); per-group state is a decimal accumulator, O(1).
+    * No collect, no driver state: a billion-vector corpus with millions of
+    * cluster labels shuffles vector-volume bytes once. */
+  private[graft] def centroidCoords(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+        count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+
+  /** Per-label centroid coordinates (q58): one row per (label, dim) —
+    * the relational form, so downstream filters/joins see scalar columns
+    * and the driver oracle compares exactly. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidCoords(vecs(spark, dir))
+      .select(col("label"), col("d").cast("int").as("dim"),
+        round(col("c"), 6).as("c"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Top-k farthest vectors from their own label's centroid (q59) —
+    * mislabeled-cluster / outlier detection. Distance uses the identity
+    * |x−c|² = x·x − 2·x·c + c·c with every dot product running the native
+    * codegen [[graft.functions.DotProduct]] in index order, so DuckDB's
+    * `list_dot_product` reproduces the exact IEEE sequence.
+    *
+    * Scale shape: centroids reassemble to one 64-element array per label
+    * (collect_list bounded by DIM, not corpus), join back on label (tiny
+    * side broadcasts under Catalyst stats), and the per-label top-k is a
+    * window rank — a label holding most of the corpus would skew that
+    * window; at that shape use the salted two-stage top-n of
+    * [[Curation.sourceCap]] instead. */
+  def centroidOutliersOf(e: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroidCoords(e)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    e.join(cent, "label")
+      .select(col("vec_id"), col("label"),
+        round(sqrt(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))), 6).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  /** Fixture entry point (q59). */
+  def centroidOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    centroidOutliersOf(vecs(spark, dir), k)
 
   /** IVF (inverted-file) approximate top-k — the scale path for top-k over
     * weakly-clustered corpora, where sign-LSH recall collapses (per-bit

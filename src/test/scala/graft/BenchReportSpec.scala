@@ -12,7 +12,7 @@ class BenchReportSpec extends AnyFunSuite {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   // realistic worst case: the full suite with long query names
-  private val names = (1 to 57).map(i => f"q$i%02d_some_longer_query_name_$i")
+  private val names = (1 to 59).map(i => f"q$i%02d_some_longer_query_name_$i")
   private val warm = names.map(n => n -> 1.234)
   private val cold = names.map(n => n -> 12.345)
   private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold)
@@ -32,10 +32,10 @@ class BenchReportSpec extends AnyFunSuite {
   test("the final line alone recovers totals and all cold entries") {
     val last = mapper.readTree(lines.last)
     assert(last.get("metric").asText === "total")
-    assert(math.abs(last.get("value").asDouble - 57 * 1.234) < 0.05)
-    assert(math.abs(last.get("cold_total").asDouble - 57 * 12.345) < 0.05)
+    assert(math.abs(last.get("value").asDouble - 59 * 1.234) < 0.05)
+    assert(math.abs(last.get("cold_total").asDouble - 59 * 12.345) < 0.05)
     val qs = last.get("queries")
-    assert(qs.size === 57)
+    assert(qs.size === 59)
     names.foreach { n =>
       val shortKey = n.takeWhile(_ != '_')
       assert(qs.has(shortKey), shortKey)

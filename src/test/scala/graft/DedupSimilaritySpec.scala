@@ -246,6 +246,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.isEmpty, "over-budget buckets must be dropped before pairing")
   }
 
+  test("label centroids average exactly, independent of partitioning") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 0, Array(1.0, 3.0)),
+      (2L, 0, Array(3.0, 5.0)),
+      (3L, 1, Array(-1.0, 0.5))
+    ).toDF("vec_id", "label", "v")
+    // repartition shuffles the rows arbitrarily; the decimal sum makes the
+    // per-dim average identical regardless
+    val got = Similarity.centroidCoords(e.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got((0, 0)) === ((2.0, 2L)) && got((0, 1)) === ((4.0, 2L)))
+    assert(got((1, 0)) === ((-1.0, 1L)) && got((1, 1)) === ((0.5, 1L)))
+  }
+
+  test("centroid outliers rank the planted far point first") {
+    import spark.implicits._
+    // label 0: three points near the origin plus one planted at (10, 0) —
+    // centroid (2.5, 0), so the far point sits at distance 7.5
+    val e = Seq(
+      (1L, 0, Array(0.0, 0.0)),
+      (2L, 0, Array(0.0, 0.0)),
+      (3L, 0, Array(0.0, 0.0)),
+      (4L, 0, Array(10.0, 0.0))
+    ).toDF("vec_id", "label", "v")
+    val res = Similarity.centroidOutliersOf(e, k = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(res((0, 1)) === ((4L, 7.5)))
+    // ties among the origin points break by vec_id
+    assert(res((0, 2)) === ((1L, 2.5)))
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
