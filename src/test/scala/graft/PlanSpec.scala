@@ -65,6 +65,28 @@ class PlanSpec extends SparkSpec {
       "exact verify must run the native codegen dot product")
   }
 
+  test("q57 tf-idf broadcasts only the one-row corpus count") {
+    val p = plan(graft.operators.TextAnalysis.tfidfTopTerms(spark, sfDir))
+    // the single nested-loop join is the broadcast one-row N frame; the
+    // vocabulary join must stay an equi-join (shuffled or broadcast-hash)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"exactly the one-row count may nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "tf and df aggregates must both plan partial+final")
+  }
+
+  test("q58 centroids pay one hash shuffle for the per-dim aggregate") {
+    val p = plan(graft.operators.Similarity.labelCentroids(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"map-side partial aggregation expected:\n$p")
+    // one hashpartitioning exchange for (label, d); the trailing orderBy
+    // adds its rangepartitioning — nothing else may shuffle
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) === 1,
+      s"exactly one hash shuffle for the centroid aggregate:\n$p")
+  }
+
   test("q38 IVF broadcasts the pivot table on both assignment and probe") {
     val p = plan(Similarity.ivfTopK(spark, sfDir))
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
