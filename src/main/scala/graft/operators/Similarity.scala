@@ -265,11 +265,12 @@ object Similarity {
     * the result is shuffle-order-independent (the README bit-equality
     * rule), converted to double exactly once before the single division.
     *
-    * Scale shape: `posexplode` moves 64 (label, d, x) rows per vector —
-    * the same bytes as the vector itself — into ONE partial-agg shuffle
-    * keyed by (label, d); per-group state is a decimal accumulator, O(1).
-    * No collect, no driver state: a billion-vector corpus with millions of
-    * cluster labels shuffles vector-volume bytes once. */
+    * Scale shape: `posexplode` generates 64 (label, d, x) rows per vector,
+    * but the map-side partial aggregate collapses them to (labels × 64)
+    * accumulators per partition BEFORE the single exchange (PlanSpec pins
+    * one hash shuffle) — so shuffle volume is labels × 64 × partitions,
+    * independent of corpus size; per-group state is a decimal accumulator,
+    * O(1). No collect, no driver state. */
   private[graft] def centroidCoords(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
