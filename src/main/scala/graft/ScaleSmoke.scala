@@ -29,8 +29,11 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def stage(table: String, keyCols: Seq[String], textCol: Option[String])
-        : Unit = {
+    // key-shift mult copies; `perturb` runs with the copy index `_i` still
+    // in scope so per-copy transforms (near-dup text, decorrelated vectors)
+    // stay next to the staging they modify
+    def stage(table: String, keyCols: Seq[String],
+        perturb: DataFrame => DataFrame = identity): Unit = {
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
       val maxKeys = keyCols.map(k =>
         k -> (src.agg(max(col(k))).head().getLong(0) + 1L)).toMap
@@ -39,33 +42,25 @@ object ScaleSmoke {
       val shifted = keyCols.foldLeft(copies) { (df, k) =>
         df.withColumn(k, col(k) + col("_i") * maxKeys(k))
       }
-      // perturb text so N× docs are near-dups of their source, not exact
-      // clones (exact clones would just re-test the 1× structure)
-      val out = textCol.fold(shifted)(t => shifted.withColumn(t,
-        concat(col(t), lit(" uniq"), col("_i"))))
-      out.drop("_i").write.mode("overwrite").parquet(s"$staged/$table.parquet")
+      perturb(shifted).drop("_i")
+        .write.mode("overwrite").parquet(s"$staged/$table.parquet")
     }
-    stage("lineitem", Seq("l_orderkey"), None)
-    stage("orders", Seq("o_orderkey"), None)
-    stage("documents", Seq("doc_id"), Some("text"))
-    stage("events", Seq("event_id", "user_id"), None)
-    // embeddings: shift ids and flip a per-(copy, dim) pseudo-random sign
-    // pattern so copies are near-orthogonal to their source — near-dup pair
-    // structure then grows linearly with mult (exact clones would grow the
-    // pair output quadratically, which is the exact-dedup regime, and would
+    stage("lineitem", Seq("l_orderkey"))
+    stage("orders", Seq("o_orderkey"))
+    // perturb text so N× docs are near-dups of their source, not exact
+    // clones (exact clones would just re-test the 1× structure)
+    stage("documents", Seq("doc_id"), _.withColumn("text",
+      concat($"text", lit(" uniq"), $"_i")))
+    stage("events", Seq("event_id", "user_id"))
+    // embeddings: flip a per-(copy, dim) pseudo-random sign pattern so
+    // copies are near-orthogonal to their source — near-dup pair structure
+    // then grows linearly with mult (exact clones would grow the pair
+    // output quadratically, which is the exact-dedup regime, and would
     // re-test bucket skew rather than corpus growth)
-    locally {
-      val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val maxId = src.agg(max($"vec_id")).head().getLong(0) + 1L
-      src.withColumn("_i", explode(lit((0 until mult).toArray)))
-        .withColumn("vec_id", $"vec_id" + $"_i" * maxId)
-        .withColumn("embedding", expr(
-          """transform(embedding, (x, d) ->
-            |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
-            |       THEN x ELSE -x END)""".stripMargin))
-        .drop("_i")
-        .write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
-    }
+    stage("embeddings", Seq("vec_id"), _.withColumn("embedding", expr(
+      """transform(embedding, (x, d) ->
+        |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
+        |       THEN x ELSE -x END)""".stripMargin)))
     for (t <- Seq("customer", "supplier", "part", "nation", "region"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$staged/$t.parquet")

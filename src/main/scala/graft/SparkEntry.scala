@@ -888,10 +888,14 @@ object SparkEntry {
     // outlier distance expands |x-c|^2 into three list_dot_products so both
     // engines run the identical index-order IEEE sequence.
     "q58_centroids" ->
+      // the WHERE mirrors posexplode exactly: a NULL array yields no rows
+      // and indexes never run past the array length, so n counts the same
+      // (label, d) rows on both engines even on degenerate inputs
       """WITH e AS (
         |  SELECT label, d.d,
         |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
-        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d
+        |  WHERE embedding IS NOT NULL AND d.d < len(embedding)),
         |s AS (
         |  SELECT label, d, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c,
         |    COUNT(*) AS n
@@ -899,10 +903,14 @@ object SparkEntry {
         |SELECT label, CAST(d AS INTEGER) AS dim, ROUND(c, 6) AS c, n
         |FROM s ORDER BY label, dim""".stripMargin,
     "q59_outliers" ->
+      // same posexplode-mirroring WHERE as q58; greatest(0, ...) clamps the
+      // FP-negative |x-c|^2 a vector AT its centroid can compute (DuckDB's
+      // sqrt throws on negatives; Spark clamps identically)
       """WITH e AS (
         |  SELECT label, d.d,
         |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
-        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d),
+        |  FROM embeddings, (SELECT unnest(range(64)) AS d) d
+        |  WHERE embedding IS NOT NULL AND d.d < len(embedding)),
         |s AS (
         |  SELECT label, d, CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS c
         |  FROM e GROUP BY label, d),
@@ -913,8 +921,9 @@ object SparkEntry {
         |  FROM embeddings),
         |dist AS (
         |  SELECT v.vec_id, v.label,
-        |    ROUND(sqrt(list_dot_product(x, x) - 2.0 * list_dot_product(x, cv)
-        |          + list_dot_product(cv, cv)), 6) AS dist
+        |    ROUND(sqrt(greatest(0.0,
+        |          list_dot_product(x, x) - 2.0 * list_dot_product(x, cv)
+        |          + list_dot_product(cv, cv))), 6) AS dist
         |  FROM v JOIN cent USING (label)),
         |r AS (
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label

@@ -117,27 +117,6 @@ object Similarity {
   private def planesLit(n: Int): Column =
     typedLit((0 until n).map(p => (0 until DIM).map(d => planeComponent(p, d))))
 
-  /** Multi-table sign-LSH approximate top-k over an arbitrary
-    * `(vec_id, v: array<double>)` frame — the library form of [[lshTopK]].
-    *
-    * `tables` independent hash tables, each keyed by `bits` hyperplane sign
-    * bits; a query probes its own bucket plus every Hamming-distance-1
-    * bucket in every table. Scale shape:
-    *  - bucket space is `2^bits` PER TABLE (configurable; use
-    *    bits ≈ log2(corpus)+4 so buckets stay O(1)) — no small-key-space
-    *    hot shuffle;
-    *  - buckets larger than `maxBucket` are dropped by a count + semi-join
-    *    gate BEFORE the probe join (a degenerate bucket — all-zero vectors,
-    *    crawler boilerplate — never materializes a candidate explosion, the
-    *    same df-gate shape as [[Dedup.ngramJaccardOf]]);
-    *  - candidate generation moves only (table, sig, vec_id) triples; the
-    *    wide vectors join in AFTER the distinct candidate set is formed.
-    *
-    * Sign-LSH recall is a function of pair cosine (per-bit agreement is
-    * 1 − θ/π), so this operator is the NEAR-DUPLICATE scale path: at
-    * cos ≥ 0.95 with 16-bit tables recall is ≳ 99% (asserted in
-    * DedupSimilaritySpec on planted duplicates); for weakly-similar top-k
-    * over unclustered corpora use [[ivfTopK]]. */
   /** (vec_id, tbl, sig) sign-LSH signature frame of a (vec_id, v, …) frame:
     * one pass computes every sign bit from the single planes literal, then
     * per-table signatures assemble from the tiny signs array. Shared by the
@@ -163,6 +142,27 @@ object Similarity {
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("tbl"), col("sig"))
 
+  /** Multi-table sign-LSH approximate top-k over an arbitrary
+    * `(vec_id, v: array<double>)` frame — the library form of [[lshTopK]].
+    *
+    * `tables` independent hash tables, each keyed by `bits` hyperplane sign
+    * bits; a query probes its own bucket plus every Hamming-distance-1
+    * bucket in every table. Scale shape:
+    *  - bucket space is `2^bits` PER TABLE (configurable; use
+    *    bits ≈ log2(corpus)+4 so buckets stay O(1)) — no small-key-space
+    *    hot shuffle;
+    *  - buckets larger than `maxBucket` are dropped by a count + semi-join
+    *    gate BEFORE the probe join (a degenerate bucket — all-zero vectors,
+    *    crawler boilerplate — never materializes a candidate explosion, the
+    *    same df-gate shape as [[Dedup.ngramJaccardOf]]);
+    *  - candidate generation moves only (table, sig, vec_id) triples; the
+    *    wide vectors join in AFTER the distinct candidate set is formed.
+    *
+    * Sign-LSH recall is a function of pair cosine (per-bit agreement is
+    * 1 − θ/π), so this operator is the NEAR-DUPLICATE scale path: at
+    * cos ≥ 0.95 with 16-bit tables recall is ≳ 99% (asserted in
+    * DedupSimilaritySpec on planted duplicates); for weakly-similar top-k
+    * over unclustered corpora use [[ivfTopK]]. */
   def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
       bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -309,8 +309,14 @@ object Similarity {
       .orderBy(col("dist").desc, col("vec_id"))
     e.join(cent, "label")
       .select(col("vec_id"), col("label"),
-        round(sqrt(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-          + dot(col("cv"), col("cv"))), 6).as("dist"))
+        // |x−c|² is mathematically ≥ 0 but the three independently-summed
+        // dots carry rounding noise: a vector AT its centroid (singleton
+        // label, or byte-identical duplicates) can compute fractionally
+        // negative — Spark would emit NaN (which sorts FIRST desc) and
+        // DuckDB's sqrt throws. Clamp on both sides.
+        round(sqrt(greatest(lit(0.0),
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + dot(col("cv"), col("cv")))), 6).as("dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("label"), col("rank"), col("vec_id"), col("dist"))

@@ -192,9 +192,13 @@ object Continuous {
       finally walk.close()
     val fresh = java.nio.file.Files.exists(success) &&
       java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
-    if (!fresh)
+    if (!fresh) {
       graft.Tables.tableOf(spark, dir, table)
         .repartition(files).write.mode("overwrite").parquet(out)
+      // a rewritten staged copy may carry a changed schema (regenerated
+      // fixture) — drop the cached one so the next read re-infers
+      schemaCache.remove(out)
+    }
     out
   }
 
@@ -203,9 +207,9 @@ object Continuous {
     * each operator pay its own shared stages, but schema inference is
     * harness STAGING plumbing, not operator work: a production stream
     * declares its schema once, it doesn't re-infer parquet footers per
-    * run). Staged dirs are written once per (dir, table) and never change
-    * within a JVM — stageChunks re-stages only when the SOURCE fixture
-    * changes, which also changes nothing about the schema. */
+    * run). Staged dirs are written once per (dir, table); when stageChunks
+    * detects a regenerated source fixture and rewrites a staged copy, it
+    * drops the cached entry so a changed schema re-infers. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 

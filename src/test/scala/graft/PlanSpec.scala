@@ -78,8 +78,8 @@ class PlanSpec extends SparkSpec {
 
   test("q58 centroids pay one hash shuffle for the per-dim aggregate") {
     val p = plan(graft.operators.Similarity.labelCentroids(spark, sfDir))
-    assert(p.contains("partial_sum") || p.contains("partial"),
-      s"map-side partial aggregation expected:\n$p")
+    assert(p.contains("partial_sum"),
+      s"map-side partial decimal sum expected before the exchange:\n$p")
     // one hashpartitioning exchange for (label, d); the trailing orderBy
     // adds its rangepartitioning — nothing else may shuffle
     assert(p.linesIterator.count(l =>
