@@ -280,6 +280,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res((0, 2)) === ((1L, 2.5)))
   }
 
+  test("centroid outliers clamp the FP-negative distance of exact duplicates") {
+    import spark.implicits._
+    // byte-identical vectors with a 15-decimal-digit coordinate: the
+    // centroid rounds at DECIMAL(28,14), so x·x − 2x·c + c·c carries
+    // rounding noise around 0 — without the clamp this emitted NaN (which
+    // sorts FIRST desc) on the Spark side and crashed DuckDB's sqrt
+    val x = 0.123456789012345
+    val e = Seq(
+      (1L, 0, Array.fill(64)(x)),
+      (2L, 0, Array.fill(64)(x)),
+      (3L, 0, Array.fill(64)(x))
+    ).toDF("vec_id", "label", "v")
+    val res = Similarity.centroidOutliersOf(e, k = 3).collect()
+    assert(res.length === 3)
+    res.foreach { r =>
+      assert(!r.getDouble(3).isNaN, "clamped distance must never be NaN")
+      assert(r.getDouble(3) === 0.0)
+    }
+    // rank ties among identical members break by vec_id
+    assert(res.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
