@@ -101,39 +101,20 @@ object Similarity {
 
   private val DIM = 64
 
-  /** Deterministic ±1 hyperplane component for (plane p, dim d): the parity
-    * of the first hex digit of md5("p:d") — reproducible on any engine, no
-    * RNG state to ship. */
-  private def planeComponent(p: Int, d: Int): Double =
-    if ((Integer.parseInt(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$d".getBytes("UTF-8")).take(1).map("%02x".format(_))
-        .mkString, 16) & 1) == 1) 1.0 else -1.0
-
-  /** ALL hyperplanes as ONE nested-array literal. `typedLit` emits a single
-    * Literal node — building 80 separate 64-element `array(lit...)` trees
-    * put ~10k expression nodes in the plan and Catalyst analysis dominated
-    * the query (4.2 s on a 500-vector fixture). */
-  private def planesLit(n: Int): Column =
-    typedLit((0 until n).map(p => (0 until DIM).map(d => planeComponent(p, d))))
-
   /** (vec_id, tbl, sig) sign-LSH signature frame of a (vec_id, v, …) frame:
-    * one pass computes every sign bit from the single planes literal, then
-    * per-table signatures assemble from the tiny signs array. Shared by the
-    * top-k probe path ([[lshTopKOf]]) and the near-dup pair path
+    * the native [[graft.functions.SignLshSigs]] expression computes every
+    * per-table signature in one codegen-resident kernel call per row (the
+    * earlier `transform` + planes-literal formulation paid tables × bits
+    * interpreted dot products per row — HOFs have no codegen). Shared by
+    * the top-k probe path ([[lshTopKOf]]) and the near-dup pair path
     * ([[cosineNearDupLshOf]]) so both bucket identically — and identically
-    * to the DuckDB oracles, which rebuild the same md5 planes. */
-  private def sigFrame(e: DataFrame, bits: Int, tables: Int): DataFrame = {
-    val signs = transform(planesLit(tables * bits),
-      p => when(dot(col("v"), p) > 0, 1L).otherwise(0L))
-    def sigBits(t: Int): Column =
-      (0 until bits).map(b =>
-        element_at(col("signs"), t * bits + b + 1) * (1L << b)).reduce(_ + _)
-    val sigEntries = explode(array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"), sigBits(t).as("sig"))): _*)).as("ts")
-    e.withColumn("signs", signs).select(col("vec_id"), sigEntries)
-      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-  }
+    * to the DuckDB oracles, which rebuild the same md5 planes
+    * (differential-tested in DedupSimilaritySpec and gated by the
+    * q27/q56 oracle rows). */
+  private def sigFrame(e: DataFrame, bits: Int, tables: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.LshFunctions.lshSigs(col("v"), DIM, bits,
+        tables)).as(Seq("tbl", "sig")))
 
   /** (tbl, sig) pairs of buckets at-or-under `maxBucket` members — the
     * hot-bucket gate: count first, semi-join, never materialize a list. */

@@ -302,6 +302,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("native LSH signatures equal the relational planes formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the HOF formulation the native kernel replaced, rebuilt inline: the
+    // md5-parity planes literal, per-plane sign bits via the codegen dot,
+    // per-table bit assembly — signatures must match bit for bit
+    // first-BYTE parity (= the oracle's substr(md5, 1, 2)::INT % 2), not
+    // first-hex-digit parity — the nibble variant silently agreed with a
+    // same-bug kernel while the oracle disagreed (caught by check.py)
+    def planeComponent(p: Int, d: Int): Double =
+      if ((java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))(0) & 1) == 1) 1.0 else -1.0
+    val (dim, bits, tables) = (64, 10, 8)
+    val planes = typedLit((0 until tables * bits).map(p =>
+      (0 until dim).map(d => planeComponent(p, d))))
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val signs = transform(planes,
+      p => when(graft.functions.VectorFunctions.dot($"v", p) > 0, 1L)
+        .otherwise(0L))
+    def sigBits(t: Int) = (0 until bits).map(b =>
+      element_at(col("signs"), t * bits + b + 1) * (1L << b)).reduce(_ + _)
+    val expected = v.withColumn("signs", signs)
+      .select($"vec_id", array((0 until tables).map(sigBits): _*).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = v.select($"vec_id",
+        graft.functions.LshFunctions.lshSigs($"v", dim, bits, tables).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.nonEmpty && native === expected)
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

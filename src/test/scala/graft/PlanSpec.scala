@@ -63,6 +63,8 @@ class PlanSpec extends SparkSpec {
       s"near-dup scale path must stay equi-join shaped:\n$p")
     assert(p.contains("graft_dot"),
       "exact verify must run the native codegen dot product")
+    assert(p.contains("graft_lsh_sigs"),
+      "signature build must run the native kernel, not interpreted HOFs")
   }
 
   test("q57 tf-idf broadcasts only the one-row corpus count") {
