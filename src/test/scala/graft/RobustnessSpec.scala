@@ -44,6 +44,29 @@ class RobustnessSpec extends SparkSpec {
       $"rts".as("s"), $"rts".as("e")), Seq("k"), "ts", "s", "e").count() === 0)
   }
 
+  test("new diagnostics tolerate null text, null vectors, empty frames") {
+    import spark.implicits._
+    import graft.operators.{Similarity, TextAnalysis}
+    // tf-idf: null and empty texts contribute no terms; docs made entirely
+    // of them disappear from the output (same as the oracle's unnest)
+    val docs = Seq((1L, "a b a"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val tfidf = TextAnalysis.tfidfTopTermsOf(docs).collect()
+    assert(tfidf.map(_.getLong(0)).distinct.toSeq === Seq(1L))
+    assert(TextAnalysis.tfidfTopTermsOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
+    // centroids: a null vector contributes no (label, d) rows — n counts
+    // only real vectors, mirroring the oracle's NULL-skipping WHERE
+    val e = Seq((1L, 0, Array(2.0, 4.0)), (2L, 0, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "label", "v")
+    val cents = Similarity.centroidCoords(e).collect()
+      .map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(cents === Map(0 -> ((2.0, 1L)), 1 -> ((4.0, 1L))))
+    // LSH near-dup: empty corpus stays empty end to end
+    assert(Similarity.cosineNearDupLshOf(
+      Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")).count() === 0)
+  }
+
   test("star contraction tolerates self-loops, duplicates, both orientations") {
     import spark.implicits._
     import graft.operators.Curation
