@@ -368,9 +368,12 @@ object SparkEntry {
     "q27_ann_lsh" ->
       // Multi-table sign-LSH (Similarity.lshTopKOf, defaults bits=10,
       // tables=8, maxBucket=2048, k=5). The ±1 hyperplanes are the parity
-      // of the first md5 byte of "p:d" (Similarity.planeComponent), so the
-      // signatures — and therefore the candidate sets — are reproducible in
-      // any engine; dot products sum in index order on both sides.
+      // of the first md5 byte of "p:d" (graft.functions.LshKernel
+      // .planeComponent), so the signatures — and therefore the candidate
+      // sets — are reproducible in any engine; dot products sum in index
+      // order on both sides. NULL vectors are excluded from the index
+      // entirely — the native kernel returns NULL for a NULL child and
+      // posexplode drops it (the WHERE mirrors that drop).
       (s"""WITH $vecsCte,
         |planes AS (
         |  SELECT p, list_transform(range(64), d ->
@@ -381,7 +384,7 @@ object SparkEntry {
         |bits AS (
         |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
         |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM n, planes),
+        |  FROM n, planes WHERE n.v IS NOT NULL),
         |sigs AS (
         |  SELECT vec_id, tbl,
         |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
@@ -836,8 +839,9 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q56_neardup_lsh" ->
       // Same planes/signatures/bucket-gate CTEs as q27 (the operators share
-      // the sign-LSH index build); candidates = same-bucket pairs in any
-      // table, then the exact rounded cosine verifies each candidate.
+      // the sign-LSH index build, including the NULL-vector drop);
+      // candidates = same-bucket pairs in any table, then the exact rounded
+      // cosine verifies each candidate.
       (s"""WITH $vecsCte,
         |planes AS (
         |  SELECT p, list_transform(range(64), d ->
@@ -848,7 +852,7 @@ object SparkEntry {
         |bits AS (
         |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
         |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM n, planes),
+        |  FROM n, planes WHERE n.v IS NOT NULL),
         |sigs AS (
         |  SELECT vec_id, tbl,
         |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
@@ -888,9 +892,10 @@ object SparkEntry {
     // outlier distance expands |x-c|^2 into three list_dot_products so both
     // engines run the identical index-order IEEE sequence.
     "q58_centroids" ->
-      // the WHERE mirrors posexplode exactly: a NULL array yields no rows
-      // and indexes never run past the array length, so n counts the same
-      // (label, d) rows on both engines even on degenerate inputs
+      // the WHERE mirrors posexplode on the fixture's dim-64 contract:
+      // a NULL array yields no rows and indexes never run past the array
+      // length (an over-64-dim array would still diverge — the range(64)
+      // cap is the oracle's fixture assumption, not a general guarantee)
       """WITH e AS (
         |  SELECT label, d.d,
         |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
@@ -903,9 +908,11 @@ object SparkEntry {
         |SELECT label, CAST(d AS INTEGER) AS dim, ROUND(c, 6) AS c, n
         |FROM s ORDER BY label, dim""".stripMargin,
     "q59_outliers" ->
-      // same posexplode-mirroring WHERE as q58; greatest(0, ...) clamps the
-      // FP-negative |x-c|^2 a vector AT its centroid can compute (DuckDB's
-      // sqrt throws on negatives; Spark clamps identically)
+      // same posexplode-mirroring WHERE as q58 (fixture dim-64 contract);
+      // the v CTE drops NULL vectors like the Spark side's isNotNull
+      // filter; greatest(0, ...) clamps the FP-negative |x-c|^2 a vector
+      // AT its centroid can compute (DuckDB's sqrt throws on negatives;
+      // Spark clamps identically)
       """WITH e AS (
         |  SELECT label, d.d,
         |    CAST(CAST(embedding[d.d + 1] AS DOUBLE) AS DECIMAL(28,14)) AS xd
@@ -918,7 +925,7 @@ object SparkEntry {
         |v AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |dist AS (
         |  SELECT v.vec_id, v.label,
         |    ROUND(sqrt(greatest(0.0,

@@ -54,7 +54,12 @@ object LshKernel {
     * dot(v, plane[t * bits + b]), summed left-to-right in index order like
     * [[DotProduct]] (bit-identical to the oracle's `list_dot_product`).
     * Vectors shorter than `dim` dot over their own length — the same
-    * min-length semantics as the dot expression the HOF form used. */
+    * min-length semantics as the dot expression the HOF form used. NULL
+    * elements contribute 0 to every dot (checked explicitly, so the
+    * interpreted path cannot NPE and matches what unsafe rows read) —
+    * a documented contract, since DuckDB's list_dot_product would instead
+    * propagate NULL; the fixture carries no null elements and the
+    * differential gate would surface a corpus that does. */
   def compute(v: ArrayData, planes: Array[Double], dim: Int,
       bits: Int, tables: Int): ArrayData = {
     val n = math.min(v.numElements(), dim)
@@ -67,7 +72,10 @@ object LshKernel {
         val base = (t * bits + b) * dim
         var s = 0.0
         var i = 0
-        while (i < n) { s += v.getDouble(i) * planes(base + i); i += 1 }
+        while (i < n) {
+          if (!v.isNullAt(i)) s += v.getDouble(i) * planes(base + i)
+          i += 1
+        }
         if (s > 0) sig |= (1L << b)
         b += 1
       }

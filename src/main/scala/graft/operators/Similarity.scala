@@ -288,7 +288,11 @@ object Similarity {
         s => s.getField("c")).as("cv"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("dist").desc, col("vec_id"))
-    e.join(cent, "label")
+    // NULL vectors are excluded like centroidCoords excludes them — without
+    // this, greatest(0, null-dot) would report a null vector as sitting
+    // exactly AT its centroid (dist 0), the opposite of what an outlier
+    // diagnostic should say about a row it cannot score
+    e.filter(col("v").isNotNull).join(cent, "label")
       .select(col("vec_id"), col("label"),
         // |x−c|² is mathematically ≥ 0 but the three independently-summed
         // dots carry rounding noise: a vector AT its centroid (singleton

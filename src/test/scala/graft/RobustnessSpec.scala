@@ -62,6 +62,11 @@ class RobustnessSpec extends SparkSpec {
     val cents = Similarity.centroidCoords(e).collect()
       .map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3))).toMap
     assert(cents === Map(0 -> ((2.0, 1L)), 1 -> ((4.0, 1L))))
+    // outliers EXCLUDE the null vector rather than clamp-scoring it as
+    // sitting exactly at the centroid (dist 0)
+    val outs = Similarity.centroidOutliersOf(e).collect()
+    assert(outs.map(_.getLong(2)).toSeq === Seq(1L) &&
+      outs.head.getDouble(3) === 0.0)
     // LSH near-dup: empty corpus stays empty end to end
     assert(Similarity.cosineNearDupLshOf(
       Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")).count() === 0)
