@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tails `sbt "runMain graft.Bench"` stdout for bare JSON
+// report lines. sbt's default BufferedOutput wraps every forked-process
+// line in "[info] " and appends a "[success] Total time…" trailer, so the
+// captured tail never contains parseable JSON (BENCH_r4..r7 all have
+// parsed=null). StdoutOutput passes forked stdout through unprefixed, and
+// showSuccess=false drops the trailer so the LAST captured line is the
+// compact JSON record Bench emits.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

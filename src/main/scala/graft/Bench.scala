@@ -64,7 +64,19 @@ object Bench {
       name -> runOnce(name, fn, sfDir)
     }
     StageMemo.clear()
-    reportLines(sfDir, results, cold).foreach(println)
+    val lines = reportLines(sfDir, results, cold)
+    lines.foreach(println)
+    // Belt and braces vs log-capture loss: also persist the full report to a
+    // file so the artifact never depends on how the launcher wraps stdout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] report file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 
