@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+/** Negative-query corpus mirroring the reference's semantic-error suite
+  * (ql/src/test/queries/negative — 32 .q shapes): each query must be
+  * REJECTED with an error naming the offender, not silently resolved.
+  *
+  * The reference's golden artifacts are compiler error logs; here the
+  * assertion is the modern equivalent — Catalyst raises AnalysisException
+  * (ParseException extends it) with a structured error class and the
+  * offending identifier in the message.
+  *
+  * Seven reference shapes are VALID Spark SQL by design (documented
+  * supersets, second table below): variadic `concat` (invalid_function_
+  * param1, unknown_function5), double-quoted string literals
+  * (quoted_string), computed list/map indexes and int→string map-key
+  * coercion (invalid_list_index2, invalid_map_index, invalid_map_index2),
+  * and multi-insert with two different COUNT(DISTINCT) branches
+  * (wrong_distinct3 — vintage Hive's single-shuffle planner couldn't, Spark
+  * plans each insert branch independently). Those assert clean execution.
+  *
+  * One shape moves from analysis time to run time: invalid_function_param2
+  * (substr('1234', 'abc')) — Spark's implicit cast accepts the string
+  * argument at analysis and ANSI mode rejects the malformed literal at
+  * execution with CAST_INVALID_INPUT naming 'abc'.
+  */
+class NegativeQuerySpec extends SparkSpec {
+
+  /** src / src_thrift / dest fixtures shaped like the reference's
+    * (key STRING, value STRING; lint ARRAY<INT>, lstring ARRAY<STRING>,
+    * mstringstring MAP<STRING,STRING>). wd3_* stand in for wrong_distinct3's
+    * DEST1/DEST2, typed for its COUNT(DISTINCT) output. */
+  private lazy val fixtures: Unit = {
+    spark.sql(
+      """SELECT cast(id * 7 % 500 AS STRING) AS key, concat('val_', id) AS value
+        |FROM range(100)""".stripMargin).createOrReplaceTempView("src")
+    spark.sql(
+      """SELECT array(1, 2, 3) AS lint,
+        |       array('a', 'b', 'c', 'd', 'e') AS lstring,
+        |       map('k', 'v', 'abcabc', 'w') AS mstringstring
+        |FROM range(5)""".stripMargin).createOrReplaceTempView("src_thrift")
+    Seq("dest1" -> "(key STRING, value STRING)",
+        "wd3_dest1" -> "(key STRING, cnt BIGINT)",
+        "wd3_dest2" -> "(key STRING, cnt BIGINT)").foreach { case (t, schema) =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables across JVMs but their warehouse
+      // dirs persist; clear them so CREATE doesn't hit LOCATION_ALREADY_EXISTS
+      val wh = java.nio.file.Paths.get(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      rmrf(wh.resolve(t).toFile)
+      spark.sql(s"CREATE TABLE $t $schema USING PARQUET")
+    }
+  }
+
+  /** (shape, sql, message fragments that must all appear — the error class
+    * and the offending identifier). */
+  private val rejected: Seq[(String, String, Seq[String])] = Seq(
+    ("duplicate_alias",
+      "FROM src a JOIN src a ON (a.key = a.key)\nINSERT OVERWRITE TABLE dest1 SELECT a.key, a.value",
+      Seq("AMBIGUOUS_REFERENCE", "`a`.`key`")),
+    ("garbage",
+      "this is totally garbage SELECT src.key WHERE a lot of garbage",
+      Seq("PARSE_SYNTAX_ERROR", "'this'")),
+    ("invalid_dot",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT src.value.member WHERE src.key < 100",
+      Seq("INVALID_EXTRACT_BASE_FIELD_TYPE", "\"value\"")),
+    ("invalid_index",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT src.key[0], src.value",
+      Seq("INVALID_EXTRACT_BASE_FIELD_TYPE", "\"key\"")),
+    ("invalid_list_index",
+      "FROM src_thrift\nINSERT OVERWRITE TABLE dest1 SELECT src_thrift.lint[0], src_thrift.lstring['abc']",
+      Seq("DATATYPE_MISMATCH", "abc", "INTEGRAL")),
+    ("missing_overwrite",
+      "FROM src\nINSERT TABLE dest1 SELECT '1234', src.value WHERE src.key < 100",
+      Seq("PARSE_SYNTAX_ERROR", "'TABLE'")),
+    ("nonkey_groupby",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.key < 100 group by src.key",
+      Seq("MISSING_AGGREGATION", "value")),
+    ("notable_alias1",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', value WHERE src.key < 100 group by src.key",
+      Seq("MISSING_AGGREGATION", "value")),
+    ("notable_alias2",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE key < 100 group by src.key",
+      Seq("MISSING_AGGREGATION", "value")),
+    ("notable_alias3",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.key < 100 group by key",
+      Seq("MISSING_AGGREGATION", "value")),
+    ("unknown_column1",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.dummycol WHERE src.key < 100",
+      Seq("UNRESOLVED_COLUMN", "`src`.`dummycol`")),
+    ("unknown_column2",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.dummykey < 100",
+      Seq("UNRESOLVED_COLUMN", "`src`.`dummykey`")),
+    ("unknown_column3",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.key < 100 group by src.dummycol",
+      Seq("UNRESOLVED_COLUMN", "`src`.`dummycol`")),
+    ("unknown_column4",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.key < 100 group by dummysrc.key",
+      Seq("UNRESOLVED_COLUMN", "`dummysrc`.`key`")),
+    ("unknown_column5",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE dummysrc.key < 100 group by src.key",
+      Seq("UNRESOLVED_COLUMN", "`dummysrc`.`key`")),
+    ("unknown_column6",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', dummysrc.value WHERE src.key < 100 group by src.key",
+      Seq("UNRESOLVED_COLUMN", "`dummysrc`.`value`")),
+    ("unknown_function1",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', dummyfn(src.value, 10) WHERE src.key < 100",
+      Seq("UNRESOLVED_ROUTINE", "`dummyfn`")),
+    ("unknown_function2",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE anotherdummyfn('abc', src.key) + 10 < 100",
+      Seq("UNRESOLVED_ROUTINE", "`anotherdummyfn`")),
+    ("unknown_function3",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE anotherdummyfn('abc', src.key) + 10 < 100 group by src.key",
+      Seq("UNRESOLVED_ROUTINE", "`anotherdummyfn`")),
+    ("unknown_function4",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', dummyfn(src.key) WHERE src.key < 100 group by src.key",
+      Seq("UNRESOLVED_ROUTINE", "`dummyfn`")),
+    ("unknown_table1",
+      "FROM dummySrc\nINSERT OVERWRITE TABLE dest1 SELECT '1234', src.value WHERE src.key < 100",
+      Seq("TABLE_OR_VIEW_NOT_FOUND", "`dummySrc`")),
+    ("unknown_table2",
+      "FROM src\nINSERT OVERWRITE TABLE dummyDest SELECT '1234', src.value WHERE src.key < 100",
+      Seq("TABLE_OR_VIEW_NOT_FOUND", "`dummyDest`")),
+    ("wrong_distinct1",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT DISTINCT src.key, substr(src.value,4,1) GROUP BY src.key",
+      Seq("MISSING_AGGREGATION", "value")),
+    ("wrong_distinct2",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT src.key, DISTINCT substr(src.value,4,1) GROUP BY src.key",
+      Seq("PARSE_SYNTAX_ERROR")),
+  )
+
+  rejected.foreach { case (shape, sql, fragments) =>
+    test(s"negative/$shape.q is rejected naming the offender") {
+      fixtures
+      val e = intercept[AnalysisException](spark.sql(sql))
+      val msg = e.getMessage
+      fragments.foreach(f =>
+        assert(msg.contains(f), s"error for $shape should mention <$f>, got: $msg"))
+    }
+  }
+
+  test("negative/invalid_function_param2.q is rejected at execution (ANSI cast)") {
+    fixtures
+    // substr('1234', 'abc'): implicit cast resolves at analysis; ANSI mode
+    // rejects the malformed literal when the insert executes.
+    val e = intercept[Exception](spark.sql(
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT substr('1234', 'abc'), src.value WHERE src.key < 100"))
+    val msg = e.getMessage
+    assert(msg.contains("CAST_INVALID_INPUT") && msg.contains("'abc'"),
+      s"expected ANSI cast error naming 'abc', got: $msg")
+  }
+
+  /** Reference-rejected shapes that are deliberately legal here (engine
+    * superset — see class doc). Asserting clean execution pins the
+    * divergence so a behavior change is caught either way. */
+  private val accepted: Seq[(String, String)] = Seq(
+    ("invalid_function_param1",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT concat('1234', 'abc', 'extra argument'), src.value WHERE src.key < 100"),
+    ("invalid_list_index2",
+      "FROM src_thrift\nINSERT OVERWRITE TABLE dest1 SELECT src_thrift.lint[0], src_thrift.lstring[1 + 2]"),
+    ("invalid_map_index",
+      "FROM src_thrift\nINSERT OVERWRITE TABLE dest1 SELECT src_thrift.lint[0], src_thrift.mstringstring[0]"),
+    ("invalid_map_index2",
+      "FROM src_thrift\nINSERT OVERWRITE TABLE dest1 SELECT src_thrift.lint[0], src_thrift.mstringstring[concat('abc', 'abc')]"),
+    ("quoted_string",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT \"1234\", src.value WHERE src.key < 100"),
+    ("unknown_function5",
+      "FROM src\nINSERT OVERWRITE TABLE dest1 SELECT '1234', concat(src.key) WHERE src.key < 100 group by src.key"),
+    ("wrong_distinct3",
+      "FROM SRC\nINSERT OVERWRITE TABLE wd3_dest1 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,4)) GROUP BY SRC.key\nINSERT OVERWRITE TABLE wd3_dest2 SELECT SRC.key, COUNT(DISTINCT SUBSTR(SRC.value,5)) GROUP BY SRC.key"),
+  )
+
+  accepted.foreach { case (shape, sql) =>
+    test(s"negative/$shape.q is a documented superset (runs clean)") {
+      fixtures
+      spark.sql(sql) // INSERT executes eagerly; any exception fails the test
+    }
+  }
+}
