@@ -648,6 +648,39 @@ class GoldenQuerySpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  // q57/q58 dual-tier goldens: the LLM-pipeline queries that are plain SQL
+  // get the same SQL-vs-DataFrame treatment as the batch corpus above (the
+  // DataFrame tier is the production operator the driver oracle gates).
+  check("tfidf top terms (q57 twin): SQL tier matches the operator",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    explode(filter(split(text, '\\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(1) AS tf FROM toks
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+      |nn AS (SELECT count(1) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(tf.tf * ln(cast(nn.n AS double) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN nn),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, term) AS rank FROM sc)
+      |SELECT doc_id, rank, term, tf, df, tfidf FROM r
+      |WHERE rank <= 3""".stripMargin,
+    graft.operators.TextAnalysis.tfidfTopTerms(spark, sfDir))
+
+  check("label centroids (q58 twin): SQL tier matches the operator",
+    """WITH e AS (
+      |  SELECT label, transform(embedding, x -> cast(x AS double)) AS v
+      |  FROM embeddings),
+      |x AS (SELECT label, d, x FROM e LATERAL VIEW posexplode(v) t AS d, x)
+      |SELECT label, cast(d AS int) AS dim,
+      |  round(cast(sum(cast(x AS decimal(28,14))) AS double) / count(1), 6) AS c,
+      |  count(1) AS n
+      |FROM x GROUP BY label, d""".stripMargin,
+    graft.operators.Similarity.labelCentroids(spark, sfDir))
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
   }

@@ -28,6 +28,28 @@ class IOSpec extends SparkSpec {
     assert(back === Set(("a", "1"), ("b", "2")))
   }
 
+  test("bzip2 text round trip matches the gzip path (S2 codecs)") {
+    // Reference reads bzip2 alongside gzip (io/compress/BZip2Codec.java).
+    // Hadoop's pure-Java codec backs both sides; unlike gzip, bzip2 is
+    // SPLITTABLE, so at 100 TB it is the compressed-text format that still
+    // parallelizes a scan across executors.
+    import spark.implicits._
+    val lines = (1 to 200).map(i => s"record $i payload")
+    val write = (codec: String, dir: String) =>
+      spark.createDataset(lines).write.mode("overwrite")
+        .option("compression", codec).text(dir)
+    write("bzip2", s"$tmp/bz2")
+    write("gzip", s"$tmp/gz")
+    assert(new java.io.File(s"$tmp/bz2").listFiles()
+      .exists(_.getName.endsWith(".bz2")), "expected .bz2 part files")
+    val viaBz2 = IO.readText(spark, s"$tmp/bz2")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaGz = IO.readText(spark, s"$tmp/gz")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaBz2 === lines.sorted)
+    assert(viaBz2 === viaGz, "bzip2 and gzip paths must agree")
+  }
+
   test("partitioned fan-out write creates one directory per key") {
     val events = Tables.events(spark, sfDir)
     IO.writePartitionedByKey(events, "event_type", s"$tmp/by_type")
