@@ -371,9 +371,11 @@ object SparkEntry {
       // of the first md5 byte of "p:d" (graft.functions.LshKernel
       // .planeComponent), so the signatures — and therefore the candidate
       // sets — are reproducible in any engine; dot products sum in index
-      // order on both sides. NULL vectors are excluded from the index
-      // entirely — the native kernel returns NULL for a NULL child and
-      // posexplode drops it (the WHERE mirrors that drop).
+      // order on both sides. NULL vectors AND vectors carrying a null
+      // element are excluded from the index entirely (Similarity.sigFrame
+      // filters them; the WHERE mirrors that drop) — a null element would
+      // score as 0 in the native kernel but propagate NULL through
+      // list_dot_product, silently diverging the bucket assignment.
       (s"""WITH $vecsCte,
         |planes AS (
         |  SELECT p, list_transform(range(64), d ->
@@ -384,7 +386,8 @@ object SparkEntry {
         |bits AS (
         |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
         |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM n, planes WHERE n.v IS NOT NULL),
+        |  FROM n, planes WHERE n.v IS NOT NULL
+        |    AND len(list_filter(n.v, x -> x IS NULL)) = 0),
         |sigs AS (
         |  SELECT vec_id, tbl,
         |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
@@ -839,7 +842,8 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q56_neardup_lsh" ->
       // Same planes/signatures/bucket-gate CTEs as q27 (the operators share
-      // the sign-LSH index build, including the NULL-vector drop);
+      // the sign-LSH index build, including the NULL-vector and
+      // null-element drop);
       // candidates = same-bucket pairs in any table, then the exact rounded
       // cosine verifies each candidate.
       (s"""WITH $vecsCte,
@@ -852,7 +856,8 @@ object SparkEntry {
         |bits AS (
         |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
         |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM n, planes WHERE n.v IS NOT NULL),
+        |  FROM n, planes WHERE n.v IS NOT NULL
+        |    AND len(list_filter(n.v, x -> x IS NULL)) = 0),
         |sigs AS (
         |  SELECT vec_id, tbl,
         |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig

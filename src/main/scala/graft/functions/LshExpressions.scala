@@ -57,9 +57,11 @@ object LshKernel {
     * min-length semantics as the dot expression the HOF form used. NULL
     * elements contribute 0 to every dot (checked explicitly, so the
     * interpreted path cannot NPE and matches what unsafe rows read) —
-    * a documented contract, since DuckDB's list_dot_product would instead
-    * propagate NULL; the fixture carries no null elements and the
-    * differential gate would surface a corpus that does. */
+    * kernel-level defense only: an oracle's list_dot_product would instead
+    * propagate NULL, so `Similarity.sigFrame` excludes any vector carrying
+    * a null element from the index BEFORE this kernel runs (both engines
+    * agree by construction; the kernel's 0-contribution rule is never
+    * observable through the library surface). */
   def compute(v: ArrayData, planes: Array[Double], dim: Int,
       bits: Int, tables: Int): ArrayData = {
     val n = math.min(v.numElements(), dim)

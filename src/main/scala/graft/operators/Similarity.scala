@@ -111,10 +111,17 @@ object Similarity {
     * to the DuckDB oracles, which rebuild the same md5 planes
     * (differential-tested in DedupSimilaritySpec and gated by the
     * q27/q56 oracle rows). */
+  /** Per-table sign-LSH signatures of an index frame. Vectors that are
+    * NULL or carry a NULL ELEMENT are excluded here, by construction:
+    * [[graft.functions.SignLshSigs]] would score a null element as a 0
+    * contribution while an oracle's list_dot_product propagates NULL — the
+    * only way both engines agree on such a vector's bucket is for neither
+    * to index it (the q27/q56 oracles carry the matching predicate). */
   private def sigFrame(e: DataFrame, bits: Int, tables: Int): DataFrame =
-    e.select(col("vec_id"),
-      posexplode(graft.functions.LshFunctions.lshSigs(col("v"), DIM, bits,
-        tables)).as(Seq("tbl", "sig")))
+    e.filter(not(coalesce(exists(col("v"), x => x.isNull), lit(true))))
+      .select(col("vec_id"),
+        posexplode(graft.functions.LshFunctions.lshSigs(col("v"), DIM, bits,
+          tables)).as(Seq("tbl", "sig")))
 
   /** (tbl, sig) pairs of buckets at-or-under `maxBucket` members — the
     * hot-bucket gate: count first, semi-join, never materialize a list. */
@@ -195,9 +202,11 @@ object Similarity {
     * dot product, so precision is 1 — every emitted pair genuinely clears
     * `threshold`, with the same rounded cosine [[cosineNearDup]] reports.
     * Recall is the multi-table sign-LSH collision probability
-    * (1 − (1 − a^bits)^tables, a = 1 − θ/π per-bit agreement): ≳ 99% in the
-    * near-duplicate regime this operator targets (cos ≥ 0.95 — asserted on
-    * planted duplicates in DedupSimilaritySpec), and deliberately low for
+    * (1 − (1 − a^bits)^tables, a = 1 − θ/π per-bit agreement). At the
+    * defaults (bits=10, tables=8) that is ≈ 0.97 at cos 0.95 and > 0.999
+    * at cos 0.99 — the near-dup regime this operator targets, asserted on
+    * planted duplicates in DedupSimilaritySpec at BOTH the defaults and
+    * the sharper bits=16 banding. Recall is deliberately low for
     * weakly-similar pairs — those are top-k work ([[ivfTopK]]), not dedup.
     *
     * Scale shape (never quadratic, unlike the all-pairs baseline):

@@ -10,8 +10,12 @@ import graft.Tables
   *
   * Everything is per-row (embarrassingly parallel — no shuffle except the
   * final aggregations) and built from integer counts + linear double
-  * arithmetic only, so the DuckDB oracle reproduces results exactly (no
-  * transcendental functions, whose libm rounding differs across engines).
+  * arithmetic, so the DuckDB oracle reproduces results exactly. One
+  * deliberate carve-out from the no-transcendentals rule (libm rounding
+  * differs across engines): [[tfidfTopTermsOf]] uses ln() — its inputs are
+  * small integer ratios whose logs round identically in practice, and the
+  * result is rounded to 6 decimals before compare (see the README rule
+  * section on float determinism).
   */
 object TextAnalysis {
 

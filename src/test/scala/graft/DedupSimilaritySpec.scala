@@ -334,6 +334,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(native.nonEmpty && native === expected)
   }
 
+  test("LSH near-dup pairs recall planted duplicates at DEFAULT parameters") {
+    import spark.implicits._
+    // Same planted construction as the bits=16 test, at the operator's
+    // defaults (bits=10, tables=8): per-bit agreement at cos 0.99 is
+    // a ≈ 0.955, so analytic recall is 1-(1-a^10)^8 ≈ 0.9997 — the doc's
+    // stated contract at the defaults. Demand >= 18/20.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val noise = (0 until 400).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      (1000L + i, noise(i)._2.map(x => x + 0.01 * rnd.nextGaussian()))
+    }
+    val docs = (noise ++ planted).toDF("vec_id", "v")
+    val pairs = Similarity.cosineNearDupLshOf(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(recalled >= 18, s"default-params recall $recalled/20 too low")
+  }
+
+  test("vectors carrying a null element are excluded from the LSH index") {
+    import spark.implicits._
+    // A null element would score 0 in the native kernel but propagate NULL
+    // through an oracle's list_dot_product — the index drops such vectors
+    // on both engines by construction. Doc 3 is a byte-copy of 1 and 2
+    // except for one null element; doc 4 is a NULL vector.
+    val clean = Seq(
+      (1L, Array.fill(16)(0.5)),
+      (2L, Array.fill(16)(0.5))).toDF("vec_id", "v")
+    val dirty = spark.sql(
+      """SELECT CAST(3 AS BIGINT) AS vec_id,
+        |  transform(array_repeat(0.5d, 16), (x, i) ->
+        |    CASE WHEN i = 7 THEN CAST(NULL AS DOUBLE) ELSE x END) AS v
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(NULL AS ARRAY<DOUBLE>)""".stripMargin)
+    val pairs = Similarity.cosineNearDupLshOf(clean.union(dirty),
+        threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"only the clean identical pair should surface, got $pairs")
+  }
+
+  test("embedding fixture honors the dim-64 oracle contract") {
+    // The q58/q59 oracles walk range(64) per vector while posexplode walks
+    // the full array — the compare is only exact because every non-null
+    // fixture embedding is exactly 64-dimensional. Pin that generator
+    // contract so a regenerated fixture can't silently violate it.
+    val dims = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .agg(min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
+    assert(dims.getInt(0) === 64 && dims.getInt(1) === 64,
+      s"expected every embedding to be dim-64, got [${dims.getInt(0)}, ${dims.getInt(1)}]")
+  }
+
   test("LSH ANN matches brute force on recalled neighbors") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
