@@ -3,21 +3,29 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-linearity smoke: stages an N× copy of the sf dir (key-shifted
+/** Scale-linearity smoke: stages N× copies of the sf dir (key-shifted
   * unions, so joins/dedup see real cardinality growth, not repeated keys)
-  * and times representative operators at 1× and N×. An operator whose
+  * and times representative operators at 1× and each N×. An operator whose
   * time grows super-linearly here would melt at 100 TB — this is the
   * measure-don't-guess check behind README's scale numbers.
   *
-  * Usage: `sbt "runMain graft.ScaleSmoke [mult]"` (default 10; reads
-  * `SPARK_GRAFT_SF_DIR`, default sf0.1; stages under `target/scale/`).
+  * Usage: `sbt "runMain graft.ScaleSmoke [mult ...]"` (default 10; several
+  * mults give the exponent fit more than one decade — e.g. `10 30`). Reads
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1), stages under `target/scale/`.
+  * `SPARK_GRAFT_SCALE_OPS` (comma list) restricts the op set — the
+  * superlinear-risk family lap is
+  * `SPARK_GRAFT_SCALE_OPS=ngram_jaccard,dedup_clusters,neardup_lsh,tfidf`.
+  *
+  * After the timing laps, every op measured at ≥ 2 scales gets a fitted
+  * growth exponent: the least-squares slope of log(sec) vs log(mult)
+  * (1 = linear in corpus size, 2 = quadratic; sub-linear values mean fixed
+  * overhead still dominates at these sizes).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val mults = if (args.isEmpty) Seq(10) else args.map(_.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val staged = s"target/scale/x$mult"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,8 +40,9 @@ object ScaleSmoke {
     // key-shift mult copies; `perturb` runs with the copy index `_i` still
     // in scope so per-copy transforms (near-dup text, decorrelated vectors)
     // stay next to the staging they modify
-    def stage(table: String, keyCols: Seq[String],
+    def stage(staged: String, mult: Int, table: String, keyCols: Seq[String],
         perturb: DataFrame => DataFrame = identity): Unit = {
+      if (isFresh(staged, table)) return
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
       val maxKeys = keyCols.map(k =>
         k -> (src.agg(max(col(k))).head().getLong(0) + 1L)).toMap
@@ -45,79 +54,153 @@ object ScaleSmoke {
       perturb(shifted).drop("_i")
         .write.mode("overwrite").parquet(s"$staged/$table.parquet")
     }
-    stage("lineitem", Seq("l_orderkey"))
-    stage("orders", Seq("o_orderkey"))
-    // perturb text so N× docs are near-dups of their source, not exact
-    // clones (exact clones would just re-test the 1× structure)
-    stage("documents", Seq("doc_id"), _.withColumn("text",
-      concat($"text", lit(" uniq"), $"_i")))
-    stage("events", Seq("event_id", "user_id"))
-    // embeddings: flip a per-(copy, dim) pseudo-random sign pattern so
-    // copies are near-orthogonal to their source — near-dup pair structure
-    // then grows linearly with mult (exact clones would grow the pair
-    // output quadratically, which is the exact-dedup regime, and would
-    // re-test bucket skew rather than corpus growth)
-    stage("embeddings", Seq("vec_id"), _.withColumn("embedding", expr(
-      """transform(embedding, (x, d) ->
-        |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
-        |       THEN x ELSE -x END)""".stripMargin)))
-    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
-      spark.read.parquet(s"$sfDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$staged/$t.parquet")
+    // skip-if-fresh like Continuous.stageChunks: staged copies persist
+    // across invocations (a 30x staging is minutes of write), re-staged
+    // only when missing or older than the source fixture
+    def isFresh(staged: String, table: String): Boolean = {
+      val success = java.nio.file.Paths.get(s"$staged/$table.parquet/_SUCCESS")
+      if (!java.nio.file.Files.exists(success)) return false
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$sfDir/$table.parquet"))
+      val srcMtime =
+        try walk
+          .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .max.orElse(Long.MaxValue)
+        finally walk.close()
+      java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
+    }
+    def stageAll(staged: String, mult: Int): Unit = {
+      stage(staged, mult, "lineitem", Seq("l_orderkey"))
+      stage(staged, mult, "orders", Seq("o_orderkey"))
+      // perturb text so N× docs are near-dups of their source, not exact
+      // clones (exact clones would just re-test the 1× structure)
+      stage(staged, mult, "documents", Seq("doc_id"), _.withColumn("text",
+        concat($"text", lit(" uniq"), $"_i")))
+      stage(staged, mult, "events", Seq("event_id", "user_id"))
+      // embeddings: flip a per-(copy, dim) pseudo-random sign pattern so
+      // copies are near-orthogonal to their source — near-dup pair structure
+      // then grows linearly with mult (exact clones would grow the pair
+      // output quadratically, which is the exact-dedup regime, and would
+      // re-test bucket skew rather than corpus growth)
+      stage(staged, mult, "embeddings", Seq("vec_id"), _.withColumn(
+        "embedding", expr(
+          """transform(embedding, (x, d) ->
+            |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
+            |       THEN x ELSE -x END)""".stripMargin)))
+      for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+        if (!isFresh(staged, t))
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$staged/$t.parquet")
+    }
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // (name, per-dir frame): `mult` parameterizes corpus-relative knobs —
+    // df caps scale with the corpus so the 1× rare-shingle structure
+    // survives the N-fold df inflation of staged copies
+    val ops: Seq[(String, (String, Int) => DataFrame)] = Seq(
+      "pricing_summary" -> ((d, _) => operators.Relational.pricingSummary(spark, d)),
+      "global_sort" -> ((d, _) => operators.Relational.globalSort(spark, d)),
+      "join_revenue" -> ((d, _) => operators.Relational.revenueByNation(spark, d)),
+      "md5_sample" -> ((d, _) => operators.Relational.md5Sample(spark, d)),
+      "simhash" -> ((d, _) => operators.Dedup.simhash(spark, d)),
+      "asof_join" -> ((d, _) => operators.TemporalJoins.eventsAsofClicks(spark, d)),
+      "range_join" -> ((d, _) => operators.TemporalJoins.eventsInPurchaseHour(spark, d)),
+      "sessionize" -> ((d, _) => operators.Relational.sessionize(spark, d)),
+      // streaming shape at scale: trigger/commit overhead is fixed per
+      // micro-batch, so the 1× -> N× delta must track data volume only
+      // (the key space — windows x event types — is unchanged by staging)
+      "stream_windows" -> ((d, _) => streaming.Continuous.streamedWindowedCounts(spark, d)),
+      "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
+        Tables.documents(spark, d), maxDf = 100 * m)),
+      // curation five — their 100 TB claims get measured, not just planned
+      "decontaminate" -> ((d, _) => operators.Curation.decontaminate(spark, d)),
+      "repetition" -> ((d, _) => operators.Curation.repetitionSignals(spark, d)),
+      "source_cap" -> ((d, _) => operators.Curation.sourceCap(spark, d)),
+      "bloom_dedup" -> ((d, _) => operators.Curation.bloomDedup(spark, d)),
+      // budget-exceeded path: the Bloom prefilter is skipped and the shard
+      // goes straight to the exact semi-join
+      "bloom_fallback" -> ((d, _) => operators.Curation.bloomDedup(spark, d,
+        bloomBudgetBytes = 1L)),
+      // df cap is corpus-relative here too, like ngram_jaccard's — the
+      // unscaled cap at 30× discards nearly every shingle and "measures"
+      // an empty pipeline
+      "dedup_clusters" -> ((d, m) => operators.Curation.dedupClusters(spark, d,
+        maxDf = 100 * m)),
+      // the q25-semantics scale path: candidate join bounded by the bucket
+      // gate, so 1× -> N× must track the (linearized) pair structure.
+      // Fixture-fixed bits=10: bucket occupancy grows with the corpus, so
+      // random collisions inflate the candidate set at large N — kept as
+      // the what-if-you-don't-resize datapoint
+      "neardup_lsh" -> ((d, _) => operators.Similarity.cosineNearDupLsh(spark, d)),
+      // production sizing (bits ≈ log2(corpus)+4) holds bucket occupancy
+      // O(1) as the corpus grows — the exponent THIS row observes is the
+      // operator's real scale contract
+      "neardup_lsh_sized" -> { (d, m) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        val corpus = 5000L * m // fixture docs/vectors per sf0.1 unit
+        val bits = (math.log(corpus.toDouble) / math.log(2)).ceil.toInt + 4
+        operators.Similarity.cosineNearDupLshOf(
+          spark.read.parquet(s"$d/embeddings.parquet").select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")),
+          bits = bits)
+      },
+      "tfidf" -> ((d, _) => operators.TextAnalysis.tfidfTopTerms(spark, d)),
+    )
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = ops.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def time(op: String, label: String, df: => DataFrame): Double = {
       StageMemo.clear() // each op pays its own shared stages — honest scaling
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$name","sec":$s%.2f}""")
+      println(f"""{"op":"${op}_$label","sec":$s%.2f}""")
+      s
     }
 
-    for ((label, dir) <- Seq("1x" -> sfDir, s"${mult}x" -> staged)) {
+    val timings = collection.mutable.Map.empty[String, List[(Int, Double)]]
+    val laps = ("1x", sfDir, 1) +: mults.map(m =>
+      (s"${m}x", s"target/scale/x$m", m))
+    mults.foreach(m => stageAll(s"target/scale/x$m", m))
+    // warm-up lap at the smallest sf (JIT + codegen + catalog caches, same
+    // protocol as Bench) — otherwise the first timed op absorbs ~5 s of JVM
+    // warm-up and the 1x point biases every exponent low
+    val warmDir = "/root/testdata/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      selected.foreach { case (_, fn) =>
+        StageMemo.clear()
+        fn(warmDir, 1).write.mode("overwrite").format("noop").save()
+      }
+    for ((label, dir, mult) <- laps) {
       println(s"== $label ($dir)")
-      time(s"pricing_summary_$label")(
-        operators.Relational.pricingSummary(spark, dir))
-      time(s"global_sort_$label")(
-        operators.Relational.globalSort(spark, dir))
-      time(s"join_revenue_$label")(
-        operators.Relational.revenueByNation(spark, dir))
-      time(s"md5_sample_$label")(
-        operators.Relational.md5Sample(spark, dir))
-      time(s"simhash_$label")(operators.Dedup.simhash(spark, dir))
-      time(s"asof_join_$label")(
-        operators.TemporalJoins.eventsAsofClicks(spark, dir))
-      time(s"range_join_$label")(
-        operators.TemporalJoins.eventsInPurchaseHour(spark, dir))
-      time(s"sessionize_$label")(
-        operators.Relational.sessionize(spark, dir))
-      // streaming shape at scale: trigger/commit overhead is fixed per
-      // micro-batch, so the 1x -> Nx delta must track data volume only
-      // (the key space — windows x event types — is unchanged by staging)
-      time(s"stream_windows_$label")(
-        streaming.Continuous.streamedWindowedCounts(spark, dir))
-      // df caps scale with the corpus so the 1x rare-shingle structure
-      // survives the N-fold df inflation of staged copies
-      time(s"ngram_jaccard_$label")(operators.Dedup.ngramJaccardOf(
-        Tables.documents(spark, dir),
-        maxDf = if (dir == sfDir) 100 else 100 * mult))
-      // curation five — their 100 TB claims get measured, not just planned
-      time(s"decontaminate_$label")(
-        operators.Curation.decontaminate(spark, dir))
-      time(s"repetition_$label")(
-        operators.Curation.repetitionSignals(spark, dir))
-      time(s"source_cap_$label")(operators.Curation.sourceCap(spark, dir))
-      time(s"bloom_dedup_$label")(operators.Curation.bloomDedup(spark, dir))
-      // budget-exceeded path: the Bloom prefilter is skipped and the shard
-      // goes straight to the exact semi-join
-      time(s"bloom_fallback_$label")(operators.Curation.bloomDedup(spark, dir,
-        bloomBudgetBytes = 1L))
-      time(s"dedup_clusters_$label")(
-        operators.Curation.dedupClusters(spark, dir))
-      // the q25-semantics scale path: candidate join bounded by the bucket
-      // gate, so 1x -> Nx must track the (linearized) pair structure
-      time(s"neardup_lsh_$label")(
-        operators.Similarity.cosineNearDupLsh(spark, dir))
-      time(s"tfidf_$label")(operators.TextAnalysis.tfidfTopTerms(spark, dir))
+      selected.foreach { case (name, fn) =>
+        val s = time(name, label, fn(dir, mult))
+        timings(name) = timings.getOrElse(name, Nil) :+ (mult -> s)
+      }
+    }
+    // fitted growth exponent per op: least-squares slope of log(sec) over
+    // log(mult) across every measured scale, PLUS the per-step exponent
+    // between consecutive scales — a straight-line fit can smooth a
+    // top-decade blowup into a comfortable-looking average, and the
+    // largest step is the one that predicts the next decade
+    println("== exponents")
+    selected.foreach { case (name, _) =>
+      val pts = timings(name).map { case (m, s) =>
+        (math.log(m.toDouble), math.log(s)) }
+      if (pts.size >= 2) {
+        val n = pts.size
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val series = timings(name)
+          .map { case (m, s) => f""""${m}x":$s%.2f""" }.mkString(",")
+        val steps = timings(name).sliding(2).collect {
+          case Seq((m1, s1), (m2, s2)) =>
+            f""""exp_${m1}x_${m2}x":${math.log(s2 / s1) / math.log(m2.toDouble / m1)}%.2f"""
+        }.mkString(",")
+        println(f"""{"op":"$name","exponent":$slope%.2f,$steps,$series}""")
+      }
     }
     spark.stop()
   }

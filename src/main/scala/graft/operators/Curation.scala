@@ -351,9 +351,11 @@ object Curation {
     * one real dedup pipelines ship: pairwise output alone can drop both
     * ends of a chain A~B~C. */
   def dedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.ngramPairs(spark, dir, threshold, 100)
+    // maxDf is corpus-relative (a df gate tuned for N docs discards nearly
+    // everything at 30N — ScaleSmoke scales it with the staged multiple)
+    val pairs = Dedup.ngramPairs(spark, dir, threshold, maxDf)
       .select($"d1", $"d2")
     val comp = connectedComponentsStar(pairs)
     Tables.documents(spark, dir)
