@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[Simhash].getName, "graft_simhash"),
       simhashBuilder))
+    // strict partition pruning (off unless spark.graft.strictPruning=true)
+    ext.injectCheckRule(graft.plans.StrictPruning.check)
   }
 }
 
@@ -52,5 +54,25 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "graft_dot", dotBuilder)
     Bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
+  }
+
+  /** Build a SIBLING session on the running SparkContext with the graft
+    * extensions applied. Functions register at runtime ([[register]]) but
+    * analyzer CHECK rules (strict pruning) only attach at session build —
+    * this is the live-harness path to a guarded session. The caller's
+    * active/default sessions are restored, so the new session never leaks
+    * into `getOrCreate` calls elsewhere. Note the sibling owns a fresh
+    * catalog (same warehouse dir): register the tables it should see. */
+  def siblingSessionWith(spark: SparkSession): SparkSession = {
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .withExtensions(new GraftExtensions()(_)).getOrCreate()
+    finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
   }
 }

@@ -177,4 +177,50 @@ class NegativeQuerySpec extends SparkSpec {
       spark.sql(sql) // INSERT executes eagerly; any exception fails the test
     }
   }
+
+  test("clientnegative/strict_pruning.q: unpruned partitioned scan is rejected") {
+    // hive.partition.pruning=strict -> spark.graft.strictPruning=true, an
+    // analyzer check rule injected via GraftExtensions (session-build
+    // mechanism, so the spec builds a sibling session on the same catalog)
+    fixtures
+    val strict = GraftExtensions.siblingSessionWith(spark)
+    // the sibling owns a fresh catalog — give it its own src fixture
+    strict.sql(
+      """SELECT cast(id * 7 % 500 AS STRING) AS key, concat('val_', id) AS value
+        |FROM range(100)""".stripMargin).createOrReplaceTempView("src")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    rmrf(wh.resolve("srcpart").toFile)
+    strict.sql("DROP TABLE IF EXISTS srcpart")
+    strict.sql(
+      """CREATE TABLE srcpart (key STRING, value STRING)
+        |USING PARQUET PARTITIONED BY (ds STRING)""".stripMargin)
+    strict.sql(
+      """INSERT OVERWRITE TABLE srcpart PARTITION (ds)
+        |SELECT key, value, CASE WHEN key < '25' THEN '2008-04-08'
+        |                        ELSE '2008-04-09' END AS ds FROM src""".stripMargin)
+    strict.conf.set(graft.plans.StrictPruning.confKey, "true")
+    try {
+      val e = intercept[AnalysisException](
+        strict.sql("SELECT count(1) FROM srcpart").collect())
+      assert(e.getMessage.contains("GRAFT_STRICT_PRUNING") &&
+        e.getMessage.contains("srcpart") && e.getMessage.contains("ds"),
+        s"expected the strict-pruning rejection naming srcpart/ds, got: ${e.getMessage}")
+      // a partition predicate satisfies the guard (and actually prunes)
+      val n = strict.sql(
+        "SELECT count(1) FROM srcpart WHERE ds = '2008-04-08'").head().getLong(0)
+      assert(n > 0)
+      // a join on the partition key counts as pruning evidence (DPP shape)
+      val dims = strict.sql("SELECT '2008-04-08' AS ds")
+      dims.createOrReplaceTempView("dim_ds")
+      assert(strict.sql(
+        """SELECT count(1) FROM srcpart s JOIN dim_ds d ON s.ds = d.ds""")
+        .head().getLong(0) === n)
+    } finally {
+      strict.conf.set(graft.plans.StrictPruning.confKey, "false")
+      strict.sql("DROP TABLE IF EXISTS srcpart")
+    }
+    // the guard is opt-in: the shared session (no extension) full-scans fine
+    assert(spark.table("src").count() === 100)
+  }
 }
