@@ -15,7 +15,9 @@ class BenchReportSpec extends AnyFunSuite {
   private val names = (1 to 59).map(i => f"q$i%02d_some_longer_query_name_$i")
   private val warm = names.map(n => n -> 1.234)
   private val cold = names.map(n => n -> 12.345)
-  private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold)
+  private val quietLoad = Bench.LoadReport(32,
+    Bench.LapLoad(30.1, 31.9, 24.5), Bench.LapLoad(31.0, 29.8, 22.0))
+  private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold, quietLoad)
 
   test("every emitted line is self-contained parseable JSON") {
     lines.foreach { l =>
@@ -56,8 +58,36 @@ class BenchReportSpec extends AnyFunSuite {
   }
 
   test("failed queries keep their -1 marker through formatting") {
-    val ls = Bench.reportLines("/sf", Seq("q01_x" -> -1.0), Seq("q01_x" -> -1.0))
+    val ls = Bench.reportLines("/sf", Seq("q01_x" -> -1.0), Seq("q01_x" -> -1.0),
+      quietLoad)
     val last = mapper.readTree(ls.last)
     assert(last.get("queries").get("q01").asDouble === -1.0)
+  }
+
+  test("part lines and totals carry the load-sentinel fields") {
+    val parsed = lines.tail.map(mapper.readTree)
+    parsed.filter(p => Set("warm_part", "cold_part", "total_warm", "total")
+        .contains(p.get("metric").asText)).foreach { p =>
+      Seq("load_before", "load_after", "cpu_utilization").foreach(f =>
+        assert(p.has(f), s"$f missing: ${p.toString.take(80)}"))
+    }
+    val last = mapper.readTree(lines.last)
+    assert(last.get("cores").asInt === 32)
+    assert(last.get("contended").asBoolean === false)
+    assert(math.abs(last.get("load_before").asDouble - 31.0) < 0.01)
+    assert(math.abs(last.get("cpu_utilization").asDouble - 22.0) < 0.01)
+  }
+
+  test("a lap whose 1-min load exceeds 1.5x cores flags contended") {
+    // r8's signature: load far above the configured cores while warm reads
+    // inflate uniformly — the artifact must say so by itself
+    val busy = quietLoad.copy(warm = Bench.LapLoad(49.0, 52.3, 11.2))
+    assert(busy.contended)
+    val ls = Bench.reportLines("/sf", warm, cold, busy)
+    assert(mapper.readTree(ls.last).get("contended").asBoolean === true)
+    // unavailable metrics (-1) never trip the flag
+    val unknown = Bench.LoadReport(32,
+      Bench.LapLoad(-1.0, -1.0, -1.0), Bench.LapLoad(-1.0, -1.0, -1.0))
+    assert(!unknown.contended)
   }
 }
