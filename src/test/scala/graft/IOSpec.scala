@@ -50,6 +50,38 @@ class IOSpec extends SparkSpec {
     assert(viaBz2 === viaGz, "bzip2 and gzip paths must agree")
   }
 
+  test("lz4 text and zstd parquet round trips match the gzip path (lzo slot)") {
+    // The reference ships LzoCodec (io/compress/LzoCodec.java) as its
+    // fast-low-ratio codec; lzo itself is GPL-encumbered and obsolete, so
+    // the modern equivalents stand in: lz4 for text (Hadoop's Lz4Codec,
+    // pure-Java lz4-java backing — no native lib needed) and zstd for
+    // parquet (zstd-jni, the Spark-bundled default-candidate at scale).
+    import spark.implicits._
+    val lines = (1 to 200).map(i => s"record $i payload")
+    val write = (codec: String, dir: String) =>
+      spark.createDataset(lines).write.mode("overwrite")
+        .option("compression", codec).text(dir)
+    write("lz4", s"$tmp/lz4")
+    write("gzip", s"$tmp/gz_lzo_slot")
+    assert(new java.io.File(s"$tmp/lz4").listFiles()
+      .exists(_.getName.endsWith(".lz4")), "expected .lz4 part files")
+    val viaLz4 = IO.readText(spark, s"$tmp/lz4")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val viaGz = IO.readText(spark, s"$tmp/gz_lzo_slot")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaLz4 === lines.sorted)
+    assert(viaLz4 === viaGz, "lz4 and gzip paths must agree")
+
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("key", "n")
+    df.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/zstd_pq")
+    assert(new java.io.File(s"$tmp/zstd_pq").listFiles()
+      .exists(_.getName.endsWith(".zstd.parquet")), "expected zstd part files")
+    val back = spark.read.parquet(s"$tmp/zstd_pq")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("partitioned fan-out write creates one directory per key") {
     val events = Tables.events(spark, sfDir)
     IO.writePartitionedByKey(events, "event_type", s"$tmp/by_type")
