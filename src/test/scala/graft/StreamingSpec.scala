@@ -26,6 +26,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed === batch)
   }
 
+  test("q51 per-commit trigger duration stays under the pinned bound at sf0.1") {
+    // The scale contract of the streaming tier: trigger/commit overhead is
+    // FIXED per micro-batch (~0.55 s measured isolated at sf0.1), so the
+    // four streaming queries' bench cost is lifecycle, not data. Pin each
+    // stateful commit's triggerExecution under 6 s (~10x the measured
+    // steady state) — a state-store or trigger regression (e.g. state
+    // re-scan per batch) blows through that bound, while co-tenant noise
+    // in a shared test run does not. Listener-based so `sbt test` catches
+    // the regression rather than a bench-drift investigation.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name != null && e.progress.name.startsWith("q51_stream"))
+          progress.add(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      assert(Continuous.streamedWindowedCounts(spark, "/root/testdata/sf0.1")
+        .collect().nonEmpty)
+      // the listener bus is async — wait for the commit events to drain
+      // (8 staged files / maxFilesPerTrigger=2 = 4 data batches)
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (progress.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val commits = progress.asScala.filter(_.numInputRows > 0).toSeq
+      assert(commits.size >= 2,
+        s"expected >=2 stateful data commits, saw ${progress.size} progress events")
+      commits.foreach { p =>
+        val ms = p.durationMs.get("triggerExecution")
+        assert(ms != null && ms.longValue < 6000L,
+          s"commit ${p.batchId} triggerExecution ${ms}ms breaches the 6s bound " +
+            "— state-store or trigger regression (steady state is ~550ms)")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("q53: chained streaming pipeline equals the composed batch query") {
     import spark.implicits._
     val streamed = Continuous.streamedPipeline(spark, sfDir)
