@@ -56,23 +56,38 @@ object GraftExtensions {
     Bridge.registerFunction(spark, "graft_simhash", simhashBuilder)
   }
 
-  /** Build a SIBLING session on the running SparkContext with the graft
-    * extensions applied. Functions register at runtime ([[register]]) but
-    * analyzer CHECK rules (strict pruning) only attach at session build —
-    * this is the live-harness path to a guarded session. The caller's
-    * active/default sessions are restored, so the new session never leaks
-    * into `getOrCreate` calls elsewhere. Note the sibling owns a fresh
-    * catalog (same warehouse dir): register the tables it should see. */
-  def siblingSessionWith(spark: SparkSession): SparkSession = {
-    val active = SparkSession.getActiveSession
-    val default = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try SparkSession.builder()
-      .withExtensions(new GraftExtensions()(_)).getOrCreate()
-    finally {
-      active.foreach(SparkSession.setActiveSession)
-      default.foreach(SparkSession.setDefaultSession)
+  private val siblings =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Build (or reuse) a SIBLING session on the running SparkContext with
+    * the graft extensions applied. Functions register at runtime
+    * ([[register]]) but analyzer CHECK rules (strict pruning) only attach
+    * at session build — this is the live-harness path to a guarded session.
+    *
+    * The sibling is MEMOIZED per base session: repeated calls return the
+    * same instance, so SharedState does not accumulate per call, and its
+    * catalog persists across calls (it starts fresh relative to the base
+    * session — register the tables it should see). Do NOT `stop()` the
+    * sibling: it shares the base session's SparkContext, and stopping
+    * either session stops the context for both.
+    *
+    * The swap of the JVM-global active/default sessions is guarded by a
+    * lock on the [[SparkSession]] companion, so a concurrent
+    * `getOrCreate()` elsewhere cannot observe the cleared window and build
+    * an unintended extra session. */
+  def siblingSessionWith(spark: SparkSession): SparkSession =
+    SparkSession.synchronized {
+      siblings.computeIfAbsent(spark, base => {
+        val active = SparkSession.getActiveSession
+        val default = SparkSession.getDefaultSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        try SparkSession.builder()
+          .withExtensions(new GraftExtensions()(_)).getOrCreate()
+        finally {
+          active.foreach(SparkSession.setActiveSession)
+          default.foreach(SparkSession.setDefaultSession)
+        }
+      })
     }
-  }
 }

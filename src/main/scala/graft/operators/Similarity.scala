@@ -60,8 +60,10 @@ object Similarity {
     val n = graft.StageMemo.scalar(spark, s"vecs_count:$dir")(e.count())
     require(n <= maxCorpus,
       s"cosineNearDup is the all-pairs baseline: corpus size $n exceeds " +
-        s"maxCorpus=$maxCorpus — use sign-LSH bucketing (lshTopK/q27), IVF " +
-        "(ivfTopK/q38), or MinHash-LSH dedup (q22) at this scale")
+        s"maxCorpus=$maxCorpus — use the LSH-bucketed near-dup path " +
+        "(cosineNearDupLsh/q56: same semantics, measured sub-linear to " +
+        "100x), sign-LSH ANN (lshTopK/q27), IVF (ivfTopK/q38), or " +
+        "MinHash-LSH dedup (q22) at this scale")
     // The threshold lives INSIDE the join condition: the nested-loop join
     // then evaluates the (codegen'd) dot product per candidate pair and
     // materializes only survivors — never the O(n²) intermediate of wide

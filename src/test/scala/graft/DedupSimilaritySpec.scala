@@ -156,11 +156,21 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("all-pairs cosine baseline refuses an over-budget corpus loudly") {
+    // The refusal is load-bearing docs-in-an-exception: q25 is the declared
+    // quadratic BASELINE, and the message must hand the user the
+    // same-semantics production path (cosineNearDupLsh, the q56 operator)
+    // plus the ANN alternatives — pin every naming so it cannot rot.
     val e = intercept[IllegalArgumentException] {
       graft.operators.Similarity.cosineNearDup(spark, sfDir, maxCorpus = 10L)
     }
     assert(e.getMessage.contains("all-pairs baseline"))
-    assert(e.getMessage.contains("lshTopK"), "must name the scale paths")
+    assert(e.getMessage.contains("maxCorpus=10"), "must state the budget")
+    assert(e.getMessage.contains("cosineNearDupLsh") &&
+      e.getMessage.contains("q56"),
+      "must name the same-semantics scale path (q56)")
+    assert(e.getMessage.contains("lshTopK") && e.getMessage.contains("q27") &&
+      e.getMessage.contains("ivfTopK") && e.getMessage.contains("q38") &&
+      e.getMessage.contains("q22"), "must name the ANN/dedup alternatives")
   }
 
   test("LSH recalls planted near-duplicates with 16-bit multi-table banding") {
