@@ -22,9 +22,27 @@ import org.apache.spark.sql.functions._
   * overhead still dominates at these sizes).
   */
 object ScaleSmoke {
+
+  /** Fingerprint of the STAGING LOGIC (key-shift scheme, text perturbation,
+    * embedding sign-flip pattern). Bump whenever `stage`/`stageAll` change:
+    * `isFresh` requires the staged copy to carry this exact value, so a
+    * code change can never silently reuse stale staged data and skew the
+    * fitted exponents (round-8 advice). */
+  private val stagingFingerprint =
+    "v3:keyshift-max+1,text-uniq-suffix,emb-xxhash64-signflip"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mults = if (args.isEmpty) Seq(10) else args.map(_.toInt).toSeq
+    // dedupe + sort + reject degenerate mults: a duplicated or <2 mult makes
+    // log(m2/m1) zero/negative and the per-step exponent non-finite, which
+    // used to print bare Infinity/NaN tokens and break the JSON tail parse
+    val mults = {
+      val (ok, bad) = (if (args.isEmpty) Seq(10) else args.map(_.toInt).toSeq)
+        .distinct.sorted.partition(_ >= 2)
+      bad.foreach(m => System.err.println(s"[scale] ignoring mult $m (< 2)"))
+      if (ok.isEmpty) { System.err.println("[scale] no valid mults; using 10"); Seq(10) }
+      else ok
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -53,13 +71,25 @@ object ScaleSmoke {
       }
       perturb(shifted).drop("_i")
         .write.mode("overwrite").parquet(s"$staged/$table.parquet")
+      writeFingerprint(staged, table)
     }
+    def fingerprintPath(staged: String, table: String) =
+      java.nio.file.Paths.get(s"$staged/$table.parquet/_graft_staging")
+    def writeFingerprint(staged: String, table: String): Unit =
+      java.nio.file.Files.write(fingerprintPath(staged, table),
+        stagingFingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // skip-if-fresh like Continuous.stageChunks: staged copies persist
     // across invocations (a 30x staging is minutes of write), re-staged
-    // only when missing or older than the source fixture
+    // only when missing, older than the source fixture, or staged by a
+    // DIFFERENT version of the staging logic (fingerprint mismatch)
     def isFresh(staged: String, table: String): Boolean = {
       val success = java.nio.file.Paths.get(s"$staged/$table.parquet/_SUCCESS")
       if (!java.nio.file.Files.exists(success)) return false
+      val fp = fingerprintPath(staged, table)
+      if (!java.nio.file.Files.exists(fp) ||
+          new String(java.nio.file.Files.readAllBytes(fp),
+            java.nio.charset.StandardCharsets.UTF_8) != stagingFingerprint)
+        return false
       val walk = java.nio.file.Files.walk(
         java.nio.file.Paths.get(s"$sfDir/$table.parquet"))
       val srcMtime =
@@ -88,9 +118,11 @@ object ScaleSmoke {
             |  CASE WHEN _i = 0 OR pmod(xxhash64(_i * 64 + d), 2) = 0
             |       THEN x ELSE -x END)""".stripMargin)))
       for (t <- Seq("customer", "supplier", "part", "nation", "region"))
-        if (!isFresh(staged, t))
+        if (!isFresh(staged, t)) {
           spark.read.parquet(s"$sfDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$staged/$t.parquet")
+          writeFingerprint(staged, t)
+        }
     }
 
     // (name, per-dir frame): `mult` parameterizes corpus-relative knobs —
@@ -149,16 +181,24 @@ object ScaleSmoke {
       .map(_.split(',').map(_.trim).toSet)
     val selected = ops.filter { case (n, _) => only.forall(_.contains(n)) }
 
-    def time(op: String, label: String, df: => DataFrame): Double = {
+    // timed noop write + an `observe` row counter in the SAME pass: the
+    // output count rides the plan as a CollectMetrics accumulator, so the
+    // per-pair throughput contract is measured without a second job (a
+    // separate count() would re-run a 5-minute 30x pipeline) and without
+    // letting Catalyst prune the plan the way a bare count() would
+    def time(op: String, label: String, df: => DataFrame): (Double, Long) = {
       StageMemo.clear() // each op pays its own shared stages — honest scaling
+      val obs = org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").format("noop").save()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"${op}_$label","sec":$s%.2f}""")
-      s
+      val rows = obs.get("rows") match { case l: Long => l; case _ => -1L }
+      println(f"""{"op":"${op}_$label","sec":$s%.2f,"rows_out":$rows}""")
+      (s, rows)
     }
 
-    val timings = collection.mutable.Map.empty[String, List[(Int, Double)]]
+    val timings = collection.mutable.Map.empty[String, List[(Int, Double, Long)]]
     val laps = ("1x", sfDir, 1) +: mults.map(m =>
       (s"${m}x", s"target/scale/x$m", m))
     mults.foreach(m => stageAll(s"target/scale/x$m", m))
@@ -174,32 +214,56 @@ object ScaleSmoke {
     for ((label, dir, mult) <- laps) {
       println(s"== $label ($dir)")
       selected.foreach { case (name, fn) =>
-        val s = time(name, label, fn(dir, mult))
-        timings(name) = timings.getOrElse(name, Nil) :+ (mult -> s)
+        val (s, rows) = time(name, label, fn(dir, mult))
+        timings(name) = timings.getOrElse(name, Nil) :+ ((mult, s, rows))
       }
     }
     // fitted growth exponent per op: least-squares slope of log(sec) over
     // log(mult) across every measured scale, PLUS the per-step exponent
     // between consecutive scales — a straight-line fit can smooth a
     // top-decade blowup into a comfortable-looking average, and the
-    // largest step is the one that predicts the next decade
+    // largest step is the one that predicts the next decade. Alongside the
+    // TIME exponent: the OUTPUT exponent (slope of log rows_out) and
+    // per-scale sec_per_1k_out, so "the exponent-2 rows are output-bound,
+    // per-pair throughput is flat" is harness output, not hand arithmetic.
+    // Every numeric token goes through jnum — a ~0 s timing or an empty
+    // output must print null, never Infinity/NaN (which breaks the JSON
+    // tail parse downstream).
+    def jnum(v: Double): String =
+      if (java.lang.Double.isFinite(v))
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      else "null"
+    def fit(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
     println("== exponents")
     selected.foreach { case (name, _) =>
-      val pts = timings(name).map { case (m, s) =>
-        (math.log(m.toDouble), math.log(s)) }
-      if (pts.size >= 2) {
-        val n = pts.size
-        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
-        val sxx = pts.map(p => p._1 * p._1).sum
-        val sxy = pts.map(p => p._1 * p._2).sum
-        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        val series = timings(name)
-          .map { case (m, s) => f""""${m}x":$s%.2f""" }.mkString(",")
-        val steps = timings(name).sliding(2).collect {
-          case Seq((m1, s1), (m2, s2)) =>
-            f""""exp_${m1}x_${m2}x":${math.log(s2 / s1) / math.log(m2.toDouble / m1)}%.2f"""
+      val ts = timings(name)
+      if (ts.size >= 2) {
+        val slope = fit(ts.map { case (m, s, _) =>
+          (math.log(m.toDouble), math.log(s)) })
+        val outPts = ts.collect { case (m, _, r) if r > 0 =>
+          (math.log(m.toDouble), math.log(r.toDouble)) }
+        val outSlope = if (outPts.size >= 2) fit(outPts) else Double.NaN
+        val series = ts.map { case (m, s, _) => s""""${m}x":${jnum(s)}""" }
+          .mkString(",")
+        val steps = ts.sliding(2).collect {
+          case Seq((m1, s1, _), (m2, s2, _)) =>
+            s""""exp_${m1}x_${m2}x":${jnum(
+              math.log(s2 / s1) / math.log(m2.toDouble / m1))}"""
         }.mkString(",")
-        println(f"""{"op":"$name","exponent":$slope%.2f,$steps,$series}""")
+        val emitted = ts.map { case (m, _, r) => s""""${m}x":$r""" }
+          .mkString(",")
+        val perK = ts.map { case (m, s, r) =>
+          s""""${m}x":${jnum(if (r > 0) s * 1000.0 / r else Double.NaN)}"""
+        }.mkString(",")
+        println(s"""{"op":"$name","exponent":${jnum(slope)},""" +
+          s""""out_exponent":${jnum(outSlope)},$steps,""" +
+          s""""pairs_emitted":{$emitted},"sec_per_1k_out":{$perK},$series}""")
       }
     }
     spark.stop()
