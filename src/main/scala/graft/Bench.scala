@@ -91,7 +91,9 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, dir).write.mode("overwrite").format("noop").save()
       catch {
-        case e: Throwable =>
+        // NonFatal: a query bug reads as -1 in the report; an OOM/linkage
+        // error crashes the run instead of masquerading as one bad query
+        case NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
       }

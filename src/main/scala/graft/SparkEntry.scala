@@ -102,7 +102,14 @@ object SparkEntry {
     // (decimal-summed, order-independent) and farthest-from-centroid
     // outliers (native-dot distance identity).
     "q58_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
-    "q59_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d))
+    "q59_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
+    // Training-layout + privacy + recipe tier: sequence packing
+    // (concat-and-chop into fixed context windows), PII scan/redaction,
+    // fractional-epoch source mixing, and passage-level exact dedup.
+    "q60_seq_packing" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "q61_pii_scan" -> ((s, d) => Curation.piiScan(s, d)),
+    "q62_epoch_mix" -> ((s, d) => Curation.epochMix(s, d)),
+    "q63_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -942,6 +949,103 @@ object SparkEntry {
         |            ORDER BY dist DESC, vec_id) AS INTEGER) AS rank
         |  FROM dist)
         |SELECT label, rank, vec_id, dist FROM r
-        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+
+    // Concat-and-chop sequence packing: integer window arithmetic over a
+    // running token sum, partitioned per source (ctx = 128 tokens).
+    "q60_seq_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 128 AS bin_id,
+        |  (cum - n_tokens) % 128 AS bin_pos,
+        |  CASE WHEN (cum - 1) // 128 > (cum - n_tokens) // 128
+        |       THEN 1 ELSE 0 END AS spans_boundary
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // PII scan + redaction: pattern hit counts and the digest of the text
+    // after each pattern is replaced by its [TYPE] placeholder, in the
+    // same declaration order as Curation.piiPatterns. DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all default.
+    "q61_pii_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS email_hits,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS ip_hits,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS phone_hits,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer [a-z]+')) AS INTEGER) AS entity_hits,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\bcustomer [a-z]+', '[ENTITY]', 'g')) AS redacted_fp,
+        |  CASE WHEN regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\bcustomer [a-z]+', '[ENTITY]', 'g') <> text
+        |    THEN 1 ELSE 0 END AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Fractional-epoch mixing: weight class = numeric source suffix mod 4,
+    // copies = floor(w) + md5-bucket slice for the fractional part (q44's
+    // bucket), one output row per (source, epoch).
+    "q62_epoch_mix" ->
+      """WITH pol AS (
+        |  SELECT wk, CAST(weight AS DOUBLE) AS weight
+        |  FROM (VALUES (0, 2.5), (1, 1.0), (2, 0.5), (3, 1.25))
+        |    AS p(wk, weight)),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(substr(source, 4) AS INTEGER) % 4 AS wk,
+        |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket
+        |  FROM documents),
+        |j AS (
+        |  SELECT d.source, pol.weight,
+        |    CAST(floor(weight) AS INTEGER) +
+        |      CASE WHEN bucket < (weight - floor(weight)) * 1000
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d JOIN pol USING (wk)),
+        |e AS (
+        |  SELECT source, weight, unnest(range(copies)) AS epoch
+        |  FROM j WHERE copies > 0)
+        |SELECT source, epoch, MAX(weight) AS weight, COUNT(*) AS n_docs
+        |FROM e GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+
+    // Passage-level exact dedup: non-overlapping 30-token chunks (q43's
+    // chunker with stride = chunk), md5 digest, HAVING count > 1.
+    "q63_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, n,
+        |    CASE WHEN n = 0 THEN 0 ELSE (n + 29) // 30 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[chunk_id * 30 + 1 : chunk_id * 30 + 30], ' '))
+        |      AS fp
+        |  FROM (SELECT doc_id, t, unnest(range(n_chunks)) AS chunk_id FROM c))
+        |SELECT fp, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM e GROUP BY fp HAVING COUNT(*) > 1
+        |ORDER BY fp""".stripMargin
   )
 }

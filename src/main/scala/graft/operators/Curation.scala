@@ -366,4 +366,105 @@ object Curation {
       .withColumn("keep", when($"cluster" === $"doc_id", 1).otherwise(0))
       .orderBy($"doc_id")
   }
+
+  // ---------------------------------------------------------------------
+  // PII scan / redaction
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, applied in declaration order. RE2-safe subset of regex
+    * (no backrefs / lookaround), so Spark's Java engine and the DuckDB
+    * oracle's RE2 agree on every match. The `entity` pattern ("customer"
+    * followed by a word) stands in for a domain entity recognizer and is
+    * the one pattern the synthetic fixture corpus actually contains —
+    * email/IP/phone parity on real matches is pinned by crafted-input
+    * specs (CurationSpec). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "entity" -> "\\bcustomer [a-z]+")
+
+  /** PII scan + redaction — the privacy pass every shipped training corpus
+    * runs: count pattern hits per document and replace each hit with a
+    * `[TYPE]` placeholder, reporting a fingerprint of the redacted text
+    * (the downstream exact-dedup key: redaction BEFORE dedup collapses
+    * docs that differ only in their PII).
+    *
+    * Pure per-row map — regexp count + replace chain, zero shuffles before
+    * the presentation sort — so it runs at scan speed on any corpus size
+    * and pushes nothing to the driver. */
+  def piiScanOf(docs: DataFrame,
+      patterns: Seq[(String, String)] = piiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val counted = patterns.foldLeft(docs) { case (df, (name, pat)) =>
+      df.withColumn(s"${name}_hits",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))))
+    }
+    val redacted = patterns.foldLeft(col("text")) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+    counted
+      .withColumn("redacted", redacted)
+      .select(col("doc_id") +:
+        patterns.map { case (n, _) => col(s"${n}_hits") } :+
+        md5(col("redacted")).as("redacted_fp") :+
+        when(col("redacted") =!= col("text"), 1).otherwise(0).as("changed"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q61). */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanOf(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Fractional-epoch source mixing
+  // ---------------------------------------------------------------------
+
+  /** Source mixing with fractional epochs — the data-recipe step that
+    * UP-weights scarce high-quality sources and down-weights bulk ones
+    * (the complement of [[Relational.stratifiedSample]]'s pure
+    * downsampling): a source with weight 2.5 contributes every document
+    * twice plus a deterministic 50% slice a third time; weight 0.5
+    * contributes a 50% slice once. The fractional slice reuses q44's
+    * content-derived md5 bucket, so the SAME documents are chosen on any
+    * cluster, any partitioning, any rerun.
+    *
+    * Output: one row per (source, epoch) with the document count — epoch 0
+    * is the full pass (weight ≥ 1), the last epoch is the fractional
+    * slice. Scale shape: the weight policy joins broadcast (a mixing
+    * recipe is a few dozen rows), copies explode map-side bounded by
+    * ⌈weight⌉, and the only shuffle is the final (source, epoch)
+    * partial-agg count. */
+  def epochMixOf(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+    docs
+      .join(broadcast(weights), Seq("wk"))
+      .withColumn("bucket", bucket)
+      .withColumn("copies",
+        floor(col("weight")).cast("int") +
+          when(col("bucket") <
+            (col("weight") - floor(col("weight"))) * 1000, 1).otherwise(0))
+      // copies = 0 rows must drop BEFORE the sequence-explode:
+      // sequence(0, -1) descends and would fabricate a phantom epoch
+      .filter(col("copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("copies").cast("long") - 1)))
+      .groupBy(col("source"), col("epoch"))
+      .agg(max(col("weight")).as("weight"), count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("epoch"))
+  }
+
+  /** Fixture form (q62): weight class = numeric source suffix mod 4,
+    * exercising up-weighting (2.5), identity (1.0), down-sampling (0.5)
+    * and a fractional second epoch (1.25) in one corpus. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = Seq(0 -> 2.5, 1 -> 1.0, 2 -> 0.5, 3 -> 1.25)
+      .toDF("wk", "weight")
+    epochMixOf(
+      Tables.documents(spark, dir)
+        .withColumn("wk", substring($"source", 4, 10).cast("int") % 4),
+      weights)
+  }
 }

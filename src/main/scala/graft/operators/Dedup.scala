@@ -288,4 +288,32 @@ object Dedup {
       .filter($"dist" <= maxDist)
       .orderBy($"d1", $"d2")
   }
+
+  /** Passage-level exact dedup — boilerplate detection BELOW document
+    * granularity: chop every document into non-overlapping `chunkTokens`-
+    * token passages ([[TextAnalysis.chunkDocuments]] with overlap 0),
+    * digest each passage, and report every digest occurring more than once
+    * with its spread (occurrences, distinct documents, doc-id range).
+    * Catches the license headers / navigation chrome / template text that
+    * document-level dedup ([[exact]]) misses because the surrounding text
+    * differs.
+    *
+    * Scale shape: per-row explode (no shuffle) → ONE partial-agg shuffle
+    * on the 16-byte digest → HAVING count > 1. Per-group state is four
+    * counters; the duplicated-passage result is output-bounded the same
+    * way q20 is. */
+  def passageDedupOf(docs: DataFrame, chunkTokens: Int = 30): DataFrame =
+    TextAnalysis.chunkDocuments(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), md5(col("chunk_text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("fp"))
+
+  /** Fixture form (q63). */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedupOf(Tables.documents(spark, dir))
 }

@@ -223,4 +223,43 @@ object TextAnalysis {
   /** Fixture entry point (q57). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTermsOf(Tables.documents(spark, dir))
+
+  /** Sequence packing — the concat-and-chop layout step that turns a
+    * curated corpus into fixed-`ctx`-token training sequences: documents
+    * are concatenated in (source, doc_id) order and chopped every `ctx`
+    * tokens. Emits, per document, the training bin it starts in, its token
+    * offset inside that bin, and whether it straddles a bin boundary (the
+    * fraction of straddling docs is the packing-efficiency metric data
+    * teams track).
+    *
+    * All integer window arithmetic over a running token sum, so the DuckDB
+    * oracle reproduces it exactly. Scale shape: ONE shuffle — the window
+    * partitions by `source`, so each source packs independently in
+    * parallel (sources are the natural pack shards: training recipes keep
+    * source boundaries anyway so a bin never mixes sources). A single
+    * pathological mega-source serializes its own window only; sub-shard
+    * the partition key (e.g. (source, doc_id div N)) at the call site if
+    * one source dominates the corpus. */
+  def packSequencesOf(docs: DataFrame, ctx: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctx > 0, s"need ctx > 0, got $ctx")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("start") / ctx).as("bin_id"),
+        (col("start") % ctx).as("bin_pos"),
+        when(floor((col("cum") - 1) / ctx) > floor(col("start") / ctx), 1)
+          .otherwise(0).as("spans_boundary"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Fixture form (q60). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir))
 }

@@ -304,4 +304,108 @@ class CurationSpec extends SparkSpec {
     assert(res.keySet === Set((1L, 1), (1L, 2), (2L, 1), (2L, 2),
       (3L, 1), (3L, 2), (4L, 1)))
   }
+
+  test("sequence packing chops the per-source token stream at ctx boundaries") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a", 1L, words(100)), // bin 0 pos 0, ends at 99 -> spans into bin 1
+      ("a", 2L, words(50)),  // starts 100: bin 1 pos 36, ends 149 -> spans
+      ("a", 3L, words(30)),  // starts 150: bin 2 pos 22, ends 179 -> fits
+      ("a", 4L, ""),         // empty: dropped
+      ("b", 5L, words(64)),  // other source packs independently: bin 0,
+                             // ends exactly at 63 -> no boundary crossed
+      ("b", 6L, words(1))    // starts 64: bin 1 pos 0
+    ).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packSequencesOf(docs, ctx = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    assert(out(("a", 1L)) === ((100L, 0L, 0L, 1)))
+    assert(out(("a", 2L)) === ((50L, 1L, 36L, 1)))
+    assert(out(("a", 3L)) === ((30L, 2L, 22L, 0)))
+    assert(out(("b", 5L)) === ((64L, 0L, 0L, 0)),
+      "a doc ending exactly at the boundary does not span it")
+    assert(out(("b", 6L)) === ((1L, 1L, 0L, 0)))
+    assert(!out.contains(("a", 4L)), "empty docs pack nothing")
+  }
+
+  test("pii scan counts and redacts emails, IPs, phones, and entities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or jane+x@test.org today"),
+      (2L, "servers 10.0.0.1 and 192.168.1.255 reachable"),
+      (3L, "call 555-123-4567 or 555.987.6543 now"),
+      (4L, "customer alice met customer bob"),
+      (5L, "customer carol"),
+      (6L, "a perfectly clean document")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScanOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getString(5), r.getInt(6)))
+      .toMap
+    assert(out(1L)._1 === 2 && out(1L)._6 === 1, "two emails redacted")
+    assert(out(2L)._2 === 2, "two IPs")
+    assert(out(3L)._3 === 2, "dashed and dotted phone forms")
+    assert(out(4L)._4 === 2 && out(5L)._4 === 1)
+    assert(out(6L) === ((0, 0, 0, 0, md5Hex("a perfectly clean document"), 0)),
+      "clean doc: zero hits, fingerprint of the unchanged text")
+    // redaction BEFORE dedup collapses docs differing only in their PII:
+    // 'customer alice met customer bob' != 'customer carol', but both
+    // one-entity docs reduce to the same placeholder form only when the
+    // surrounding text matches — check the exact redacted forms instead
+    assert(out(4L)._5 === md5Hex("[ENTITY] met [ENTITY]"))
+    assert(out(5L)._5 === md5Hex("[ENTITY]"))
+    assert(out(1L)._5 === md5Hex("contact [EMAIL] or [EMAIL] today"))
+    assert(out(3L)._5 === md5Hex("call [PHONE] or [PHONE] now"))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("epoch mix up-weights, drops, and slices sources deterministically") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, s"src${i % 3}", (i % 3).toInt)
+    }.toDF("doc_id", "source", "wk")
+    val weights = Seq(0 -> 3.0, 1 -> 0.0, 2 -> 1.5).toDF("wk", "weight")
+    val out = Curation.epochMixOf(docs, weights).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // w=3.0: exactly three full epochs, no fractional slice
+    assert(out(("src0", 0L)) === 20L && out(("src0", 1L)) === 20L &&
+      out(("src0", 2L)) === 20L && !out.contains(("src0", 3L)))
+    // w=0.0: the source vanishes from the mix
+    assert(!out.keys.exists(_._1 === "src1"))
+    // w=1.5: one full epoch plus a deterministic proper slice
+    assert(out(("src2", 0L)) === 20L)
+    val slice = out(("src2", 1L))
+    assert(slice > 0L && slice < 20L, s"fractional slice was $slice")
+    // determinism: the same mix on a rerun
+    val again = Curation.epochMixOf(docs, weights).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(again === out)
+  }
+
+  test("passage dedup finds repeated 30-token chunks across and within docs") {
+    import spark.implicits._
+    def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val P = block("p"); val Q = block("q"); val R = block("r")
+    val S = block("s")
+    val docs = Seq(
+      (1L, s"$P $Q"), // chunks [P, Q]
+      (2L, s"$R $P"), // chunks [R, P] — P aligned at a 30-token multiple
+      (3L, P),        // chunk  [P]
+      (4L, block("u")),
+      (5L, s"$S $S")  // the same passage twice WITHIN one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedupOf(docs, chunkTokens = 30).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size === 2, s"only P and S repeat, got ${out.keys}")
+    assert(out(md5Hex(P)) === ((3L, 3L, 1L, 3L)))
+    assert(out(md5Hex(S)) === ((2L, 1L, 5L, 5L)))
+  }
 }
