@@ -176,6 +176,13 @@ object ScaleSmoke {
           bits = bits)
       },
       "tfidf" -> ((d, _) => operators.TextAnalysis.tfidfTopTerms(spark, d)),
+      // training-layout tier: all four are contractually linear (per-row
+      // map / explode + one partial-agg shuffle / per-source window) —
+      // these rows pin that the contract holds under real growth
+      "seq_packing" -> ((d, _) => operators.TextAnalysis.packSequences(spark, d)),
+      "pii_scan" -> ((d, _) => operators.Curation.piiScan(spark, d)),
+      "epoch_mix" -> ((d, _) => operators.Curation.epochMix(spark, d)),
+      "passage_dedup" -> ((d, _) => operators.Dedup.passageDedup(spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)
