@@ -109,7 +109,13 @@ object SparkEntry {
     "q60_seq_packing" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "q61_pii_scan" -> ((s, d) => Curation.piiScan(s, d)),
     "q62_epoch_mix" -> ((s, d) => Curation.epochMix(s, d)),
-    "q63_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d))
+    "q63_passage_dedup" -> ((s, d) => Dedup.passageDedup(s, d)),
+    // Corpus-audit tier: deterministic train/val/test split, cross-source
+    // duplication matrix, vocabulary growth curve, int8 quantization audit.
+    "q64_hash_split" -> ((s, d) => Curation.assignSplits(s, d)),
+    "q65_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "q66_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "q67_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1046,6 +1052,86 @@ object SparkEntry {
         |  COUNT(DISTINCT doc_id) AS n_docs,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM e GROUP BY fp HAVING COUNT(*) > 1
-        |ORDER BY fp""".stripMargin
+        |ORDER BY fp""".stripMargin,
+
+    // Deterministic 80/10/10 split on q62's md5 bucket: cumulative
+    // thresholds 800/900 carve the bucket space, last split takes the rest.
+    "q64_hash_split" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800 THEN 'train'
+        |       WHEN ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Cross-source duplication matrix over q63's 30-token passages: count
+    // of distinct digests shared by each source pair (s1 < s2). The oracle
+    // takes the digest self-join form; the engine takes the bounded
+    // collect_set form — same matrix.
+    "q65_source_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(t[chunk_id * 30 + 1 : chunk_id * 30 + 30], ' '))
+        |      AS fp
+        |  FROM (SELECT doc_id, source, t,
+        |          unnest(range(CASE WHEN n = 0 THEN 0 ELSE (n + 29) // 30 END))
+        |            AS chunk_id
+        |        FROM t))
+        |SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared_passages
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Vocabulary growth over 3-grams: distinct-terms-per-doc explode, each
+    // term's first doc, binned by 50-doc prefix, cumulative window.
+    "q66_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')))) AS term
+        |  FROM t WHERE len(t) >= 3),
+        |f AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |b AS (SELECT first_doc // 50 AS bin, COUNT(*) AS new_terms
+        |      FROM f GROUP BY 1)
+        |SELECT bin, new_terms,
+        |  CAST(SUM(new_terms) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM b ORDER BY bin""".stripMargin,
+
+    // int8 quantization audit: every output except max_abs is an integer
+    // derived from round(x*127/max_abs) per element — no cross-element
+    // float accumulation, so the engines agree bit-exactly. Null vectors /
+    // null elements / all-zero vectors excluded on both sides.
+    "q67_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS max_abs
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, max_abs,
+        |    list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER))
+        |      AS q
+        |  FROM m WHERE max_abs > 0)
+        |SELECT vec_id, max_abs,
+        |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INTEGER) AS n_sat,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT)
+        |    AS sum_q2
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

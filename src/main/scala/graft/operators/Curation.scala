@@ -467,4 +467,43 @@ object Curation {
         .withColumn("wk", substring($"source", 4, 10).cast("int") % 4),
       weights)
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Deterministic corpus split — train/val/test assignment every
+    * downstream job can recompute instead of persisting a membership
+    * table: the (source, doc_id) identity hashes to [[epochMixOf]]'s
+    * md5 bucket and cumulative fraction thresholds carve the bucket
+    * space. Adding documents never moves an existing document's split
+    * (stable under corpus growth — the property a random split lacks),
+    * and the assignment is identical on any cluster and partitioning.
+    *
+    * Pure per-row map, zero shuffles before the presentation sort. */
+  def assignSplitsOf(docs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be non-negative and sum to 1, got $splits")
+    val bucket = expr(
+      "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+    // cumulative thresholds in bucket units; the last split takes the
+    // remainder so threshold rounding can never leave a bucket unassigned
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), rest) =>
+      when(col("bucket") < math.round(c * 1000).toInt, name).otherwise(rest)
+    }
+    docs
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("source"), col("bucket"),
+        assigned.as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q64): the standard 80/10/10 recipe. */
+  def assignSplits(spark: SparkSession, dir: String): DataFrame =
+    assignSplitsOf(Tables.documents(spark, dir))
 }

@@ -316,4 +316,39 @@ object Dedup {
   /** Fixture form (q63). */
   def passageDedup(spark: SparkSession, dir: String): DataFrame =
     passageDedupOf(Tables.documents(spark, dir))
+
+  /** Cross-source duplication matrix — which sources copy from which: for
+    * every source pair (s1 < s2), the number of distinct
+    * [[passageDedupOf]]-style passages appearing in both. The matrix is
+    * what a data-recipe owner reads before setting [[Curation.epochMixOf]]
+    * weights: two sources sharing half their passages should not both get
+    * full weight.
+    *
+    * Scale shape: the per-passage source set is bounded by the NUMBER OF
+    * SOURCES — a recipe-level constant (dozens), not a corpus dimension —
+    * so `collect_set(source)` per digest is O(sources) state and the pair
+    * explode is O(sources²) per duplicated digest, never O(docs). One
+    * distinct + one groupBy shuffle, both keyed on the 16-byte digest;
+    * no digest self-join, so a boilerplate passage in every source costs
+    * sources² rows once, not a join fan-out. */
+  def sourceOverlapOf(docs: DataFrame, chunkTokens: Int = 30): DataFrame =
+    TextAnalysis.chunkDocuments(docs, chunkTokens, overlap = 0,
+        carry = Seq("source"))
+      .select(col("source"), md5(col("chunk_text")).as("fp"))
+      .distinct()
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    struct(a AS s1, b AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1"), col("p.s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared_passages"))
+      .orderBy(col("s1"), col("s2"))
+
+  /** Fixture form (q65). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, dir))
 }

@@ -381,4 +381,42 @@ object Similarity {
       .select($"q_id", $"rank", $"neighbor", $"cos")
       .orderBy($"q_id", $"rank")
   }
+
+  /** Symmetric int8 quantization audit — the embedding-compression step
+    * (4× smaller index for the ANN paths) with its acceptance stats: per
+    * vector, the quantization scale's numerator `max_abs`, the count of
+    * saturated codes (|q| = 127, always ≥ the argmax element), and the
+    * integer code sums a dequantization consumer can checksum against.
+    * All-zero vectors are excluded — they have no scale (and nothing to
+    * quantize).
+    *
+    * Every output except `max_abs` is an INTEGER derived from
+    * `round(x·127/max_abs)` — one double multiply-divide-round per
+    * element, no cross-element float accumulation — so the DuckDB oracle
+    * reproduces the values bit-exactly (`max_abs` itself is an
+    * order-independent max over exactly-representable float→double casts).
+    * Pure per-row map, zero shuffles before the presentation sort. */
+  def quantizeInt8Of(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("v").isNotNull &&
+        not(coalesce(exists(col("v"), x => x.isNull), lit(true))))
+      .withColumn("max_abs",
+        expr("aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("max_abs") > 0)
+      .withColumn("q",
+        expr("transform(v, x -> cast(round(x * 127.0 / max_abs) as int))"))
+      .select(col("vec_id"), col("max_abs"),
+        expr("size(filter(q, x -> abs(x) = 127))").as("n_sat"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+        expr("aggregate(q, 0L, (a, x) -> a + cast(x as bigint) * x)")
+          .as("sum_q2"))
+      .orderBy(col("vec_id"))
+
+  /** Fixture form (q67). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantizeInt8Of(Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("v")))
+  }
 }

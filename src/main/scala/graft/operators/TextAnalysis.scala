@@ -124,7 +124,7 @@ object TextAnalysis {
     * doc yields none. Pure per-row explode (integer window math, no
     * shuffle) — embarrassingly parallel at any corpus size. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 30,
-      overlap: Int = 10): DataFrame = {
+      overlap: Int = 10, carry: Seq[String] = Nil): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
     val stride = chunkTokens - overlap
@@ -141,12 +141,12 @@ object TextAnalysis {
             .cast("int") + 1))
       .withColumn("chunk_id",
         explode(sequence(lit(0), col("n_chunks") - 1)))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id") +: carry.map(col) :+ col("chunk_id") :+
         least(col("n") - col("chunk_id") * stride, lit(chunkTokens))
-          .cast("int").as("chunk_tokens"),
+          .cast("int").as("chunk_tokens") :+
         concat_ws(" ",
           slice(col("t"), col("chunk_id") * stride + 1, lit(chunkTokens)))
-          .as("chunk_text"))
+          .as("chunk_text"): _*)
   }
 
   /** Fixture form (q43). */
@@ -262,4 +262,50 @@ object TextAnalysis {
   /** Fixture form (q60). */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOf(Tables.documents(spark, dir))
+
+  /** Vocabulary growth curve (Heaps' law evidence) — distinct vocabulary
+    * size after each `binDocs`-document prefix of the corpus in doc_id
+    * order. The curve is how a data team sizes tokenizer vocabularies and
+    * spots corpus exhaustion (the curve flattening early means new data
+    * stopped bringing new language).
+    *
+    * Scale shape: each term's FIRST document is one groupBy-min shuffle
+    * (per-doc `array_distinct` before the explode keeps the exploded row
+    * count at distinct-terms-per-doc, not tokens); binning first-docs
+    * collapses to #bins rows, and only that bin-count frame — corpus /
+    * binDocs rows, not the corpus — crosses the single-partition
+    * cumulative window. */
+  def vocabGrowthOf(docs: DataFrame, binDocs: Int = 50,
+      ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binDocs > 0, s"need binDocs > 0, got $binDocs")
+    require(ngram > 0, s"need ngram > 0, got $ngram")
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // unigrams read straight off the token array; n > 1 slides an n-token
+    // window — docs shorter than n contribute no terms, guarded BEFORE the
+    // sequence (sequence(0, -1) descends, the chunker/shingler footgun)
+    val terms =
+      if (ngram == 1) col("t")
+      else when(size(col("t")) >= ngram, expr(
+        s"""transform(sequence(0, size(t) - $ngram),
+           |  i -> concat_ws(' ', slice(t, i + 1, $ngram)))""".stripMargin))
+        .otherwise(array())
+    docs
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(terms)).as("term"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(floor(col("first_doc") / binDocs).as("bin"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .orderBy(col("bin"))
+  }
+
+  /** Fixture form (q66): 3-gram vocabulary — the fixture's unigram
+    * vocabulary saturates inside the first bin (61 terms), so the curve
+    * the oracle checks is the trigram one (Heaps-law shape, ~10 bins). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, dir), ngram = 3)
 }

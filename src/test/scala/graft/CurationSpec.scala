@@ -388,6 +388,70 @@ class CurationSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("hash split is deterministic, exhaustive, and stable under growth") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.assignSplitsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.size === 400, "every document gets exactly one split")
+    out.values.foreach { case (bucket, split) =>
+      val expected =
+        if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(split === expected, s"bucket $bucket -> $split")
+    }
+    val frac = out.values.groupBy(_._2).view.mapValues(_.size / 400.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1 &&
+      math.abs(frac("val") - 0.1) < 0.06 &&
+      math.abs(frac("test") - 0.1) < 0.06,
+      s"split fractions far from 80/10/10: $frac")
+    // corpus growth never moves an existing document's split
+    val grown = Curation.assignSplitsOf(
+      docs.union(Seq((1000L, "srcNEW", "fresh doc"))
+        .toDF("doc_id", "source", "text"))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.forall { case (id, v) => grown(id) === v })
+    // custom fraction vectors must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.assignSplitsOf(docs, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("source overlap counts distinct shared passages per source pair") {
+    import spark.implicits._
+    def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val P = block("p"); val Q = block("q"); val R = block("r")
+    val docs = Seq(
+      (1L, "A", s"$P $Q"), // A carries P and Q
+      (2L, "B", P),        // P shared A-B
+      (3L, "B", s"$P $R"), // P again in B: distinct-per-source, counts once
+      (4L, "C", s"$Q $R"), // Q shared A-C, R shared B-C
+      (5L, "C", block("u"))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlapOf(docs, chunkTokens = 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("A", "B") -> 1L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
+
+  test("vocab growth bins each term by its first document") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"),     // bin 0: a, b first seen
+      (1L, "b c"),     // c first seen
+      (2L, "a c d"),   // bin 1: d first seen
+      (3L, "e e a"),   // e first seen (per-doc distinct collapses the pair)
+      (5L, "f")        // bin 2 (gap in doc_ids is fine): f
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthOf(docs, binDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(0L -> ((3L, 3L)), 1L -> ((2L, 5L)), 2L -> ((1L, 6L))))
+    // trigram mode: only docs with >= 3 tokens contribute; "a b" and "f"
+    // vanish, "e e a" and "a c d" carry one trigram each
+    val tri = TextAnalysis.vocabGrowthOf(docs, binDocs = 2, ngram = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 2L), s"got $tri")
+  }
+
   test("passage dedup finds repeated 30-token chunks across and within docs") {
     import spark.implicits._
     def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")

@@ -410,4 +410,32 @@ class DedupSimilaritySpec extends SparkSpec {
       brute.get(key).foreach(c => assert(c === r.getDouble(3)))
     }
   }
+
+  test("int8 quantization audit: codes, saturation, and exclusions") {
+    val frame = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(1.0D, -0.5D, 0.25D, 0.0D)),
+        |  (2L, cast(null as array<double>)),
+        |  (3L, array(cast(null as double), 1.0D)),
+        |  (4L, array(0.0D, 0.0D)),
+        |  (5L, array(-2.0D, 2.0D))
+        |AS t(vec_id, v)""".stripMargin)
+    val out = Similarity.quantizeInt8Of(frame).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    // vec 1: q = [127, -64, 32, 0] (round-half-away: -63.5 -> -64,
+    // 31.75 -> 32); one saturated code
+    assert(out(1L) === ((1.0, 1, 95L, 21249L)))
+    // vec 5: both elements hit the scale -> both saturate, sum cancels
+    assert(out(5L) === ((2.0, 2, 0L, 32258L)))
+    assert(!out.contains(2L), "null vector excluded")
+    assert(!out.contains(3L), "null-element vector excluded")
+    assert(!out.contains(4L), "all-zero vector has no scale")
+    // reconstruction error bound: |x - q*scale| <= scale/2 per element
+    val v = Seq(1.0, -0.5, 0.25, 0.0)
+    val scale = 1.0 / 127
+    val q = Seq(127, -64, 32, 0)
+    v.zip(q).foreach { case (x, c) =>
+      assert(math.abs(x - c * scale) <= scale / 2 + 1e-12) }
+  }
 }
