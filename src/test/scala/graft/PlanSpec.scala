@@ -226,4 +226,43 @@ class PlanSpec extends SparkSpec {
     assert(collectIdx >= 0 && semiIdx > collectIdx,
       "collect_list (printed above its semi-join input) must consume the gated index")
   }
+
+  private def exchanges(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("Exchange")).toSeq
+
+  test("per-row-map tier plans exactly one exchange: the presentation sort") {
+    // pii scan, hash split, and the quantization audit are contractually
+    // zero-shuffle maps — the ONLY exchange each may plan is the
+    // rangepartitioning of its final orderBy
+    for ((name, df) <- Seq(
+        "pii_scan" -> operators.Curation.piiScan(spark, sfDir),
+        "hash_split" -> operators.Curation.assignSplits(spark, sfDir),
+        "quantize_int8" -> operators.Similarity.quantizeInt8(spark, sfDir))) {
+      val ex = exchanges(plan(df))
+      assert(ex.size == 1 && ex.head.contains("rangepartitioning"),
+        s"$name should shuffle only for the output sort, planned:\n${ex.mkString("\n")}")
+    }
+  }
+
+  test("q60 sequence packing pays one hash shuffle for the per-source window") {
+    val p = plan(operators.TextAnalysis.packSequences(spark, sfDir))
+    val ex = exchanges(p)
+    assert(ex.count(_.contains("hashpartitioning")) == 1,
+      s"exactly one window shuffle expected:\n${ex.mkString("\n")}")
+    assert(ex.size == 2, s"window + sort only:\n${ex.mkString("\n")}")
+  }
+
+  test("q62 epoch mix broadcasts the weight policy, never shuffles it") {
+    val p = plan(operators.Curation.epochMix(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "mixing recipe must join broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffled join for a few-row policy:\n$p")
+  }
+
+  test("q65 source overlap plans no join at all — set state, not fan-out") {
+    val p = plan(operators.Dedup.sourceOverlap(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the bounded collect_set form must not plan the digest self-join")
+  }
 }
