@@ -115,7 +115,12 @@ object SparkEntry {
     "q64_hash_split" -> ((s, d) => Curation.assignSplits(s, d)),
     "q65_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q66_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
-    "q67_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
+    "q67_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    // Cluster-composition tier: the q56 near-dup graph contracted to
+    // components (the embedding twin of q50), and q50's clusters upgraded
+    // from keep-smallest-id to keep-best-quality.
+    "q68_embed_clusters" -> ((s, d) => Similarity.embeddingDedupClusters(s, d)),
+    "q69_canonical_docs" -> ((s, d) => Curation.canonicalDocs(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -166,6 +171,67 @@ object SparkEntry {
       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
       |  FROM embeddings)""".stripMargin
+
+  /** q21/q50/q69's df-gated 3-shingle Jaccard pair chain: yields
+    * `pairs(d1, d2)` (requires [[shinglesCte]]'s `sh`). */
+  private val ngramPairsCte =
+    s"""$shinglesCte,
+       |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+       |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+       |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN docLen ca ON d1 = ca.doc_id
+       |  JOIN docLen cb ON d2 = cb.doc_id
+       |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8)""".stripMargin
+
+  /** Connected components over `pairs(d1, d2)` — symmetric edge closure,
+    * recursive reach, min-reachable label. `key` names the id column of
+    * the resulting `comp`. The enclosing query must open WITH RECURSIVE. */
+  private def ccCte(key: String): String =
+    s"""edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM pairs
+       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (
+       |  SELECT u AS $key, LEAST(u, MIN(v)) AS cluster
+       |  FROM reach GROUP BY u)""".stripMargin
+
+  /** q27/q56/q68's sign-LSH candidate chain (planes → signatures →
+    * bucket gate → same-bucket pairs): yields `n` (vectors) and
+    * `cand(v1, v2)` at the default bits=10 / tables=8 / maxBucket=2048. */
+  private lazy val lshCandCte =
+    s"""$vecsCte,
+       |planes AS (
+       |  SELECT p, list_transform(range(64), d ->
+       |    CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+       |                CAST(d AS VARCHAR)), 1, 2))::INT % 2 = 1
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+       |  FROM (SELECT unnest(range(80)) AS p)),
+       |bits AS (
+       |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
+       |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM n, planes WHERE n.v IS NOT NULL
+       |    AND len(list_filter(n.v, x -> x IS NULL)) = 0),
+       |sigs AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
+       |  FROM bits GROUP BY vec_id, tbl),
+       |small AS (
+       |  SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 2048),
+       |idx AS (
+       |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s JOIN small USING (tbl, sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM idx a JOIN idx b USING (tbl, sig)
+       |  WHERE a.vec_id < b.vec_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -747,29 +813,8 @@ object SparkEntry {
         |WHERE d.doc_id % 3 <> 0
         |ORDER BY d.doc_id""".stripMargin),
     "q50_dedup_clusters" ->
-      (s"""WITH RECURSIVE $shinglesCte,
-        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
-        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN docLen ca ON d1 = ca.doc_id
-        |  JOIN docLen cb ON d2 = cb.doc_id
-        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
-        |edges AS (
-        |  SELECT d1 AS u, d2 AS v FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
-        |reach AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |comp AS (
-        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
-        |  FROM reach GROUP BY u)
+      (s"""WITH RECURSIVE $ngramPairsCte,
+        |${ccCte("doc_id")}
         |SELECT d.doc_id,
         |  COALESCE(c.cluster, d.doc_id) AS cluster,
         |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
@@ -859,35 +904,60 @@ object SparkEntry {
       // null-element drop);
       // candidates = same-bucket pairs in any table, then the exact rounded
       // cosine verifies each candidate.
-      (s"""WITH $vecsCte,
-        |planes AS (
-        |  SELECT p, list_transform(range(64), d ->
-        |    CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
-        |                || CAST(d AS VARCHAR)), 1, 2))::INT % 2 = 1
-        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
-        |  FROM (SELECT unnest(range(80)) AS p)),
-        |bits AS (
-        |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
-        |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM n, planes WHERE n.v IS NOT NULL
-        |    AND len(list_filter(n.v, x -> x IS NULL)) = 0),
-        |sigs AS (
-        |  SELECT vec_id, tbl,
-        |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
-        |  FROM bits GROUP BY vec_id, tbl),
-        |small AS (
-        |  SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 2048),
-        |idx AS (
-        |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s JOIN small USING (tbl, sig)),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |  FROM idx a JOIN idx b USING (tbl, sig)
-        |  WHERE a.vec_id < b.vec_id)
+      (s"""WITH $lshCandCte
         |SELECT v1, v2,
         |  ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
         |FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id
         |WHERE ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) >= 0.4
         |ORDER BY v1, v2""".stripMargin),
+    "q68_embed_clusters" ->
+      // q56's verified near-dup pairs contracted to components — the
+      // embedding twin of q50's cluster form; vectors the index excludes
+      // (null / null-element) surface as singletons via the left join.
+      (s"""WITH RECURSIVE $lshCandCte,
+        |pairs AS (
+        |  SELECT v1 AS d1, v2 AS d2
+        |  FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id
+        |  WHERE ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) >= 0.4),
+        |${ccCte("vec_id")}
+        |SELECT e.vec_id,
+        |  COALESCE(c.cluster, e.vec_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, e.vec_id) = e.vec_id
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM embeddings e LEFT JOIN comp c USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin),
+    "q69_canonical_docs" ->
+      // q50's clusters re-keyed from smallest-id to best-quality: the same
+      // recursive component CTE joined to q29's quality score, one
+      // row_number window per cluster (quality DESC, doc_id tie-break).
+      (raw"""WITH RECURSIVE $ngramPairsCte,
+        |${ccCte("doc_id")},
+        |qstat AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> t <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2 + n_stop * 1.0 / n_tokens * 2.0 + n_types * 1.0 / n_tokens * 0.5
+        |      - length(regexp_replace(text, '[a-z0-9\s]', '', 'g')) * 1.0 / length(text) * 3.0))
+        |      AS quality
+        |  FROM documents d JOIN qstat USING (doc_id)),
+        |j AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, q.quality
+        |  FROM documents d LEFT JOIN comp c USING (doc_id) JOIN q USING (doc_id)),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |    ORDER BY quality DESC, doc_id) AS rk FROM j)
+        |SELECT doc_id, cluster, quality,
+        |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin),
     "q57_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -506,4 +506,35 @@ object Curation {
   /** Fixture form (q64): the standard 80/10/10 recipe. */
   def assignSplits(spark: SparkSession, dir: String): DataFrame =
     assignSplitsOf(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Canonical document selection
+  // ---------------------------------------------------------------------
+
+  /** Canonical document selection — [[dedupClusters]] upgraded from
+    * keep-smallest-id to keep-BEST: within each near-dup cluster the
+    * surviving document is the one with the highest
+    * [[TextAnalysis.qualityScore]] (doc_id breaks ties), which is the rule
+    * real pipelines ship — dropping duplicates is only half the job,
+    * KEEPING the cleanest copy is the other half.
+    *
+    * Scale shape: the cluster stage is q50's (pair graph + O(log n) star
+    * contraction), the quality stage is a per-row map, and the selection
+    * is one row_number window partitioned by cluster — clusters are
+    * near-dup groups (small by construction; a df/bucket-capped pair
+    * stage cannot emit a corpus-sized clique), so no window partition
+    * degenerates to the whole corpus. */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val clusters = dedupClusters(spark, dir).select($"doc_id", $"cluster")
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality")
+    val w = Window.partitionBy($"cluster")
+      .orderBy($"quality".desc, $"doc_id")
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select($"doc_id", $"cluster", $"quality", $"keep")
+      .orderBy($"doc_id")
+  }
 }

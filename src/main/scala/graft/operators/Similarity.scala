@@ -419,4 +419,32 @@ object Similarity {
       .select($"vec_id",
         expr("transform(embedding, x -> cast(x as double))").as("v")))
   }
+
+  /** Embedding dedup CLUSTERS — the cluster form of [[cosineNearDupLsh]],
+    * mirroring what [[Curation.dedupClusters]] is to the n-gram pair list:
+    * connected components of the cosine ≥ threshold near-dup graph, one
+    * row per vector with its cluster representative (smallest vec_id) and
+    * the keep/drop decision. Pairwise output alone can drop both ends of
+    * a chain A~B~C; the cluster form is what a pipeline ships.
+    *
+    * Scale shape: the pair stage is the LSH-bucketed candidate join
+    * (bounded buckets, exact verify) and the contraction is the same
+    * O(log n)-round large-star/small-star loop as q50 — vectors that
+    * never pair (including null/null-element vectors the index excludes)
+    * surface as singletons via the left join, so the output covers the
+    * whole table. */
+  def embeddingDedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val pairs = cosineNearDupLsh(spark, dir, threshold)
+      .select($"v1".as("d1"), $"v2".as("d2"))
+    val comp = Curation.connectedComponentsStar(pairs)
+    Tables.embeddings(spark, dir)
+      .select($"vec_id")
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"label", $"vec_id").as("cluster"))
+      .withColumn("keep", when($"cluster" === $"vec_id", 1).otherwise(0))
+      .orderBy($"vec_id")
+  }
 }

@@ -452,6 +452,29 @@ class CurationSpec extends SparkSpec {
     assert(tri === Map(1L -> 2L), s"got $tri")
   }
 
+  test("canonical selection keeps the best-quality doc of each cluster") {
+    val clusters = Curation.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Curation.canonicalDocs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet === clusters.keySet, "same corpus coverage as q50")
+    out.foreach { case (id, (c, _, _)) =>
+      assert(c === clusters(id), "same cluster assignment as q50") }
+    out.groupBy(_._2._1).foreach { case (c, members) =>
+      val kept = members.filter(_._2._3 == 1)
+      assert(kept.size === 1, s"cluster $c must keep exactly one doc")
+      // the keeper wins on (quality desc, doc_id asc)
+      val winner = members.minBy { case (id, (_, q, _)) => (-q, id) }._1
+      assert(kept.head._1 === winner,
+        s"cluster $c kept ${kept.head._1}, best is $winner")
+    }
+    // the rule differs from q50's min-id on at least one multi-doc cluster
+    // only if qualities differ — just pin that multi-doc clusters exist
+    assert(out.groupBy(_._2._1).exists(_._2.size > 1),
+      "fixture should contain non-singleton clusters")
+  }
+
   test("passage dedup finds repeated 30-token chunks across and within docs") {
     import spark.implicits._
     def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")

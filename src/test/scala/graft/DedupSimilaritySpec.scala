@@ -438,4 +438,26 @@ class DedupSimilaritySpec extends SparkSpec {
     v.zip(q).foreach { case (x, c) =>
       assert(math.abs(x - c * scale) <= scale / 2 + 1e-12) }
   }
+
+  test("embedding dedup clusters agree with the pair graph") {
+    val clusters = Similarity.embeddingDedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val all = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(clusters.keySet === all, "every vector is assigned")
+    // both endpoints of every verified near-dup pair share a cluster
+    val pairs = Similarity.cosineNearDupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1,
+        s"pair ($a, $b) split across clusters") }
+    // representative = smallest member; keep flags mark exactly the reps
+    clusters.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(rep === members.keys.min,
+        s"cluster $rep is not its smallest member")
+      assert(members.count(_._2._2 == 1) === 1 &&
+        members(rep)._2 === 1, s"cluster $rep keep flags wrong")
+    }
+  }
 }
