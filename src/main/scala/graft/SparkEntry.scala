@@ -120,7 +120,11 @@ object SparkEntry {
     // components (the embedding twin of q50), and q50's clusters upgraded
     // from keep-smallest-id to keep-best-quality.
     "q68_embed_clusters" -> ((s, d) => Similarity.embeddingDedupClusters(s, d)),
-    "q69_canonical_docs" -> ((s, d) => Curation.canonicalDocs(s, d))
+    "q69_canonical_docs" -> ((s, d) => Curation.canonicalDocs(s, d)),
+    // Unigram-LM perplexity (the classic LM quality filter), self-trained
+    // on the corpus; per-doc log-prob sums run over decimals so shuffle
+    // order cannot perturb the accumulation.
+    "q70_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1176,6 +1180,26 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocab
         |FROM b ORDER BY bin""".stripMargin,
+
+    // Unigram perplexity: ln of corpus-relative frequency per token,
+    // decimal-summed per doc (order-independent), one exp at the end.
+    "q70_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq),
+        |lp AS (
+        |  SELECT doc_id, CAST(ln(cnt / total) AS DECIMAL(28,14)) AS lp
+        |  FROM toks JOIN freq USING (tok), tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS sl
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(exp(-CAST(sl AS DOUBLE) / n_tokens), 6) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // int8 quantization audit: every output except max_abs is an integer
     // derived from round(x*127/max_abs) per element — no cross-element

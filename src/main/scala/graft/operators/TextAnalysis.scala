@@ -308,4 +308,43 @@ object TextAnalysis {
     * the oracle checks is the trigram one (Heaps-law shape, ~10 bins). */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
     vocabGrowthOf(Tables.documents(spark, dir), ngram = 3)
+
+  /** Unigram-LM perplexity scoring — the classic LM-based quality filter:
+    * train a unigram language model on the corpus itself (token relative
+    * frequencies) and score each document by perplexity
+    * exp(−Σ ln p(tok) / n). Unusually-high-perplexity docs are gibberish /
+    * wrong-language / boilerplate candidates; unusually low means
+    * repetitive template text. Self-trained, so every token has a
+    * probability (no smoothing needed).
+    *
+    * Bit-exactness: per-token ln p is deterministic; the PER-DOCUMENT sum
+    * runs over DECIMAL(28,14) casts (q58's trick) so shuffle order can't
+    * perturb the float accumulation, converted back to double for the one
+    * exp at the end.
+    *
+    * Scale shape: explode → vocabulary-sized frequency aggregate → token
+    * join SHUFFLED (vocabulary is corpus-derived — broadcasting it is the
+    * q21 keep-list mistake) → one per-doc partial-agg shuffle. The corpus
+    * token total is a broadcast one-row aggregate, not a driver count. */
+  def perplexityOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    toks
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("cnt") / col("total")).cast("decimal(28,14)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("sl"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(exp(-col("sl").cast("double") / col("n_tokens")), 6)
+          .as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q70). */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityOf(Tables.documents(spark, dir))
 }

@@ -475,6 +475,21 @@ class CurationSpec extends SparkSpec {
       "fixture should contain non-singleton clusters")
   }
 
+  test("perplexity scores from the self-trained unigram model") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=4, total 8 -> p(a)=p(b)=1/4, p(c)=1/2
+    val docs = Seq(
+      (1L, "a a b"),   // uniform p=1/4 -> ppl = 4
+      (2L, "b"),       // single 1/4 token -> ppl = 4
+      (3L, "c c c c"), // uniform p=1/2 -> ppl = 2
+      (4L, "")         // empty: no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(1L -> ((3L, 4.0)), 2L -> ((1L, 4.0)),
+      3L -> ((4L, 2.0))))
+  }
+
   test("passage dedup finds repeated 30-token chunks across and within docs") {
     import spark.implicits._
     def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
