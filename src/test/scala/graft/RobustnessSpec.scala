@@ -72,6 +72,38 @@ class RobustnessSpec extends SparkSpec {
       Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")).count() === 0)
   }
 
+  test("training-layout tier tolerates null text, empty frames, missing weights") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    val docs = Seq((1L, "s", "a b a"), (2L, "s", null.asInstanceOf[String]),
+      (3L, "s", "")).toDF("doc_id", "source", "text")
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    // packing / perplexity / vocab growth: null and empty texts pack and
+    // score nothing; empty corpora stay empty end to end
+    assert(TextAnalysis.packSequencesOf(docs).collect()
+      .map(_.getLong(1)).toSeq === Seq(1L))
+    assert(TextAnalysis.packSequencesOf(empty).count() === 0)
+    assert(TextAnalysis.perplexityOf(docs).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(TextAnalysis.perplexityOf(empty).count() === 0)
+    assert(TextAnalysis.vocabGrowthOf(empty).count() === 0)
+    assert(Dedup.passageDedupOf(docs).count() === 0,
+      "a single non-empty doc has no repeated passage")
+    assert(Dedup.sourceOverlapOf(docs).count() === 0,
+      "one source can never overlap itself")
+    // pii scan: null text yields null counts but never a row drop — the
+    // privacy pass must account for EVERY document
+    val pii = Curation.piiScanOf(docs).collect()
+    assert(pii.length === 3, "pii scan accounts for every doc")
+    // epoch mix: a weight class missing from the policy drops the source
+    // (inner-join semantics = weight 0), it does not fail the job
+    val mixed = Curation.epochMixOf(
+      docs.withColumn("wk", org.apache.spark.sql.functions.lit(7)),
+      Seq(0 -> 1.0).toDF("wk", "weight"))
+    assert(mixed.count() === 0)
+  }
+
   test("star contraction tolerates self-loops, duplicates, both orientations") {
     import spark.implicits._
     import graft.operators.Curation
