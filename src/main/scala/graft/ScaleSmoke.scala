@@ -183,6 +183,15 @@ object ScaleSmoke {
       "pii_scan" -> ((d, _) => operators.Curation.piiScan(spark, d)),
       "epoch_mix" -> ((d, _) => operators.Curation.epochMix(spark, d)),
       "passage_dedup" -> ((d, _) => operators.Dedup.passageDedup(spark, d)),
+      // corpus-audit tier: the vocab join (perplexity), the trigram
+      // first-seen aggregate (vocab_growth), the bounded per-digest source
+      // sets (source_overlap), and a pure-map control (quantize_int8).
+      // The cluster compositions (q68/q69) are excluded on purpose: their
+      // pair stages ARE the already-measured ngram/LSH rows.
+      "perplexity" -> ((d, _) => operators.TextAnalysis.perplexity(spark, d)),
+      "vocab_growth" -> ((d, _) => operators.TextAnalysis.vocabGrowth(spark, d)),
+      "source_overlap" -> ((d, _) => operators.Dedup.sourceOverlap(spark, d)),
+      "quantize_int8" -> ((d, _) => operators.Similarity.quantizeInt8(spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

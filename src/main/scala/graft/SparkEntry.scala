@@ -124,7 +124,10 @@ object SparkEntry {
     // Unigram-LM perplexity (the classic LM quality filter), self-trained
     // on the corpus; per-doc log-prob sums run over decimals so shuffle
     // order cannot perturb the accumulation.
-    "q70_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d))
+    "q70_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
+    // Count-min heavy-hitter audit: bounded d×w sketch state read back at
+    // the exact top-k so the one-sided error is visible next to truth.
+    "q71_countmin_topk" -> ((s, d) => TextAnalysis.countMinTopTokens(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1200,6 +1203,35 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  ROUND(exp(-CAST(sl AS DOUBLE) / n_tokens), 6) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Count-min sketch: d=4 rows x w=256 buckets, md5-derived row hashes,
+    // estimate = min over rows of the token's cell — always >= exact.
+    "q71_countmin_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |tj AS (
+        |  SELECT tok, unnest(range(4)) AS j FROM toks),
+        |cells AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 256 AS bucket,
+        |    COUNT(*) AS cell
+        |  FROM tj GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok),
+        |topk AS (
+        |  SELECT tok, exact_cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) AS INTEGER)
+        |      AS rank
+        |  FROM exact QUALIFY rank <= 20),
+        |probe AS (
+        |  SELECT rank, tok, exact_cnt, j,
+        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM (SELECT rank, tok, exact_cnt, unnest(range(4)) AS j FROM topk))
+        |SELECT rank, tok, exact_cnt, MIN(cell) AS cms_est
+        |FROM probe JOIN cells USING (j, bucket)
+        |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin,
 
     // int8 quantization audit: every output except max_abs is an integer
     // derived from round(x*127/max_abs) per element — no cross-element

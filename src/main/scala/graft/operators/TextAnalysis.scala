@@ -347,4 +347,50 @@ object TextAnalysis {
   /** Fixture form (q70). */
   def perplexity(spark: SparkSession, dir: String): DataFrame =
     perplexityOf(Tables.documents(spark, dir))
+
+  /** Count-min-sketch heavy-hitter audit — the bounded-state path to
+    * "which tokens dominate the corpus" (boilerplate markers, stop-term
+    * discovery): a d×w count-min sketch with md5-derived row hashes, read
+    * back at the exact top-k tokens so the sketch's one-sided error
+    * (estimate ≥ truth, inflated only by collision mass) is visible next
+    * to the true counts.
+    *
+    * Scale shape: THE SKETCH IS THE POINT — its aggregation state is d×w
+    * cells no matter the corpus size (the map-side partial agg collapses
+    * each partition to ≤ d×w rows before the one shuffle), where an exact
+    * frequency table is vocabulary-sized. The exact side here is the
+    * AUDIT, kept because the fixture can afford it; at 100 TB a user runs
+    * the sketch alone and reads estimates. Hashes are md5-derived, so
+    * engines (and any cluster) agree cell for cell. */
+  def countMinTopTokensOf(docs: DataFrame, width: Int = 256, depth: Int = 4,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0 && depth > 0 && k > 0,
+      s"need positive width/depth/k, got $width/$depth/$k")
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    // row-j bucket of `tok`: md5-derived, so any engine lands cell-for-cell
+    val bucket = expr(
+      "cast(conv(substring(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint)") % width
+    val rows = explode(expr(s"sequence(0, ${depth - 1})")).as("j")
+    val cells = toks
+      .select(col("tok"), rows)
+      .withColumn("bucket", bucket)
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact_cnt").desc, col("tok"))))
+      .filter(col("rank") <= k)
+    exact
+      .select(col("rank"), col("tok"), col("exact_cnt"), rows)
+      .withColumn("bucket", bucket)
+      .join(cells, Seq("j", "bucket"))
+      .groupBy(col("rank"), col("tok"), col("exact_cnt"))
+      .agg(min(col("cell")).as("cms_est"))
+      .orderBy(col("rank"))
+  }
+
+  /** Fixture form (q71). */
+  def countMinTopTokens(spark: SparkSession, dir: String): DataFrame =
+    countMinTopTokensOf(Tables.documents(spark, dir))
 }

@@ -490,6 +490,21 @@ class CurationSpec extends SparkSpec {
       3L -> ((4L, 2.0))))
   }
 
+  test("count-min estimates are exact without collisions, inflated with them") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    // 3 tokens across 4x256 cells: no collisions, estimates equal truth
+    val out = TextAnalysis.countMinTopTokensOf(docs).collect()
+      .map(r => r.getString(1) -> (r.getInt(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map("a" -> ((1, 3L, 3L)), "b" -> ((2, 2L, 2L)),
+      "c" -> ((3, 1L, 1L))))
+    // width 1 forces every token into one cell per row: every estimate
+    // becomes the total token count — one-sided error, never undercount
+    val crushed = TextAnalysis.countMinTopTokensOf(docs, width = 1).collect()
+    assert(crushed.forall(_.getLong(3) === 6L))
+  }
+
   test("passage dedup finds repeated 30-token chunks across and within docs") {
     import spark.implicits._
     def block(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
