@@ -265,4 +265,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       "the bounded collect_set form must not plan the digest self-join")
   }
+
+  test("q70 perplexity broadcasts only the one-row total, vocab join stays equi") {
+    val p = plan(operators.TextAnalysis.perplexity(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"exactly the one-row corpus total may nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q71 count-min sketch cells aggregate partial before the shuffle") {
+    val p = plan(operators.TextAnalysis.countMinTopTokens(spark, sfDir))
+    // partial+final pairs for the cell counts and the exact audit side —
+    // the sketch's map-side state is d x w cells, which is the whole point
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"cell and exact aggregates must both plan partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
