@@ -1204,18 +1204,19 @@ object SparkEntry {
         |  ROUND(exp(-CAST(sl AS DOUBLE) / n_tokens), 6) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
 
-    // Count-min sketch: d=4 rows x w=256 buckets, md5-derived row hashes,
-    // estimate = min over rows of the token's cell — always >= exact.
+    // Count-min sketch: d=4 rows x w=256 buckets; ONE md5 per occurrence,
+    // row j reads its disjoint 8-hex slice; estimate = min over rows of
+    // the token's cell — always >= exact.
     "q71_countmin_topk" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
         |    t -> t <> '')) AS tok
         |  FROM documents),
         |tj AS (
-        |  SELECT tok, unnest(range(4)) AS j FROM toks),
+        |  SELECT md5(tok) AS h, unnest(range(4)) AS j FROM toks),
         |cells AS (
         |  SELECT j,
-        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 256 AS bucket,
+        |    ('0x' || substr(h, j * 8 + 1, 8))::BIGINT % 256 AS bucket,
         |    COUNT(*) AS cell
         |  FROM tj GROUP BY 1, 2),
         |exact AS (
@@ -1227,7 +1228,7 @@ object SparkEntry {
         |  FROM exact QUALIFY rank <= 20),
         |probe AS (
         |  SELECT rank, tok, exact_cnt, j,
-        |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 256 AS bucket
+        |    ('0x' || substr(md5(tok), j * 8 + 1, 8))::BIGINT % 256 AS bucket
         |  FROM (SELECT rank, tok, exact_cnt, unnest(range(4)) AS j FROM topk))
         |SELECT rank, tok, exact_cnt, MIN(cell) AS cms_est
         |FROM probe JOIN cells USING (j, bucket)

@@ -284,13 +284,24 @@ object Curation {
     * rooted at each component's minimum. Convergence = edge set unchanged,
     * checked with except+count (overflow-free). Returns (id, label) for
     * every vertex of `pairs`. */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    starContract(pairs, maxIter)._1
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+      driverEdgeBudget: Long = 100000): DataFrame =
+    starContract(pairs, maxIter, driverEdgeBudget)._1
 
   /** [[connectedComponentsStar]] plus the round count (spec evidence for
-    * the O(log n) bound). */
+    * the O(log n) bound).
+    *
+    * Small graphs take a COUNT-GATED driver union-find instead of the
+    * round loop: each distributed round is ~6 shuffles run strictly in
+    * sequence, so a few-hundred-edge graph pays seconds of scheduling for
+    * microseconds of work (the q50/q68 warm profile was dominated by it).
+    * The gate is the measured edge count against `driverEdgeBudget`
+    * (default 100k edges ≈ 1.6 MB — same bounded-driver-state discipline
+    * as [[bloomDedup]]'s budget and SideData's broadcast guard); above it,
+    * the O(log n) contraction runs exactly as before. Both paths emit the
+    * identical min-id labelling (differential-tested). */
   private[graft] def starContract(pairs: DataFrame,
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50, driverEdgeBudget: Long = 100000): (DataFrame, Int) = {
     // canonical big→small orientation, self-loops dropped
     var edges = pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
@@ -323,6 +334,34 @@ object Curation {
     }
     var it = 0
     var edgeCount = edges.count()
+    if (edgeCount <= driverEdgeBudget) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      // union-by-min keeps every root the minimum of its component, so
+      // find() reproduces the distributed path's min-id labels exactly
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.map(id => (id, find(id)))
+      val comp = labels.toDF("id", "lbl")
+      val out = vertices
+        .join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+      return (out, 0)
+    }
     var converged = edgeCount == 0L
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()

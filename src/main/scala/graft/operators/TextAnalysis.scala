@@ -367,13 +367,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(width > 0 && depth > 0 && k > 0,
       s"need positive width/depth/k, got $width/$depth/$k")
+    require(depth * 8 <= 32, s"depth $depth exceeds the one-md5 hex budget")
     val toks = docs.select(explode(tokens(col("text"))).as("tok"))
-    // row-j bucket of `tok`: md5-derived, so any engine lands cell-for-cell
+    // ONE md5 per token occurrence; row j reads its own disjoint 8-hex
+    // (32-bit) slice — 4x fewer hashes than hashing (j, tok) per row, and
+    // rows stay independent because the slices never overlap
     val bucket = expr(
-      "cast(conv(substring(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint)") % width
+      "cast(conv(substring(h, j * 8 + 1, 8), 16, 10) as bigint)") % width
     val rows = explode(expr(s"sequence(0, ${depth - 1})")).as("j")
     val cells = toks
-      .select(col("tok"), rows)
+      .withColumn("h", md5(col("tok")))
+      .select(col("h"), rows)
       .withColumn("bucket", bucket)
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cell"))
@@ -382,7 +386,8 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("exact_cnt").desc, col("tok"))))
       .filter(col("rank") <= k)
     exact
-      .select(col("rank"), col("tok"), col("exact_cnt"), rows)
+      .withColumn("h", md5(col("tok")))
+      .select(col("rank"), col("tok"), col("exact_cnt"), col("h"), rows)
       .withColumn("bucket", bucket)
       .join(cells, Seq("j", "bucket"))
       .groupBy(col("rank"), col("tok"), col("exact_cnt"))

@@ -201,11 +201,18 @@ class CurationSpec extends SparkSpec {
     // minimum id
     val perm = new scala.util.Random(7).shuffle((0L to 1000L).toVector)
     val pairs = perm.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("d1", "d2")
-    val (labels, rounds) = Curation.starContract(pairs)
-    assert(rounds <= 15, s"took $rounds rounds — not O(log n)")
+    // driverEdgeBudget = 0 forces the DISTRIBUTED loop — this spec is the
+    // O(log n) evidence and must not take the small-graph driver path
+    val (labels, rounds) = Curation.starContract(pairs, driverEdgeBudget = 0)
+    assert(rounds > 0 && rounds <= 15, s"took $rounds rounds — not O(log n)")
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length === 1001)
     assert(got.forall(_._2 === 0L))
+    // the count-gated driver union-find labels the same graph identically
+    val fast = Curation.starContract(pairs)
+    assert(fast._2 === 0, "1000 edges must take the driver path")
+    assert(fast._1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === got.sorted, "driver and distributed paths must agree")
   }
 
   test("star contraction equals label propagation on random graphs") {
