@@ -129,6 +129,70 @@ class PropertySpec extends SparkSpec {
     }, runs = 6)
   }
 
+  test("hash split partitions any corpus exhaustively and stably") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 10000L), Gen.oneOf("s0", "s1", "s2")))
+      .map(_.distinctBy(_._1))
+    holds(Prop.forAll(gen) { docs =>
+      docs.isEmpty || {
+        val df = docs.map { case (id, s) => (id, s, s"text $id") }
+          .toDF("doc_id", "source", "text")
+        val out = graft.operators.Curation.assignSplitsOf(df).collect()
+          .map(r => r.getLong(0) -> r.getString(3)).toMap
+        // exhaustive, and removing half the corpus moves nobody
+        val half = docs.take(docs.length / 2)
+        val sub = graft.operators.Curation.assignSplitsOf(
+          half.map { case (id, s) => (id, s, s"text $id") }
+            .toDF("doc_id", "source", "text")).collect()
+          .map(r => r.getLong(0) -> r.getString(3)).toMap
+        out.size == docs.length &&
+          sub.forall { case (id, split) => out(id) == split }
+      }
+    }, runs = 6)
+  }
+
+  test("sequence packing conserves the token stream for arbitrary corpora") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(0, 40)))
+      .map(_.distinctBy(_._1))
+    holds(Prop.forAll(gen) { docs =>
+      docs.isEmpty || {
+        val df = docs.map { case (id, n) =>
+          (id % 3 match { case 0 => "a"; case 1 => "b"; case _ => "c" },
+            id, (1 to n).map(i => s"w$i").mkString(" "))
+        }.toDF("source", "doc_id", "text")
+        val rows = graft.operators.TextAnalysis.packSequencesOf(df, ctx = 16)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        // per source in doc_id order: each doc starts exactly where the
+        // previous ended (bin arithmetic = one contiguous token stream)
+        rows.groupBy(_._1).forall { case (_, rs) =>
+          val sorted = rs.sortBy(_._2)
+          sorted.zip(sorted.scanLeft(0L)(_ + _._3)).forall {
+            case ((_, _, _, bin, pos), start) =>
+              bin == start / 16 && pos == start % 16
+          }
+        }
+      }
+    }, runs = 6)
+  }
+
+  test("count-min estimates never undercount, for arbitrary corpora") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    holds(Prop.forAll(Gen.zip(gen, Gen.oneOf(2, 4, 16))) {
+      case (toks, width) =>
+        val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+        val out = graft.operators.TextAnalysis
+          .countMinTopTokensOf(df, width = width).collect()
+        out.nonEmpty && out.forall(r => r.getLong(3) >= r.getLong(2))
+    }, runs = 8)
+  }
+
   test("histogram report is consistent for arbitrary values") {
     val agg = new Aggregators.ValueHistogram()
     val gen = Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
