@@ -127,7 +127,10 @@ object SparkEntry {
     "q70_perplexity" -> ((s, d) => TextAnalysis.perplexity(s, d)),
     // Count-min heavy-hitter audit: bounded d×w sketch state read back at
     // the exact top-k so the one-sided error is visible next to truth.
-    "q71_countmin_topk" -> ((s, d) => TextAnalysis.countMinTopTokens(s, d))
+    "q71_countmin_topk" -> ((s, d) => TextAnalysis.countMinTopTokens(s, d)),
+    // Eval-hygiene audit: near-dup pairs straddling train/val/test splits
+    // (within-corpus contamination q46's external decontamination misses).
+    "q72_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1183,6 +1186,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_vocab
         |FROM b ORDER BY bin""".stripMargin,
+
+    // Split leakage: q21's pair chain joined twice against q64's split
+    // CASE, folded to an unordered (split, split) matrix.
+    "q72_split_leakage" ->
+      (s"""WITH $ngramPairsCte,
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800 THEN 'train'
+        |         WHEN ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT LEAST(a.split, b.split) AS split_lo,
+        |         GREATEST(a.split, b.split) AS split_hi
+        |  FROM pairs
+        |  JOIN splits a ON pairs.d1 = a.doc_id
+        |  JOIN splits b ON pairs.d2 = b.doc_id)
+        |SELECT split_lo, split_hi, COUNT(*) AS n_pairs
+        |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Unigram perplexity: ln of corpus-relative frequency per token,
     // decimal-summed per doc (order-independent), one exp at the end.

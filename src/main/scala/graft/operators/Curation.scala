@@ -546,6 +546,34 @@ object Curation {
   def assignSplits(spark: SparkSession, dir: String): DataFrame =
     assignSplitsOf(Tables.documents(spark, dir))
 
+  /** Split-leakage check — the eval-hygiene audit run after ANY split:
+    * count near-dup pairs ([[Dedup.ngramJaccard]]'s graph) whose endpoints
+    * land in different [[assignSplitsOf]] splits. A train/test near-dup
+    * pair is test-set contamination the decontamination pass (q46) cannot
+    * see, because the leak is WITHIN the corpus, not against an external
+    * benchmark. The cross-split rows of this matrix are the leaks; the
+    * fix is cluster-aware splitting (split by q50 cluster, not by doc).
+    *
+    * Scale shape: two broadcast-sized probes into the pair list — the
+    * split frame is a per-row map over the corpus, so both joins shuffle
+    * on doc_id at pair-list cardinality, then one tiny (split, split)
+    * aggregate. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramPairs(spark, dir, threshold, maxDf = 100)
+      .select($"d1", $"d2")
+    val splits = assignSplits(spark, dir).select($"doc_id", $"split")
+    pairs
+      .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), Seq("d1"))
+      .join(splits.select($"doc_id".as("d2"), $"split".as("s2")), Seq("d2"))
+      .select(least($"s1", $"s2").as("split_lo"),
+        greatest($"s1", $"s2").as("split_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"split_lo", $"split_hi")
+  }
+
   // ---------------------------------------------------------------------
   // Canonical document selection
   // ---------------------------------------------------------------------

@@ -459,6 +459,22 @@ class CurationSpec extends SparkSpec {
     assert(tri === Map(1L -> 2L), s"got $tri")
   }
 
+  test("split leakage matrix accounts for every near-dup pair") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val splits = Curation.assignSplits(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val want = pairs.map { case (a, b) =>
+      val (x, y) = (splits(a), splits(b))
+      if (x <= y) (x, y) else (y, x)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Curation.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want, "matrix must match the recomputed pair tagging")
+    assert(got.values.sum === pairs.length.toLong,
+      "every near-dup pair lands in exactly one matrix cell")
+  }
+
   test("canonical selection keeps the best-quality doc of each cluster") {
     val clusters = Curation.dedupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
