@@ -249,7 +249,11 @@ object Similarity {
     * operator's target regime is the planted-duplicate spec). */
   def cosineNearDupLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame =
-    cosineNearDupLshOf(vecs(spark, dir), threshold)
+    // memoized like Dedup.ngramPairs: the verified pair frame is shared by
+    // the pair query (q56) and the cluster form (q68) in one session
+    graft.StageMemo(spark, s"lshpairs:$dir:$threshold") {
+      cosineNearDupLshOf(vecs(spark, dir), threshold)
+    }
 
   /** Per-(label, dimension) centroid coordinate of a (label, v) frame —
     * the embedding-quality diagnostic behind [[labelCentroids]] and
