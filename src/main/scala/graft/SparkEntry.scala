@@ -130,7 +130,12 @@ object SparkEntry {
     "q71_countmin_topk" -> ((s, d) => TextAnalysis.countMinTopTokens(s, d)),
     // Eval-hygiene audit: near-dup pairs straddling train/val/test splits
     // (within-corpus contamination q46's external decontamination misses).
-    "q72_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d))
+    "q72_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
+    // Semantic-curation tier: distributed Lloyd's k-means (broadcast-
+    // literal centers, decimal-exact means) and SemDeDup within-cluster
+    // cosine pruning over the shared assignment frame.
+    "q73_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "q74_semdedup" -> ((s, d) => Similarity.semDedup(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -181,6 +186,57 @@ object SparkEntry {
       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS norm
       |  FROM embeddings)""".stripMargin
+
+  /** q73/q74's Lloyd iterations, unrolled to CTEs: `vl` = unit-normalized
+    * valid vectors (the Similarity.unitVecs exclusion rule), `c0` = seed
+    * centers (the k lowest vec_ids), then per iteration t: an argmin
+    * assignment CTE (a1..aN) of c·c − 2·u·c with the lower-cluster
+    * tie-break, DECIMAL(28,14) per-dim means (exact, order-free), and next
+    * centers (c1..cN)
+    * with empty clusters keeping their previous center — the exact IEEE
+    * sequence the Spark loop executes, so a3 matches bit for bit. */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    def assignCte(name: String, centers: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, u, cluster, score FROM (
+         |    SELECT vl.vec_id, vl.u, c.cluster,
+         |      list_dot_product(c.c, c.c)
+         |        - 2.0 * list_dot_product(vl.u, c.c) AS score
+         |    FROM vl, $centers c)
+         |  QUALIFY ROW_NUMBER()
+         |    OVER (PARTITION BY vec_id ORDER BY score, cluster) = 1)"""
+        .stripMargin
+    val head =
+      s"""$vecsCte,
+         |vl AS (
+         |  SELECT vec_id, list_transform(v, x -> x / norm) AS u
+         |  FROM n WHERE v IS NOT NULL
+         |    AND len(list_filter(v, x -> x IS NULL)) = 0 AND norm > 0),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS cluster, u AS c
+         |  FROM vl QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k)"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${assignCte(s"a$t", s"c${t - 1}")},
+         |m$t AS (
+         |  SELECT cluster, d.d AS d,
+         |    CAST(SUM(CAST(u[d.d + 1] AS DECIMAL(28,14))) AS DOUBLE)
+         |      / COUNT(*) AS c
+         |  FROM a$t, (SELECT unnest(range(64)) AS d) d
+         |  GROUP BY cluster, d.d),
+         |w$t AS (
+         |  SELECT cluster, list(c ORDER BY d) AS c FROM m$t GROUP BY cluster),
+         |c$t AS (
+         |  SELECT p.cluster, COALESCE(w.c, p.c) AS c
+         |  FROM c${t - 1} p LEFT JOIN w$t w USING (cluster))"""
+        .stripMargin
+    }
+    // af = the FINAL re-assignment against the post-iteration centers —
+    // the frame the Spark loop returns (assignToCenters after the last
+    // center update), which q73/q74 read.
+    ((head +: steps) :+ assignCte("af", s"c$iters")).mkString(",\n")
+  }
 
   /** q21/q50/q69's df-gated 3-shingle Jaccard pair chain: yields
     * `pairs(d1, d2)` (requires [[shinglesCte]]'s `sh`). */
@@ -1281,6 +1337,29 @@ object SparkEntry {
         |  CAST(list_sum(q) AS BIGINT) AS sum_q,
         |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT)
         |    AS sum_q2
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q73_kmeans" ->
+      // Lloyd's iterations unrolled (kmeansCte); d2 = |u − c|² = 1 + score
+      // since |u| = 1, clamped like q59's FP-negative guard.
+      (s"""WITH ${kmeansCte(8, 3)}
+        |SELECT vec_id, cluster,
+        |  ROUND(GREATEST(CAST(0.0 AS DOUBLE), 1.0 + score), 6) AS d2
+        |FROM af ORDER BY vec_id""".stripMargin),
+    "q74_semdedup" ->
+      // within-cluster lower-id near-dup (unit vectors: dot = cosine),
+      // rounded-cosine threshold like q56 so the boundary is engine-stable
+      (s"""WITH ${kmeansCte(8, 3)},
+        |dup AS (
+        |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        |  FROM af a JOIN af b ON a.cluster = b.cluster
+        |    AND a.vec_id < b.vec_id
+        |    AND ROUND(list_dot_product(a.u, b.u), 6) >= 0.4
+        |  GROUP BY b.vec_id)
+        |SELECT v.vec_id, v.cluster,
+        |  CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS dropped,
+        |  COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+        |FROM af v LEFT JOIN dup d ON v.vec_id = d.vec_id
+        |ORDER BY v.vec_id""".stripMargin)
   )
 }

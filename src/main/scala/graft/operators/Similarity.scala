@@ -451,4 +451,146 @@ object Similarity {
       .withColumn("keep", when($"cluster" === $"vec_id", 1).otherwise(0))
       .orderBy($"vec_id")
   }
+
+  /** Unit-normalized valid vectors `(vec_id, u)` — the k-means working
+    * frame: NULL vectors, vectors carrying a null element, and zero-norm
+    * vectors are excluded (none of them has a defined direction), matching
+    * the LSH index's exclusion rule. Element-wise division by the norm is
+    * one IEEE double op per coordinate, so DuckDB's
+    * `list_transform(v, x -> x / norm)` reproduces `u` bit for bit. */
+  private def unitVecs(spark: SparkSession, dir: String): DataFrame =
+    unitVecsOf(vecs(spark, dir))
+
+  /** [[unitVecs]] over an arbitrary `(vec_id, v, norm)` frame. */
+  private def unitVecsOf(e: DataFrame): DataFrame =
+    e.filter(col("v").isNotNull &&
+        not(coalesce(exists(col("v"), x => x.isNull), lit(true))) &&
+        col("norm") > 0)
+      .select(col("vec_id"), expr("transform(v, x -> x / norm)").as("u"))
+
+  /** Score-and-argmin against a FIXED center list — the map-side half of a
+    * Lloyd iteration. Centers arrive as driver-held literals (the model
+    * state, k × dim doubles), so assignment is a pure projection: each row
+    * evaluates k codegen'd [[graft.functions.DotProduct]] kernels against
+    * literal arrays and takes `array_min` over (score, cluster) structs —
+    * no join, no shuffle, no HOF lambda in the hot path. `score` is the
+    * squared-distance surrogate c·c − 2·u·c (|u| = 1, so the shared +1
+    * cannot reorder the argmin); ties break toward the lower cluster id
+    * via the struct ordering. */
+  private def assignToCenters(valid: DataFrame,
+      centers: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cand = centers.map { case (cl, c) =>
+      // ss on the driver is the same left-to-right IEEE sum the oracle's
+      // list_dot_product(c, c) executes
+      val ss = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(ss) - lit(2.0) * dot(col("u"), typedLit(c))).as("score"),
+        lit(cl).as("cluster"))
+    }
+    valid.withColumn("best", array_min(array(cand: _*)))
+      .select(col("vec_id"), col("u"),
+        col("best.cluster").as("cluster"), col("best.score").as("score"))
+  }
+
+  /** Final k-means assignment frame `(vec_id, u, cluster, score)` after
+    * `iters` Lloyd iterations from a deterministic seed (the `k`
+    * lowest-id valid vectors) — memoized per session, shared by
+    * [[kmeansAssign]] (q73) and [[semDedup]] (q74).
+    *
+    * Spark-first shape (the same loop MLlib's KMeans runs): centers are
+    * DRIVER state — k × dim doubles, a model parameter, not data — so each
+    * iteration is one codegen'd map-side assignment pass plus one
+    * decimal-mean aggregate whose shuffle volume is k × dim × partitions
+    * (map-side partial combine, corpus-size-independent), collected back
+    * as the next iteration's literals. Nothing corpus-sized ever reaches
+    * the driver; `require(k * DIM <= 1 << 20)` bounds the model state.
+    *
+    * Cross-engine determinism: per-dim means run over DECIMAL(28,14)
+    * sums (order-independent) converted to double by one exact division;
+    * every dot product is the same index-order IEEE sequence on both
+    * engines; a cluster that empties keeps its previous center. */
+  private def kmeansFrame(spark: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame =
+    graft.StageMemo(spark, s"kmeans:$dir:$k:$iters") {
+      kmeansOf(unitVecs(spark, dir), k, iters)
+    }
+
+  /** The Lloyd loop over an arbitrary unit-vector frame `(vec_id, u)` —
+    * the library form behind [[kmeansAssign]]/[[semDedup]]; returns the
+    * final `(vec_id, u, cluster, score)` assignment. */
+  private[graft] def kmeansOf(valid: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"need positive k/iters, got $k/$iters")
+    require(k * DIM <= (1 << 20),
+      s"k=$k x dim=$DIM exceeds the driver-held model-state budget")
+    var centers: Seq[(Int, Seq[Double])] =
+      valid.orderBy(col("vec_id")).limit(k).collect().toSeq
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Double](r.fieldIndex("u")))
+        }
+    for (_ <- 1 to iters) {
+      val means = assignToCenters(valid, centers)
+        .select(col("cluster"), posexplode(col("u")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centers = centers.map { case (cl, old) =>
+        (cl, means.getOrElse(cl, old))
+      }
+    }
+    assignToCenters(valid, centers)
+  }
+
+  /** Distributed Lloyd's k-means over unit-normalized embeddings (q73) —
+    * the clustering step under corpus maps, SemDeDup-style pruning, and
+    * IVF index builds. One row per valid vector: its cluster and the
+    * rounded squared distance to the final centroid. */
+  def kmeansAssign(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansFrame(spark, dir, k, iters)
+      .select(col("vec_id"), col("cluster"),
+        // |u - c|^2 = 1 + score; clamp the FP-negative a vector AT its
+        // centroid can compute (same guard as centroidOutliersOf)
+        round(greatest(lit(0.0), lit(1.0) + col("score")), 6).as("d2"))
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup (q74): semantic near-duplicate pruning WITHIN k-means
+    * clusters — the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, then drop any vector with a lower-id cosine
+    * near-duplicate in its own cluster, keeping the lowest id as
+    * canonical. One row per clustered vector with the keep/drop decision
+    * and the duplicate it loses to (−1 when kept).
+    *
+    * Scale shape: the pairwise stage is quadratic only WITHIN a cluster —
+    * the whole point of clustering first. The fixture runs k=8; a
+    * production corpus sizes k so clusters stay O(10⁴) (SemDeDup uses
+    * k ≈ √N and up), which also keeps the cluster-keyed self-join's key
+    * space wide — at k=8 the join shuffles on 8 keys, fine for 500
+    * vectors, a hot-key shuffle at scale. The threshold compares the
+    * ROUNDED cosine like q56, so the boundary is engine-stable. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, threshold: Double = 0.4): DataFrame =
+    semDedupFromAssign(kmeansFrame(spark, dir, k, iters), threshold)
+
+  /** [[semDedup]] over an arbitrary `(vec_id, u, cluster, ...)` k-means
+    * assignment frame. */
+  private[graft] def semDedupFromAssign(assign: DataFrame,
+      threshold: Double): DataFrame = {
+    val dupOf = assign.as("a").join(assign.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          round(dot(col("a.u"), col("b.u")), 6) >= threshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    assign.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNotNull, 1).otherwise(0).as("dropped"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -385,6 +385,46 @@ class DedupSimilaritySpec extends SparkSpec {
       s"only the clean identical pair should surface, got $pairs")
   }
 
+  test("k-means recovers two well-separated blobs") {
+    import spark.implicits._
+    // two tight blobs around orthogonal axes: the clustering is
+    // unambiguous, so Lloyd's must map each blob to one cluster
+    val rnd = new scala.util.Random(11)
+    def unit(axis: Int): Array[Double] = {
+      val v = Array.tabulate(64)(d =>
+        (if (d == axis) 10.0 else 0.0) + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val docs = ((0 until 30).map(i => (i.toLong, unit(0))) ++
+      (0 until 30).map(i => (100L + i, unit(32)))).toDF("vec_id", "u")
+    val assign = Similarity.kmeansOf(docs, k = 2, iters = 4)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ca = (0 until 30).map(i => assign(i.toLong)).distinct
+    val cb = (0 until 30).map(i => assign(100L + i)).distinct
+    assert(ca.length === 1 && cb.length === 1 && ca.head != cb.head,
+      s"blobs should land in two distinct clusters, got $ca / $cb")
+  }
+
+  test("SemDeDup drops in-cluster duplicates toward the lowest id") {
+    import spark.implicits._
+    // hand-built assignment: cluster 0 holds three byte-identical unit
+    // vectors (1,2,3) plus an orthogonal singleton (4); cluster 7 holds an
+    // identical pair (10,11). Duplicates lose to the lowest id in their
+    // cluster; nothing crosses clusters.
+    def e(axis: Int): Array[Double] =
+      Array.tabulate(64)(d => if (d == axis) 1.0 else 0.0)
+    val assign = Seq(
+      (1L, e(0), 0), (2L, e(0), 0), (3L, e(0), 0), (4L, e(5), 0),
+      (10L, e(0), 7), (11L, e(0), 7)).toDF("vec_id", "u", "cluster")
+    val res = Similarity.semDedupFromAssign(assign, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(res === Map(
+      1L -> ((0, -1L)), 2L -> ((1, 1L)), 3L -> ((1, 1L)), 4L -> ((0, -1L)),
+      10L -> ((0, -1L)), 11L -> ((1, 10L))))
+  }
+
   test("embedding fixture honors the dim-64 oracle contract") {
     // The q58/q59 oracles walk range(64) per vector while posexplode walks
     // the full array — the compare is only exact because every non-null
