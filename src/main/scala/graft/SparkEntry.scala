@@ -135,7 +135,11 @@ object SparkEntry {
     // literal centers, decimal-exact means) and SemDeDup within-cluster
     // cosine pruning over the shared assignment frame.
     "q73_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
-    "q74_semdedup" -> ((s, d) => Similarity.semDedup(s, d))
+    "q74_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    // Okapi BM25 retrieval against the corpus's own highest-df terms —
+    // the keyword scorer behind benchmark-adjacency / classifier-seed
+    // pulls; ln() follows the q70 decimal-quantize carve-out protocol.
+    "q75_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1360,6 +1364,50 @@ object SparkEntry {
         |  CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS dropped,
         |  COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of
         |FROM af v LEFT JOIN dup d ON v.vec_id = d.vec_id
-        |ORDER BY v.vec_id""".stripMargin)
+        |ORDER BY v.vec_id""".stripMargin),
+
+    "q75_bm25" ->
+      // constants interpolated from the SAME Scala doubles the Spark
+      // expression uses (k1+1 etc. round-trip through shortest-repr
+      // printing, so DuckDB parses back the identical double); per-term
+      // ln quantized to DECIMAL(28,14) like q70, per-doc sum in decimal,
+      // rank on the 6-decimal rounding with a doc_id tie-break.
+      (s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |    COUNT(*) AS toklen
+        |  FROM toks),
+        |qt AS (
+        |  SELECT term, df,
+        |    CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) AS DECIMAL(28,14))
+        |      AS idf
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot
+        |  ORDER BY df DESC, term LIMIT 5),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(CAST(qt.idf AS DOUBLE) *
+        |      ((tf.tf * ${TextAnalysis.Bm25K1 + 1.0}) /
+        |        (tf.tf + ${TextAnalysis.Bm25K1} *
+        |          (${1.0 - TextAnalysis.Bm25B} + ${TextAnalysis.Bm25B} *
+        |            (dl.dl / (CAST(toklen AS DOUBLE) / n)))))
+        |      AS DECIMAL(28,14)) AS w
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+        |    ROUND(CAST(SUM(w) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_terms, score,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+        |      AS rank
+        |  FROM agg)
+        |SELECT rank, doc_id, n_terms, score FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin)
   )
 }

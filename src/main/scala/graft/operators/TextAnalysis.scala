@@ -398,4 +398,68 @@ object TextAnalysis {
   /** Fixture form (q71). */
   def countMinTopTokens(spark: SparkSession, dir: String): DataFrame =
     countMinTopTokensOf(Tables.documents(spark, dir))
+
+  /** Okapi BM25 top-k retrieval (q75) — the keyword-retrieval scorer a
+    * curation pipeline runs to pull benchmark-adjacent or
+    * classifier-seed documents out of a corpus. The query is
+    * SELF-DERIVED for determinism: the corpus's `nTerms` highest-df
+    * tokens (df desc, token asc), scored with the standard
+    * idf = ln((N − df + 0.5) / (df + 0.5) + 1) and
+    * tf-part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism: the ln() is the third documented transcendental
+    * carve-out (with q57/q70) and follows the q70 protocol — each
+    * per-(doc, term) contribution is quantized to DECIMAL(28,14) before
+    * the order-independent per-doc sum, converted to double once, and
+    * ranked on the 6-decimal rounding with a doc_id tie-break.
+    *
+    * Scale shape: tf/dl/df are plain partial-agg shuffles; the query side
+    * is `nTerms` rows (broadcast), corpus totals are a broadcast one-row
+    * crossJoin (the q57 pattern), and the top-k is TakeOrderedAndProject —
+    * no global window over the corpus, no vocabulary-sized driver state. */
+  /** BM25 defaults, shared with the q75 oracle so the interpolated SQL
+    * constants are the SAME doubles the Spark expression evaluates. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def bm25TopDocsOf(docs: DataFrame, nTerms: Int = 5, k: Int = 20,
+      k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nTerms > 0 && k > 0, s"need positive nTerms/k, got $nTerms/$k")
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus totals: N over ALL documents (empty ones score nothing but
+    // still shape idf/avgdl), total token count for avgdl
+    val tot = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(terms.agg(count(lit(1)).as("toklen")))
+    val qt = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(nTerms)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("df"),
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+          lit(1.0)).cast("decimal(28,14)").as("idf"))
+    val w = (col("idf").cast("double") *
+      ((col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
+          (col("dl") / (col("toklen").cast("double") / col("n")))))))
+      .cast("decimal(28,14)")
+    tf.join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(w).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Fixture form (q75). */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    bm25TopDocsOf(Tables.documents(spark, dir))
 }

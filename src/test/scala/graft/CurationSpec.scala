@@ -548,4 +548,22 @@ class CurationSpec extends SparkSpec {
     assert(out(md5Hex(P)) === ((3L, 3L, 1L, 3L)))
     assert(out(md5Hex(S)) === ((2L, 1L, 5L, 5L)))
   }
+
+  test("BM25 rewards rare terms and short documents") {
+    import spark.implicits._
+    // query terms self-derive as the 2 highest-df tokens: "common" (df 3)
+    // then the df-1 tie broken ascending -> "filler". Doc 2 matches both
+    // (the rare "filler" idf dominates); docs 1 and 0 match only "common",
+    // where doc 1's shorter length outscores doc 0's higher tf — the
+    // length-normalization property that separates BM25 from raw tf-idf.
+    // Doc 3 matches no query term and must not appear.
+    val docs = Seq(
+      (0L, "common common rare"),
+      (1L, "common"),
+      (2L, "common filler filler filler filler"),
+      (3L, "other")).toDF("doc_id", "text")
+    val res = TextAnalysis.bm25TopDocsOf(docs, nTerms = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(res.toSeq === Seq((1, 2L, 2), (2, 1L, 1), (3, 0L, 1)))
+  }
 }
