@@ -139,7 +139,11 @@ object SparkEntry {
     // Okapi BM25 retrieval against the corpus's own highest-df terms —
     // the keyword scorer behind benchmark-adjacency / classifier-seed
     // pulls; ln() follows the q70 decimal-quantize carve-out protocol.
-    "q75_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(s, d))
+    "q75_bm25" -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
+    // Temperature-based source resampling at the sqrt-expressible α = 0.5:
+    // per-source √token weights, budget-proportional keep-rates, and the
+    // deterministic md5-acceptance sample — one audit row per source.
+    "q76_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1408,6 +1412,52 @@ object SparkEntry {
         |      AS rank
         |  FROM agg)
         |SELECT rank, doc_id, n_terms, score FROM r WHERE rank <= 20
-        |ORDER BY rank""".stripMargin)
+        |ORDER BY rank""".stripMargin),
+
+    "q76_temperature_mix" ->
+      // α = 0.5 temperature mix: per-source √token weights quantized to
+      // DECIMAL(28,14) (sqrt is IEEE-exact; the cross-source normalizer
+      // sums decimals, order-free), keep-rate = min(1, share·budget/tok),
+      // acceptance = md5 bucket vs an INTEGER threshold (q40/q44 family).
+      """WITH td AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))
+        |      AS tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |  FROM td GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,14)) AS wd
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(SUM(wd) AS DOUBLE) AS sumw,
+        |    CAST(SUM(n_tokens) AS DOUBLE) AS tottok
+        |  FROM w),
+        |s1 AS (
+        |  SELECT source, n_docs, n_tokens, tottok,
+        |    CAST(wd AS DOUBLE) / sumw AS share
+        |  FROM w, tot),
+        |r AS (
+        |  SELECT source, n_docs, n_tokens, share,
+        |    LEAST(1.0, (share * (tottok * 0.5)) / CAST(n_tokens AS DOUBLE))
+        |      AS rate
+        |  FROM s1),
+        |k AS (
+        |  SELECT td.source, td.tok,
+        |    CASE WHEN ('0x' || substr(md5(CAST(td.doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 1000000
+        |        < CAST(ROUND(r.rate * 1000000.0) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS k
+        |  FROM td JOIN r USING (source))
+        |SELECT r.source, r.n_docs, r.n_tokens,
+        |  ROUND(r.share, 6) AS share, ROUND(r.rate, 6) AS rate,
+        |  CAST(SUM(k.k) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(k.k * k.tok) AS BIGINT) AS kept_tokens
+        |FROM r JOIN k USING (source)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY r.source""".stripMargin
   )
 }

@@ -604,4 +604,66 @@ object Curation {
       .select($"doc_id", $"cluster", $"quality", $"keep")
       .orderBy($"doc_id")
   }
+
+  /** Temperature-based source resampling (q76) — the multinomial
+    * p^α mixing recipe (multilingual-sampling style) at α = 0.5, the one
+    * point of the p^α family that is sqrt-expressible and therefore
+    * IEEE-exact cross-engine (any other α needs the ln/exp carve-out).
+    * Per-source weight w_s = √(token_s); the token budget
+    * (`budgetFrac` × corpus tokens) is split by normalized weight, giving
+    * each source a keep-rate = min(1, share·budget / token_s) — sources
+    * above their fair share are down-sampled hard, small sources are kept
+    * whole. Sampling is the engine's deterministic content-hash
+    * acceptance (q40/q44 family): keep iff md5(doc_id) bucket <
+    * round(rate·10⁶) — the SAME rows survive on any cluster, any
+    * partitioning, any rerun. One audit row per source: totals, share,
+    * rate, and what survived.
+    *
+    * Determinism: token/doc counts are integer-exact; each √ is one IEEE
+    * op quantized to DECIMAL(28,14) so the cross-source normalizer is an
+    * order-independent decimal sum; the acceptance threshold is an
+    * INTEGER compare. Scale shape: one per-source partial-agg shuffle,
+    * one broadcast of the (sources × 5) rate frame back onto the corpus,
+    * one conditional re-aggregate — no windows, no driver state beyond
+    * the plan. A mega-source cannot skew: both aggregates partial-combine
+    * map-side, so the shuffle carries one row per (partition, source). */
+  def temperatureMix(spark: SparkSession, dir: String,
+      budgetFrac: Double = 0.5): DataFrame =
+    temperatureMixOf(Tables.documents(spark, dir), budgetFrac)
+
+  /** [[temperatureMix]] over an arbitrary `(doc_id, source, text)` frame. */
+  def temperatureMixOf(docs: DataFrame,
+      budgetFrac: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val td = docs.select($"source", $"doc_id",
+      size(tokens($"text")).as("tok"))
+    val per = td.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      .withColumn("wd", sqrt($"n_tokens".cast("double"))
+        .cast("decimal(28,14)"))
+    val tot = per.agg(sum($"wd").cast("double").as("sumw"),
+      sum($"n_tokens").cast("double").as("tottok"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("share", $"wd".cast("double") / $"sumw")
+      .withColumn("rate", least(lit(1.0),
+        ($"share" * ($"tottok" * lit(budgetFrac))) /
+          $"n_tokens".cast("double")))
+      .select($"source", $"n_docs", $"n_tokens", $"share", $"rate")
+    val keep = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+        "as bigint) % 1000000") <
+      round($"rate" * lit(1000000.0)).cast("bigint")
+    td.join(broadcast(rates), "source")
+      .withColumn("k", when(keep, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(first($"n_docs").as("n_docs"),
+        first($"n_tokens").as("n_tokens"),
+        round(first($"share"), 6).as("share"),
+        round(first($"rate"), 6).as("rate"),
+        sum($"k").as("kept_docs"),
+        sum($"k" * $"tok").as("kept_tokens"))
+      .orderBy($"source")
+  }
 }

@@ -566,4 +566,24 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
     assert(res.toSeq === Seq((1, 2L, 2), (2, 1L, 1), (3, 0L, 1)))
   }
+
+  test("temperature mix keeps small sources whole and downsamples big ones") {
+    import spark.implicits._
+    // α = 0.5 weights: tiny (1 token) gets √1 = 1, big (400 tokens) gets
+    // √400 = 20; at budget 0.5·401 ≈ 200 tokens, tiny's fair share exceeds
+    // its size (rate caps at 1.0) while big must shed roughly half.
+    val docs = (Seq((0L, "tiny", "one")) ++
+      (1 to 100).map(i => (i.toLong, "big", "a b c d")))
+      .toDF("doc_id", "source", "text")
+    val res = Curation.temperatureMixOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tiny = res("tiny"); val big = res("big")
+    assert(tiny.getDouble(4) === 1.0 && tiny.getLong(5) === 1L,
+      s"tiny source should be kept whole, got $tiny")
+    assert(big.getDouble(4) < 0.6 && big.getDouble(4) > 0.3,
+      s"big source rate should be ~0.48, got ${big.getDouble(4)}")
+    val keptFrac = big.getLong(6).toDouble / big.getLong(2)
+    assert(keptFrac > 0.25 && keptFrac < 0.7,
+      s"big source should shed roughly half its tokens, kept $keptFrac")
+  }
 }
