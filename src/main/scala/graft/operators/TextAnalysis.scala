@@ -430,11 +430,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // corpus totals: N over ALL documents (empty ones score nothing but
-    // still shape idf/avgdl), total token count for avgdl
-    val tot = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(terms.agg(count(lit(1)).as("toklen")))
+    // per-doc length as a shuffle-free map (empty docs carry dl=0 and
+    // simply never join a tf row); corpus totals — N over ALL documents
+    // (empty ones still shape idf/avgdl) and the token count for avgdl —
+    // come from ONE aggregate over it, so only one one-row frame ever
+    // nest-loop-broadcasts
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("toklen"))
     val qt = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(nTerms)
       .crossJoin(broadcast(tot))

@@ -281,4 +281,37 @@ class PlanSpec extends SparkSpec {
       s"cell and exact aggregates must both plan partial+final:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q73 k-means assignment plans as a pure map: no exchange, no join") {
+    import spark.implicits._
+    // centers are driver-held literals, so scoring+argmin must compile to
+    // a projection over the scan — the property that makes each Lloyd
+    // iteration one pass at any corpus size
+    val docs = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(64)(d => if (d == i % 4) 1.0 else 0.0)))
+      .toDF("vec_id", "u")
+    val p = plan(Similarity.kmeansOf(docs, k = 4, iters = 1))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must stay map-side:\n$p")
+  }
+
+  test("q75 bm25 top-k takes ordered, never globally sorts the corpus") {
+    val p = plan(operators.TextAnalysis.bm25TopDocs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan a bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-term query side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      s"only the one-row totals may nest-loop:\n$p")
+  }
+
+  test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
+    val p = plan(operators.Curation.temperatureMix(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast back onto the corpus")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"exactly the one-row normalizer may nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
 }
