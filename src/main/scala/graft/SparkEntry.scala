@@ -143,7 +143,23 @@ object SparkEntry {
     // Temperature-based source resampling at the sqrt-expressible α = 0.5:
     // per-source √token weights, budget-proportional keep-rates, and the
     // deterministic md5-acceptance sample — one audit row per source.
-    "q76_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d))
+    "q76_temperature_mix" -> ((s, d) => Curation.temperatureMix(s, d)),
+    // Sliding-window exact-substring duplication audit (ExactSubstr, Lee
+    // et al. 2021): per-doc interval-union coverage by 8-token windows
+    // shared across documents — all-integer, catches what q63's fixed
+    // chunk grid misses.
+    "q77_dup_spans" -> ((s, d) => Dedup.duplicatedSpans(s, d)),
+    // Asymmetric shingle containment |A∩B|/|A| — quote-inclusion dups that
+    // symmetric Jaccard (q21) structurally dilutes; shares q21's memoized
+    // shingle stage and df-gated candidate machinery.
+    "q78_containment" -> ((s, d) => Dedup.containment(s, d)),
+    // Contrastive hard-negative mining: q26's broadcast ANN with a
+    // label-mismatch predicate — top-k most-confusing other-label vectors
+    // per query.
+    "q79_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // Reciprocal-rank-fusion hybrid retrieval: BM25 top-20 + cosine top-20
+    // fused at c=60 in scaled-integer arithmetic (1e12 div (c+rank)).
+    "q80_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -262,6 +278,49 @@ object SparkEntry {
        |  JOIN docLen ca ON d1 = ca.doc_id
        |  JOIN docLen cb ON d2 = cb.doc_id
        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8)""".stripMargin
+
+  /** q75/q80's BM25 rank chain — yields `r(rank, doc_id, n_terms, score)`.
+    * Constants interpolated from the SAME Scala doubles the Spark
+    * expression uses (k1+1 etc. round-trip through shortest-repr
+    * printing, so DuckDB parses back the identical double); per-term
+    * ln quantized to DECIMAL(28,14) like q70, per-doc sum in decimal,
+    * rank on the 6-decimal rounding with a doc_id tie-break. */
+  private lazy val bm25RanksCte =
+    s"""bmtoks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+      |      t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM bmtoks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM bmtoks GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+      |    COUNT(*) AS toklen
+      |  FROM bmtoks),
+      |qt AS (
+      |  SELECT term, df,
+      |    CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) AS DECIMAL(28,14))
+      |      AS idf
+      |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot
+      |  ORDER BY df DESC, term LIMIT 5),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST(qt.idf AS DOUBLE) *
+      |      ((tf.tf * ${TextAnalysis.Bm25K1 + 1.0}) /
+      |        (tf.tf + ${TextAnalysis.Bm25K1} *
+      |          (${1.0 - TextAnalysis.Bm25B} + ${TextAnalysis.Bm25B} *
+      |            (dl.dl / (CAST(toklen AS DOUBLE) / n)))))
+      |      AS DECIMAL(28,14)) AS w
+      |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), tot),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+      |    ROUND(CAST(SUM(w) AS DOUBLE), 6) AS score
+      |  FROM sc GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, n_terms, score,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+      |      AS rank
+      |  FROM agg)""".stripMargin
 
   /** Connected components over `pairs(d1, d2)` — symmetric edge closure,
     * recursive reach, min-reachable label. `key` names the id column of
@@ -1371,46 +1430,7 @@ object SparkEntry {
         |ORDER BY v.vec_id""".stripMargin),
 
     "q75_bm25" ->
-      // constants interpolated from the SAME Scala doubles the Spark
-      // expression uses (k1+1 etc. round-trip through shortest-repr
-      // printing, so DuckDB parses back the identical double); per-term
-      // ln quantized to DECIMAL(28,14) like q70, per-doc sum in decimal,
-      // rank on the 6-decimal rounding with a doc_id tie-break.
-      (s"""WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
-        |      t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        |tot AS (
-        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
-        |    COUNT(*) AS toklen
-        |  FROM toks),
-        |qt AS (
-        |  SELECT term, df,
-        |    CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) AS DECIMAL(28,14))
-        |      AS idf
-        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot
-        |  ORDER BY df DESC, term LIMIT 5),
-        |sc AS (
-        |  SELECT tf.doc_id,
-        |    CAST(CAST(qt.idf AS DOUBLE) *
-        |      ((tf.tf * ${TextAnalysis.Bm25K1 + 1.0}) /
-        |        (tf.tf + ${TextAnalysis.Bm25K1} *
-        |          (${1.0 - TextAnalysis.Bm25B} + ${TextAnalysis.Bm25B} *
-        |            (dl.dl / (CAST(toklen AS DOUBLE) / n)))))
-        |      AS DECIMAL(28,14)) AS w
-        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), tot),
-        |agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
-        |    ROUND(CAST(SUM(w) AS DOUBLE), 6) AS score
-        |  FROM sc GROUP BY doc_id),
-        |r AS (
-        |  SELECT doc_id, n_terms, score,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
-        |      AS rank
-        |  FROM agg)
+      (s"""WITH $bm25RanksCte
         |SELECT rank, doc_id, n_terms, score FROM r WHERE rank <= 20
         |ORDER BY rank""".stripMargin),
 
@@ -1458,6 +1478,124 @@ object SparkEntry {
         |  CAST(SUM(k.k * k.tok) AS BIGINT) AS kept_tokens
         |FROM r JOIN k USING (source)
         |GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY r.source""".stripMargin
+        |ORDER BY r.source""".stripMargin,
+
+    "q77_dup_spans" ->
+      // sliding 8-token windows, md5-prefix fingerprints; dup = window in
+      // ≥2 distinct docs; coverage = sorted-interval sweep (lead window,
+      // min(gap, 8)); ppm in integer division — all arithmetic exact.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+        |      i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))) AS g
+        |  FROM toks),
+        |dup AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cover AS (
+        |  SELECT doc_id,
+        |    LEAST(COALESCE(
+        |      LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8), 8)
+        |      AS c
+        |  FROM grams JOIN dup USING (g)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS dup_spans,
+        |    CAST(SUM(c) AS BIGINT) AS dup_tokens
+        |  FROM cover GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  COALESCE(a.dup_spans, 0) AS dup_spans,
+        |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN len(t.t) > 0
+        |       THEN COALESCE(a.dup_tokens, 0) * 1000000 // len(t.t)
+        |       ELSE 0 END AS dup_ppm
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q78_containment" ->
+      // q21's df-gated candidate chain, scored asymmetrically in BOTH
+      // orientations: containment ppm = |A∩B|·1e6 div |A| (integer).
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT d1 AS contained, d2 AS container, i AS n_shared,
+        |    ca.c AS n_shingles
+        |  FROM inter JOIN docLen ca ON d1 = ca.doc_id
+        |  UNION ALL
+        |  SELECT d2, d1, i, cb.c
+        |  FROM inter JOIN docLen cb ON d2 = cb.doc_id)
+        |SELECT contained, container, n_shared, n_shingles,
+        |  n_shared * 1000000 // n_shingles AS cont_ppm
+        |FROM sel
+        |WHERE n_shared * 1000000 // n_shingles >= 500000
+        |ORDER BY contained, container""".stripMargin),
+
+    "q79_hard_negatives" ->
+      // q26's chain with the label-mismatch predicate; label read straight
+      // off the embeddings table (n carries vec_id 1:1).
+      (s"""WITH $vecsCte,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |q AS (
+        |  SELECT n.vec_id, n.v, n.norm, lab.label
+        |  FROM n JOIN lab USING (vec_id) WHERE n.vec_id % 100 = 0),
+        |b AS (
+        |  SELECT n.vec_id, n.v, n.norm, lab.label
+        |  FROM n JOIN lab USING (vec_id)),
+        |sc AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    b.vec_id AS neighbor, b.label AS neg_label,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM q JOIN b ON q.vec_id <> b.vec_id AND q.label <> b.label),
+        |r2 AS (
+        |  SELECT q_id, q_label, neighbor, neg_label, cos,
+        |    CAST(ROW_NUMBER()
+        |      OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |      AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT q_id, q_label, rank, neighbor, neg_label, cos
+        |FROM r2 WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+
+    "q80_rrf_fusion" ->
+      // BM25 ranks from the shared q75 chain; cosine ranks of query vec 0;
+      // fusion in scaled-integer arithmetic (1e12 // (60+rank), absent
+      // list contributes 0) so score and order are engine-exact.
+      (s"""WITH $bm25RanksCte,
+        |$vecsCte,
+        |cq AS (SELECT vec_id, v, norm FROM n WHERE vec_id = 0),
+        |ct AS (
+        |  SELECT b.vec_id AS doc_id,
+        |    ROUND(list_dot_product(cq.v, b.v) / cq.norm / b.norm, 6) AS cos
+        |  FROM cq JOIN n b ON cq.vec_id <> b.vec_id
+        |  ORDER BY cos DESC, doc_id LIMIT 20),
+        |cr AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+        |      AS cos_rank
+        |  FROM ct),
+        |br AS (SELECT doc_id, rank AS bm25_rank FROM r WHERE rank <= 20),
+        |fused AS (
+        |  SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+        |    br.bm25_rank, cr.cos_rank,
+        |    COALESCE(1000000000000 // (60 + br.bm25_rank), 0) +
+        |    COALESCE(1000000000000 // (60 + cr.cos_rank), 0) AS rrf_score
+        |  FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id),
+        |top AS (
+        |  SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        |SELECT
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+        |    AS INTEGER) AS rank,
+        |  doc_id, bm25_rank, cos_rank, rrf_score
+        |FROM top ORDER BY rank""".stripMargin)
   )
 }

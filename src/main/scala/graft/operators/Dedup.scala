@@ -351,4 +351,139 @@ object Dedup {
   /** Fixture form (q65). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Exact-substring duplication audit (sliding window)
+  // ---------------------------------------------------------------------
+
+  /** Exact-substring duplication audit (q77) — the sliding-window form of
+    * passage dedup (the ExactSubstr recipe of Lee et al. 2021,
+    * arXiv:2107.06499): every `n`-token window is fingerprinted, windows
+    * occurring in ≥ `minDocs` DISTINCT documents mark their start
+    * positions, and each document reports how much of itself is covered by
+    * duplicated spans. [[passageDedupOf]]'s fixed chunk grid (q63) misses a
+    * duplicated passage that straddles a chunk boundary; the sliding
+    * window catches it at every offset. Coverage is the interval UNION of
+    * the hit windows (overlapping hits are not double-counted): with hit
+    * starts sorted per document, each start contributes
+    * `min(next_start − start, n)` tokens — the standard sorted-interval
+    * sweep as one `lead` window.
+    *
+    * Determinism: fingerprints are md5 prefixes of the joined token
+    * window, counts and the ppm ratio are integer arithmetic (`div`) —
+    * bit-equal on any engine. Scale shape: the gram frame is ≤ one row per
+    * corpus token (linear); the df count and the semi-join back are
+    * shuffles keyed on the 16-hex digest; the coverage window partitions
+    * by doc_id, bounded by document length — no corpus-sized partition,
+    * no driver state. A boilerplate window in EVERY document costs one
+    * df row and |docs| hit rows — fan-out bounded by the hit list itself
+    * (the join is a semi-join, never a pair join). */
+  def duplicatedSpansOf(docs: DataFrame, n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2 && minDocs >= 2,
+      s"need window n >= 2 and minDocs >= 2, got $n/$minDocs")
+    val toks = docs
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("bigint").as("n_tokens"))
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, greatest(size(t) - ${n - 1}, 0)),
+           |  i -> struct(i AS pos,
+           |    substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 16) AS g))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos"), col("w.g"))
+    // dup fingerprints: windows seen in >= minDocs distinct docs. The list
+    // is O(distinct duplicated windows) — broadcast dies at corpus scale,
+    // so pin the semi-join to shuffled hash like ngram's keep-list.
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+      .hint("shuffle_hash")
+    val hits = grams.join(dup, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cover = hits
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        least(coalesce(col("nxt") - col("pos"), lit(n)), lit(n)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"), sum(col("c")).cast("bigint").as("dup_tokens"))
+    // cover is one row per document WITH duplicated content — corpus-sized
+    // in the worst case, so the doc join is pinned shuffled-hash like the
+    // fingerprint gate (fixture-scale stats would happily broadcast it;
+    // a 100 TB corpus would not fit)
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(cover.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm",
+        when(col("n_tokens") > 0,
+          expr("dup_tokens * 1000000 div n_tokens")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q77). */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpansOf(Tables.documents(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Shingle containment (asymmetric near-dup)
+  // ---------------------------------------------------------------------
+
+  /** Shingle-containment audit (q78) — ASYMMETRIC near-dup detection:
+    * containment C(A→B) = |A ∩ B| / |A| over 3-shingle sets. A short
+    * document quoted verbatim inside a much longer one has containment ≈ 1
+    * but Jaccard ≈ |A|/|B| — [[ngramJaccard]] (q21) structurally cannot
+    * see it, and quote-inclusion is a dominant dup mode in web corpora.
+    * One row per ordered (contained, container) pair at
+    * `cont_ppm ≥ thresholdPpm`, with the intersection and set sizes kept
+    * for audit.
+    *
+    * Shares the SAME memoized shingle stage and df-gated inverted-index
+    * candidate machinery as q21 (candidates are generated once per
+    * UNORDERED pair, then both orientations are scored), so a session
+    * running both pays the shingle scan/shuffle once. All arithmetic is
+    * integer (`div` ppm) — oracle bit-equal. Scale: identical candidate
+    * bound to q21 (df-capped posting lists), plus one union of two
+    * orientation projections. */
+  def containmentOf(sh: DataFrame, thresholdPpm: Long = 500000L,
+      maxDf: Int = 100): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("s"))
+      .hint("shuffle_hash")
+    val idx = sh.join(keep, Seq("s"), "left_semi")
+    val inter = idx.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(docLen.as("ca").hint("shuffle_hash"), col("d1") === col("ca.doc_id"))
+      .join(docLen.as("cb").hint("shuffle_hash"), col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"), col("i"),
+        col("ca.c").as("c1"), col("cb.c").as("c2"))
+    val fwd = inter.select(col("d1").as("contained"), col("d2").as("container"),
+      col("i").as("n_shared"), col("c1").as("n_shingles"))
+    val rev = inter.select(col("d2").as("contained"), col("d1").as("container"),
+      col("i").as("n_shared"), col("c2").as("n_shingles"))
+    fwd.union(rev)
+      .withColumn("cont_ppm", expr("n_shared * 1000000 div n_shingles"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  /** Fixture form (q78): containment over the memoized shingle stage. */
+  def containment(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
+    containmentOf(shingles(spark, dir), thresholdPpm, maxDf)
 }

@@ -568,11 +568,16 @@ object Similarity {
     *
     * Scale shape: the pairwise stage is quadratic only WITHIN a cluster —
     * the whole point of clustering first. The fixture runs k=8; a
-    * production corpus sizes k so clusters stay O(10⁴) (SemDeDup uses
-    * k ≈ √N and up), which also keeps the cluster-keyed self-join's key
-    * space wide — at k=8 the join shuffles on 8 keys, fine for 500
-    * vectors, a hot-key shuffle at scale. The threshold compares the
-    * ROUNDED cosine like q56, so the boundary is engine-stable. */
+    * production corpus MUST size k ≈ √N: Lloyd assignment costs O(N·k)
+    * and the within-cluster pairs O(N²/k), so √ sizing balances both at
+    * O(N^1.5). ScaleSmoke measured all three policies to 150k vectors —
+    * fixed k=8 exponent 0.86 (pair term not yet dominant, heads to 2),
+    * k ∝ N exponent 1.98 (assignment itself goes quadratic — more
+    * clusters is NOT free), k ∝ √N exponent 1.46 ≈ the theoretical 1.5.
+    * √ sizing also keeps the cluster-keyed self-join's key space wide —
+    * at k=8 the join shuffles on 8 keys, fine for 500 vectors, a hot-key
+    * shuffle at scale. The threshold compares the ROUNDED cosine like
+    * q56, so the boundary is engine-stable. */
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, threshold: Double = 0.4): DataFrame =
     semDedupFromAssign(kmeansFrame(spark, dir, k, iters), threshold)
@@ -592,5 +597,85 @@ object Similarity {
         when(col("dup_of").isNotNull, 1).otherwise(0).as("dropped"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Hard-negative mining (q79) — the contrastive-training companion of
+    * [[bruteForceTopK]]: for each query vector, the top-`k` most similar
+    * vectors carrying a DIFFERENT label. Those maximally-confusing
+    * negatives are what embedding-model training samples against each
+    * (anchor, positive) pair; random negatives are too easy to shape the
+    * loss. Same query set, score rounding, and broadcast plan as q26 —
+    * the only change is the label-mismatch predicate in the join, so the
+    * per-query candidate set shrinks to the other labels' vectors.
+    *
+    * Scale shape: the bounded query side broadcasts; scoring is a
+    * codegen'd map over the corpus; the per-query top-k window partitions
+    * on q_id. The production path at corpus scale swaps the brute-force
+    * scorer for [[lshTopK]]'s bucket gate exactly as q26 → q27. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(spark, dir)
+    val q = e.filter($"vec_id" % 100 === 0)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor")
+    broadcast(q).as("a").join(e.as("b"),
+        $"a.vec_id" =!= $"b.vec_id" && $"a.label" =!= $"b.label")
+      .select($"a.vec_id".as("q_id"), $"a.label".as("q_label"),
+        $"b.vec_id".as("neighbor"), $"b.label".as("neg_label"),
+        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_id", $"q_label", $"rank", $"neighbor", $"neg_label", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Reciprocal-rank-fusion hybrid retrieval (q80) — the standard way a
+    * retrieval pipeline combines a lexical ranker and a vector ranker
+    * (Cormack et al., SIGIR 2009): fuse [[TextAnalysis.bm25TopDocs]]'s
+    * top-`n` list with the cosine top-`n` of a designated query vector,
+    * scoring each doc `Σ 1/(c + rank)` over the lists it appears in
+    * (absent ⇒ contributes 0) at the conventional c = 60. The fusion
+    * score is computed in scaled INTEGER arithmetic — `1e12 div
+    * (c + rank)` per list, summed — so ordering and values are bit-equal
+    * on any engine (the true rational 1/(60+r) has no finite decimal
+    * form).
+    *
+    * The fixture corpus keys documents and embeddings by the same id
+    * space (doc_id = vec_id), which is how a production multi-view corpus
+    * is laid out. Query vector = vec 0; BM25 query = its default
+    * top-df terms.
+    *
+    * Scale shape: both input rankers end in bounded top-`n` heaps
+    * (TakeOrdered), so the fusion join touches ≤ 2n rows regardless of
+    * corpus size; the cosine side is one broadcast row scored in a
+    * codegen'd map over the corpus — no window over the corpus, no extra
+    * shuffle beyond what the two rankers already pay. */
+  def rrfFusion(spark: SparkSession, dir: String, n: Int = 20,
+      k: Int = 10, c: Int = 60): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(n >= k && k > 0, s"need n >= k > 0, got n=$n k=$k")
+    val e = vecs(spark, dir)
+    val q = e.filter($"vec_id" === 0)
+    val cosTop = e.as("b").join(broadcast(q).as("a"),
+        $"a.vec_id" =!= $"b.vec_id")
+      .select($"b.vec_id".as("doc_id"),
+        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(n)
+      .withColumn("cos_rank",
+        row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+      .select($"doc_id", $"cos_rank")
+    val bm25Top = TextAnalysis.bm25TopDocs(spark, dir)
+      .filter($"rank" <= n)
+      .select($"doc_id", $"rank".as("bm25_rank"))
+    bm25Top.join(cosTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000000 div ($c + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000000 div ($c + cos_rank)"), lit(0L)))
+      .orderBy($"rrf_score".desc, $"doc_id").limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"rrf_score".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"bm25_rank", $"cos_rank", $"rrf_score")
+      .orderBy($"rank")
   }
 }

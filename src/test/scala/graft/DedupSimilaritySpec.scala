@@ -500,4 +500,92 @@ class DedupSimilaritySpec extends SparkSpec {
         members(rep)._2 === 1, s"cluster $rep keep flags wrong")
     }
   }
+
+  test("duplicated spans: interval union counts overlapping hits once") {
+    import spark.implicits._
+    // d1/d2 share the 8-run a..h (one window each); d3 is clean;
+    // d4/d5 share a 9-run p..x → TWO overlapping windows whose interval
+    // union must count 9 tokens, not 16
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "z w a b c d e f g h"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8 k9"),
+      (4L, "p q r s t u v w x"),
+      (5L, "p q r s t u v w x tail1 tail2")
+    ).toDF("doc_id", "text")
+    val res = Dedup.duplicatedSpansOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(res(1L) === ((10L, 1L, 8L, 800000L)))
+    assert(res(2L) === ((10L, 1L, 8L, 800000L)))
+    assert(res(3L) === ((9L, 0L, 0L, 0L)))
+    assert(res(4L) === ((9L, 2L, 9L, 1000000L)))
+    assert(res(5L) === ((11L, 2L, 9L, 818181L)))
+  }
+
+  test("containment flags the quoted doc but not its container") {
+    import spark.implicits._
+    val quoted = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"pre1 pre2 pre3 $quoted post1 post2 post3 post4 post5 post6"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentOf(Dedup.shinglesOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // all 8 of doc1's shingles occur in doc2 → containment 1e6 ppm; the
+    // reverse direction is 8/17 ≈ 470588 ppm, below the 0.5 threshold
+    assert(rows.keySet === Set((1L, 2L)))
+    assert(rows((1L, 2L)) === ((8L, 8L, 1000000L)))
+  }
+
+  test("containment subsumes every symmetric Jaccard pair") {
+    // C(A→B) = i/|A| >= i/(|A|+|B|−i) = J, so every q21 pair (J >= 0.8)
+    // must surface in BOTH orientations at the 0.5 ppm threshold
+    val cont = Dedup.containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.nonEmpty, "fixtures should contain planted near-dups")
+    jac.foreach { case (d1, d2) =>
+      assert(cont.contains((d1, d2)) && cont.contains((d2, d1)),
+        s"jaccard pair ($d1, $d2) missing from containment audit")
+    }
+  }
+
+  test("hard negatives exclude the query's own label and rank by cosine") {
+    val rows = Similarity.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") !== r.getAs[Int]("neg_label"),
+        s"same-label neighbor leaked: $r")
+    }
+    // per query: ranks are 1..k and cosines are non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to rs.length))
+      val cosines = byRank.map(_.getAs[Double]("cos")).toSeq
+      assert(cosines === cosines.sorted.reverse, s"query $q not sorted")
+    }
+  }
+
+  test("rrf fusion score is the scaled-integer sum of both rank terms") {
+    val rows = Similarity.rrfFusion(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    def term(rank: Any): Long = rank match {
+      case null => 0L
+      case r: Int => 1000000000000L / (60L + r)
+    }
+    val scores = rows.map { r =>
+      assert(term(r.get(2)) + term(r.get(3)) === r.getLong(4),
+        s"fusion arithmetic wrong: $r")
+      r.getLong(4)
+    }
+    assert(scores.toSeq === scores.sorted.reverse.toSeq, "not rank-ordered")
+    // a doc appearing in both rank lists must outscore one appearing in
+    // neither list's top spot alone at equal rank — sanity: top row has a
+    // score of at least one full rank-1 term
+    assert(scores.head >= 1000000000000L / 61L)
+  }
 }

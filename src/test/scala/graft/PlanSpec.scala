@@ -306,6 +306,51 @@ class PlanSpec extends SparkSpec {
       s"only the one-row totals may nest-loop:\n$p")
   }
 
+  test("q77 dup spans: semi-join gate, per-doc window, no pair join") {
+    val p = plan(operators.Dedup.duplicatedSpans(spark, sfDir))
+    // the audit must never pair documents: the dup gate is a semi-join on
+    // the window fingerprint and coverage is a doc-partitioned window
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pair-free plan expected:\n$p")
+    assert(p.contains("LeftSemi"), s"df gate must stay a semi-join:\n$p")
+    // the dup-fingerprint list grows with the corpus: broadcast would die
+    // at scale, so the semi-join must stay a shuffled hash join
+    assert(!p.contains("BroadcastHashJoin"),
+      s"fingerprint keep-list must not broadcast:\n$p")
+  }
+
+  test("q78 containment reuses q21's gated candidate shape") {
+    val p = plan(operators.Dedup.containment(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // both the df keep-list and the docLen joins are corpus-sized: pinned
+    // shuffled-hash like q21 (broadcast dies at a 10x staged smoke)
+    assert(p.contains("ShuffledHashJoin"), s"shuffle_hash pin expected:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge in the chain:\n$p")
+  }
+
+  test("q79 hard negatives broadcast the query side like q26") {
+    val p = plan(operators.Similarity.hardNegatives(spark, sfDir))
+    // non-equi predicate (id + label mismatch) over a bounded broadcast
+    // query side — exactly one nested-loop, never a cartesian
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"one broadcast nest-loop for the bounded query side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q80 rrf fusion joins two bounded top-k heaps only") {
+    val p = plan(operators.Similarity.rrfFusion(spark, sfDir))
+    // both rankers end in TakeOrdered heaps; the fusion join touches <= 2n
+    // rows regardless of corpus size
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded heaps expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // nest-loops allowed: bm25's one-row totals (<= 2) and the one-row
+    // broadcast query vector — never a corpus × corpus loop
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"only one-row frames may nest-loop:\n$p")
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
