@@ -192,6 +192,27 @@ object ScaleSmoke {
       "vocab_growth" -> ((d, _) => operators.TextAnalysis.vocabGrowth(spark, d)),
       "source_overlap" -> ((d, _) => operators.Dedup.sourceOverlap(spark, d)),
       "quantize_int8" -> ((d, _) => operators.Similarity.quantizeInt8(spark, d)),
+      // retrieval/clustering tier: k-means is iters × (map-side assign +
+      // k-row centroid agg) — contractually linear at any k; BM25 is the
+      // tf shuffle + a broadcast vocabulary; count-min is a fixed
+      // width×depth cell grid partial-aggregated map-side; temperature mix
+      // is one per-source agg + a broadcast of the rate frame
+      "kmeans" -> ((d, _) => operators.Similarity.kmeansAssign(spark, d)),
+      // fixture-fixed k=8: cluster populations grow with the corpus, so the
+      // within-cluster pair stage is the C(N/k,2) what-if-you-don't-resize
+      // datapoint (SemDeDup's own recipe sizes k with N)
+      "semdedup" -> ((d, _) => operators.Similarity.semDedup(spark, d)),
+      // production sizing k ∝ √corpus (k = 8·√mult): Lloyd assignment is
+      // O(N·k) and the within-cluster pair stage is O(N²/k), so √ sizing
+      // balances both at O(N^1.5) — the paper's own rule. A measured k ∝ N
+      // lap demonstrated the wrong-sizing failure mode: assignment itself
+      // went quadratic (exp 1.98 at the top decade, 382 s at 30×)
+      "semdedup_sized" -> ((d, m) =>
+        operators.Similarity.semDedup(spark, d,
+          k = (8 * math.sqrt(m.toDouble)).round.toInt)),
+      "bm25" -> ((d, _) => operators.TextAnalysis.bm25TopDocs(spark, d)),
+      "countmin_topk" -> ((d, _) => operators.TextAnalysis.countMinTopTokens(spark, d)),
+      "temperature_mix" -> ((d, _) => operators.Curation.temperatureMix(spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)
