@@ -143,6 +143,15 @@ object ScaleSmoke {
       "stream_windows" -> ((d, _) => streaming.Continuous.streamedWindowedCounts(spark, d)),
       "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, d), maxDf = 100 * m)),
+      // sliding-window substring audit: grams ≤ 1/token and hits ≤ tokens,
+      // so output is corpus-LINEAR even over the staged N-clique corpus
+      // (unlike the pair family); the df gate shuffles at gram cardinality
+      "dup_spans" -> ((d, _) => operators.Dedup.duplicatedSpans(spark, d)),
+      // asymmetric containment shares ngram's candidate machinery and its
+      // C(N,2) output contract — df cap corpus-relative like ngram's
+      "containment" -> ((d, m) => operators.Dedup.containmentOf(
+        operators.Dedup.shinglesOf(Tables.documents(spark, d)),
+        maxDf = 100 * m)),
       // curation five — their 100 TB claims get measured, not just planned
       "decontaminate" -> ((d, _) => operators.Curation.decontaminate(spark, d)),
       "repetition" -> ((d, _) => operators.Curation.repetitionSignals(spark, d)),

@@ -159,7 +159,14 @@ object SparkEntry {
     "q79_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // Reciprocal-rank-fusion hybrid retrieval: BM25 top-20 + cosine top-20
     // fused at c=60 in scaled-integer arithmetic (1e12 div (c+rank)).
-    "q80_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d))
+    "q80_rrf_fusion" -> ((s, d) => Similarity.rrfFusion(s, d)),
+    // Curation funnel: per-source CUMULATIVE survival through exact dedup
+    // → near-dup dedup → quality ≥ 0.5 → language — the audit read before
+    // shipping a data recipe.
+    "q81_curation_funnel" -> ((s, d) => Curation.curationFunnel(s, d)),
+    // Cluster labeling: top terms per k-means embedding cluster — what
+    // each cluster IS, before up/down-weighting it.
+    "q82_cluster_terms" -> ((s, d) => TextAnalysis.clusterTerms(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1596,6 +1603,67 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
         |    AS INTEGER) AS rank,
         |  doc_id, bm25_rank, cos_rank, rrf_score
-        |FROM top ORDER BY rank""".stripMargin)
+        |FROM top ORDER BY rank""".stripMargin),
+
+    "q81_curation_funnel" ->
+      // cumulative survival flags: exact keeper (min-id per md5 group),
+      // near-dup survivor (not a q21-pair loser — the shared pairs chain),
+      // quality ≥ 0.5 (the q29 value, itself oracle-bit-equal, recomputed
+      // here from the toks list with identical arithmetic), language.
+      (s"""WITH $ngramPairsCte,
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(t.t,
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(t.t) * 2.0
+        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+        |        * 1.0 / length(d.text) * 3.0)) AS quality
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |flags AS (
+        |  SELECT d.source,
+        |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ex,
+        |    CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
+        |    CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS f_q,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS f_lang
+        |  FROM documents d
+        |  LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |  LEFT JOIN losers l ON d.doc_id = l.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(f_ex) AS BIGINT) AS n_exact,
+        |  CAST(SUM(f_ex * f_near) AS BIGINT) AS n_neardup,
+        |  CAST(SUM(f_ex * f_near * f_q) AS BIGINT) AS n_quality,
+        |  CAST(SUM(f_ex * f_near * f_q * f_lang) AS BIGINT) AS n_final
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin),
+
+    "q82_cluster_terms" ->
+      // q73's unrolled Lloyd chain (af = final assignment over the valid
+      // vectors), joined to the token explode; top-3 per cluster by count
+      // with the term-string tie-break.
+      (s"""WITH ${kmeansCte(8, 3)},
+        |terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+        |      t -> t <> '')) AS term
+        |  FROM documents),
+        |ct AS (
+        |  SELECT af.cluster, t.term, COUNT(*) AS term_count
+        |  FROM af JOIN terms t ON af.vec_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cluster, COUNT(*) AS n_vecs FROM af GROUP BY cluster),
+        |rk AS (
+        |  SELECT cluster, term, term_count,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY term_count DESC, term) AS INTEGER) AS rank
+        |  FROM ct)
+        |SELECT rk.cluster, rk.rank, rk.term, rk.term_count, sz.n_vecs
+        |FROM rk JOIN sz USING (cluster)
+        |WHERE rank <= 3
+        |ORDER BY cluster, rank""".stripMargin)
   )
 }

@@ -666,4 +666,55 @@ object Curation {
         sum($"k" * $"tok").as("kept_tokens"))
       .orderBy($"source")
   }
+
+  /** Curation funnel (q81) — the survival audit every pipeline owner reads
+    * before shipping a data recipe: per source, how many documents survive
+    * each curation stage CUMULATIVELY — exact dedup (keep the min-id copy
+    * of identical texts), near-dup dedup (q35's min-id-representative rule
+    * over the q21 pair graph), quality (q29 score ≥ `qualityMin`), and
+    * language (= `lang`). The stage ORDER matters and mirrors production
+    * practice: dedup before quality so a high-quality text duplicated 100×
+    * counts once, quality before language so the language row reads "of
+    * the good docs, how many are in-language".
+    *
+    * Determinism: stage flags are integer 0/1; the quality threshold
+    * compares the q29 value, which is itself oracle-bit-equal, so the
+    * boundary cannot diverge. Scale shape: one md5-groupBy shuffle for
+    * exact keepers, the MEMOIZED q21 pair stage for near-dup losers, a
+    * per-row map for quality/language, two doc_id joins pinned
+    * shuffled-hash (keeper and loser lists are corpus-sized in the worst
+    * case — broadcast would die), and one per-source partial agg. */
+  def curationFunnel(spark: SparkSession, dir: String,
+      qualityMin: Double = 0.5, lang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(1).as("f_ex"))
+      .hint("shuffle_hash")
+    val losers = Dedup.ngramPairs(spark, dir, 0.8, 100)
+      .select($"d2".as("doc_id")).distinct()
+      .withColumn("is_loser", lit(1))
+      .hint("shuffle_hash")
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality")
+      .hint("shuffle_hash")
+    docs.select($"doc_id", $"source", $"lang")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .select($"source",
+        coalesce($"f_ex", lit(0)).as("f_ex"),
+        when($"is_loser".isNull, 1).otherwise(0).as("f_near"),
+        when($"quality" >= qualityMin, 1).otherwise(0).as("f_q"),
+        when($"lang" === lang, 1).otherwise(0).as("f_lang"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"f_ex").cast("bigint").as("n_exact"),
+        sum($"f_ex" * $"f_near").cast("bigint").as("n_neardup"),
+        sum($"f_ex" * $"f_near" * $"f_q").cast("bigint").as("n_quality"),
+        sum($"f_ex" * $"f_near" * $"f_q" * $"f_lang").cast("bigint")
+          .as("n_final"))
+      .orderBy($"source")
+  }
 }

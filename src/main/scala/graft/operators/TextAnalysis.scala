@@ -464,4 +464,40 @@ object TextAnalysis {
   /** Fixture form (q75). */
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
     bm25TopDocsOf(Tables.documents(spark, dir))
+
+  /** Cluster labeling (q82) — the corpus-exploration step after q73's
+    * k-means: the top-`topK` most frequent terms of the documents in each
+    * embedding cluster, with the cluster population alongside. This is how
+    * a recipe owner reads WHAT each cluster is before deciding which to
+    * up/down-weight (web-corpus organization pipelines ship exactly this
+    * view). The multi-view corpus keys documents and embeddings by the
+    * same id space (doc_id = vec_id), like q80.
+    *
+    * Determinism: counts are integers, ties break on the term string.
+    * Scale shape: the assignment frame rides q73's memoized k-means
+    * stage; the term join shuffles on doc_id (assignment is corpus-sized
+    * — pinned shuffled-hash, broadcast would die); per-(cluster, term)
+    * counts partial-aggregate map-side; the top-k window partitions on
+    * cluster over vocabulary-sized input, never corpus-sized; the k-row
+    * population frame broadcasts. */
+  def clusterTerms(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val assign = Similarity.kmeansAssign(spark, dir, k, iters)
+      .select($"vec_id".as("doc_id"), $"cluster")
+    val terms = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val ct = terms.join(assign.hint("shuffle_hash"), "doc_id")
+      .groupBy($"cluster", $"term")
+      .agg(count(lit(1)).as("term_count"))
+    val sz = assign.groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy($"cluster")
+      .orderBy($"term_count".desc, $"term")
+    ct.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .join(broadcast(sz), "cluster")
+      .select($"cluster", $"rank", $"term", $"term_count", $"n_vecs")
+      .orderBy($"cluster", $"rank")
+  }
 }

@@ -586,4 +586,73 @@ class CurationSpec extends SparkSpec {
     assert(keptFrac > 0.25 && keptFrac < 0.7,
       s"big source should shed roughly half its tokens, kept $keptFrac")
   }
+
+  test("curation funnel equals the per-doc recomputation and is monotone") {
+    val funnel = Curation.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // recompute the five columns doc-by-doc from the component operators
+    val keepers = Dedup.exact(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val nearKeep = Dedup.deduplicate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val quality = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val ex = ds.filter(d => keepers.contains(d._1))
+      val near = ex.filter(d => nearKeep(d._1) == 1)
+      val q = near.filter(d => quality(d._1) >= 0.5)
+      val fin = q.filter(_._3 == "en")
+      src -> (ds.length.toLong, ex.length.toLong, near.length.toLong,
+        q.length.toLong, fin.length.toLong)
+    }
+    assert(funnel === expected)
+    funnel.values.foreach { case (n, e, nr, q, f) =>
+      assert(n >= e && e >= nr && nr >= q && q >= f,
+        s"funnel must be monotone: $n $e $nr $q $f")
+    }
+    // the funnel must actually filter somewhere on the fixture
+    val tot = funnel.values.map(_._1).sum
+    val fin = funnel.values.map(_._5).sum
+    assert(fin > 0 && fin < tot, s"degenerate funnel: $fin of $tot")
+  }
+
+  test("cluster terms recount exactly against the assignment") {
+    val rows = TextAnalysis.clusterTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val assign = graft.operators.Similarity.kmeansAssign(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val termsOf = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty)).toMap
+    // brute-force per-cluster term counts over the assigned docs
+    val counts = collection.mutable.Map.empty[(Int, String), Long]
+    val pop = collection.mutable.Map.empty[Int, Long]
+    assign.foreach { case (id, c) =>
+      pop(c) = pop.getOrElse(c, 0L) + 1
+      termsOf.getOrElse(id, Array.empty).foreach { t =>
+        counts((c, t)) = counts.getOrElse((c, t), 0L) + 1 }
+    }
+    rows.groupBy(_.getInt(0)).foreach { case (c, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq === (1 to rs.length))
+      byRank.foreach { r =>
+        assert(r.getLong(3) === counts((c, r.getString(2))),
+          s"count mismatch for cluster $c term ${r.getString(2)}")
+        assert(r.getLong(4) === pop(c))
+      }
+      // ranked counts are the true top-k: no unlisted term beats them
+      val listed = byRank.map(_.getString(2)).toSet
+      val floor = byRank.last.getLong(3)
+      counts.filter(_._1._1 == c).foreach { case ((_, t), n) =>
+        assert(listed.contains(t) || n <= floor,
+          s"term $t ($n) should have outranked the floor $floor")
+      }
+    }
+  }
 }

@@ -351,6 +351,28 @@ class PlanSpec extends SparkSpec {
       s"only one-row frames may nest-loop:\n$p")
   }
 
+  test("q81 curation funnel pins every corpus-sized join shuffled-hash") {
+    val p = plan(operators.Curation.curationFunnel(spark, sfDir))
+    // keeper list, loser list, and quality frame are all corpus-sized:
+    // none may broadcast, and nothing may pair documents
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ShuffledHashJoin"), s"shuffle_hash pins expected:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("doc_id")), s"corpus-sized doc joins must not broadcast:\n$p")
+  }
+
+  test("q82 cluster terms joins the corpus-sized assignment shuffled") {
+    val p = plan(operators.TextAnalysis.clusterTerms(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the assignment frame is one row per vector — shuffled-hash pinned;
+    // only the k-row population frame may broadcast
+    assert(p.contains("ShuffledHashJoin"),
+      s"assignment join must stay shuffled:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) <= 1,
+      s"only the k-row population frame may broadcast:\n$p")
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
