@@ -205,4 +205,62 @@ class PropertySpec extends SparkSpec {
         r.stddev >= 0
     })
   }
+
+  test("duplicated spans equal the brute-force interval union on any corpus") {
+    import spark.implicits._
+    // tiny vocab + short docs force heavy window sharing, duplicate grams
+    // at multiple positions, and adjacent/overlapping hit runs — the edge
+    // cases of the sorted-interval sweep
+    val n = 8
+    val docGen = Gen.listOfN(12, Gen.choose(0, 3).map(i => s"w$i"))
+    val gen = Gen.listOfN(6, docGen)
+    holds(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = operators.Dedup.duplicatedSpansOf(docs, n = n).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      // brute force: every n-gram string by (doc, pos); dup = in >= 2 docs;
+      // coverage = size of the union of [pos, pos+n) over hit positions
+      val grams = texts.zipWithIndex.flatMap { case (ts, i) =>
+        ts.sliding(n).zipWithIndex.collect {
+          case (w, p) if w.length == n => (i.toLong, p, w.mkString(" ")) }
+      }
+      val dup = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val want = texts.indices.map { i =>
+        val hits = grams.filter(g => g._1 == i && dup(g._3)).map(_._2)
+        val covered = hits.flatMap(p => p until p + n).distinct.size
+        i.toLong -> (hits.size.toLong, covered.toLong)
+      }.toMap
+      got == want
+    }, runs = 12)
+  }
+
+  test("containment matches brute-force shingle-set arithmetic") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(8, Gen.choose(0, 4).map(i => s"w$i"))
+    val gen = Gen.listOfN(5, docGen)
+    holds(Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = operators.Dedup
+        .containmentOf(operators.Dedup.shinglesOf(docs),
+          thresholdPpm = 1L, maxDf = 100)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4)))
+        .toMap
+      val sets = texts.map(_.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet)
+      val want = (for {
+        a <- texts.indices; b <- texts.indices
+        if a != b && sets(a).nonEmpty
+        i = (sets(a) intersect sets(b)).size
+        if i > 0
+      } yield (a.toLong, b.toLong) ->
+        (i.toLong, i.toLong * 1000000L / sets(a).size)).toMap
+      got == want
+    }, runs = 12)
+  }
 }
