@@ -113,8 +113,15 @@ object Dedup {
   /** [[ngramJaccardOf]] over an already-built `(doc_id, s)` shingle frame —
     * lets the fixture entry points share the memoized shingle stage with the
     * minhash pipeline instead of re-scanning the corpus. */
-  private[graft] def ngramJaccardOfShingles(sh: DataFrame,
-      threshold: Double, maxDf: Int): DataFrame = {
+  /** The df-gated inverted-index intersection stage — the REAL shared
+    * intermediate of the whole shingle-pair family: (d1, d2) unordered
+    * candidate pairs with the intersection count `i` and both documents'
+    * distinct-shingle counts (c1, c2). Jaccard (q21) and containment
+    * (q78) are both one projection away, so memoizing THIS frame (rather
+    * than each thresholded view) runs the expensive posting-list
+    * explode+count once per session for every consumer. */
+  private[graft] def interCountsOfShingles(sh: DataFrame,
+      maxDf: Int): DataFrame = {
     val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     // the keep-list is O(distinct shingles) — at corpus scale broadcasting
     // it kills the driver (observed at a 10x staged smoke), so pin the
@@ -140,19 +147,36 @@ object Dedup {
         col("d1") === col("ca.doc_id"))
       .join(docLen.as("cb").hint("shuffle_hash"),
         col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"),
-        round(col("i") * lit(1.0) / (col("ca.c") + col("cb.c") - col("i")), 6)
+      .select(col("d1"), col("d2"), col("i"),
+        col("ca.c").as("c1"), col("cb.c").as("c2"))
+  }
+
+  /** Memoized intersection stage over the fixture corpus. */
+  private[graft] def interCounts(spark: SparkSession, dir: String,
+      maxDf: Int): DataFrame =
+    memo(spark, s"ngraminter:$dir:$maxDf") {
+      interCountsOfShingles(shingles(spark, dir), maxDf)
+    }
+
+  private def jaccardOfInter(inter: DataFrame,
+      threshold: Double): DataFrame =
+    inter.select(col("d1"), col("d2"),
+        round(col("i") * lit(1.0) / (col("c1") + col("c2") - col("i")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  private[graft] def ngramJaccardOfShingles(sh: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame =
+    jaccardOfInter(interCountsOfShingles(sh, maxDf), threshold)
 
   /** Memoized, persisted pair stage over the fixture corpus — shared by
     * [[ngramJaccard]] (q21) and [[deduplicate]] (q35) so a verify/bench
-    * round computes the shingle pipeline once. */
+    * round computes the shingle pipeline once. Rides the memoized
+    * [[interCounts]] stage, which [[containment]] (q78) shares. */
   private[graft] def ngramPairs(spark: SparkSession, dir: String,
       threshold: Double, maxDf: Int): DataFrame =
     memo(spark, s"ngram:$dir:$threshold:$maxDf") {
-      ngramJaccardOfShingles(shingles(spark, dir), threshold, maxDf)
+      jaccardOfInter(interCounts(spark, dir, maxDf), threshold)
     }
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via a df-gated inverted
@@ -451,27 +475,13 @@ object Dedup {
     * bound to q21 (df-capped posting lists), plus one union of two
     * orientation projections. */
   def containmentOf(sh: DataFrame, thresholdPpm: Long = 500000L,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100): DataFrame =
+    containmentOfInter(interCountsOfShingles(sh, maxDf), thresholdPpm)
+
+  private def containmentOfInter(inter: DataFrame,
+      thresholdPpm: Long): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
-    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select(col("s"))
-      .hint("shuffle_hash")
-    val idx = sh.join(keep, Seq("s"), "left_semi")
-    val inter = idx.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("i"))
-      .join(docLen.as("ca").hint("shuffle_hash"), col("d1") === col("ca.doc_id"))
-      .join(docLen.as("cb").hint("shuffle_hash"), col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"), col("i"),
-        col("ca.c").as("c1"), col("cb.c").as("c2"))
     val fwd = inter.select(col("d1").as("contained"), col("d2").as("container"),
       col("i").as("n_shared"), col("c1").as("n_shingles"))
     val rev = inter.select(col("d2").as("contained"), col("d1").as("container"),
@@ -482,8 +492,10 @@ object Dedup {
       .orderBy(col("contained"), col("container"))
   }
 
-  /** Fixture form (q78): containment over the memoized shingle stage. */
+  /** Fixture form (q78): containment over the memoized intersection stage
+    * — the SAME persisted frame q21/q35/q50's pair chain rides, so a warm
+    * session scores containment as two projections over cached pairs. */
   def containment(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
-    containmentOf(shingles(spark, dir), thresholdPpm, maxDf)
+    containmentOfInter(interCounts(spark, dir, maxDf), thresholdPpm)
 }
