@@ -222,6 +222,14 @@ object ScaleSmoke {
       "bm25" -> ((d, _) => operators.TextAnalysis.bm25TopDocs(spark, d)),
       "countmin_topk" -> ((d, _) => operators.TextAnalysis.countMinTopTokens(spark, d)),
       "temperature_mix" -> ((d, _) => operators.Curation.temperatureMix(spark, d)),
+      // composition tier: the funnel rides the ngram pair stage (df cap
+      // corpus-relative, like dedup_clusters' — the fixed cap would
+      // discard nearly every shingle at 30×) plus per-row maps and one
+      // per-source agg; cluster labeling rides k-means plus a (cluster,
+      // term) partial agg — both must track their dominant input stage
+      "curation_funnel" -> ((d, m) =>
+        operators.Curation.curationFunnel(spark, d, maxDf = 100 * m)),
+      "cluster_terms" -> ((d, _) => operators.TextAnalysis.clusterTerms(spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

@@ -685,14 +685,15 @@ object Curation {
     * shuffled-hash (keeper and loser lists are corpus-sized in the worst
     * case — broadcast would die), and one per-source partial agg. */
   def curationFunnel(spark: SparkSession, dir: String,
-      qualityMin: Double = 0.5, lang: String = "en"): DataFrame = {
+      qualityMin: Double = 0.5, lang: String = "en",
+      maxDf: Int = 100): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val keepers = docs.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id", lit(1).as("f_ex"))
       .hint("shuffle_hash")
-    val losers = Dedup.ngramPairs(spark, dir, 0.8, 100)
+    val losers = Dedup.ngramPairs(spark, dir, 0.8, maxDf)
       .select($"d2".as("doc_id")).distinct()
       .withColumn("is_loser", lit(1))
       .hint("shuffle_hash")

@@ -411,10 +411,19 @@ object Dedup {
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("bigint").as("n_tokens"))
+      .select(col("doc_id"), col("t"),
+        // null text → 0 tokens (split of NULL is NULL, size of NULL is NULL)
+        coalesce(size(col("t")).cast("bigint"), lit(0L)).as("n_tokens"))
+    // window-start positions 1..(len−n+1). Spark's sequence(a, b) infers a
+    // DESCENDING step when b < a — sequence(1, 0) is [1, 0], not empty — so
+    // a short document must never reach it with b < 1: build the ascending
+    // 1..max(b, 1) sequence and slice it down to max(b, 0) elements (empty
+    // for docs under n tokens, and for NULL text whose size is NULL).
     val grams = toks.select(col("doc_id"),
       explode(expr(
-        s"""transform(sequence(1, greatest(size(t) - ${n - 1}, 0)),
+        s"""transform(
+           |  slice(sequence(1, greatest(size(t) - ${n - 1}, 1)),
+           |        1, greatest(coalesce(size(t) - ${n - 1}, 0), 0)),
            |  i -> struct(i AS pos,
            |    substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 16) AS g))"""
           .stripMargin)).as("w"))

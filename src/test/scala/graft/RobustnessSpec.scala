@@ -132,4 +132,29 @@ class RobustnessSpec extends SparkSpec {
     val back = spark.read.text(dir).collect().map(_.getString(0)).sorted
     assert(back.toSeq === lines.sorted)
   }
+
+  test("span/containment audits tolerate empty, null, and short documents") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // docs shorter than the window, null text, empty text: all surface as
+    // zero-coverage rows, never as dropped rows or exceptions
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "x y z w v u t s"), (5L, "x y z w v u t s tail"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpansOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(spans.keySet === Set(1L, 2L, 3L, 4L, 5L),
+      "every document gets a row, including null/empty/short")
+    assert(spans(1L) === ((3L, 0L)) && spans(2L) === ((0L, 0L)) &&
+      spans(3L) === ((0L, 0L)))
+    // the planted shared 8-run is counted for both carriers
+    assert(spans(4L)._2 === 8L && spans(5L)._2 === 8L)
+    // empty corpus: both audits stay empty without error
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpansOf(noDocs).count() === 0)
+    assert(Dedup.containmentOf(Dedup.shinglesOf(noDocs)).count() === 0)
+    // a doc with < 3 tokens yields no shingles, so no containment rows
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.containmentOf(Dedup.shinglesOf(short)).count() === 0)
+  }
 }
