@@ -582,6 +582,20 @@ object Similarity {
       iters: Int = 3, threshold: Double = 0.4): DataFrame =
     semDedupFromAssign(kmeansFrame(spark, dir, k, iters), threshold)
 
+  /** [[semDedup]] with the measured production sizing applied for the
+    * caller: k = ⌈√corpus⌉ (from the memoized vector count, so no extra
+    * job on a warm session). This makes the √N rule the Scaladoc above
+    * derives — and ScaleSmoke measures — executable instead of advisory:
+    * callers who don't know the corpus size cannot accidentally run the
+    * fixed-k (pair-quadratic) or k ∝ N (assignment-quadratic) shapes. */
+  def semDedupAuto(spark: SparkSession, dir: String,
+      iters: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val n = graft.StageMemo.scalar(spark, s"vecs_count:$dir")(
+      vecs(spark, dir).count())
+    val k = math.max(1, math.sqrt(n.toDouble).round.toInt)
+    semDedup(spark, dir, k, iters, threshold)
+  }
+
   /** [[semDedup]] over an arbitrary `(vec_id, u, cluster, ...)` k-means
     * assignment frame. */
   private[graft] def semDedupFromAssign(assign: DataFrame,

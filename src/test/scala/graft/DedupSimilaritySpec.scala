@@ -554,6 +554,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedupAuto applies the sqrt-N sizing rule exactly") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val k = math.max(1, math.sqrt(n.toDouble).round.toInt)
+    // the auto form must equal the explicit form at the derived k
+    val auto = Similarity.semDedupAuto(spark, sfDir).collect()
+    val explicitK = Similarity.semDedup(spark, sfDir, k = k).collect()
+    assert(auto.toSeq === explicitK.toSeq)
+    // and the derived k must actually differ from the fixture default,
+    // so this test cannot silently pass through the k=8 path
+    assert(k !== 8, s"fixture corpus should derive k=$k != 8")
+  }
+
   test("hard negatives exclude the query's own label and rank by cosine") {
     val rows = Similarity.hardNegatives(spark, sfDir).collect()
     assert(rows.nonEmpty)

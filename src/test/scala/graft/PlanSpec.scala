@@ -317,6 +317,11 @@ class PlanSpec extends SparkSpec {
     // at scale, so the semi-join must stay a shuffled hash join
     assert(!p.contains("BroadcastHashJoin"),
       s"fingerprint keep-list must not broadcast:\n$p")
+    // the scan must read only the two columns the audit touches
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text") &&
+      !scan.contains("source") && !scan.contains("n_chars"),
+      s"scan must prune to (doc_id, text): $scan")
   }
 
   test("q78 containment reuses q21's gated candidate shape") {
