@@ -23,13 +23,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS), which Spark 4 only reads as a
     * long (`spark.sql.legacy.parquet.nanosAsLong`, set in every graft
-    * session). Normalize to a microsecond timestamp here — truncating
-    * division, matching how nanos-aware engines (DuckDB) downcast. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    * session), and plain TIMESTAMP(MICROS), which Spark reads natively
+    * (as TIMESTAMP_NTZ under the default NTZ inference). Normalize both to
+    * a session-zone microsecond timestamp here — the long path truncates,
+    * matching how nanos-aware engines (DuckDB) downcast, and the NTZ path
+    * is value-preserving because every graft session pins UTC. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
@@ -41,7 +52,9 @@ object Tables {
       case n => load(spark, dir, n)
     }
 
-  /** Register all fixture tables as temp views (for `spark.sql` surfaces). */
+  /** Register all fixture tables as temp views (for `spark.sql` surfaces).
+    * Goes through the normalizing loaders so `events.ts` is always a
+    * timestamp regardless of the fixture's physical encoding. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach(n => tableOf(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -199,8 +199,8 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.sql(
       """INSERT OVERWRITE TABLE srcpart_events PARTITION (ds, hr)
         |SELECT event_id, event_type, value,
-        |  date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') AS ds,
-        |  if(hour(timestamp_micros(ts div 1000)) < 12, '00', '12') AS hr
+        |  date_format(ts, 'yyyy-MM-dd') AS ds,
+        |  if(hour(ts) < 12, '00', '12') AS hr
         |FROM events""".stripMargin)
   }
 
@@ -230,9 +230,8 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM events
-        |WHERE date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')
-        |    = '2024-01-03'
-        |  AND hour(timestamp_micros(ts div 1000)) >= 12
+        |WHERE date_format(ts, 'yyyy-MM-dd') = '2024-01-03'
+        |  AND hour(ts) >= 12
         |GROUP BY event_type""".stripMargin).collect().map(_.toSeq).toSet
     assert(a === b && a === c && a.nonEmpty)
     // the partition predicates must prune, not filter rows post-scan
