@@ -23,29 +23,33 @@ import scala.util.control.NonFatal
 object Bench {
 
   /** One lap's co-tenant load evidence: 1-min `/proc/loadavg` sampled at
-    * the lap's two ends, plus this process's CPU-seconds over the lap's
-    * wall-seconds (≈ cores this JVM actually held). On a quiet box running
-    * `local[N]` the utilization tracks the plan's parallelism and load ≈
-    * our own threads; a co-tenant capture shows load far above the core
-    * count while our utilization sags. Negative values mean the metric was
-    * unavailable (non-Linux /proc, exotic JVM). */
+    * the lap's two ends AND every 5 s in between (`loadMax` — a burst
+    * contained inside a multi-minute lap decays out of the 1-min average
+    * by lap end, so endpoint samples alone would miss exactly the r8
+    * scenario this sentinel exists for), plus this process's CPU-seconds
+    * over the lap's wall-seconds (≈ cores this JVM actually held). On a
+    * quiet box running `local[N]` the utilization tracks the plan's
+    * parallelism and load ≈ our own threads; a co-tenant capture shows
+    * load far above the core count while our utilization sags. Negative
+    * values mean the metric was unavailable (non-Linux /proc, exotic
+    * JVM). */
   final case class LapLoad(loadBefore: Double, loadAfter: Double,
-      cpuUtilization: Double) {
+      loadMax: Double, cpuUtilization: Double) {
     def fields: String = {
       def f(v: Double) = Bench.fmt(v, 2)
       s""""load_before":${f(loadBefore)},"load_after":${f(loadAfter)},""" +
-        s""""cpu_utilization":${f(cpuUtilization)}"""
+        s""""load_max":${f(loadMax)},"cpu_utilization":${f(cpuUtilization)}"""
     }
   }
 
   /** The run's load sentinel: per-lap samples plus the configured core
     * count they are judged against. `contended` flags any lap whose 1-min
-    * load exceeded 1.5× the cores this bench was CONFIGURED to use — the
-    * r8 scoreboard read +53% warm purely from co-tenant load, and a judge
-    * should see that in the artifact instead of re-running isolated. */
+    * load exceeded 1.5× the cores this bench was CONFIGURED to use at ANY
+    * sample point — the r8 scoreboard read +53% warm purely from co-tenant
+    * load, and a judge should see that in the artifact instead of
+    * re-running isolated. */
   final case class LoadReport(cores: Int, warm: LapLoad, cold: LapLoad) {
-    def contended: Boolean = Seq(warm, cold).exists(l =>
-      math.max(l.loadBefore, l.loadAfter) > 1.5 * cores)
+    def contended: Boolean = Seq(warm, cold).exists(_.loadMax > 1.5 * cores)
   }
 
   private[graft] def loadavg1: Double =
@@ -60,16 +64,33 @@ object Bench {
       case _ => -1L
     }
 
-  /** Run `body` bracketed by loadavg + process-CPU samples. */
+  /** Run `body` bracketed by loadavg + process-CPU samples, with a daemon
+    * sampler tracking the max 1-min load every 5 s so mid-lap co-tenant
+    * bursts register even after they decay out of the endpoint samples. */
   private def sampledLap[A](body: => A): (A, LapLoad) = {
     val l0 = loadavg1
+    val maxSeen = new java.util.concurrent.atomic.AtomicReference[Double](l0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() =>
+      try while (!stop.get()) {
+        val l = loadavg1
+        maxSeen.updateAndGet(m => math.max(m, l))
+        Thread.sleep(5000)
+      } catch { case _: InterruptedException => () },
+      "bench-load-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val c0 = processCpuNanos
     val t0 = System.nanoTime()
     val r = body
     val wall = (System.nanoTime() - t0) / 1e9
     val cpu = (processCpuNanos - c0) / 1e9
     val util = if (c0 >= 0 && wall > 0) cpu / wall else -1.0
-    (r, LapLoad(l0, loadavg1, util))
+    stop.set(true)
+    sampler.interrupt()
+    sampler.join(1000)
+    val l1 = loadavg1
+    (r, LapLoad(l0, l1, math.max(maxSeen.get(), l1), util))
   }
 
   def main(args: Array[String]): Unit = {

@@ -77,6 +77,10 @@ object GraftExtensions {
     * an unintended extra session. */
   def siblingSessionWith(spark: SparkSession): SparkSession =
     SparkSession.synchronized {
+      // purge memo entries whose base session's context has stopped — a
+      // harness that cycles base sessions must not retain one dead sibling
+      // (SessionState, analyzer, catalog) per stopped base forever
+      siblings.keySet.removeIf(_.sparkContext.isStopped)
       siblings.computeIfAbsent(spark, base => {
         val active = SparkSession.getActiveSession
         val default = SparkSession.getDefaultSession

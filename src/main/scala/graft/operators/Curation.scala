@@ -334,10 +334,21 @@ object Curation {
     }
     var it = 0
     var edgeCount = edges.count()
-    if (edgeCount <= driverEdgeBudget) {
+    // the driver fast path unions over boxed Longs, so it only admits
+    // integral id columns; any other id type (string keys, decimals) keeps
+    // the type-agnostic distributed contraction regardless of graph size
+    val idType = edges.schema("u").dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (edgeCount <= driverEdgeBudget && integralId) {
       val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = edges.collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -354,9 +365,22 @@ object Curation {
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
       }
-      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2))
-        .toSeq.distinct.map(id => (id, find(id)))
-      val comp = labels.toDF("id", "lbl")
+      // rebuild (id, lbl) in the INPUT id type, so the fast path's output
+      // schema is indistinguishable from the distributed path's
+      val narrow: Long => Any = idType match {
+        case org.apache.spark.sql.types.ByteType => (x: Long) => x.toByte
+        case org.apache.spark.sql.types.ShortType => (x: Long) => x.toShort
+        case org.apache.spark.sql.types.IntegerType => (x: Long) => x.toInt
+        case _ => (x: Long) => x
+      }
+      val labelRows = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct
+        .map(id => org.apache.spark.sql.Row(narrow(id), narrow(find(id))))
+      val compSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("lbl", idType)))
+      val comp = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows, 1), compSchema)
       val out = vertices
         .join(comp, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))

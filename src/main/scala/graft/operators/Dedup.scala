@@ -403,23 +403,24 @@ object Dedup {
     * df row and |docs| hit rows — fan-out bounded by the hit list itself
     * (the join is a semi-join, never a pair join). */
   def duplicatedSpansOf(docs: DataFrame, n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n >= 2 && minDocs >= 2,
-      s"need window n >= 2 and minDocs >= 2, got $n/$minDocs")
+      minDocs: Int = 2): DataFrame =
+    duplicatedSpansFrom(spanGramsOf(docs, n), docs, n, minDocs)
+
+  /** (doc_id, pos, g) token-window fingerprints — the expensive stage of
+    * the span audit (one md5 per window position). Both the df gate and
+    * the hit probe consume it, so the fixture form memoizes it per corpus
+    * ([[graft.StageMemo]]) the way q21 memoizes its shingle stage. */
+  private[graft] def spanGramsOf(docs: DataFrame, n: Int): DataFrame = {
     val toks = docs
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        // null text → 0 tokens (split of NULL is NULL, size of NULL is NULL)
-        coalesce(size(col("t")).cast("bigint"), lit(0L)).as("n_tokens"))
     // window-start positions 1..(len−n+1). Spark's sequence(a, b) infers a
     // DESCENDING step when b < a — sequence(1, 0) is [1, 0], not empty — so
     // a short document must never reach it with b < 1: build the ascending
     // 1..max(b, 1) sequence and slice it down to max(b, 0) elements (empty
     // for docs under n tokens, and for NULL text whose size is NULL).
-    val grams = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
       explode(expr(
         s"""transform(
            |  slice(sequence(1, greatest(size(t) - ${n - 1}, 1)),
@@ -428,6 +429,13 @@ object Dedup {
            |    substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 16) AS g))"""
           .stripMargin)).as("w"))
       .select(col("doc_id"), col("w.pos"), col("w.g"))
+  }
+
+  private def duplicatedSpansFrom(grams: DataFrame, docs: DataFrame,
+      n: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2 && minDocs >= 2,
+      s"need window n >= 2 and minDocs >= 2, got $n/$minDocs")
     // dup fingerprints: windows seen in >= minDocs distinct docs. The list
     // is O(distinct duplicated windows) — broadcast dies at corpus scale,
     // so pin the semi-join to shuffled hash like ngram's keep-list.
@@ -444,11 +452,18 @@ object Dedup {
         least(coalesce(col("nxt") - col("pos"), lit(n)), lit(n)).as("c"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dup_spans"), sum(col("c")).cast("bigint").as("dup_tokens"))
+    // per-doc token counts straight off the scan (null text → 0 tokens:
+    // split of NULL is NULL, size of NULL is NULL) — NOT through the gram
+    // stage's repartition, so this side is one pushdown projection and the
+    // gram frame is consumed only by the df gate and the hit probe
+    val counts = docs.select(col("doc_id"),
+      coalesce(size(tokens(col("text"))).cast("bigint"), lit(0L))
+        .as("n_tokens"))
     // cover is one row per document WITH duplicated content — corpus-sized
     // in the worst case, so the doc join is pinned shuffled-hash like the
     // fingerprint gate (fixture-scale stats would happily broadcast it;
     // a 100 TB corpus would not fit)
-    toks.select(col("doc_id"), col("n_tokens"))
+    counts
       .join(cover.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
@@ -459,9 +474,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Fixture form (q77). */
-  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
-    duplicatedSpansOf(Tables.documents(spark, dir))
+  /** Fixture form (q77): the gram stage rides the session memo, so the df
+    * gate and the hit probe pay its scan/repartition/md5 work once per
+    * corpus instead of once per consumer. */
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    duplicatedSpansFrom(
+      memo(spark, s"dupspan_grams:$dir:8")(spanGramsOf(docs, 8)),
+      docs, n = 8, minDocs = 2)
+  }
 
   // ---------------------------------------------------------------------
   // Shingle containment (asymmetric near-dup)

@@ -83,23 +83,43 @@ object Similarity {
       .orderBy($"v1", $"v2")
   }
 
+  /** The shared q26/q79 scoring chain — ONE copy of the load-bearing
+    * choices (query set `vec_id % 100 = 0`, 6-digit score rounding,
+    * `(cos desc, neighbor)` tie-break, bounded rank window) so the exact
+    * baseline and the hard-negative miner cannot silently diverge.
+    * `negativesOnly` adds the label-mismatch join predicate and carries
+    * the two label columns through. */
+  private def queryCosTopK(e: DataFrame, k: Int,
+      negativesOnly: Boolean): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter($"vec_id" % 100 === 0)
+    val cond =
+      if (negativesOnly) $"a.vec_id" =!= $"b.vec_id" && $"a.label" =!= $"b.label"
+      else $"a.vec_id" =!= $"b.vec_id"
+    val labelCols =
+      if (negativesOnly) Seq($"a.label".as("q_label"), $"b.label".as("neg_label"))
+      else Nil
+    val scored = broadcast(q).as("a").join(e.as("b"), cond)
+      .select(Seq($"a.vec_id".as("q_id"), $"b.vec_id".as("neighbor"),
+        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos")) ++
+        labelCols: _*)
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor")
+    val outCols =
+      if (negativesOnly) Seq($"q_id", $"q_label", $"rank", $"neighbor", $"neg_label", $"cos")
+      else Seq($"q_id", $"rank", $"neighbor", $"cos")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select(outCols: _*)
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Brute-force cosine top-k neighbors for a deterministic query subset
     * (`vec_id % 100 = 0`) — the exact-ANN baseline. The small query side is
     * broadcast; the corpus is scanned once. */
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val e = vecs(spark, dir)
-    val q = e.filter($"vec_id" % 100 === 0)
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor")
-    broadcast(q).as("a").join(e.as("b"), $"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("q_id"), $"b.vec_id".as("neighbor"),
-        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q_id", $"rank", $"neighbor", $"cos")
-      .orderBy($"q_id", $"rank")
-  }
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    queryCosTopK(vecs(spark, dir), k, negativesOnly = false)
 
   private val DIM = 64
 
@@ -528,6 +548,13 @@ object Similarity {
         .zipWithIndex.map { case (r, i) =>
           (i, r.getSeq[Double](r.fieldIndex("u")))
         }
+    if (centers.isEmpty) {
+      // no valid vectors ⇒ no seeds: return the empty assignment with the
+      // contract schema (array_min over zero center candidates would fail
+      // analysis, not return empty)
+      return valid.select(col("vec_id"), col("u"),
+        lit(0).as("cluster"), lit(0.0).as("score"))
+    }
     for (_ <- 1 to iters) {
       val means = assignToCenters(valid, centers)
         .select(col("cluster"), posexplode(col("u")).as(Seq("d", "x")))
@@ -626,22 +653,8 @@ object Similarity {
     * codegen'd map over the corpus; the per-query top-k window partitions
     * on q_id. The production path at corpus scale swaps the brute-force
     * scorer for [[lshTopK]]'s bucket gate exactly as q26 → q27. */
-  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val e = vecs(spark, dir)
-    val q = e.filter($"vec_id" % 100 === 0)
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor")
-    broadcast(q).as("a").join(e.as("b"),
-        $"a.vec_id" =!= $"b.vec_id" && $"a.label" =!= $"b.label")
-      .select($"a.vec_id".as("q_id"), $"a.label".as("q_label"),
-        $"b.vec_id".as("neighbor"), $"b.label".as("neg_label"),
-        round(dot($"a.v", $"b.v") / $"a.norm" / $"b.norm", 6).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q_id", $"q_label", $"rank", $"neighbor", $"neg_label", $"cos")
-      .orderBy($"q_id", $"rank")
-  }
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    queryCosTopK(vecs(spark, dir), k, negativesOnly = true)
 
   /** Reciprocal-rank-fusion hybrid retrieval (q80) — the standard way a
     * retrieval pipeline combines a lexical ranker and a vector ranker

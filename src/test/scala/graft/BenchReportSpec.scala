@@ -16,7 +16,7 @@ class BenchReportSpec extends AnyFunSuite {
   private val warm = names.map(n => n -> 1.234)
   private val cold = names.map(n => n -> 12.345)
   private val quietLoad = Bench.LoadReport(32,
-    Bench.LapLoad(30.1, 31.9, 24.5), Bench.LapLoad(31.0, 29.8, 22.0))
+    Bench.LapLoad(30.1, 31.9, 33.0, 24.5), Bench.LapLoad(31.0, 29.8, 31.5, 22.0))
   private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold, quietLoad)
 
   test("every emitted line is self-contained parseable JSON") {
@@ -68,7 +68,7 @@ class BenchReportSpec extends AnyFunSuite {
     val parsed = lines.tail.map(mapper.readTree)
     parsed.filter(p => Set("warm_part", "cold_part", "total_warm", "total")
         .contains(p.get("metric").asText)).foreach { p =>
-      Seq("load_before", "load_after", "cpu_utilization").foreach(f =>
+      Seq("load_before", "load_after", "load_max", "cpu_utilization").foreach(f =>
         assert(p.has(f), s"$f missing: ${p.toString.take(80)}"))
     }
     val last = mapper.readTree(lines.last)
@@ -81,13 +81,17 @@ class BenchReportSpec extends AnyFunSuite {
   test("a lap whose 1-min load exceeds 1.5x cores flags contended") {
     // r8's signature: load far above the configured cores while warm reads
     // inflate uniformly — the artifact must say so by itself
-    val busy = quietLoad.copy(warm = Bench.LapLoad(49.0, 52.3, 11.2))
+    val busy = quietLoad.copy(warm = Bench.LapLoad(49.0, 52.3, 52.3, 11.2))
     assert(busy.contended)
     val ls = Bench.reportLines("/sf", warm, cold, busy)
     assert(mapper.readTree(ls.last).get("contended").asBoolean === true)
+    // a burst CONTAINED inside the lap — quiet endpoints, hot mid-lap
+    // sample — still flags: the r8 miss the periodic sampler closes
+    val burst = quietLoad.copy(cold = Bench.LapLoad(20.0, 21.0, 55.0, 22.0))
+    assert(burst.contended)
     // unavailable metrics (-1) never trip the flag
     val unknown = Bench.LoadReport(32,
-      Bench.LapLoad(-1.0, -1.0, -1.0), Bench.LapLoad(-1.0, -1.0, -1.0))
+      Bench.LapLoad(-1.0, -1.0, -1.0, -1.0), Bench.LapLoad(-1.0, -1.0, -1.0, -1.0))
     assert(!unknown.contended)
   }
 }

@@ -121,6 +121,39 @@ class RobustnessSpec extends SparkSpec {
       7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("star contraction keeps non-Long integral ids on the driver fast path") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // a small INT-keyed graph takes the count-gated driver union-find; it
+    // must neither cast-crash (the fast path unions over boxed Longs) nor
+    // change the output schema relative to the distributed path
+    val pairs = Seq((1, 2), (2, 3), (9, 8)).toDF("d1", "d2")
+    val comp = Curation.connectedComponentsStar(pairs)
+    assert(comp.schema("label").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val labels = comp.collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(labels === Map(1 -> 1, 2 -> 1, 3 -> 1, 8 -> 8, 9 -> 8))
+    // non-integral ids (string keys) fall back to the type-agnostic
+    // distributed contraction regardless of graph size
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("z", "y")).toDF("d1", "d2")
+    val sLabels = Curation.connectedComponentsStar(sPairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sLabels === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y"))
+  }
+
+  test("k-means over a corpus with no valid vectors returns empty, not error") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // all-null / null-element / zero-norm vectors are excluded from the
+    // working frame; zero seeds must yield the empty assignment with the
+    // contract schema (array_min over zero candidates fails analysis)
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "u")
+    val out = Similarity.kmeansOf(noVecs, k = 4, iters = 2)
+    assert(out.columns.toSeq === Seq("vec_id", "u", "cluster", "score"))
+    assert(out.count() === 0)
+  }
+
   test("gzip text round trip (gzip-aware line reader, S2)") {
     import spark.implicits._
     val dir = "target/tmp/gz"
