@@ -309,8 +309,12 @@ object Curation {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val vertices = pairs.select(col("d1").as("id"))
-      .union(pairs.select(col("d2")))
+    // one pass over the pair frame (explode), not two (select-d1 union
+    // select-d2): everything below `pairs` — the LSH/ngram candidate
+    // machinery above the memoized stages — would otherwise run twice
+    // more just to list the vertex ids
+    val vertices = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("id"))
       .distinct()
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -588,9 +592,14 @@ object Curation {
     val pairs = Dedup.ngramPairs(spark, dir, threshold, maxDf = 100)
       .select($"d1", $"d2")
     val splits = assignSplits(spark, dir).select($"doc_id", $"split")
+    // the split frame is one row per document — corpus-sized, like the
+    // pair frame: neither side may broadcast at scale (fixture-scale
+    // stats happily would), so both probes are pinned shuffled-hash
     pairs
-      .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), Seq("d1"))
-      .join(splits.select($"doc_id".as("d2"), $"split".as("s2")), Seq("d2"))
+      .join(splits.select($"doc_id".as("d1"), $"split".as("s1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(splits.select($"doc_id".as("d2"), $"split".as("s2"))
+        .hint("shuffle_hash"), Seq("d2"))
       .select(least($"s1", $"s2").as("split_lo"),
         greatest($"s1", $"s2").as("split_hi"))
       .groupBy($"split_lo", $"split_hi")
@@ -623,7 +632,10 @@ object Curation {
       .select($"doc_id", $"quality")
     val w = Window.partitionBy($"cluster")
       .orderBy($"quality".desc, $"doc_id")
-    clusters.join(quality, Seq("doc_id"))
+    // quality is one row per document — corpus-sized; pin the join
+    // shuffled-hash so fixture-scale stats can't elect a broadcast that
+    // would not fit at corpus scale
+    clusters.join(quality.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
       .select($"doc_id", $"cluster", $"quality", $"keep")
       .orderBy($"doc_id")

@@ -627,7 +627,10 @@ object Similarity {
     * assignment frame. */
   private[graft] def semDedupFromAssign(assign: DataFrame,
       threshold: Double): DataFrame = {
-    val dupOf = assign.as("a").join(assign.as("b"),
+    // the assignment frame is one row per vector — corpus-sized on BOTH
+    // sides of the within-cluster self-join: pin it shuffled-hash (on the
+    // cluster key) so fixture-scale stats can't elect a broadcast
+    val dupOf = assign.as("a").join(assign.hint("shuffle_hash").as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id") &&
           round(dot(col("a.u"), col("b.u")), 6) >= threshold)

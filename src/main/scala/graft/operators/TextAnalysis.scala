@@ -277,6 +277,10 @@ object TextAnalysis {
     * cumulative window. */
   def vocabGrowthOf(docs: DataFrame, binDocs: Int = 50,
       ngram: Int = 1): DataFrame = {
+    // scale note: the only single-partition stage is the cumulative sum,
+    // and it runs over one row per BIN (corpus/binDocs), not per doc or
+    // per term — callers size binDocs so the curve stays plot-sized
+    // (thousands of points), which keeps that stage trivially bounded
     import org.apache.spark.sql.expressions.Window
     require(binDocs > 0, s"need binDocs > 0, got $binDocs")
     require(ngram > 0, s"need ngram > 0, got $ngram")

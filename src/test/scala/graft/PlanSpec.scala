@@ -378,6 +378,59 @@ class PlanSpec extends SparkSpec {
       s"only the k-row population frame may broadcast:\n$p")
   }
 
+  test("q63 passage dedup is aggregate-only: no join anywhere in the plan") {
+    val p = plan(operators.Dedup.passageDedup(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"passage dedup must be a pure two-level aggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected map-side partial aggregate before the shuffle")
+  }
+
+  test("q66 vocab growth runs its only single-partition stage over bins") {
+    val p = plan(operators.TextAnalysis.vocabGrowth(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    // the cumulative window is the one SinglePartition exchange, and it
+    // consumes the per-BIN aggregate (corpus/binDocs rows), never terms
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) === 1,
+      s"exactly the bin cumsum may single-partition:\n$p")
+    assert(p.contains("windowspecdefinition(bin#"),
+      s"the window must run over bin rows:\n$p")
+  }
+
+  test("q68 embed clusters never broadcast the corpus-sized label join") {
+    val p = plan(operators.Similarity.embeddingDedupClusters(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the final vec_id label join is corpus × components — SMJ/SHJ only
+    assert(!p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftOuter")), s"label join must not broadcast:\n$p")
+  }
+
+  test("q69 canonical docs pin the corpus-sized quality join shuffled") {
+    val p = plan(operators.Curation.canonicalDocs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ShuffledHashJoin"),
+      s"quality join must stay shuffled (one row per doc on both sides):\n$p")
+    // the keep window partitions by cluster — never a global window
+    assert(p.contains("windowspecdefinition(cluster#"),
+      s"row_number must partition by cluster:\n$p")
+  }
+
+  test("q72 split leakage pins both corpus-sized split probes shuffled") {
+    val p = plan(operators.Curation.splitLeakage(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("ShuffledHashJoin")) >= 2,
+      s"both split probes (one row per doc) must stay shuffled:\n$p")
+  }
+
+  test("q74 semdedup shuffles the within-cluster self-join on the cluster key") {
+    val p = plan(operators.Similarity.semDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("cluster#")),
+      s"the assignment self-join (corpus-sized both sides) must shuffle:\n$p")
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
