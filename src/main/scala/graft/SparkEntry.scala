@@ -166,7 +166,14 @@ object SparkEntry {
     "q81_curation_funnel" -> ((s, d) => Curation.curationFunnel(s, d)),
     // Cluster labeling: top terms per k-means embedding cluster — what
     // each cluster IS, before up/down-weighting it.
-    "q82_cluster_terms" -> ((s, d) => TextAnalysis.clusterTerms(s, d))
+    "q82_cluster_terms" -> ((s, d) => TextAnalysis.clusterTerms(s, d)),
+    // Perceptual media fingerprint: blockhash (60 positional block sums
+    // vs the integer-scaled record mean) over the decoded payload signal
+    // — locality-preserving where a checksum is not.
+    "q83_media_phash" -> ((s, d) => Multimodal.blockhash(s, d)),
+    // Media near-dup pairs: the simhash pigeonhole machinery (4x15 bands,
+    // exact at Hamming <= 3) applied to the perceptual fingerprint.
+    "q84_media_neardup" -> ((s, d) => Multimodal.blockhashPairs(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -209,6 +216,25 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, j) AS BIGINT)
       |             ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** q83/q84's blockhash chain: per-char codepoint signal → 60 positional
+    * block sums → integer-scaled mean test → POWER-of-2 assembly (the
+    * same fp construction as [[simhashCte]]). */
+  private val blockhashCte =
+    """pc AS (
+      |  SELECT doc_id, text, n, unnest(range(1, n + 1)) AS pos
+      |  FROM (SELECT doc_id, text, length(text) AS n FROM documents
+      |        WHERE text IS NOT NULL AND length(text) > 0)),
+      |bs AS (
+      |  SELECT doc_id, ((pos - 1) * 60) // n AS blk,
+      |    SUM(ord(substr(text, CAST(pos AS INTEGER), 1))) AS s
+      |  FROM pc GROUP BY doc_id, blk),
+      |tot AS (SELECT doc_id, SUM(s) AS total FROM bs GROUP BY doc_id),
+      |ph AS (
+      |  SELECT bs.doc_id,
+      |    CAST(SUM(CASE WHEN 60 * s > total THEN CAST(POWER(2, blk) AS BIGINT)
+      |             ELSE 0 END) AS BIGINT) AS phash
+      |  FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id)""".stripMargin
 
   private val vecsCte =
     """n AS (
@@ -1664,6 +1690,25 @@ object SparkEntry {
         |SELECT rk.cluster, rk.rank, rk.term, rk.term_count, sz.n_vecs
         |FROM rk JOIN sz USING (cluster)
         |WHERE rank <= 3
-        |ORDER BY cluster, rank""".stripMargin)
+        |ORDER BY cluster, rank""".stripMargin),
+
+    "q83_media_phash" ->
+      // Blockhash fingerprint (Multimodal.blockhashOf, 60 blocks): per-char
+      // codepoint signal (ord == Spark's ascii on the ASCII payloads), block
+      // of position p (1-based) = (p-1)*60 div n, bit b set iff
+      // 60*block_sum > record_total (integer-scaled mean test — engine-
+      // stable), assembled exactly like the simhash fp (POWER-of-2 sum).
+      (s"""WITH $blockhashCte
+        |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin),
+
+    "q84_media_neardup" ->
+      // The oracle scores ALL pairs; the engine's 4x15-band blocking is
+      // exact for dist <= 3 by pigeonhole, so the results coincide.
+      (s"""WITH $blockhashCte
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY d1, d2""".stripMargin)
   )
 }

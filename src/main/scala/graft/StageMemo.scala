@@ -19,12 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
-    * stages per corpus number 9 (shingles, inverted-index intersections,
+    * stages per corpus number 10 (shingles, inverted-index intersections,
     * ngram pairs, minhash sigs, bands, ANN vectors, LSH pairs, k-means
-    * assignment, span grams), so a bench run over a warm-up corpus plus a
-    * measured corpus pins exactly 18 — 24 leaves margin for the next stage
-    * added without silently evicting a live entry mid-lap, while the LRU
-    * still bounds a many-corpus session. */
+    * assignment, span grams, blockhash fingerprints), so a bench run over
+    * a warm-up corpus plus a measured corpus pins exactly 20 — 24 leaves
+    * margin for the next stage added without silently evicting a live
+    * entry mid-lap, while the LRU still bounds a many-corpus session. */
   @volatile private[graft] var maxEntries: Int = 24
 
   private val memo =

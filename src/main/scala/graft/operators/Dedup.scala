@@ -295,19 +295,32 @@ object Dedup {
     * first in a production pipeline so clusters collapse to representatives
     * before near-dup pairing. */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(fingerprints(spark, dir), "simhash", maxDist)
+
+  /** Banded Hamming near-dup pairs over ANY 60-bit fingerprint frame
+    * `(doc_id, <fpCol>)` — the pigeonhole machinery shared by the token
+    * simhash (q24) and the media blockhash (q84): 4 bands of 15 bits, so
+    * any pair at distance ≤ 3 must agree on ≥ 1 band and the blocked join
+    * is EXACT for that threshold while never forming the cross product.
+    * `maxDist` beyond 3 would silently under-report (a distance-4 pair can
+    * differ in all four bands) — rejected. */
+  private[graft] def bandedHammingPairs(fp: DataFrame, fpCol: String,
+      maxDist: Int): DataFrame = {
+    val spark = fp.sparkSession
     import spark.implicits._
-    val fp = fingerprints(spark, dir)
-    val bands = fp.select($"doc_id", $"simhash", explode(array(
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x15 banding is exact only for maxDist <= 3, got $maxDist")
+    val bands = fp.select(col("doc_id"), col(fpCol), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        expr(s"(simhash div cast(pow(2, ${15 * b}) as bigint)) % 32768")
+        expr(s"($fpCol div cast(pow(2, ${15 * b}) as bigint)) % 32768")
           .as("bh"))): _*
-    )).as("e")).select($"doc_id", $"simhash", $"e.band", $"e.bh")
+    )).as("e")).select(col("doc_id"), col(fpCol), $"e.band", $"e.bh")
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("dist"))
+        expr(s"bit_count(a.$fpCol ^ b.$fpCol)").as("dist"))
       .distinct()
       .filter($"dist" <= maxDist)
       .orderBy($"d1", $"d2")

@@ -131,6 +131,63 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Blockhash-style PERCEPTUAL fingerprint of the media payload (q83) —
+    * the media-domain sibling of the token simhash: the decoded 1-D signal
+    * is cut into 60 positional blocks and bit `b` is set iff block `b`'s
+    * signal sum exceeds the record mean (the blockhash.io recipe on a 1-D
+    * signal). Unlike a checksum, the fingerprint is LOCALITY-PRESERVING:
+    * editing one region flips only that region's blocks, so near-identical
+    * payloads land within small Hamming distance and [[blockhashPairs]]
+    * can bucket them — this is how image/audio near-dup dedup works when
+    * exact hashes can't.
+    *
+    * Signal stub: per-char codepoints of the payload ([[StubCodec]]'s
+    * seam — a real image codec would emit luma rows instead; the fixture
+    * payloads are ASCII, where Spark's byte-wise `ascii` and an oracle's
+    * codepoint `ord` agree by construction). The mean test is
+    * integer-scaled (`blocks·s > total`), so the fingerprint is bit-equal
+    * on any engine.
+    *
+    * Scale shape: one per-char explode (no shuffle), partial-combined to
+    * ≤ 60 rows per record on the (doc_id, blk) shuffle, then a doc-keyed
+    * window + aggregate — shuffle volume is O(60 · records), independent
+    * of payload length. */
+  def blockhashOf(docs: DataFrame, blocks: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blocks > 0 && blocks <= 60,
+      s"fingerprint must fit 60 bits (4x15 banding), got $blocks blocks")
+    val blockSums = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(expr("sequence(1, n)")).as("pos"))
+      .select(col("doc_id"),
+        expr(s"(pos - 1) * $blocks div n").as("blk"),
+        expr("ascii(substring(text, pos, 1))").as("v"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(sum(col("v")).as("s"))
+    blockSums
+      .withColumn("total", sum(col("s")).over(Window.partitionBy(col("doc_id"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(lit(blocks) * col("s") > col("total"),
+        expr("cast(pow(2, blk) as bigint)")).otherwise(0L)).as("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q83), memoized per corpus — q84 rides the same frame. */
+  def blockhash(spark: SparkSession, dir: String): DataFrame =
+    graft.StageMemo(spark, s"blockhash:$dir") {
+      blockhashOf(Tables.documents(spark, dir))
+    }
+
+  /** Media near-dup pairs (q84): banded Hamming join over [[blockhash]]
+    * fingerprints — [[graft.operators.Dedup.bandedHammingPairs]]'s exact
+    * pigeonhole blocking (4×15 bands, distance ≤ 3), applied to the
+    * perceptual media fingerprint instead of the token simhash. */
+  def blockhashPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(blockhash(spark, dir), "phash", maxDist)
+
   /** Aggregate shape over decoded features: per media_type sizes (guards the
     * schema/partitioning plumbing under aggregation). */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {

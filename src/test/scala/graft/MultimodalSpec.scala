@@ -78,4 +78,36 @@ class MultimodalSpec extends SparkSpec {
     val got = rows.find(r => r.getLong(0) == docId && r.getInt(1) == 0).get
     assert(got.getString(3) === frame0)
   }
+
+  test("blockhash is locality-preserving where a checksum is not") {
+    import spark.implicits._
+    // base payload: 60 blocks of 10 chars with a clear high/low structure
+    val base = ("a" * 300) + ("Z" * 300)
+    // one edited REGION (chars 0-29): only the first blocks' sums move
+    val edited = ("z" * 30) + ("a" * 270) + ("Z" * 300)
+    // a structurally different payload: alternating, flips most blocks
+    val other = "aZ" * 300
+    val docs = Seq((1L, base), (2L, edited), (3L, other),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("doc_id", "text")
+    val fp = Multimodal.blockhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null/empty payloads carry no signal — excluded, like null vectors
+    // from the LSH index
+    assert(fp.keySet === Set(1L, 2L, 3L))
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = dist(fp(1L), fp(2L))
+    val far = dist(fp(1L), fp(3L))
+    assert(near <= 3, s"regional edit must flip few blocks, flipped $near")
+    assert(far > 10, s"different payload must flip many blocks, flipped $far")
+    // the banded pair join surfaces exactly the near pair
+    val pairs = graft.operators.Dedup
+      .bandedHammingPairs(Multimodal.blockhashOf(docs), "phash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // maxDist beyond the pigeonhole-exact bound is rejected, not silent
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .bandedHammingPairs(Multimodal.blockhashOf(docs), "phash", 4)
+    }
+  }
 }

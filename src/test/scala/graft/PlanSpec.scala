@@ -431,6 +431,24 @@ class PlanSpec extends SparkSpec {
       s"the assignment self-join (corpus-sized both sides) must shuffle:\n$p")
   }
 
+  test("q83 blockhash is join-free: explode, partial agg, doc window") {
+    val p = plan(operators.Multimodal.blockhashOf(
+      operators.Multimodal.mediaTable(spark, sfDir).toDF()
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.expr("cast(bytes as string)")
+            .as("text"))))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"fingerprinting must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-block sums must partial-combine before the (doc_id, blk) shuffle")
+  }
+
+  test("q84 media near-dup joins bands only, never the cross product") {
+    val p = plan(operators.Multimodal.blockhashPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"banded join only:\n$p")
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
