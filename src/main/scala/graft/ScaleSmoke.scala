@@ -230,6 +230,12 @@ object ScaleSmoke {
       "curation_funnel" -> ((d, m) =>
         operators.Curation.curationFunnel(spark, d, maxDf = 100 * m)),
       "cluster_terms" -> ((d, _) => operators.TextAnalysis.clusterTerms(spark, d)),
+      // media tier: the perceptual fingerprint is a per-char explode
+      // partial-combined to <= 60 rows/doc — corpus-linear by contract;
+      // the banded pair join rides it, and its output follows the staged
+      // corpus's collision structure (reported via rows_out)
+      "media_phash" -> ((d, _) => operators.Multimodal.blockhash(spark, d)),
+      "media_neardup" -> ((d, _) => operators.Multimodal.blockhashPairs(spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

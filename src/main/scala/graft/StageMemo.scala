@@ -19,13 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
-    * stages per corpus number 10 (shingles, inverted-index intersections,
+    * stages per corpus number 11 (shingles, inverted-index intersections,
     * ngram pairs, minhash sigs, bands, ANN vectors, LSH pairs, k-means
-    * assignment, span grams, blockhash fingerprints), so a bench run over
-    * a warm-up corpus plus a measured corpus pins exactly 20 — 24 leaves
-    * margin for the next stage added without silently evicting a live
-    * entry mid-lap, while the LRU still bounds a many-corpus session. */
-  @volatile private[graft] var maxEntries: Int = 24
+    * assignment, span grams, blockhash fingerprints, bm25 top-docs), so a
+    * bench run over a warm-up corpus plus a measured corpus pins exactly
+    * 22 — 28 leaves margin for the next stages added without silently
+    * evicting a live entry mid-lap, while the LRU still bounds a
+    * many-corpus session. */
+  @volatile private[graft] var maxEntries: Int = 28
 
   private val memo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](

@@ -466,8 +466,14 @@ object TextAnalysis {
   }
 
   /** Fixture form (q75). */
+  /** Fixture form (q75), memoized per corpus: the result is the bounded
+    * top-k heap (20 rows), but producing it costs the full BM25 index
+    * build — q80's fusion rides the same frame, so a warm session pays
+    * the index once. */
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
-    bm25TopDocsOf(Tables.documents(spark, dir))
+    graft.StageMemo(spark, s"bm25_topdocs:$dir") {
+      bm25TopDocsOf(Tables.documents(spark, dir))
+    }
 
   /** Cluster labeling (q82) — the corpus-exploration step after q73's
     * k-means: the top-`topK` most frequent terms of the documents in each

@@ -296,6 +296,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q75 bm25 top-k takes ordered, never globally sorts the corpus") {
+    // pin the freshly-built plan: an already-materialized memo entry would
+    // render its cached AQE plan with BOTH Final and Initial sections,
+    // double-counting the operators asserted below
+    StageMemo.clear()
     val p = plan(operators.TextAnalysis.bm25TopDocs(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must plan a bounded heap:\n$p")
@@ -344,6 +348,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q80 rrf fusion joins two bounded top-k heaps only") {
+    StageMemo.clear() // fresh memo — see the q75 note
     val p = plan(operators.Similarity.rrfFusion(spark, sfDir))
     // both rankers end in TakeOrdered heaps; the fusion join touches <= 2n
     // rows regardless of corpus size
