@@ -19,13 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
-    * stages per corpus number 11 (shingles, inverted-index intersections,
-    * ngram pairs, minhash sigs, bands, ANN vectors, LSH pairs, k-means
-    * assignment, span grams, blockhash fingerprints, bm25 top-docs), so a
-    * bench run over a warm-up corpus plus a measured corpus pins exactly
-    * 22 — 28 leaves margin for the next stages added without silently
-    * evicting a live entry mid-lap, while the LRU still bounds a
-    * many-corpus session. */
+    * frame stages per corpus number 12 (shingles, inverted-index
+    * intersections, ngram pairs, minhash sigs, bands, simhash
+    * fingerprints, ANN vectors, LSH pairs, k-means assignment, span
+    * grams, blockhash fingerprints, bm25 top-docs), so a bench run over a
+    * warm-up corpus plus a measured corpus pins exactly 24 — 28 leaves
+    * headroom of 4 before a new stage silently evicts a live entry
+    * mid-lap (re-count this list when adding one), while the LRU still
+    * bounds a many-corpus session. */
   @volatile private[graft] var maxEntries: Int = 28
 
   private val memo =

@@ -162,7 +162,10 @@ object Multimodal {
       .select(col("doc_id"), col("n"), col("text"),
         explode(expr("sequence(1, n)")).as("pos"))
       .select(col("doc_id"),
-        expr(s"(pos - 1) * $blocks div n").as("blk"),
+        // bigint from the start: (pos-1)*blocks in int arithmetic would
+        // overflow (ANSI abort) past ~36M chars per payload; the oracle's
+        // range() positions are 64-bit by construction
+        expr(s"(cast(pos as bigint) - 1) * $blocks div n").as("blk"),
         expr("ascii(substring(text, pos, 1))").as("v"))
       .groupBy(col("doc_id"), col("blk"))
       .agg(sum(col("v")).as("s"))
@@ -171,11 +174,17 @@ object Multimodal {
       .groupBy(col("doc_id"))
       .agg(sum(when(lit(blocks) * col("s") > col("total"),
         expr("cast(pow(2, blk) as bigint)")).otherwise(0L)).as("phash"))
-      .orderBy(col("doc_id"))
   }
 
-  /** Fixture form (q83), memoized per corpus — q84 rides the same frame. */
+  /** Fixture form (q83): the presentation sort over the memoized stage. */
   def blockhash(spark: SparkSession, dir: String): DataFrame =
+    blockhashFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** Memoized UNORDERED fingerprint stage (the [[simhash]] pattern:
+    * ordering belongs to the presentation query, not the shared stage —
+    * q84's band join would pay a wasted range exchange + sort inside the
+    * persisted frame otherwise). */
+  private def blockhashFrame(spark: SparkSession, dir: String): DataFrame =
     graft.StageMemo(spark, s"blockhash:$dir") {
       blockhashOf(Tables.documents(spark, dir))
     }
@@ -186,7 +195,7 @@ object Multimodal {
     * perceptual media fingerprint instead of the token simhash. */
   def blockhashPairs(spark: SparkSession, dir: String,
       maxDist: Int = 3): DataFrame =
-    Dedup.bandedHammingPairs(blockhash(spark, dir), "phash", maxDist)
+    Dedup.bandedHammingPairs(blockhashFrame(spark, dir), "phash", maxDist)
 
   /** Aggregate shape over decoded features: per media_type sizes (guards the
     * schema/partitioning plumbing under aggregation). */
