@@ -263,4 +263,32 @@ class PropertySpec extends SparkSpec {
       got == want
     }, runs = 12)
   }
+
+  test("banded Hamming pairs are EXACTLY the brute-force dist<=3 set") {
+    import spark.implicits._
+    // the pigeonhole claim, machine-checked: over arbitrary 60-bit
+    // fingerprints (with planted near-dups — random fps alone almost
+    // never land within distance 3), the 4x15 band join recovers every
+    // pair at distance <= maxDist and nothing else
+    val fpGen = Gen.choose(0L, (1L << 60) - 1)
+    val maskGen = for {
+      k <- Gen.choose(0, 4) // 4: just past the exact bound, must NOT pair
+      bits <- Gen.listOfN(k, Gen.choose(0, 59))
+    } yield bits.distinct.foldLeft(0L)((m, b) => m | (1L << b))
+    val gen = for {
+      base <- Gen.listOfN(5, fpGen)
+      masks <- Gen.listOfN(5, maskGen)
+    } yield base ++ base.zip(masks).map { case (f, m) => f ^ m }
+    holds(Prop.forAll(gen) { fps =>
+      val fp = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("doc_id", "phash")
+      val got = operators.Dedup.bandedHammingPairs(fp, "phash", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        a <- fps.indices; b <- fps.indices if a < b
+        d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 3
+      } yield (a.toLong, b.toLong, d)).toSet
+      got == want
+    }, runs = 12)
+  }
 }
