@@ -79,6 +79,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got.getString(3) === frame0)
   }
 
+  test("fixture payloads honor the blockhash ASCII contract") {
+    import org.apache.spark.sql.functions._
+    // q83/q84's engine/oracle parity rests on Spark's byte-wise ascii()
+    // agreeing with DuckDB's codepoint ord() — true exactly for ASCII.
+    // A fixture regeneration that introduces non-ASCII text must fail
+    // HERE, not as an unexplained oracle hash mismatch.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull &&
+        !col("text").rlike("^[\\x00-\\x7F]*$"))
+      .count()
+    assert(nonAscii === 0,
+      s"$nonAscii documents carry non-ASCII text — the blockhash stub " +
+        "signal (ascii vs ord) is no longer engine-stable for them")
+  }
+
   test("blockhash is locality-preserving where a checksum is not") {
     import spark.implicits._
     // base payload: 60 blocks of 10 chars with a clear high/low structure
