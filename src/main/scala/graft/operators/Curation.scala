@@ -341,12 +341,10 @@ object Curation {
     // the driver fast path unions over boxed Longs, so it only admits
     // integral id columns; any other id type (string keys, decimals) keeps
     // the type-agnostic distributed contraction regardless of graph size
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
     val idType = edges.schema("u").dataType
     val integralId = idType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
+      case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     if (edgeCount <= driverEdgeBudget && integralId) {
@@ -372,19 +370,19 @@ object Curation {
       // rebuild (id, lbl) in the INPUT id type, so the fast path's output
       // schema is indistinguishable from the distributed path's
       val narrow: Long => Any = idType match {
-        case org.apache.spark.sql.types.ByteType => (x: Long) => x.toByte
-        case org.apache.spark.sql.types.ShortType => (x: Long) => x.toShort
-        case org.apache.spark.sql.types.IntegerType => (x: Long) => x.toInt
+        case ByteType => (x: Long) => x.toByte
+        case ShortType => (x: Long) => x.toShort
+        case IntegerType => (x: Long) => x.toInt
         case _ => (x: Long) => x
       }
       val labelRows = es.iterator.flatMap(e => Iterator(e._1, e._2))
         .toSeq.distinct
         .map(id => org.apache.spark.sql.Row(narrow(id), narrow(find(id))))
-      val compSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", idType),
-        org.apache.spark.sql.types.StructField("lbl", idType)))
-      val comp = spark.createDataFrame(
-        spark.sparkContext.parallelize(labelRows, 1), compSchema)
+      import scala.jdk.CollectionConverters._
+      // a driver-local list: LocalRelation (size known to Catalyst), not
+      // an RDD-backed scan
+      val comp = spark.createDataFrame(labelRows.asJava,
+        StructType(Seq(StructField("id", idType), StructField("lbl", idType))))
       val out = vertices
         .join(comp, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))

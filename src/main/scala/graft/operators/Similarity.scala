@@ -458,11 +458,13 @@ object Similarity {
     * surface as singletons via the left join, so the output covers the
     * whole table. */
   def embeddingDedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4,
+      driverEdgeBudget: Long = 100000): DataFrame = {
     import spark.implicits._
     val pairs = cosineNearDupLsh(spark, dir, threshold)
       .select($"v1".as("d1"), $"v2".as("d2"))
-    val comp = Curation.connectedComponentsStar(pairs)
+    val comp = Curation.connectedComponentsStar(pairs,
+      driverEdgeBudget = driverEdgeBudget)
     Tables.embeddings(spark, dir)
       .select($"vec_id")
       .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")

