@@ -173,7 +173,10 @@ object SparkEntry {
     "q83_media_phash" -> ((s, d) => Multimodal.blockhash(s, d)),
     // Media near-dup pairs: the simhash pigeonhole machinery (4x15 bands,
     // exact at Hamming <= 3) applied to the perceptual fingerprint.
-    "q84_media_neardup" -> ((s, d) => Multimodal.blockhashPairs(s, d))
+    "q84_media_neardup" -> ((s, d) => Multimodal.blockhashPairs(s, d)),
+    // Media dedup clusters: q84's pair graph contracted to components
+    // (q50's star machinery), keep = smallest doc_id per cluster.
+    "q85_media_clusters" -> ((s, d) => Multimodal.blockhashClusters(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1709,6 +1712,23 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-        |ORDER BY d1, d2""".stripMargin)
+        |ORDER BY d1, d2""".stripMargin),
+
+    "q85_media_clusters" ->
+      // q84's pair set fed to the recursive-reachability components CTE
+      // (the q50/q68 oracle pattern); unpaired and unfingerprinted docs
+      // surface as singletons via the LEFT JOIN.
+      (s"""WITH RECURSIVE $blockhashCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |${ccCte("doc_id")}
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

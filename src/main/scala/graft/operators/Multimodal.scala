@@ -197,6 +197,30 @@ object Multimodal {
       maxDist: Int = 3): DataFrame =
     Dedup.bandedHammingPairs(blockhashFrame(spark, dir), "phash", maxDist)
 
+  /** Media dedup CLUSTERS (q85) — [[blockhashPairs]]'s cluster form, the
+    * media analog of q50/q68: connected components of the Hamming ≤
+    * `maxDist` near-dup graph, one row per document with its cluster
+    * representative (smallest doc_id) and the keep/drop decision.
+    * Pairwise output alone can drop both ends of a chain A~B~C; the
+    * cluster form is what a pipeline ships. Payloads that never pair —
+    * including the null/empty payloads the fingerprint stage excludes —
+    * surface as singletons via the left join, so the output covers the
+    * whole table. Contraction and scale story are q50's
+    * ([[graft.operators.Curation.connectedComponentsStar]]). */
+  def blockhashClusters(spark: SparkSession, dir: String, maxDist: Int = 3,
+      driverEdgeBudget: Long = 100000): DataFrame = {
+    val pairs = blockhashPairs(spark, dir, maxDist).select(col("d1"), col("d2"))
+    val comp = Curation.connectedComponentsStar(pairs,
+      driverEdgeBudget = driverEdgeBudget)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("keep",
+        when(col("cluster") === col("doc_id"), 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Aggregate shape over decoded features: per media_type sizes (guards the
     * schema/partitioning plumbing under aggregation). */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -125,4 +125,22 @@ class MultimodalSpec extends SparkSpec {
         .bandedHammingPairs(Multimodal.blockhashOf(docs), "phash", 4)
     }
   }
+
+  test("media clusters cover every doc, keep one representative per cluster") {
+    val clusters = Multimodal.blockhashClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(clusters.size.toLong === docs, "one row per document")
+    // exactly one keeper per cluster, and it is the smallest member
+    clusters.groupBy(_._2._1).foreach { case (cl, members) =>
+      val keepers = members.filter(_._2._2 == 1).keys.toSeq
+      assert(keepers === Seq(cl) && cl === members.keys.min,
+        s"cluster $cl: keeper must be the smallest member, got $keepers")
+    }
+    // every q84 pair lands in one cluster (the chain argument: pairwise
+    // output alone can drop both ends of A~B~C)
+    Multimodal.blockhashPairs(spark, sfDir).collect().foreach { r =>
+      assert(clusters(r.getLong(0))._1 === clusters(r.getLong(1))._1)
+    }
+  }
 }

@@ -460,6 +460,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"banded join only:\n$p")
   }
 
+  test("q85 media clusters plan no pair explosion on either contraction path") {
+    for (budget <- Seq(0L, 100000L)) {
+      val p = plan(operators.Multimodal.blockhashClusters(spark, sfDir,
+        driverEdgeBudget = budget))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pair explosion at driverEdgeBudget=$budget:\n$p")
+    }
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
