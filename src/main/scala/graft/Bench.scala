@@ -82,15 +82,20 @@ object Bench {
     sampler.start()
     val c0 = processCpuNanos
     val t0 = System.nanoTime()
-    val r = body
-    val wall = (System.nanoTime() - t0) / 1e9
-    val cpu = (processCpuNanos - c0) / 1e9
-    val util = if (c0 >= 0 && wall > 0) cpu / wall else -1.0
-    stop.set(true)
-    sampler.interrupt()
-    sampler.join(1000)
-    val l1 = loadavg1
-    (r, LapLoad(l0, l1, math.max(maxSeen.get(), l1), util))
+    try {
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (processCpuNanos - c0) / 1e9
+      val util = if (c0 >= 0 && wall > 0) cpu / wall else -1.0
+      val l1 = loadavg1
+      (r, LapLoad(l0, l1, math.max(maxSeen.get(), l1), util))
+    } finally {
+      // a throwing body must not leak the 5 s /proc poller for the rest of
+      // the process
+      stop.set(true)
+      sampler.interrupt()
+      sampler.join(1000)
+    }
   }
 
   def main(args: Array[String]): Unit = {

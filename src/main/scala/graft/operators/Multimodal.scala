@@ -159,14 +159,18 @@ object Multimodal {
     val blockSums = docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .select(col("doc_id"), col("n"), col("text"),
-        explode(expr("sequence(1, n)")).as("pos"))
+      // one pass over the payload: split to a per-char array, posexplode for
+      // (pos, char) pairs — a per-position substring() re-scans the
+      // UTF8String from the front on every access, O(n²) CPU per payload
+      .select(col("doc_id"), col("n"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "c")))
+      .filter(col("c") =!= "") // split('') keeps one trailing empty element
       .select(col("doc_id"),
-        // bigint from the start: (pos-1)*blocks in int arithmetic would
+        // bigint from the start: pos*blocks in int arithmetic would
         // overflow (ANSI abort) past ~36M chars per payload; the oracle's
         // range() positions are 64-bit by construction
-        expr(s"(cast(pos as bigint) - 1) * $blocks div n").as("blk"),
-        expr("ascii(substring(text, pos, 1))").as("v"))
+        expr(s"cast(pos as bigint) * $blocks div n").as("blk"),
+        ascii(col("c")).as("v"))
       .groupBy(col("doc_id"), col("blk"))
       .agg(sum(col("v")).as("s"))
     blockSums

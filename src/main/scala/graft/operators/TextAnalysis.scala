@@ -465,7 +465,6 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
-  /** Fixture form (q75). */
   /** Fixture form (q75), memoized per corpus: the RESULT is the bounded
     * top-k heap (20 rows), but producing it costs the full BM25 index
     * build — q80's fusion rides the same frame, so a warm session pays

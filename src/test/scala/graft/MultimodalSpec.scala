@@ -94,6 +94,34 @@ class MultimodalSpec extends SparkSpec {
         "signal (ascii vs ord) is no longer engine-stable for them")
   }
 
+  test("blockhash matches a pure-Scala reference bit-for-bit on fixture docs") {
+    import org.apache.spark.sql.functions._
+    // differential guard for the one-pass (posexplode-over-split) rewrite:
+    // the fingerprint definition lives HERE as straight-line Scala, so any
+    // plan-level refactor of blockhashOf must stay bit-equal to it
+    def reference(text: String, blocks: Int = 60): Long = {
+      val n = text.length
+      val sums = new Array[Long](blocks)
+      var pos = 0
+      while (pos < n) {
+        sums((pos.toLong * blocks / n).toInt) += text.codePointAt(pos)
+        pos += 1
+      }
+      val total = sums.sum
+      sums.zipWithIndex.collect {
+        case (s, blk) if blocks * s > total => 1L << blk
+      }.sum
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .limit(20)
+    val got = Multimodal.blockhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> reference(r.getString(1))).toMap
+    assert(want.nonEmpty && got === want)
+  }
+
   test("blockhash is locality-preserving where a checksum is not") {
     import spark.implicits._
     // base payload: 60 blocks of 10 chars with a clear high/low structure

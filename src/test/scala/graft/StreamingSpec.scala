@@ -65,16 +65,19 @@ class StreamingSpec extends SparkSpec {
       val commits = progress.asScala.filter(_.numInputRows > 0).toSeq
       assert(commits.size >= 2,
         s"expected >=2 stateful data commits, saw ${progress.size} progress events")
-      // bound the MINIMUM commit: a state-store/trigger regression slows
-      // every commit (so the min breaches too), while a single co-tenant
-      // burst inflating one commit in a shared test run cannot flake this
-      val durations = commits.map { p =>
+      // bound the minimum over commits AFTER THE FIRST: a state-growth
+      // regression (e.g. a per-batch state re-scan) leaves the first data
+      // commit fast (near-empty state) and slows every later one, so this
+      // statistic must move — while a single co-tenant burst inflating one
+      // commit in a shared test run still cannot flake it
+      val durations = commits.sortBy(_.batchId).map { p =>
         val ms = p.durationMs.get("triggerExecution")
         assert(ms != null, s"commit ${p.batchId} missing triggerExecution")
         ms.longValue
       }
-      assert(durations.min < 6000L,
-        s"every stateful commit breached the 6s bound (${durations.mkString(",")}ms) " +
+      assert(durations.drop(1).min < 6000L,
+        s"every post-first stateful commit breached the 6s bound " +
+          s"(${durations.mkString(",")}ms) " +
           "— state-store or trigger regression (steady state is ~550ms)")
     } finally spark.streams.removeListener(listener)
   }
