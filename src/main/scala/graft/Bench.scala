@@ -131,7 +131,13 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // attribution mode: memo misses materialize eagerly so build-ms is the
+    // stage's real cost (see StageMemo.eagerBuild), and counters window per
+    // lap — shared-stage builds then land on a NAMED stage in the artifact
+    // instead of silently inflating whichever consumer ran first
+    StageMemo.eagerBuild = true
     ordered.foreach { case (name, fn) => runOnce(name, fn, warmDir) }
+    StageMemo.statsSnapshot(reset = true) // drop the warm-up window
     // two timed laps, min per query — damps co-tenant scheduling noise
     val (results, warmLoad) = sampledLap {
       val lap1 = ordered.map { case (name, fn) => name -> runOnce(name, fn, sfDir) }
@@ -140,16 +146,22 @@ object Bench {
         n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
     }
-    // cold lap: every query pays its own shared-stage build
-    val (cold, coldLoad) = sampledLap {
+    val warmMemo = StageMemo.statsSnapshot(reset = true)
+    // cold lap: every query pays its own shared-stage build; snapshot per
+    // query so each build lands on the query that triggered it
+    val (coldWithMemo, coldLoad) = sampledLap {
       ordered.map { case (name, fn) =>
         StageMemo.clear()
-        name -> runOnce(name, fn, sfDir)
+        val t = runOnce(name, fn, sfDir)
+        (name, t, StageMemo.statsSnapshot(reset = true))
       }
     }
+    val cold = coldWithMemo.map { case (n, t, _) => n -> t }
+    val coldPerQuery = coldWithMemo.map { case (n, _, s) => n -> s }
     StageMemo.clear()
     val lines = reportLines(sfDir, results, cold,
-      LoadReport(scala.util.Try(cpus.toInt).getOrElse(4), warmLoad, coldLoad))
+      LoadReport(scala.util.Try(cpus.toInt).getOrElse(4), warmLoad, coldLoad),
+      warmMemo, coldPerQuery)
     lines.foreach(println)
     // Belt and braces vs log-capture loss: also persist the full report to a
     // file so the artifact never depends on how the launcher wraps stdout.
@@ -179,10 +191,41 @@ object Bench {
     if (v < 0) "-1.0"
     else String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
 
+  /** Memo-attribution lines: per-key build maps shortened (corpus dir →
+    * "sf"), packed under the same <1 KB self-contained-line budget as the
+    * per-query parts (a 2-corpus lap can carry 24 build keys). Counters
+    * repeat on every part so any single captured line is complete. */
+  private[graft] def memoLines(metric: String, qualifier: String,
+      stats: StageMemo.Stats, sfDir: String): Seq[String] = {
+    val entries = stats.builds.toSeq.sortBy(-_._2._2).map { case (k, (n, ms)) =>
+      "\"" + k.replace(sfDir, "sf") + "\":{\"n\":" + n + ",\"ms\":" + ms + "}"
+    }
+    val head = s"""{"metric":"$metric"$qualifier,"hits":${stats.hits},""" +
+      s""""misses":${stats.misses},"evictions":${stats.evictions},""" +
+      s""""build_ms_total":${stats.buildMsTotal}"""
+    if (entries.isEmpty) Seq(s"""$head,"builds":{}}""")
+    else {
+      val budget = 780
+      val groups = entries.foldLeft(List(List.empty[String])) {
+        case (acc @ cur :: done, e) =>
+          val curLen = cur.map(_.length + 1).sum
+          if (cur.nonEmpty && curLen + e.length + 1 > budget) List(e) :: acc
+          else (e :: cur) :: done
+        case (Nil, e) => List(List(e)) // unreachable; keeps the match total
+      }.map(_.reverse).reverse.filter(_.nonEmpty)
+      groups.zipWithIndex.map { case (g, i) =>
+        s"""$head,"part":${i + 1},"of":${groups.size},""" +
+          s""""builds":${g.mkString("{", ",", "}")}}"""
+      }
+    }
+  }
+
   private[graft] def reportLines(sfDir: String,
       results: Seq[(String, Double)],
       cold: Seq[(String, Double)],
-      load: LoadReport): Seq[String] = {
+      load: LoadReport,
+      warmMemo: StageMemo.Stats = StageMemo.Stats(0, 0, 0, Map.empty),
+      coldPerQuery: Seq[(String, StageMemo.Stats)] = Nil): Seq[String] = {
     def json(rs: Seq[(String, Double)], prec: Int): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -214,7 +257,23 @@ object Bench {
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results, 3)},""" +
         s""""queries_cold":${json(cold, 3)},"value":${fmt(total, 3)},"cold_total":${fmt(coldTotal, 3)}}""") ++
       parts("warm_part", "queries", results, load.warm) ++
-      parts("cold_part", "queries_cold", cold, load.cold) ++ Seq(
+      parts("cold_part", "queries_cold", cold, load.cold) ++ {
+      // stage-build attribution: one warm-lap record (lap1 builds, lap2
+      // hits), one aggregated cold record, then per-query cold records so
+      // each shared-stage build lands on the query that triggered it
+      val coldAgg = StageMemo.Stats(
+        coldPerQuery.map(_._2.hits).sum,
+        coldPerQuery.map(_._2.misses).sum,
+        coldPerQuery.map(_._2.evictions).sum,
+        coldPerQuery.flatMap(_._2.builds.toSeq).groupBy(_._1).map {
+          case (k, vs) => k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+        })
+      memoLines("memo", ""","lap":"warm"""", warmMemo, sfDir) ++
+        memoLines("memo", ""","lap":"cold"""", coldAgg, sfDir) ++
+        coldPerQuery.filter(_._2.builds.nonEmpty).flatMap { case (q, s) =>
+          memoLines("memo_cold_query", s""","q":"$q"""", s, sfDir)
+        }
+    } ++ Seq(
       s"""{"metric":"total_warm","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
         s"""$sentinel,${load.warm.fields},"queries":${json(short(results), 2)}}""",
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +

@@ -236,6 +236,13 @@ object ScaleSmoke {
       // corpus's collision structure (reported via rows_out)
       "media_phash" -> ((d, _) => operators.Multimodal.blockhash(spark, d)),
       "media_neardup" -> ((d, _) => operators.Multimodal.blockhashPairs(spark, d)),
+      // cluster form: star contraction over the banded pair output — the
+      // edge list is the C(N,2)-shaped input the exponent must mirror
+      "media_clusters" -> ((d, _) => operators.Multimodal.blockhashClusters(spark, d)),
+      // cross-modal decision (q86): union of the ngram and blockhash pair
+      // graphs, one contraction — df cap corpus-relative like the text rows
+      "crossmodal_dedup" -> ((d, m) => operators.Curation.crossModalClusters(
+        spark, d, maxDf = 100 * m)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

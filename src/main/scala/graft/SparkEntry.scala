@@ -176,7 +176,11 @@ object SparkEntry {
     "q84_media_neardup" -> ((s, d) => Multimodal.blockhashPairs(s, d)),
     // Media dedup clusters: q84's pair graph contracted to components
     // (q50's star machinery), keep = smallest doc_id per cluster.
-    "q85_media_clusters" -> ((s, d) => Multimodal.blockhashClusters(s, d))
+    "q85_media_clusters" -> ((s, d) => Multimodal.blockhashClusters(s, d)),
+    // Cross-modal dedup decision: q50's text pair graph UNION q85's media
+    // pair graph, one star contraction — "duplicate in ANY modality", the
+    // doc-level keep/drop a multimodal pipeline actually ships.
+    "q86_crossmodal_dedup" -> ((s, d) => Curation.crossModalClusters(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -361,10 +365,10 @@ object SparkEntry {
   /** Connected components over `pairs(d1, d2)` — symmetric edge closure,
     * recursive reach, min-reachable label. `key` names the id column of
     * the resulting `comp`. The enclosing query must open WITH RECURSIVE. */
-  private def ccCte(key: String): String =
+  private def ccCte(key: String, pairsRel: String = "pairs"): String =
     s"""edges AS (
-       |  SELECT d1 AS u, d2 AS v FROM pairs
-       |  UNION ALL SELECT d2, d1 FROM pairs),
+       |  SELECT d1 AS u, d2 AS v FROM $pairsRel
+       |  UNION ALL SELECT d2, d1 FROM $pairsRel),
        |reach AS (
        |  SELECT u, v FROM edges
        |  UNION
@@ -1729,6 +1733,36 @@ object SparkEntry {
         |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
         |       THEN 1 ELSE 0 END AS keep
         |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q86_crossmodal_dedup" ->
+      // q50's text pair CTE (`pairs`) UNION q85's media pair set, one
+      // reachability contraction over the joint edge set; per-modality
+      // participant sets yield n_modalities (0 = never paired anywhere).
+      (s"""WITH RECURSIVE $ngramPairsCte,
+        |$blockhashCte,
+        |mpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |allpairs AS (
+        |  SELECT d1, d2 FROM pairs UNION SELECT d1, d2 FROM mpairs),
+        |${ccCte("doc_id", "allpairs")},
+        |tdoc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)),
+        |mdoc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT d1 AS doc_id FROM mpairs UNION ALL SELECT d2 FROM mpairs))
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS keep,
+        |  (CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS n_modalities
+        |FROM documents d
+        |LEFT JOIN comp c USING (doc_id)
+        |LEFT JOIN tdoc t USING (doc_id)
+        |LEFT JOIN mdoc m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -15,36 +15,91 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * works, it just recomputes). A long-lived session cycling through many
   * corpora therefore cannot accumulate unbounded pinned storage; [[clear]]
   * remains the explicit full release.
+  *
+  * The memo also keeps attribution counters ([[Stats]]): hits, misses,
+  * evictions, and per-key build wall-ms. Without them a shared stage's
+  * build cost lands silently on whichever consumer runs first — a bench
+  * reader sees q21 "regress" 4× when it merely paid the seven-consumer
+  * intersection build that every other query then rides for free. Bench
+  * snapshots the counters per lap (and per query on the cold lap) and
+  * emits them beside the load sentinel.
   */
 private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
-    * frame stages per corpus number 12 (shingles, inverted-index
-    * intersections, ngram pairs, minhash sigs, bands, simhash
-    * fingerprints, ANN vectors, LSH pairs, k-means assignment, span
-    * grams, blockhash fingerprints, bm25 top-docs), so a bench run over a
-    * warm-up corpus plus a measured corpus pins exactly 24 — 28 leaves
-    * headroom of 4 before a new stage silently evicts a live entry
-    * mid-lap (re-count this list when adding one), while the LRU still
-    * bounds a many-corpus session. */
+    * frame stages per corpus are counted by StageMemoSpec from the main
+    * sources (12 today: shingles, ngraminter, ngram, minhash, bands,
+    * simhash, dupspan_grams, blockhash, bm25_topdocs, vecs, lshpairs,
+    * kmeans), and the spec asserts `2 × keys + 4 ≤ maxEntries` — a bench
+    * run pins a warm-up corpus plus a measured corpus, and 4 headroom
+    * keeps a new stage from silently evicting a live entry mid-lap. */
   @volatile private[graft] var maxEntries: Int = 28
+
+  /** When true, a memo miss materializes the persisted frame immediately
+    * (`count()` populates every cache partition) so the recorded build-ms
+    * is the frame's real build cost, not just plan construction. Bench
+    * turns this on: per-query laps then separate "built the shared stage"
+    * from "consumed it", which is the whole point of the attribution
+    * record. Library default stays lazy — a caller composing operators
+    * should not pay for stages a downstream limit might never scan. */
+  @volatile private[graft] var eagerBuild: Boolean = false
+
+  /** One attribution window's counters. `builds` maps stage key →
+    * (build count, total exclusive wall-ms): nested memo builds (e.g. the
+    * intersection stage building the shingle stage) subtract child time,
+    * so per-key ms sum to the window's total build time without double
+    * counting. */
+  final case class Stats(hits: Long, misses: Long, evictions: Long,
+      builds: Map[String, (Long, Long)]) {
+    def buildMsTotal: Long = builds.valuesIterator.map(_._2).sum
+  }
+
+  private var hitCount = 0L
+  private var missCount = 0L
+  private var evictCount = 0L
+  private val buildLog =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+  // exclusive-time bookkeeping for nested builds (single-threaded under the
+  // memo lock, so a plain var is enough)
+  private var childMs = 0L
 
   private val memo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        if (this.size() > maxEntries) { e.getValue.unpersist(); true }
-        else false
+        if (this.size() > maxEntries) {
+          e.getValue.unpersist(); evictCount += 1; true
+        } else false
     }
 
   def apply(spark: SparkSession, key: String)(
       build: => DataFrame): DataFrame = memo.synchronized {
     val k = (spark, key)
     val cached = memo.get(k) // get() refreshes LRU order
-    if (cached != null) cached
+    if (cached != null) { hitCount += 1; cached }
     else {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      missCount += 1
+      val parentChild = childMs
+      childMs = 0L
+      val t0 = System.nanoTime()
+      var df: DataFrame = null
+      try {
+        df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (eagerBuild) df.count() // materialize: build-ms is the real cost
+        df
+      } catch {
+        case e: Throwable =>
+          if (df != null) df.unpersist()
+          throw e
+      } finally {
+        val totalMs = (System.nanoTime() - t0) / 1000000L
+        val exclusiveMs = totalMs - childMs
+        val (n, ms) = buildLog.getOrElse(key, (0L, 0L))
+        buildLog.update(key, (n + 1, ms + exclusiveMs))
+        // the parent's build "contains" this one: report our full time up
+        childMs = parentChild + totalMs
+      }
       memo.put(k, df)
       df
     }
@@ -54,7 +109,8 @@ private[graft] object StageMemo {
     * needs): same lifetime as the frames, cleared together. Keeps an eager
     * `count()` job from re-running on every warm invocation of a gated
     * operator. Unbounded by design — entries are a few bytes and keyed by
-    * the same per-corpus stage names as the frame memo. */
+    * the same per-corpus stage names as the frame memo. Not counted in
+    * [[Stats]]: the frames are where the build cost lives. */
   private val scalars =
     new java.util.HashMap[(SparkSession, String), Any]()
 
@@ -66,12 +122,27 @@ private[graft] object StageMemo {
       else { val v = build; scalars.put(k, v); v }
     }
 
-  /** Drop and unpersist every memoized stage. */
+  /** Drop and unpersist every memoized stage. Counters survive — they are
+    * windowed by [[statsSnapshot]], not by cache lifetime (the cold bench
+    * lap clears the cache before every query and still wants one lap-wide
+    * attribution record). */
   def clear(): Unit = memo.synchronized {
     memo.values().forEach(_.unpersist())
     memo.clear()
     scalars.clear()
   }
+
+  /** Read the counters accumulated since the last reset; `reset = true`
+    * starts the next attribution window. */
+  private[graft] def statsSnapshot(reset: Boolean = false): Stats =
+    memo.synchronized {
+      val s = Stats(hitCount, missCount, evictCount, buildLog.toMap)
+      if (reset) {
+        hitCount = 0L; missCount = 0L; evictCount = 0L
+        buildLog.clear(); childMs = 0L
+      }
+      s
+    }
 
   private[graft] def size: Int = memo.synchronized(memo.size())
 }

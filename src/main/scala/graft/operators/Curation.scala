@@ -432,6 +432,58 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Cross-modal dedup decision over arbitrary per-modality pair graphs —
+    * the building block behind [[crossModalClusters]] (q86). Components are
+    * computed over the UNION of the edge sets: a document that
+    * text-matches A and media-matches B glues A and B into one cluster,
+    * which per-modality cluster passes run separately would never do. One
+    * row per document of `docs`: cluster representative (smallest doc_id
+    * in the joint component), `keep` iff representative, and
+    * `n_modalities` = in how many of the two graphs the document has at
+    * least one edge (0 for never-paired singletons).
+    *
+    * Scale shape: both inputs arrive df-/band-capped (no corpus clique can
+    * reach this operator), the union is one distinct over edge lists, the
+    * contraction is the shared O(log n) star machinery, and the modality
+    * flags are pair-participant-sized distinct projections joined back on
+    * doc_id. */
+  def crossModalClustersOf(docs: DataFrame, textPairs: DataFrame,
+      mediaPairs: DataFrame, driverEdgeBudget: Long = 100000): DataFrame = {
+    val t = textPairs.select(col("d1"), col("d2"))
+    val m = mediaPairs.select(col("d1"), col("d2"))
+    val comp = connectedComponentsStar(t.union(m).distinct(),
+      driverEdgeBudget = driverEdgeBudget)
+    def participants(pairs: DataFrame, flag: String) = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+      .withColumn(flag, lit(1))
+    docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(participants(t, "in_text"), Seq("doc_id"), "left")
+      .join(participants(m, "in_media"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"),
+        (coalesce(col("in_text"), lit(0)) + coalesce(col("in_media"), lit(0)))
+          .as("n_modalities"))
+      .withColumn("keep",
+        when(col("cluster") === col("doc_id"), 1).otherwise(0))
+      .select(col("doc_id"), col("cluster"), col("keep"), col("n_modalities"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q86): the "duplicate in ANY modality" decision a real
+    * pipeline ships — q50's text near-dup graph (3-shingle Jaccard ≥ 0.8)
+    * unioned with q85's media near-dup graph (blockhash Hamming ≤ 3), one
+    * star contraction, one keep/drop row per document. Both pair stages
+    * ride their memoized frames, so a session that already ran q50/q85
+    * pays only the union + contraction here. */
+  def crossModalClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Int = 100,
+      maxDist: Int = 3): DataFrame =
+    crossModalClustersOf(Tables.documents(spark, dir),
+      Dedup.ngramPairs(spark, dir, threshold, maxDf),
+      Multimodal.blockhashPairs(spark, dir, maxDist))
+
   // ---------------------------------------------------------------------
   // PII scan / redaction
   // ---------------------------------------------------------------------

@@ -17,7 +17,16 @@ class BenchReportSpec extends AnyFunSuite {
   private val cold = names.map(n => n -> 12.345)
   private val quietLoad = Bench.LoadReport(32,
     Bench.LapLoad(30.1, 31.9, 33.0, 24.5), Bench.LapLoad(31.0, 29.8, 31.5, 22.0))
-  private val lines = Bench.reportLines("/root/testdata/sf0.1", warm, cold, quietLoad)
+  private val sf = "/root/testdata/sf0.1"
+  private val warmMemo = StageMemo.Stats(120, 14, 0, Map(
+    s"ngraminter:$sf:100" -> (1L, 11200L), s"shingles:$sf" -> (1L, 2400L)))
+  private val coldPerQuery = names.map { n =>
+    if (n.startsWith("q21")) n -> StageMemo.Stats(0, 2, 0,
+      Map(s"ngraminter:$sf:100" -> (1L, 11200L), s"shingles:$sf" -> (1L, 2400L)))
+    else n -> StageMemo.Stats(1, 0, 0, Map.empty)
+  }
+  private val lines =
+    Bench.reportLines(sf, warm, cold, quietLoad, warmMemo, coldPerQuery)
 
   test("every emitted line is self-contained parseable JSON") {
     lines.foreach { l =>
@@ -76,6 +85,58 @@ class BenchReportSpec extends AnyFunSuite {
     assert(last.get("contended").asBoolean === false)
     assert(math.abs(last.get("load_before").asDouble - 31.0) < 0.01)
     assert(math.abs(last.get("cpu_utilization").asDouble - 22.0) < 0.01)
+  }
+
+  test("memo lap lines attribute shared-stage builds with shortened keys") {
+    val parsed = lines.map(mapper.readTree)
+    val memoWarm = parsed.find(p => p.get("metric").asText == "memo" &&
+      p.get("lap").asText == "warm").get
+    assert(memoWarm.get("hits").asLong === 120)
+    assert(memoWarm.get("misses").asLong === 14)
+    assert(memoWarm.get("evictions").asLong === 0)
+    assert(memoWarm.get("build_ms_total").asLong === 13600)
+    // the corpus dir collapses to "sf" so keys stay short and stable
+    val b = memoWarm.get("builds")
+    assert(b.has("ngraminter:sf:100") && b.has("shingles:sf"))
+    assert(b.get("ngraminter:sf:100").get("ms").asLong === 11200)
+    assert(b.get("ngraminter:sf:100").get("n").asLong === 1)
+    // the cold lap aggregates the per-query windows
+    val memoCold = parsed.find(p => p.get("metric").asText == "memo" &&
+      p.get("lap").asText == "cold").get
+    assert(memoCold.get("misses").asLong === 2)
+    assert(memoCold.get("hits").asLong === 58)
+    assert(memoCold.get("build_ms_total").asLong === 13600)
+  }
+
+  test("per-query cold memo lines name the query that paid each build") {
+    val perQ = lines.map(mapper.readTree)
+      .filter(_.get("metric").asText == "memo_cold_query")
+    // only queries that actually built a stage get a line
+    assert(perQ.size === 1)
+    assert(perQ.head.get("q").asText === "q21_some_longer_query_name_21")
+    assert(perQ.head.get("build_ms_total").asLong === 13600)
+    assert(perQ.head.get("builds").has("ngraminter:sf:100"))
+  }
+
+  test("a wide build map packs into <1KB self-contained parts") {
+    val wide = StageMemo.Stats(0, 30, 0,
+      (1 to 30).map(i => s"stage_with_a_longer_name_$i:$sf:0.8" ->
+        (3L, 123456L)).toMap)
+    val ls = Bench.memoLines("memo", ""","lap":"warm"""", wide, sf)
+    assert(ls.size > 1, "30 keys must split into parts")
+    ls.foreach { l =>
+      assert(l.length < 1024, s"${l.length} bytes")
+      val p = mapper.readTree(l)
+      // every part is self-contained: counters repeat on each
+      assert(p.get("misses").asLong === 30 && p.has("builds"))
+      assert(p.get("of").asInt === ls.size)
+    }
+    val allKeys = ls.map(mapper.readTree).flatMap { p =>
+      val it = p.get("builds").fieldNames(); var acc = List.empty[String]
+      while (it.hasNext) acc ::= it.next()
+      acc
+    }
+    assert(allKeys.size === 30 && allKeys.distinct.size === 30)
   }
 
   test("a lap whose 1-min load exceeds 1.5x cores flags contended") {

@@ -252,6 +252,51 @@ class CurationSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(cl(a) === cl(b)) }
   }
 
+  test("cross-modal clusters glue modalities through a bridge document") {
+    import spark.implicits._
+    // doc 2 text-matches 1 and media-matches 3: separate per-modality
+    // passes would emit {1,2} and {2,3}; the joint contraction must emit
+    // {1,2,3}. Doc 4 never pairs anywhere.
+    val docs = (1L to 4L).toDF("doc_id")
+    val textPairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val mediaPairs = Seq((2L, 3L)).toDF("d1", "d2")
+    val out = Curation.crossModalClustersOf(docs, textPairs, mediaPairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(out === Map(
+      1L -> (1L, 1, 1), // text-only participant, representative
+      2L -> (1L, 0, 2), // the bridge: both modalities, dropped
+      3L -> (1L, 0, 1), // media-only participant, same joint cluster
+      4L -> (4L, 1, 0))) // never paired: singleton, kept
+  }
+
+  test("q86 equals the union-contraction of the q50 and q85 graphs on the fixture") {
+    import spark.implicits._
+    val out = Curation.crossModalClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(out.size.toLong === docs, "one row per document")
+    // joint edges land in one cluster; modality flags recount exactly
+    val tp = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mp = operators.Multimodal.blockhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.nonEmpty && mp.nonEmpty)
+    (tp ++ mp).foreach { case (a, b) => assert(out(a)._1 === out(b)._1) }
+    val inText = tp.flatMap(p => Seq(p._1, p._2)).toSet
+    val inMedia = mp.flatMap(p => Seq(p._1, p._2)).toSet
+    out.foreach { case (d, (cluster, keep, nMod)) =>
+      assert(nMod === Seq(inText(d), inMedia(d)).count(identity))
+      assert(keep === (if (cluster == d) 1 else 0))
+    }
+    // every cluster representative is its minimum member
+    out.groupBy(_._2._1).foreach { case (cl, members) =>
+      assert(cl === members.keys.min)
+    }
+  }
+
   test("length quantiles match a driver-side sort-and-interpolate oracle") {
     import spark.implicits._
     val out = graft.operators.TextAnalysis.lengthQuantiles(spark, sfDir)

@@ -23,6 +23,88 @@ class StageMemoSpec extends SparkSpec {
     assert(a.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("stats window: hits, misses, evictions, and exclusive nested build time") {
+    import spark.implicits._
+    StageMemo.clear()
+    StageMemo.statsSnapshot(reset = true)
+    def slowDf(k: String, ms: Long) = { Thread.sleep(ms); Seq(k).toDF("x") }
+    // nested build: the outer stage builds the inner one inside its own
+    // build expression (the intersection-builds-shingles shape)
+    StageMemo(spark, "st:outer") {
+      StageMemo(spark, "st:inner")(slowDf("i", 300))
+      slowDf("o", 30)
+    }
+    StageMemo(spark, "st:inner")(slowDf("i", 300)) // memo hit — no sleep
+    val s = StageMemo.statsSnapshot()
+    assert(s.hits === 1 && s.misses === 2 && s.evictions === 0)
+    val (innerN, innerMs) = s.builds("st:inner")
+    val (outerN, outerMs) = s.builds("st:outer")
+    assert(innerN === 1 && outerN === 1)
+    assert(innerMs >= 300, s"inner build ms $innerMs")
+    // exclusive attribution: the outer key must NOT absorb the nested
+    // inner build (per-key ms then sum to the window's true build total)
+    assert(outerMs < 300, s"outer exclusive ms $outerMs includes the child")
+    assert(s.buildMsTotal >= 330 && s.buildMsTotal === innerMs + outerMs)
+    val old = StageMemo.maxEntries
+    StageMemo.maxEntries = 2
+    try {
+      StageMemo(spark, "st:evictor")(Seq("e").toDF("x"))
+      val s2 = StageMemo.statsSnapshot(reset = true)
+      assert(s2.evictions === 1, "the LRU eviction must count in the window")
+    } finally {
+      StageMemo.maxEntries = old
+      StageMemo.clear()
+      StageMemo.statsSnapshot(reset = true)
+    }
+  }
+
+  test("eagerBuild materializes the frame at memo time") {
+    import spark.implicits._
+    StageMemo.clear()
+    StageMemo.statsSnapshot(reset = true)
+    val acc = spark.sparkContext.longAccumulator("eager-probe")
+    StageMemo.eagerBuild = true
+    try {
+      val df = StageMemo(spark, "st:eager") {
+        Seq(1, 2, 3).toDF("x").filter { _ => acc.add(1); true }
+      }
+      // the build job already ran: every cache partition is populated
+      assert(acc.value === 3L)
+      df.write.mode("overwrite").format("noop").save()
+      assert(acc.value === 3L, "the consumer must read the cache, not rebuild")
+    } finally {
+      StageMemo.eagerBuild = false
+      StageMemo.clear()
+      StageMemo.statsSnapshot(reset = true)
+    }
+  }
+
+  test("the eviction budget is self-checking against the main-source stage keys") {
+    // the budget rationale (2 corpora x per-corpus stages + headroom) used
+    // to live in a hand-counted comment — "re-count this list when adding
+    // one" is exactly the step a new stage family forgets. Count the keys
+    // from the sources instead, so a 13th stage fails HERE until
+    // maxEntries grows with it.
+    val src = java.nio.file.Paths.get("src/main/scala/graft")
+    assume(java.nio.file.Files.isDirectory(src), s"run from the repo root: $src")
+    val keyRe = """(?:StageMemo|memo)\(spark, s"([A-Za-z0-9_]+):""".r
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.walk(src)
+    val keys =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap(p => keyRe.findAllMatchIn(new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1)))
+        .toSet
+      finally stream.close()
+    assert(keys.size >= 12, s"stage-key scan looks broken, found only: $keys")
+    assert(2 * keys.size + 4 <= StageMemo.maxEntries,
+      s"${keys.size} per-corpus stage keys ($keys) x 2 bench corpora + 4 " +
+        s"headroom exceeds maxEntries=${StageMemo.maxEntries} — a bench lap " +
+        "would silently evict a live stage mid-lap; raise maxEntries")
+  }
+
   test("evicts least-recently-used beyond the budget and unpersists it") {
     StageMemo.clear()
     import spark.implicits._
