@@ -243,6 +243,25 @@ object ScaleSmoke {
       // graphs, one contraction — df cap corpus-relative like the text rows
       "crossmodal_dedup" -> ((d, m) => operators.Curation.crossModalClusters(
         spark, d, maxDf = 100 * m)),
+      // incremental dedup (q87): increment PROPORTIONAL to the corpus
+      // (every 10th doc) — tracks the corpus-relative pair structure
+      "incremental_dedup" -> ((d, m) => operators.Dedup.incrementalDedupOf(
+        Tables.documents(spark, d), pmod(col("doc_id"), lit(10)) === 0,
+        maxDf = 100 * m)),
+      // the operator's REAL production contract: a FIXED-size increment
+      // (the ~2500 copy-0 docs with doc_id < 2500, constant at every mult)
+      // against a GROWING shipped index — cost must track the index
+      // scan/df-gate (linear in corpus), never increment×corpus pairs
+      "incremental_fixed" -> ((d, m) => operators.Dedup.incrementalDedupOf(
+        Tables.documents(spark, d), col("doc_id") < 2500,
+        maxDf = 100 * m)),
+      // scene cuts (q90): same per-char explode volume contract as
+      // media_phash, plus the frame-bounded lag window
+      "scene_cuts" -> ((d, _) => operators.Multimodal.sceneCuts(spark, d)),
+      // token merges (q89): pair explode + one partial-agg shuffle +
+      // bounded top-k — must stay agg-linear like vocab_growth
+      "token_merges" -> ((d, _) => operators.TextAnalysis.tokenPairMerges(
+        spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

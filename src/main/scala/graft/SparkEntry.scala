@@ -180,7 +180,33 @@ object SparkEntry {
     // Cross-modal dedup decision: q50's text pair graph UNION q85's media
     // pair graph, one star contraction — "duplicate in ANY modality", the
     // doc-level keep/drop a multimodal pipeline actually ships.
-    "q86_crossmodal_dedup" -> ((s, d) => Curation.crossModalClusters(s, d))
+    "q86_crossmodal_dedup" -> ((s, d) => Curation.crossModalClusters(s, d)),
+    // Incremental dedup: a ~10% increment (doc_id ≡ 0 mod 10) deduped
+    // against the shipped 90% + itself — candidate generation touches
+    // only increment-vs-index postings, never re-pairing the shipped
+    // corpus. The daily-batch pattern a 100 TB corpus actually runs.
+    "q87_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // Continuous curation: the q81 funnel as a REAL incremental streaming
+    // job — foreachBatch maintains append-only digest/shingle/loser state
+    // and re-emits the cumulative funnel per commit; the final frame is
+    // gated by the SAME oracle as the batch funnel.
+    "q88_stream_funnel" ->
+      ((s, d) => streaming.Continuous.streamedCurationFunnel(s, d)),
+    // Tokenizer induction: the selection step of one BPE/WordPiece merge
+    // iteration at word granularity — top adjacent token pairs with
+    // unigram frequencies and conditional collocation probabilities.
+    "q89_token_merges" -> ((s, d) => TextAnalysis.tokenPairMerges(s, d)),
+    // Scene-cut detection: per-frame perceptual blockhash, consecutive
+    // frames compared by Hamming distance — the summary a per-SCENE
+    // frame-sampling strategy reads.
+    "q90_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    // Shingle novelty: per doc, the fraction of its 3-shingles first seen
+    // IN it (global min-id rule) — the boilerplate/data-valuation signal
+    // pair-based dedup structurally misses.
+    "q91_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(s, d)),
+    // Token-weighted dedup yield per source: tokens (not docs) surviving
+    // the q35 keep/drop decisions — what a training recipe budgets.
+    "q92_token_yield" -> ((s, d) => Curation.tokenYield(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -318,6 +344,45 @@ object SparkEntry {
        |  JOIN docLen ca ON d1 = ca.doc_id
        |  JOIN docLen cb ON d2 = cb.doc_id
        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8)""".stripMargin
+
+  /** The q81 funnel oracle — cumulative survival flags: exact keeper
+    * (min-id per md5 group), near-dup survivor (not a q21-pair loser —
+    * the shared pairs chain), quality ≥ 0.5 (the q29 value, itself
+    * oracle-bit-equal, recomputed from the toks list with identical
+    * arithmetic), language. Shared verbatim by q88: the streamed funnel's
+    * final cumulative frame must equal the batch funnel (the fixture's
+    * max shingle df is 9, so the df cap never bifurcates them). */
+  private lazy val curationFunnelSql =
+    s"""WITH $ngramPairsCte,
+      |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+      |q AS (
+      |  SELECT d.doc_id,
+      |    LEAST(1.0, GREATEST(0.0,
+      |      0.2
+      |      + len(list_filter(t.t,
+      |          x -> x IN ('the','a','of','and','to','is')))
+      |        * 1.0 / len(t.t) * 2.0
+      |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+      |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+      |        * 1.0 / length(d.text) * 3.0)) AS quality
+      |  FROM documents d JOIN toks t USING (doc_id)),
+      |flags AS (
+      |  SELECT d.source,
+      |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ex,
+      |    CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
+      |    CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS f_q,
+      |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS f_lang
+      |  FROM documents d
+      |  LEFT JOIN ex e ON d.doc_id = e.doc_id
+      |  LEFT JOIN losers l ON d.doc_id = l.doc_id
+      |  JOIN q ON d.doc_id = q.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(f_ex) AS BIGINT) AS n_exact,
+      |  CAST(SUM(f_ex * f_near) AS BIGINT) AS n_neardup,
+      |  CAST(SUM(f_ex * f_near * f_q) AS BIGINT) AS n_quality,
+      |  CAST(SUM(f_ex * f_near * f_q * f_lang) AS BIGINT) AS n_final
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
   /** q75/q80's BM25 rank chain — yields `r(rank, doc_id, n_terms, score)`.
     * Constants interpolated from the SAME Scala doubles the Spark
@@ -1638,41 +1703,7 @@ object SparkEntry {
         |  doc_id, bm25_rank, cos_rank, rrf_score
         |FROM top ORDER BY rank""".stripMargin),
 
-    "q81_curation_funnel" ->
-      // cumulative survival flags: exact keeper (min-id per md5 group),
-      // near-dup survivor (not a q21-pair loser — the shared pairs chain),
-      // quality ≥ 0.5 (the q29 value, itself oracle-bit-equal, recomputed
-      // here from the toks list with identical arithmetic), language.
-      (s"""WITH $ngramPairsCte,
-        |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
-        |q AS (
-        |  SELECT d.doc_id,
-        |    LEAST(1.0, GREATEST(0.0,
-        |      0.2
-        |      + len(list_filter(t.t,
-        |          x -> x IN ('the','a','of','and','to','is')))
-        |        * 1.0 / len(t.t) * 2.0
-        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
-        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
-        |        * 1.0 / length(d.text) * 3.0)) AS quality
-        |  FROM documents d JOIN toks t USING (doc_id)),
-        |flags AS (
-        |  SELECT d.source,
-        |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ex,
-        |    CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
-        |    CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS f_q,
-        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS f_lang
-        |  FROM documents d
-        |  LEFT JOIN ex e ON d.doc_id = e.doc_id
-        |  LEFT JOIN losers l ON d.doc_id = l.doc_id
-        |  JOIN q ON d.doc_id = q.doc_id)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(f_ex) AS BIGINT) AS n_exact,
-        |  CAST(SUM(f_ex * f_near) AS BIGINT) AS n_neardup,
-        |  CAST(SUM(f_ex * f_near * f_q) AS BIGINT) AS n_quality,
-        |  CAST(SUM(f_ex * f_near * f_q * f_lang) AS BIGINT) AS n_final
-        |FROM flags GROUP BY source ORDER BY source""".stripMargin),
+    "q81_curation_funnel" -> curationFunnelSql,
 
     "q82_cluster_terms" ->
       // q73's unrolled Lloyd chain (af = final assignment over the valid
@@ -1763,6 +1794,162 @@ object SparkEntry {
         |LEFT JOIN comp c USING (doc_id)
         |LEFT JOIN tdoc t USING (doc_id)
         |LEFT JOIN mdoc m USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q87_incremental_dedup" ->
+      // Increment = doc_id ≡ 0 mod 10. Near-dup pairs restricted to those
+      // involving an incoming doc (the only ones the incremental operator
+      // generates); df gate and Jaccard arithmetic identical to q21's.
+      // Loser: the incoming side — d2 when incoming (both-incoming min-id
+      // and existing-d1-wins collapse to this), else d1 (shipped d2 wins
+      // regardless of id). Exact: digest match vs any existing doc or a
+      // smaller-id incoming doc.
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id
+        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
+        |nd AS (SELECT DISTINCT
+        |    CASE WHEN d2 % 10 = 0 THEN d2 ELSE d1 END AS doc_id
+        |  FROM pairs),
+        |ex AS (SELECT DISTINCT n.doc_id
+        |  FROM documents n JOIN documents o
+        |    ON md5(n.text) = md5(o.text) AND n.doc_id % 10 = 0
+        |   AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id))
+        |SELECT d.doc_id,
+        |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+        |  CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+        |  CASE WHEN e.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
+        |       THEN 0 ELSE 1 END AS keep
+        |FROM documents d
+        |LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |LEFT JOIN nd ON d.doc_id = nd.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // The streamed funnel's final cumulative frame must equal the batch
+    // funnel — same oracle, verbatim (see curationFunnelSql).
+    "q88_stream_funnel" -> curationFunnelSql,
+
+    "q89_token_merges" ->
+      // Adjacent pairs as 't1 t2' strings (tokens are whitespace-split so
+      // the space is a safe separator); conditional probabilities are one
+      // bigint division rounded to 6 decimals — the repo's cross-engine
+      // float contract.
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> t <> '') AS t
+        |  FROM documents),
+        |bp AS (
+        |  SELECT split_part(pr, ' ', 1) AS t1, split_part(pr, ' ', 2) AS t2
+        |  FROM (SELECT unnest(list_transform(range(len(t) - 1),
+        |          i -> t[i+1] || ' ' || t[i+2])) AS pr FROM toks)),
+        |pc AS (SELECT t1, t2, COUNT(*) AS pair_count FROM bp GROUP BY 1, 2),
+        |uc AS (SELECT term, COUNT(*) AS c FROM
+        |  (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+        |r AS (
+        |  SELECT t1, t2, pair_count,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, t1, t2)
+        |         AS INTEGER) AS rank
+        |  FROM pc)
+        |SELECT rank, t1, t2, pair_count, u1.c AS c1, u2.c AS c2,
+        |  ROUND(pair_count * 1.0 / u1.c, 6) AS p_next,
+        |  ROUND(pair_count * 1.0 / u2.c, 6) AS p_prev
+        |FROM r
+        |JOIN uc u1 ON t1 = u1.term
+        |JOIN uc u2 ON t2 = u2.term
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+
+    "q90_scene_cuts" ->
+      // q83's blockhash formula at FRAME granularity (128-char frames;
+      // frame index / in-frame position / frame length all derived from
+      // the global 1-based position), lag + bit_count for consecutive
+      // distances, cut threshold 25. A NULL lag (frame 0) falls to the
+      // ELSE arm exactly like Spark's `when`.
+      """WITH pc AS (
+        |  SELECT doc_id, text, n, unnest(range(1, n + 1)) AS pos
+        |  FROM (SELECT doc_id, text, length(text) AS n FROM documents
+        |        WHERE text IS NOT NULL AND length(text) > 0)),
+        |fr AS (
+        |  SELECT doc_id, pos, text,
+        |    (pos - 1) // 128 AS f,
+        |    ((pos - 1) % 128) * 60 //
+        |      LEAST(n - ((pos - 1) // 128) * 128, 128) AS blk
+        |  FROM pc),
+        |bs AS (
+        |  SELECT doc_id, f, blk,
+        |    SUM(ord(substr(text, CAST(pos AS INTEGER), 1))) AS s
+        |  FROM fr GROUP BY doc_id, f, blk),
+        |tot AS (SELECT doc_id, f, SUM(s) AS total FROM bs GROUP BY doc_id, f),
+        |fh AS (
+        |  SELECT bs.doc_id, bs.f,
+        |    CAST(SUM(CASE WHEN 60 * s > total THEN CAST(POWER(2, blk) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS fh
+        |  FROM bs JOIN tot ON bs.doc_id = tot.doc_id AND bs.f = tot.f
+        |  GROUP BY bs.doc_id, bs.f),
+        |d AS (
+        |  SELECT doc_id, f, fh,
+        |    lag(fh) OVER (PARTITION BY doc_id ORDER BY f) AS ph
+        |  FROM fh)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_frames,
+        |  CAST(SUM(CASE WHEN bit_count(xor(fh, ph)) > 25 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_cuts,
+        |  CAST(SUM(CASE WHEN bit_count(xor(fh, ph)) > 25 THEN 1 ELSE 0 END)
+        |       + 1 AS BIGINT) AS n_scenes,
+        |  CAST(MAX(COALESCE(bit_count(xor(fh, ph)), 0)) AS INTEGER)
+        |    AS max_dist
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q91_shingle_novelty" ->
+      // first-seen = global MIN(doc_id) per shingle; novelty = the novel
+      // fraction rounded to 6 decimals (NULL where a doc has no shingles,
+      // matching Spark's otherwise-less `when`).
+      (s"""WITH $shinglesCte,
+        |fs AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, COUNT(*) AS n_sh,
+        |    CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_nov
+        |  FROM sh JOIN fs USING (s) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(per.n_sh, 0) AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(per.n_nov, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN COALESCE(per.n_sh, 0) > 0
+        |       THEN ROUND(per.n_nov * 1.0 / per.n_sh, 6) END AS novelty
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q92_token_yield" ->
+      // q35's loser set (the shared pairs chain), token counts as a
+      // per-row list length, one per-source rollup.
+      (s"""WITH $ngramPairsCte,
+        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |        t -> t <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN n_tokens ELSE 0 END)
+        |       AS BIGINT) AS tokens_kept,
+        |  CASE WHEN SUM(n_tokens) > 0 THEN
+        |    ROUND(SUM(CASE WHEN l.doc_id IS NULL THEN n_tokens ELSE 0 END)
+        |          * 1.0 / SUM(n_tokens), 6) END AS token_yield
+        |FROM tk LEFT JOIN losers l ON tk.doc_id = l.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin)
   )
 }

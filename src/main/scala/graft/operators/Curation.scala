@@ -526,12 +526,14 @@ object Curation {
         patterns.map { case (n, _) => col(s"${n}_hits") } :+
         md5(col("redacted")).as("redacted_fp") :+
         when(col("redacted") =!= col("text"), 1).otherwise(0).as("changed"): _*)
-      .orderBy(col("doc_id"))
   }
 
-  /** Fixture form (q61). */
+  /** Fixture form (q61) — the presentation sort lives here, not in
+    * [[piiScanOf]]: the Of-form is a pure per-row map, so it composes
+    * UNCHANGED with a streaming frame (sorts are illegal on append-mode
+    * streams; StreamingSpec pins the composition). */
   def piiScan(spark: SparkSession, dir: String): DataFrame =
-    piiScanOf(Tables.documents(spark, dir))
+    piiScanOf(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
   // Fractional-epoch source mixing
@@ -795,13 +797,57 @@ object Curation {
         when($"is_loser".isNull, 1).otherwise(0).as("f_near"),
         when($"quality" >= qualityMin, 1).otherwise(0).as("f_q"),
         when($"lang" === lang, 1).otherwise(0).as("f_lang"))
+      .transform(funnelAgg)
+  }
+
+  /** Token-weighted dedup yield per source (q92): the funnel (q81) counts
+    * DOCUMENTS; training budgets count TOKENS. Joins the q35 keep/drop
+    * decisions with per-doc whitespace token counts and reports, per
+    * source, docs and tokens before/after near-dup dedup plus the
+    * surviving-token fraction — the number a data recipe actually budgets
+    * against ("how many tokens does source X contribute after dedup?").
+    * A source can keep 95% of its docs but 60% of its tokens when its
+    * duplicated docs are the long ones; the doc-count funnel can't see
+    * that.
+    *
+    * Scale shape: decisions ride the memoized pair stage (q21's); the
+    * token count is a per-row map; one per-source partial agg. The
+    * decisions join is doc-keyed and pinned shuffled (both sides are
+    * corpus-sized). */
+  def tokenYield(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint")
+          .as("n_tokens"))
+    val decisions = Dedup.deduplicate(spark, dir, threshold,
+      pairs = Some(Dedup.ngramPairs(spark, dir, threshold, maxDf)))
+    toks.join(decisions.hint("shuffle_hash"), Seq("doc_id"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        sum($"f_ex").cast("bigint").as("n_exact"),
-        sum($"f_ex" * $"f_near").cast("bigint").as("n_neardup"),
-        sum($"f_ex" * $"f_near" * $"f_q").cast("bigint").as("n_quality"),
-        sum($"f_ex" * $"f_near" * $"f_q" * $"f_lang").cast("bigint")
-          .as("n_final"))
+        sum($"keep").cast("bigint").as("n_kept"),
+        sum($"n_tokens").as("tokens_total"),
+        sum($"keep" * $"n_tokens").cast("bigint").as("tokens_kept"))
+      .withColumn("token_yield", when($"tokens_total" > 0,
+        round($"tokens_kept" * lit(1.0) / $"tokens_total", 6)))
       .orderBy($"source")
   }
+
+  /** Per-source cumulative-survival aggregation over a
+    * `(source, f_ex, f_near, f_q, f_lang)` flag frame — the funnel's final
+    * stage, shared by the batch form above (q81) and the streaming form
+    * ([[graft.streaming.Continuous.streamedCurationFunnel]], q88). One
+    * partial-agg shuffle keyed on source. */
+  private[graft] def funnelAgg(flags: DataFrame): DataFrame =
+    flags
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_ex")).cast("bigint").as("n_exact"),
+        sum(col("f_ex") * col("f_near")).cast("bigint").as("n_neardup"),
+        sum(col("f_ex") * col("f_near") * col("f_q")).cast("bigint")
+          .as("n_quality"),
+        sum(col("f_ex") * col("f_near") * col("f_q") * col("f_lang"))
+          .cast("bigint").as("n_final"))
+      .orderBy(col("source"))
 }

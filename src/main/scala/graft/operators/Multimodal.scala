@@ -225,6 +225,63 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Scene-cut detection over the media payload (q90) — the frame-level
+    * composition of [[frameSamples]] and [[blockhashOf]]: every
+    * `frameChars`-char frame gets the 60-bit perceptual blockhash
+    * fingerprint, consecutive frames compare by Hamming distance (one
+    * `lag` window per document), and a distance > `cutDist` marks a scene
+    * cut. One row per document: frame count, cut count, scene count
+    * (= cuts + 1) and the maximum inter-frame distance — the summary a
+    * frame-sampling strategy (sample per SCENE, not per fixed stride)
+    * reads. A real video codec slots in at the [[MediaCodec]] seam; the
+    * stub signal is the payload's codepoints, as in q83.
+    *
+    * Scale shape: ONE per-char pass (frame index, in-frame position and
+    * frame length are all arithmetic on the global position — no
+    * per-frame substring re-scan, the q83 advice pattern), partial-
+    * combined to ≤ 60 rows per frame on the (doc, frame, blk) shuffle;
+    * the lag window partitions by doc and is bounded by frames-per-doc;
+    * the final aggregate is one per-doc shuffle. Shuffle volume is
+    * O(60 · frames), independent of payload length. */
+  def sceneCuts(spark: SparkSession, dir: String, frameChars: Int = 128,
+      cutDist: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frameChars > 0, s"frameChars must be positive, got $frameChars")
+    val chars = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("n"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "c")))
+      .filter(col("c") =!= "")
+      .select(col("doc_id"),
+        expr(s"cast(pos as bigint) div $frameChars").as("f"),
+        // in-frame block index over the ACTUAL frame length (the last
+        // frame is shorter): pif * 60 div fn, all from global position
+        expr(s"""(cast(pos as bigint) % $frameChars) * 60 div
+                 least(n - (cast(pos as bigint) div $frameChars) * $frameChars,
+                       $frameChars)""").as("blk"),
+        ascii(col("c")).as("v"))
+    val fp = chars
+      .groupBy(col("doc_id"), col("f"), col("blk"))
+      .agg(sum(col("v")).as("s"))
+      .withColumn("total",
+        sum(col("s")).over(Window.partitionBy(col("doc_id"), col("f"))))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(sum(when(lit(60) * col("s") > col("total"),
+        expr("cast(pow(2, blk) as bigint)")).otherwise(0L)).as("fh"))
+    fp
+      .withColumn("ph", lag(col("fh"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"))))
+      .withColumn("dist", expr("bit_count(fh ^ ph)")) // null on frame 0
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("dist") > cutDist, 1).otherwise(0)).cast("bigint")
+          .as("n_cuts"),
+        max(coalesce(col("dist"), lit(0))).as("max_dist"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1).as("n_scenes"), col("max_dist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Aggregate shape over decoded features: per media_type sizes (guards the
     * schema/partitioning plumbing under aggregation). */
   def mediaSummary(spark: SparkSession, dir: String): DataFrame = {

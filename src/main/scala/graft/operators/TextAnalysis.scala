@@ -65,10 +65,17 @@ object TextAnalysis {
     * by a clamped linear score (heuristic filter for pretraining corpora).
     * Per-row only — token statistics come from array lambdas on the token
     * column, so no shuffle or self-join touches the corpus. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, dir))
+
+  /** [[qualityScore]] over an arbitrary `(doc_id, n_chars, text)` frame —
+    * lets the streaming funnel score each micro-batch with the exact q29
+    * arithmetic. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val en = lexicons.head._2.map(w => s"'$w'").mkString(",")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("t", tokens($"text"))
       .select($"doc_id", $"n_chars", $"text",
         size($"t").cast("long").as("n_tokens"),
@@ -508,5 +515,55 @@ object TextAnalysis {
       .join(broadcast(sz), "cluster")
       .select($"cluster", $"rank", $"term", $"term_count", $"n_vecs")
       .orderBy($"cluster", $"rank")
+  }
+
+  /** Token-pair merge candidates (q89) — the selection step of one
+    * BPE/WordPiece merge iteration run at word granularity: corpus-wide
+    * counts of ADJACENT token pairs, top `k` by count (the pair a
+    * tokenizer trainer merges next), enriched with each side's unigram
+    * frequency and the two conditional probabilities
+    * `p_next = P(t2 follows t1) = pair_count / c1` and
+    * `p_prev = pair_count / c2` (collocation strength — exact bigint
+    * division rounded to 6 decimals, the repo's cross-engine float
+    * contract).
+    *
+    * Scale shape: the pair explode emits ≤ tokens−1 rows per doc with no
+    * shuffle; ONE partial-agg shuffle on the pair key; the top-k is a
+    * bounded heap (TakeOrderedAndProject). The corpus-sized unigram table
+    * is cut to the ≤ 2k terms of the winning pairs by a broadcast
+    * SEMI-join before the enrichment joins — the vocabulary never
+    * broadcasts and never joins at corpus width. */
+  def tokenPairMerges(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(tokens($"text").as("t"))
+    val top = toks
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS t1,
+          |              element_at(t, i + 1) AS t2))""".stripMargin)).as("p"))
+      .select($"p.t1", $"p.t2")
+      .groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy($"pair_count".desc, $"t1", $"t2")
+      .limit(k)
+    val uni = toks.select(explode($"t").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val wanted = top.select($"t1".as("term"))
+      .union(top.select($"t2")).distinct()
+    val uniSmall = uni.join(broadcast(wanted), Seq("term"), "left_semi")
+    top
+      .join(broadcast(uniSmall.select($"term".as("t1"), $"c".as("c1"))),
+        Seq("t1"))
+      .join(broadcast(uniSmall.select($"term".as("t2"), $"c".as("c2"))),
+        Seq("t2"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"pair_count".desc, $"t1", $"t2")))
+      .select($"rank", $"t1", $"t2", $"pair_count", $"c1", $"c2",
+        round($"pair_count" * lit(1.0) / $"c1", 6).as("p_next"),
+        round($"pair_count" * lit(1.0) / $"c2", 6).as("p_prev"))
+      .orderBy($"rank")
   }
 }

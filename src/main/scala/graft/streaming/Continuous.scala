@@ -431,6 +431,138 @@ object Continuous {
     }
   }
 
+  /** A [[streamedCurationFunnel]] run: per-commit cumulative funnel
+    * snapshots plus the emitted frame's schema. */
+  private[graft] case class FunnelRun(snapshots: Seq[Snapshot],
+      schema: StructType)
+
+  /** Continuous curation (q88): the q81 funnel as a REAL incremental
+    * streaming job — the documents table streamed 2 files per trigger
+    * (4 micro-batches) through a `foreachBatch` stage that maintains three
+    * APPEND-ONLY state stores and re-emits the cumulative per-source
+    * funnel after every commit:
+    *  - a flag store `(doc_id, source, digest, f_q, f_lang)` — one compact
+    *    row per seen doc, appended once;
+    *  - the shingle candidate index `(doc_id, s)` — the same index
+    *    [[graft.operators.Dedup.incrementalDedup]] queries;
+    *  - the accumulated near-dup loser set, grown per commit by
+    *    [[graft.operators.Dedup.incrementalPairsOf]] pairs of the NEW docs
+    *    against the accumulated index — per-commit cost tracks the
+    *    increment × df-bounded posting lists, never the accumulated
+    *    corpus squared.
+    * Exact dedup recomputes min-doc_id-per-digest over the flag store each
+    * commit and the near-dup loser rule (drop the larger id) names the
+    * same doc whichever pair member arrives later, so the cumulative frame
+    * converges to the batch answer under ANY arrival order. The final
+    * commit EQUALS the batch funnel whenever the df cap never binds
+    * mid-stream (fixture max shingle df is 9 ≪ 100, so q81's SQL oracle
+    * gates this query bit-for-bit). Where the cap does bind at production
+    * scale, at-detection dfs are ≤ the final batch dfs, so the streamed
+    * loser set is a SUPERSET of the batch one — strictly better recall,
+    * the right failure direction for a dedup gate.
+    *
+    * State is the dedup INDEX (digests, gated shingles, flag rows), never
+    * the corpus text — the footprint production incremental dedup
+    * carries; the per-commit emission is the funnel frame, bounded by
+    * source cardinality. */
+  private[graft] def runStreamedCurationFunnel(spark: SparkSession,
+      dir: String, qualityMin: Double = 0.5, lang: String = "en",
+      threshold: Double = 0.8, maxDf: Int = 100,
+      maxFunnelRows: Int = 100000): FunnelRun = {
+    val staged = stageChunks(spark, dir, "documents")
+    val schema = stagedSchema(spark, staged)
+    val run = runSeq.incrementAndGet()
+    val stateRoot = s"target/streamstage/funnel/run$run"
+    val ckpt = s"target/streamstage/ckpt/funnel$run"
+    val flagsDir = s"$stateRoot/flags"
+    val indexDir = s"$stateRoot/index"
+    val losersDir = s"$stateRoot/losers"
+    val files = new java.io.File(staged).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val totalChunks = math.ceil(files / 2.0)
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    @volatile var outSchema: StructType = null
+    try withStreamShuffle(spark, 8) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(staged)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            val docs = batch.select(col("doc_id"), col("source"),
+              col("lang"), col("n_chars"), col("text"))
+            // per-row flags for the increment, appended once per doc
+            graft.operators.TextAnalysis.qualityScoreOf(docs)
+              .select(col("doc_id"), col("quality"))
+              .join(docs, Seq("doc_id"))
+              .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+                when(col("quality") >= qualityMin, 1).otherwise(0).as("f_q"),
+                when(col("lang") === lang, 1).otherwise(0).as("f_lang"))
+              .write.mode("append").parquet(flagsDir)
+            // candidate index += the increment's shingles
+            graft.operators.Dedup
+              .shinglesOf(docs.select(col("doc_id"), col("text")))
+              .write.mode("append").parquet(indexDir)
+            // near-dup losers involving the increment vs the whole index
+            val index = spark.read.parquet(indexDir)
+            val newSh = index.join(docs.select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            graft.operators.Dedup
+              .incrementalPairsOf(index, newSh, threshold, maxDf)
+              .select(col("d2").as("doc_id"))
+              .write.mode("append").parquet(losersDir)
+            // emit the cumulative funnel over the flag store
+            val flags = spark.read.parquet(flagsDir)
+            val keepers = flags.groupBy(col("h"))
+              .agg(min(col("doc_id")).as("doc_id"))
+              .select(col("doc_id"), lit(1).as("f_ex"))
+            val losers = spark.read.parquet(losersDir).distinct()
+              .withColumn("is_loser", lit(1))
+            val out = graft.operators.Curation.funnelAgg(
+              flags
+                .join(keepers, Seq("doc_id"), "left")
+                .join(losers, Seq("doc_id"), "left")
+                .select(col("source"),
+                  coalesce(col("f_ex"), lit(0)).as("f_ex"),
+                  when(col("is_loser").isNull, 1).otherwise(0).as("f_near"),
+                  col("f_q"), col("f_lang")))
+            outSchema = out.schema
+            val rows = out.limit(maxFunnelRows + 1).collect()
+            require(rows.length <= maxFunnelRows,
+              s"funnel commit $id exceeds $maxFunnelRows rows")
+            snapshots.synchronized {
+              snapshots += Snapshot(
+                math.min((id + 1) / totalChunks, 1.0), rows.toSeq)
+            }
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      FunnelRun(snapshots.toSeq, outSchema)
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(stateRoot)
+    }
+  }
+
+  /** The final cumulative frame of [[runStreamedCurationFunnel]] (q88) —
+    * oracle-gated by the same SQL as the batch funnel (q81). */
+  def streamedCurationFunnel(spark: SparkSession, dir: String,
+      qualityMin: Double = 0.5, lang: String = "en",
+      maxDf: Int = 100): DataFrame = {
+    val run = runStreamedCurationFunnel(spark, dir, qualityMin, lang,
+      maxDf = maxDf)
+    require(run.snapshots.nonEmpty && run.snapshots.last.progress >= 1.0,
+      s"funnel stream did not complete " +
+        s"(progress ${run.snapshots.map(_.progress)})")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(run.snapshots.last.rows.asJava, run.schema)
+      .orderBy(col("source"))
+  }
+
   /** Streaming exact dedup: drop records whose fingerprint was already seen
     * within the watermark horizon (state is bounded by the horizon — the
     * only way streaming dedup survives an unbounded stream). Expects

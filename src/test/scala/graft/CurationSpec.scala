@@ -700,4 +700,52 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("token yield agrees with the dedup decisions and raw token counts") {
+    import org.apache.spark.sql.functions.{size => asize}
+    val decisions = Dedup.deduplicate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        asize(filter(split(col("text"), "\\s+"), t => t =!= "")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val bySource = docs.groupBy(_._2)
+    val got = Curation.tokenYield(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === bySource.keySet)
+    got.foreach { r =>
+      val ds = bySource(r.getString(0))
+      val total = ds.map(_._3).sum
+      val kept = ds.filter(d => decisions(d._1) == 1).map(_._3).sum
+      assert(r.getLong(1) === ds.length.toLong, s"n_docs for ${r.getString(0)}")
+      assert(r.getLong(2) === ds.count(d => decisions(d._1) == 1).toLong)
+      assert(r.getLong(3) === total && r.getLong(4) === kept)
+      assert(r.getLong(4) <= r.getLong(3), "kept tokens cannot exceed total")
+    }
+  }
+
+  test("token pair merges equal a hand-computed bigram count") {
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val pairCounts = texts.flatMap(t => toks(t).zip(toks(t).drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val uni = texts.flatMap(toks)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = pairCounts.toSeq
+      .sortBy { case ((t1, t2), c) => (-c, t1, t2) }.take(20)
+    val got = TextAnalysis.tokenPairMerges(spark, sfDir).collect()
+    assert(got.length === want.length)
+    got.zip(want).zipWithIndex.foreach {
+      case ((r, ((t1, t2), c)), i) =>
+        assert(r.getInt(0) === i + 1, "rank order")
+        assert((r.getString(1), r.getString(2)) === ((t1, t2)), s"pair $i")
+        assert(r.getLong(3) === c, s"pair count for ($t1,$t2)")
+        assert(r.getLong(4) === uni(t1) && r.getLong(5) === uni(t2),
+          s"unigram counts for ($t1,$t2)")
+        def rd(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(6) === rd(c.toDouble / uni(t1)), "p_next")
+        assert(r.getDouble(7) === rd(c.toDouble / uni(t2)), "p_prev")
+    }
+  }
 }

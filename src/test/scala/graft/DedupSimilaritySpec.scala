@@ -600,4 +600,87 @@ class DedupSimilaritySpec extends SparkSpec {
     // score of at least one full rank-1 term
     assert(scores.head >= 1000000000000L / 61L)
   }
+
+  test("incremental dedup verdicts follow the shipped-corpus-wins rules") {
+    import spark.implicits._
+    // 12-token texts; a one-token tail change keeps 9 of 10 shingles
+    // shared -> jaccard 9/11 = 0.818 >= 0.8
+    def t(p: String, last: String) =
+      (1 to 11).map(i => s"$p$i").mkString(" ") + " " + last
+    val docs = Seq(
+      (5L, t("a", "x")),   // existing
+      (10L, t("a", "y")),  // incoming near-dups existing 5 -> drop
+      (20L, t("b", "x")),  // incoming near-dups existing 25 (LARGER id):
+      (25L, t("b", "y")),  //   shipped corpus wins, 20 drops anyway
+      (30L, t("c", "x")),  // incoming pair: min-id rule keeps 30...
+      (40L, t("c", "y")),  //   ...and drops 40
+      (7L, t("d", "x")),   // existing
+      (50L, t("d", "x")),  // incoming exact-dups existing 7 -> drop
+      (60L, t("e", "x")),  // incoming exact pair: 60 is min -> keep
+      (70L, t("e", "x")),  //   70 drops (exact AND jaccard-1 near)
+      (80L, t("f", "x"))   // untouched incoming -> keep
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupOf(docs, pmod($"doc_id", lit(10)) === 0)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got.keySet === Set(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L),
+      "one verdict row per incoming doc, none for existing docs")
+    assert(got(10L) === ((0, 1, 0)), "near-dup of an existing doc drops")
+    assert(got(20L) === ((0, 1, 0)),
+      "shipped corpus wins even when the incoming id is smaller")
+    assert(got(30L) === ((0, 0, 1)), "min-id survivor within the increment")
+    assert(got(40L) === ((0, 1, 0)), "min-id loser within the increment")
+    assert(got(50L) === ((1, 1, 0)), "exact dup of an existing doc")
+    assert(got(60L) === ((0, 0, 1)), "min-id exact survivor in the increment")
+    assert(got(70L) === ((1, 1, 0)), "exact+near loser within the increment")
+    assert(got(80L) === ((0, 0, 1)), "untouched doc keeps")
+  }
+
+  test("shingle novelty: every shingle is novel in exactly its first doc") {
+    import spark.implicits._
+    val rows = Dedup.shingleNovelty(spark, sfDir).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sfDir).count())
+    // sum of novel counts == distinct shingles (each first-seen once)
+    val nDistinct = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .transform(d => graft.operators.Dedup.shinglesOf(d))
+      .select($"s").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nDistinct)
+    rows.foreach { r =>
+      val (n, nov) = (r.getLong(1), r.getLong(2))
+      assert(nov >= 0 && nov <= n, s"novel count out of range at $r")
+      if (n > 0) {
+        val f = r.getDouble(3)
+        assert(f >= 0.0 && f <= 1.0, s"novelty out of [0,1] at $r")
+      } else assert(r.isNullAt(3), "novelty must be NULL for shingle-less docs")
+    }
+    // the smallest doc_id carrying shingles is fully novel by definition
+    val first = rows.filter(_.getLong(1) > 0).minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0)
+  }
+
+  test("incremental dedup agrees with the all-pairs batch pipeline") {
+    import spark.implicits._
+    // the incremental candidate join must find EXACTLY the batch (q21)
+    // pairs that involve an incoming doc — same df gate, same arithmetic
+    val pairs = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def inc(d: Long) = d % 10 == 0
+    val wantNear = pairs.collect {
+      case (_, d2) if inc(d2) => d2
+      case (d1, d2) if inc(d1) && !inc(d2) => d1
+    }.toSet
+    val got = Dedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val gotNear = got.collect { case (d, _, 1, _) => d }.toSet
+    assert(gotNear === wantNear,
+      s"near-dup sets differ: extra=${gotNear -- wantNear} " +
+        s"missing=${wantNear -- gotNear}")
+    val nInc = Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(10)) === 0).count()
+    assert(got.length.toLong === nInc, "one row per incoming doc")
+    got.foreach { case (d, ex, nd, keep) =>
+      assert(keep === (if (ex + nd > 0) 0 else 1), s"keep rule at doc $d")
+    }
+  }
 }

@@ -154,6 +154,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scene cuts match a pure-Scala frame-hash reference") {
+    import org.apache.spark.sql.functions._
+    // straight-line reference: 128-char frames, blockhash per frame,
+    // Hamming > 25 between consecutive frames = cut
+    def frameHash(frame: String, blocks: Int = 60): Long = {
+      val n = frame.length
+      val sums = new Array[Long](blocks)
+      var pos = 0
+      while (pos < n) {
+        sums((pos.toLong * blocks / n).toInt) += frame.codePointAt(pos)
+        pos += 1
+      }
+      val total = sums.sum
+      sums.zipWithIndex.collect {
+        case (s, blk) if blocks * s > total => 1L << blk
+      }.sum
+    }
+    def reference(text: String): (Long, Long, Long, Int) = {
+      val hs = text.grouped(128).map(frameHash(_)).toSeq
+      val dists = hs.zip(hs.drop(1))
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+      val cuts = dists.count(_ > 25).toLong
+      (hs.size.toLong, cuts, cuts + 1, if (dists.isEmpty) 0 else dists.max)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0).limit(20)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Multimodal.sceneCuts(spark, sfDir).collect()
+      .filter(r => ids.contains(r.getLong(0)))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val want = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> reference(r.getString(1))).toMap
+    assert(want.nonEmpty && got === want)
+    // sanity: at least one doc has multiple frames so the lag is exercised
+    assert(want.values.exists(_._1 > 1), "fixture docs should span frames")
+  }
+
   test("media clusters cover every doc, keep one representative per cluster") {
     val clusters = Multimodal.blockhashClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap

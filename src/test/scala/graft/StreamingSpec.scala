@@ -397,6 +397,54 @@ class StreamingSpec extends SparkSpec {
       s"got ${received.size} rows (duplicates or loss across restart)")
   }
 
+  test("pii scan composes unchanged with a stream (per-row map, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail alice@example.com and 10.0.0.1"),
+      (2L, "a perfectly clean row"),
+      (3L, "call 555-123-4567"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.piiScanOf(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    mem.addData(rows.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream").collect()
+      .map(_.toSeq).toSet
+    val batch = graft.operators.Curation.piiScanOf(
+        rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed === batch,
+      "the redaction map must be identical streamed and batch")
+  }
+
+  test("q88: streamed curation funnel converges to the batch funnel") {
+    val run = Continuous.runStreamedCurationFunnel(spark, sfDir)
+    assert(run.snapshots.size >= 2,
+      s"expected multiple funnel commits, got ${run.snapshots.size}")
+    assert(run.snapshots.last.progress >= 1.0)
+    // cumulative emission: per-source n_docs never shrinks across commits
+    def bySource(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    run.snapshots.sliding(2).foreach {
+      case Seq(a, b) =>
+        val (ca, cb) = (bySource(a.rows), bySource(b.rows))
+        ca.foreach { case (s, n) =>
+          assert(cb.getOrElse(s, 0L) >= n, s"n_docs shrank for source $s") }
+      case _ =>
+    }
+    // the final cumulative frame equals the batch funnel bit for bit: the
+    // min-id exact rule and larger-id near-dup loser rule are arrival-
+    // order-independent, and the fixture's dfs never reach the cap
+    val streamed = run.snapshots.last.rows.map(_.toSeq)
+      .sortBy(_.head.toString)
+    val batch = graft.operators.Curation.curationFunnel(spark, sfDir)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    assert(batch.nonEmpty && streamed === batch)
+  }
+
   test("online aggregation emits progressive snapshots, final frame exact") {
     import spark.implicits._
     // stage the events table as a multi-file bounded input
