@@ -206,7 +206,10 @@ object SparkEntry {
     "q91_shingle_novelty" -> ((s, d) => Dedup.shingleNovelty(s, d)),
     // Token-weighted dedup yield per source: tokens (not docs) surviving
     // the q35 keep/drop decisions — what a training recipe budgets.
-    "q92_token_yield" -> ((s, d) => Curation.tokenYield(s, d))
+    "q92_token_yield" -> ((s, d) => Curation.tokenYield(s, d)),
+    // Per-source dataset card: volume, language makeup, decimal-exact
+    // mean quality and near-dup rate — the release summary table.
+    "q93_dataset_card" -> ((s, d) => Curation.datasetCard(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -1950,6 +1953,46 @@ object SparkEntry {
         |    ROUND(SUM(CASE WHEN l.doc_id IS NULL THEN n_tokens ELSE 0 END)
         |          * 1.0 / SUM(n_tokens), 6) END AS token_yield
         |FROM tk LEFT JOIN losers l ON tk.doc_id = l.doc_id
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    "q93_dataset_card" ->
+      // Composition of oracle-exact per-doc frames: q29's quality
+      // arithmetic (decimal-sum of the 6-dp rounding, ONE double
+      // division — the q19 avg pattern), q35's loser set, whitespace
+      // token counts; one per-source rollup.
+      (s"""WITH $ngramPairsCte,
+        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(t.t,
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(t.t) * 2.0
+        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+        |        * 1.0 / length(d.text) * 3.0)) AS quality
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |tk AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |        t -> t <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT tk.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 6) AS pct_en,
+        |  CAST(SUM(CAST(ROUND(q.quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS avg_quality,
+        |  ROUND(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 6) AS dup_rate,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM tk
+        |JOIN q ON tk.doc_id = q.doc_id
+        |LEFT JOIN losers l ON tk.doc_id = l.doc_id
+        |GROUP BY tk.source ORDER BY tk.source""".stripMargin)
   )
 }

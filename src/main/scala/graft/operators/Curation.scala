@@ -834,6 +834,46 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Per-source dataset card (q93) — the one-table summary a dataset
+    * release ships: volume (docs, whitespace tokens, char range), language
+    * makeup (distinct langs, English fraction), quality (decimal-exact
+    * mean of the q29 score) and near-dup rate (q35 decisions). Pure
+    * composition: every ingredient is an existing oracle-exact per-doc
+    * frame; the card is one per-source partial agg on top.
+    *
+    * Determinism: the quality mean is a DECIMAL sum of the 6-dp-rounded
+    * per-row scores with ONE double division (the q19 avg pattern) —
+    * never a shuffled double sum. Scale shape: quality/token counts are
+    * per-row maps, decisions ride the memoized pair stage, and the
+    * doc-keyed joins are pinned shuffled (both sides corpus-sized). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint")
+          .as("n_tokens"))
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality").hint("shuffle_hash")
+    val decisions = Dedup.deduplicate(spark, dir).hint("shuffle_hash")
+    docs
+      .join(quality, Seq("doc_id"))
+      .join(decisions, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        round(sum(when($"lang" === "en", 1).otherwise(0)) * lit(1.0) /
+          count(lit(1)), 6).as("pct_en"),
+        (sum(round($"quality", 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"),
+        round((count(lit(1)) - sum($"keep")) * lit(1.0) / count(lit(1)), 6)
+          .as("dup_rate"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"source")
+  }
+
   /** Per-source cumulative-survival aggregation over a
     * `(source, f_ex, f_near, f_q, f_lang)` flag frame — the funnel's final
     * stage, shared by the batch form above (q81) and the streaming form

@@ -68,6 +68,27 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScoreOf(Tables.documents(spark, dir))
 
+  /** `docs` plus a `quality` column — the q29 score as a pure per-row
+    * ADDED column (no projection, no join): the composition form the
+    * streaming funnel's flag stage uses, where joining the scored frame
+    * back to the batch would cost two shuffles per commit. Arithmetic is
+    * the exact [[qualityScoreOf]] expression chain (spec-pinned
+    * bit-equal). */
+  def withQualityScore(docs: DataFrame): DataFrame = {
+    val en = lexicons.head._2.map(w => s"'$w'").mkString(",")
+    docs
+      .withColumn("_t", tokens(col("text")))
+      .withColumn("quality", least(lit(1.0), greatest(lit(0.0),
+        lit(0.2)
+          + (size(expr(s"filter(_t, x -> x IN ($en))")).cast("long")
+             * lit(1.0) / size(col("_t")).cast("long")) * 2.0
+          + (size(array_distinct(col("_t"))).cast("long")
+             * lit(1.0) / size(col("_t")).cast("long")) * 0.5
+          - (length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+             * lit(1.0) / length(col("text"))) * 3.0)))
+      .drop("_t")
+  }
+
   /** [[qualityScore]] over an arbitrary `(doc_id, n_chars, text)` frame —
     * lets the streaming funnel score each micro-batch with the exact q29
     * arithmetic. */

@@ -482,6 +482,15 @@ object Continuous {
     val totalChunks = math.ceil(files / 2.0)
     val snapshots = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     @volatile var outSchema: StructType = null
+    // withStreamShuffle serves a DIFFERENT purpose here than in the
+    // stateful queries: there is no streaming state (append mode +
+    // foreachBatch), but the per-commit batch jobs chain ~10 small
+    // shuffles and append parquet state — at fixture scale, 32-way tasks
+    // and 32-file state appends cost MORE than they parallelize (measured
+    // at sf0.1: 36 s at 32 partitions vs 27 s at 8). At production scale
+    // the commit's joins are corpus-sized and the session's own shuffle
+    // setting should win: the helper only ever LOWERS, so deployments
+    // size it by raising this floor, not fighting a hardcode.
     try withStreamShuffle(spark, 8) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(staged)
@@ -493,10 +502,10 @@ object Continuous {
           if (!batch.isEmpty) {
             val docs = batch.select(col("doc_id"), col("source"),
               col("lang"), col("n_chars"), col("text"))
-            // per-row flags for the increment, appended once per doc
-            graft.operators.TextAnalysis.qualityScoreOf(docs)
-              .select(col("doc_id"), col("quality"))
-              .join(docs, Seq("doc_id"))
+            // per-row flags for the increment, appended once per doc —
+            // quality as an ADDED column (withQualityScore), so the flag
+            // stage is a zero-shuffle map instead of a per-commit join
+            graft.operators.TextAnalysis.withQualityScore(docs)
               .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
                 when(col("quality") >= qualityMin, 1).otherwise(0).as("f_q"),
                 when(col("lang") === lang, 1).otherwise(0).as("f_lang"))
@@ -505,14 +514,19 @@ object Continuous {
             graft.operators.Dedup
               .shinglesOf(docs.select(col("doc_id"), col("text")))
               .write.mode("append").parquet(indexDir)
-            // near-dup losers involving the increment vs the whole index
-            val index = spark.read.parquet(indexDir)
-            val newSh = index.join(docs.select(col("doc_id")),
-              Seq("doc_id"), "left_semi")
-            graft.operators.Dedup
-              .incrementalPairsOf(index, newSh, threshold, maxDf)
-              .select(col("d2").as("doc_id"))
-              .write.mode("append").parquet(losersDir)
+            // near-dup losers involving the increment vs the whole index;
+            // the index frame feeds the df gate, both intersection sides
+            // and docLen — cache it for the commit instead of re-reading
+            // the state dir four times
+            val index = spark.read.parquet(indexDir).persist()
+            try {
+              val newSh = index.join(docs.select(col("doc_id")),
+                Seq("doc_id"), "left_semi")
+              graft.operators.Dedup
+                .incrementalPairsOf(index, newSh, threshold, maxDf)
+                .select(col("d2").as("doc_id"))
+                .write.mode("append").parquet(losersDir)
+            } finally { index.unpersist(); () }
             // emit the cumulative funnel over the flag store
             val flags = spark.read.parquet(flagsDir)
             val keepers = flags.groupBy(col("h"))

@@ -723,6 +723,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("withQualityScore is bit-equal to the projected quality score") {
+    val proj = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val added = TextAnalysis.withQualityScore(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(added.keySet === proj.keySet && added.nonEmpty)
+    added.foreach { case (d, q) =>
+      assert(java.lang.Double.doubleToLongBits(q) ===
+        java.lang.Double.doubleToLongBits(proj(d)), s"quality drifted at $d")
+    }
+  }
+
+  test("dataset card is consistent with token yield, quality, and decisions") {
+    val card = Curation.datasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val yieldBySource = Curation.tokenYield(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet === yieldBySource.keySet && card.nonEmpty)
+    val q = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val srcOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    card.foreach { case (s, r) =>
+      val y = yieldBySource(s)
+      assert(r.getLong(1) === y.getLong(1), s"n_docs differs for $s")
+      assert(r.getLong(2) === y.getLong(3), s"token sum differs for $s")
+      // dup_rate = 1 - kept/docs, both from the same decision frame
+      val wantRate = BigDecimal((y.getLong(1) - y.getLong(2)).toDouble /
+        y.getLong(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) === wantRate, s"dup_rate for $s")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "pct_en bounds")
+      // decimal-exact quality mean: reproducible from the per-doc scores
+      val qs = srcOf.collect { case (d, src) if src == s => q(d) }
+      val wantAvg = qs.map(x => BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / qs.size
+      assert(math.abs(r.getDouble(5) - wantAvg) < 1e-12, s"avg_quality for $s")
+      assert(r.getLong(7) <= r.getLong(8), "char range ordered")
+    }
+  }
+
   test("token pair merges equal a hand-computed bigram count") {
     val texts = Tables.documents(spark, sfDir).select("text")
       .collect().map(_.getString(0))
