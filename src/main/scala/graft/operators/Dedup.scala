@@ -544,7 +544,8 @@ object Dedup {
         sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
           .cast("bigint").as("n_nov"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      // both sides are corpus-sized — pinned shuffled like q81's doc joins
+      .join(per.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
         coalesce(col("n_nov"), lit(0L)).as("n_novel"))

@@ -555,12 +555,21 @@ object TextAnalysis {
     * SEMI-join before the enrichment joins — the vocabulary never
     * broadcasts and never joins at corpus width. */
   def tokenPairMerges(spark: SparkSession, dir: String,
-      k: Int = 20): DataFrame = {
+      k: Int = 20): DataFrame =
+    tokenPairMergesOf(Tables.documents(spark, dir), k)
+
+  /** [[tokenPairMerges]] over an arbitrary `(text)` frame. */
+  def tokenPairMergesOf(docs: DataFrame, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(tokens($"text").as("t"))
     val top = toks
+      // sequence(1, 0) DESCENDS in Spark (it auto-steps -1) and would feed
+      // element_at an invalid index — docs with < 2 tokens contribute no
+      // pairs (their unigrams still count below: `toks` stays unfiltered)
+      .filter(size($"t") >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(t) - 1),
           |  i -> struct(element_at(t, i) AS t1,

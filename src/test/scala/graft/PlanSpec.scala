@@ -470,6 +470,73 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q87 incremental dedup pins every corpus-sized join shuffled") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.incrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    // digest self-join, loser probe, and verdict joins are all one-row-
+    // per-doc on both sides
+    assert(p.contains("ShuffledHashJoin"), s"shuffle_hash pins expected:\n$p")
+  }
+
+  test("q87's production path gates candidates before the posting join") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val p = plan(operators.Dedup.incrementalDedupOf(docs,
+      pmod(col("doc_id"), lit(10)) === 0))
+    // the df gate is a semi-join BEFORE any posting list pairs up, and
+    // nothing in the plan forms a cross product
+    assert(p.contains("LeftSemi"), s"df-gate semi-join expected:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+  }
+
+  test("q89 token merges end in a bounded heap; unigrams join post-cut") {
+    StageMemo.clear()
+    val p = plan(operators.TextAnalysis.tokenPairMerges(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bounded top-k heap expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the vocabulary-sized unigram frame is SEMI-joined down to <= 2k
+    // winning terms before any broadcast — so every broadcast in the plan
+    // is of a k-bounded frame
+    assert(p.contains("LeftSemi"),
+      s"the unigram cut must be a semi-join:\n$p")
+  }
+
+  test("q90 scene cuts: join-free, windows bounded by doc/frame keys") {
+    val p = plan(operators.Multimodal.sceneCuts(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"fingerprint + lag must not join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global single-partition stage:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"windows must partition by document:\n$p")
+  }
+
+  test("q91 shingle novelty plans no pair join, doc joins pinned shuffled") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.shingleNovelty(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"first-seen and coverage joins must stay shuffled:\n$p")
+  }
+
+  test("q92/q93 pin the corpus-sized composition joins shuffled") {
+    StageMemo.clear()
+    for (df <- Seq(operators.Curation.tokenYield(spark, sfDir),
+        operators.Curation.datasetCard(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"decision/quality joins (one row per doc both sides) shuffled:\n$p")
+    }
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),

@@ -92,6 +92,28 @@ class RobustnessSpec extends SparkSpec {
       "a single non-empty doc has no repeated passage")
     assert(Dedup.sourceOverlapOf(docs).count() === 0,
       "one source can never overlap itself")
+    // token-pair merges: docs with < 2 tokens contribute no pairs — and
+    // must not crash (sequence(1, 0) DESCENDS; the pair branch filters),
+    // while their unigrams still count toward the c1/c2 frequencies
+    val merges = TextAnalysis.tokenPairMergesOf(
+      Seq((1L, "s", "a b a"), (2L, "s", "solo"), (3L, "s", ""),
+        (4L, "s", null.asInstanceOf[String]))
+        .toDF("doc_id", "source", "text")).collect()
+    assert(merges.map(r => (r.getString(1), r.getString(2))).toSet ===
+      Set(("a", "b"), ("b", "a")), "only the 2+-token doc pairs up")
+    assert(merges.forall(_.getLong(3) === 1L))
+    assert(TextAnalysis.tokenPairMergesOf(empty).count() === 0)
+    // incremental dedup: an increment of sub-shingle-length docs gets
+    // verdict rows (exact dedup still applies), never a crash
+    val shorts = Seq((10L, "x y"), (20L, "x y"), (31L, "x y"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalDedupOf(shorts,
+      org.apache.spark.sql.functions.pmod($"doc_id",
+        org.apache.spark.sql.functions.lit(10)) === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3)))).toMap
+    assert(inc.keySet === Set(10L, 20L))
+    assert(inc(20L) === ((1, 0)), "exact dup of the smaller-id incoming doc")
+    assert(inc(10L) === ((1, 0)), "exact dup of the existing doc 31")
     // pii scan: null text yields null counts but never a row drop — the
     // privacy pass must account for EVERY document
     val pii = Curation.piiScanOf(docs).collect()
