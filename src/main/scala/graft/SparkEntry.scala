@@ -209,7 +209,12 @@ object SparkEntry {
     "q92_token_yield" -> ((s, d) => Curation.tokenYield(s, d)),
     // Per-source dataset card: volume, language makeup, decimal-exact
     // mean quality and near-dup rate — the release summary table.
-    "q93_dataset_card" -> ((s, d) => Curation.datasetCard(s, d))
+    "q93_dataset_card" -> ((s, d) => Curation.datasetCard(s, d)),
+    // q87 via a PERSISTED index: the shipped corpus's shingle postings +
+    // digests written once, the increment deduped against the files —
+    // the durable-state form of the daily-batch pattern. Identical
+    // verdicts to q87, gated by the same oracle.
+    "q94_index_dedup" -> ((s, d) => Dedup.indexDedup(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -386,6 +391,48 @@ object SparkEntry {
       |  CAST(SUM(f_ex * f_near * f_q) AS BIGINT) AS n_quality,
       |  CAST(SUM(f_ex * f_near * f_q * f_lang) AS BIGINT) AS n_final
       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
+  /** The q87 incremental-dedup oracle. Increment = doc_id ≡ 0 mod 10.
+    * Near-dup pairs restricted to those involving an incoming doc (the
+    * only ones the incremental operator generates); df gate and Jaccard
+    * arithmetic identical to q21's. Loser: the incoming side — d2 when
+    * incoming (both-incoming min-id and existing-d1-wins collapse to
+    * this), else d1 (shipped d2 wins regardless of id). Exact: digest
+    * match vs any existing doc or a smaller-id incoming doc. Shared
+    * verbatim by q94 — the persisted-index path must produce identical
+    * verdicts. */
+  private lazy val incrementalDedupSql =
+    s"""WITH $shinglesCte,
+      |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+      |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN docLen ca ON d1 = ca.doc_id
+      |  JOIN docLen cb ON d2 = cb.doc_id
+      |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
+      |nd AS (SELECT DISTINCT
+      |    CASE WHEN d2 % 10 = 0 THEN d2 ELSE d1 END AS doc_id
+      |  FROM pairs),
+      |ex AS (SELECT DISTINCT n.doc_id
+      |  FROM documents n JOIN documents o
+      |    ON md5(n.text) = md5(o.text) AND n.doc_id % 10 = 0
+      |   AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id))
+      |SELECT d.doc_id,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+      |  CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+      |  CASE WHEN e.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
+      |       THEN 0 ELSE 1 END AS keep
+      |FROM documents d
+      |LEFT JOIN ex e ON d.doc_id = e.doc_id
+      |LEFT JOIN nd ON d.doc_id = nd.doc_id
+      |WHERE d.doc_id % 10 = 0
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q75/q80's BM25 rank chain — yields `r(rank, doc_id, n_terms, score)`.
     * Constants interpolated from the SAME Scala doubles the Spark
@@ -1799,46 +1846,7 @@ object SparkEntry {
         |LEFT JOIN mdoc m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
 
-    "q87_incremental_dedup" ->
-      // Increment = doc_id ≡ 0 mod 10. Near-dup pairs restricted to those
-      // involving an incoming doc (the only ones the incremental operator
-      // generates); df gate and Jaccard arithmetic identical to q21's.
-      // Loser: the incoming side — d2 when incoming (both-incoming min-id
-      // and existing-d1-wins collapse to this), else d1 (shipped d2 wins
-      // regardless of id). Exact: digest match vs any existing doc or a
-      // smaller-id incoming doc.
-      (s"""WITH $shinglesCte,
-        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
-        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN docLen ca ON d1 = ca.doc_id
-        |  JOIN docLen cb ON d2 = cb.doc_id
-        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
-        |nd AS (SELECT DISTINCT
-        |    CASE WHEN d2 % 10 = 0 THEN d2 ELSE d1 END AS doc_id
-        |  FROM pairs),
-        |ex AS (SELECT DISTINCT n.doc_id
-        |  FROM documents n JOIN documents o
-        |    ON md5(n.text) = md5(o.text) AND n.doc_id % 10 = 0
-        |   AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id))
-        |SELECT d.doc_id,
-        |  CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
-        |  CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
-        |  CASE WHEN e.doc_id IS NOT NULL OR nd.doc_id IS NOT NULL
-        |       THEN 0 ELSE 1 END AS keep
-        |FROM documents d
-        |LEFT JOIN ex e ON d.doc_id = e.doc_id
-        |LEFT JOIN nd ON d.doc_id = nd.doc_id
-        |WHERE d.doc_id % 10 = 0
-        |ORDER BY d.doc_id""".stripMargin),
-
+    "q87_incremental_dedup" -> incrementalDedupSql,
     // The streamed funnel's final cumulative frame must equal the batch
     // funnel — same oracle, verbatim (see curationFunnelSql).
     "q88_stream_funnel" -> curationFunnelSql,
@@ -1993,6 +2001,10 @@ object SparkEntry {
         |FROM tk
         |JOIN q ON tk.doc_id = q.doc_id
         |LEFT JOIN losers l ON tk.doc_id = l.doc_id
-        |GROUP BY tk.source ORDER BY tk.source""".stripMargin)
+        |GROUP BY tk.source ORDER BY tk.source""".stripMargin),
+
+    // The persisted-index path must produce identical verdicts to q87 —
+    // same oracle, verbatim (see incrementalDedupSql).
+    "q94_index_dedup" -> incrementalDedupSql
   )
 }

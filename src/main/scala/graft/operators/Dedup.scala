@@ -325,6 +325,101 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist a corpus's dedup INDEX — the shingle postings (ungated: the
+    * df gate is corpus-relative, so it applies at query time over
+    * index ∪ increment) and text digests — so later increments dedup
+    * against FILES instead of rescanning the shipped corpus
+    * ([[incrementalDedupAgainstIndex]]).
+    * This is what makes the daily-batch pattern operational: the index is
+    * the only state carried between runs (the q88 streaming funnel keeps
+    * the same footprint in its per-commit state dirs), and it is ~16
+    * bytes per (doc, shingle) plus one digest row per doc — never the
+    * corpus text. */
+  def writeDedupIndex(docs: DataFrame, path: String): Unit = {
+    shinglesOf(docs).write.mode("overwrite").parquet(s"$path/shingles")
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Dedup an `incoming` increment against a [[writeDedupIndex]]-persisted
+    * corpus plus itself — [[incrementalDedupOf]]'s verdict rules
+    * (shipped-corpus-wins; min-id within the increment) with the shipped
+    * side read from the index files. The candidate join still touches
+    * only increment-vs-postings; df is computed over index ∪ increment,
+    * exactly the full-corpus gate the batch pipeline applies. */
+  def incrementalDedupAgainstIndex(spark: SparkSession, indexPath: String,
+      incoming: DataFrame, threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val idxHashes = spark.read.parquet(s"$indexPath/hashes")
+    val newSh = shinglesOf(incoming)
+    val newHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    val pairs = incrementalPairsOf(idxSh.unionByName(newSh), newSh,
+      threshold, maxDf)
+    val incIds = incoming.select(col("doc_id"))
+    // exact: digest in the shipped index (any id) or a smaller-id
+    // incoming doc — both probes digest-keyed, pinned shuffled
+    val exDup = newHashes.as("n")
+      .join(idxHashes.as("o").hint("shuffle_hash"),
+        col("n.h") === col("o.h"), "left_semi")
+      .select(col("doc_id"))
+      .unionByName(newHashes.as("n")
+        .join(newHashes.as("o").hint("shuffle_hash"),
+          col("n.h") === col("o.h") && col("o.doc_id") < col("n.doc_id"),
+          "left_semi")
+        .select(col("doc_id")))
+      .distinct()
+    // near-dup loser: the incoming side of each pair; both-incoming pairs
+    // drop the larger id (d2). Membership = semi/anti probes against the
+    // increment's id list (bounded by the increment)
+    val nearDup = pairs.select(col("d1"), col("d2"))
+      .join(incIds.withColumnRenamed("doc_id", "d2")
+        .withColumn("d2inc", lit(1)).hint("shuffle_hash"),
+        Seq("d2"), "left")
+      .select(when(col("d2inc").isNotNull, col("d2")).otherwise(col("d1"))
+        .as("doc_id"))
+      .distinct()
+    incIds
+      .join(exDup.withColumn("ex", lit(1)).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .join(nearDup.withColumn("nd", lit(1)).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex").isNotNull, 1).otherwise(0).as("exact_dup"),
+        when(col("nd").isNotNull, 1).otherwise(0).as("near_dup"))
+      .withColumn("keep",
+        when(col("exact_dup") + col("near_dup") > 0, 0).otherwise(1))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture form (q94): [[incrementalDedupAgainstIndex]] with the q87
+    * split — the shipped 90% persisted once per fixture dir (idempotent
+    * behind a freshness check, like the streaming tier's staged chunks),
+    * the mod-10 increment deduped against the files. Same oracle as q87:
+    * the two operating modes must produce identical verdicts. */
+  def indexDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isInc = pmod(col("doc_id"), lit(10)) === 0
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_") +
+      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
+    val path = s"target/dedupindex/$key"
+    val success = java.nio.file.Paths.get(s"$path/hashes/_SUCCESS")
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val srcMtime =
+      try walk
+        .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .max.orElse(Long.MaxValue)
+      finally walk.close()
+    val fresh = java.nio.file.Files.exists(success) &&
+      java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
+    if (!fresh) writeDedupIndex(docs.filter(!isInc), path)
+    incrementalDedupAgainstIndex(spark, path, docs.filter(isInc),
+      threshold, maxDf)
+  }
+
   /** Fixture form (q87): the increment is every 10th document
     * (doc_id ≡ 0 mod 10, ~10% of the corpus — a daily batch against the
     * shipped 90%). Pair source: the session's memoized all-pairs stage

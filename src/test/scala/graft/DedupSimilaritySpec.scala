@@ -636,6 +636,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(80L) === ((0, 0, 1)), "untouched doc keeps")
   }
 
+  test("persisted-index dedup equals the in-memory incremental verdicts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val isInc = pmod($"doc_id", lit(10)) === 0
+    // write the shipped 90% as an index, dedup the increment against the
+    // FILES — must equal the single-frame incremental path verdict for
+    // verdict (and q87's oracle therefore gates both)
+    val path = "target/tmp/dedupindex_spec"
+    rmrf(new java.io.File(path))
+    Dedup.writeDedupIndex(docs.filter(!isInc), path)
+    val viaIndex = Dedup.incrementalDedupAgainstIndex(spark, path,
+      docs.filter(isInc)).collect().map(_.toSeq)
+    val inMemory = Dedup.incrementalDedupOf(docs, isInc)
+      .collect().map(_.toSeq)
+    assert(inMemory.nonEmpty && viaIndex.toSeq === inMemory.toSeq)
+  }
+
   test("shingle novelty: every shingle is novel in exactly its first doc") {
     import spark.implicits._
     val rows = Dedup.shingleNovelty(spark, sfDir).collect()
