@@ -496,6 +496,8 @@ object Continuous {
         .option("maxFilesPerTrigger", "2").parquet(staged)
         .writeStream
         .outputMode("append")
+        .queryName(s"q88_funnel_$run") // listener-visible (StreamingSpec
+        // bounds the per-commit cost like q51's)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
