@@ -214,7 +214,25 @@ object SparkEntry {
     // digests written once, the increment deduped against the files —
     // the durable-state form of the daily-batch pattern. Identical
     // verdicts to q87, gated by the same oracle.
-    "q94_index_dedup" -> ((s, d) => Dedup.indexDedup(s, d))
+    "q94_index_dedup" -> ((s, d) => Dedup.indexDedup(s, d)),
+    // Quality-ranked token-budget selection: per source, keep the best
+    // documents while the running whitespace-token total fits the budget
+    // — the step that turns a scored corpus into a fixed-size recipe.
+    "q95_token_budget" -> ((s, d) => Curation.tokenBudget(s, d)),
+    // Deterministic training order: md5 shard + in-shard position every
+    // run recomputes identically — the reproducible "global shuffle".
+    "q96_train_order" -> ((s, d) => Curation.trainOrder(s, d)),
+    // Per-dimension embedding calibration audit: the per-CHANNEL stats
+    // (max_abs/mean/rms) a quantizer or whitener reads, vs q67's
+    // per-vector audit.
+    "q97_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    // Per-doc boilerplate ratio: fraction of a doc's 3-shingles that are
+    // corpus-common (df >= 3) — the CCNet/RefinedWeb line-dedup signal at
+    // shingle granularity, riding the memoized shingle stage.
+    "q98_boilerplate" -> ((s, d) => Dedup.boilerplate(s, d)),
+    // Crawl-to-crawl snapshot diff: added/removed/changed rows by content
+    // digest — the delta that drives incremental re-embed/re-index.
+    "q100_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2005,6 +2023,118 @@ object SparkEntry {
 
     // The persisted-index path must produce identical verdicts to q87 —
     // same oracle, verbatim (see incrementalDedupSql).
-    "q94_index_dedup" -> incrementalDedupSql
+    "q94_index_dedup" -> incrementalDedupSql,
+
+    "q95_token_budget" ->
+      // q29's quality arithmetic verbatim (oracle-bit-equal, so the rank
+      // order and the integer budget boundary cannot diverge); one
+      // running-sum window per source.
+      """WITH tq AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> t <> '')) AS n_tokens,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(list_filter(regexp_split_to_array(text, '\s+'),
+        |            t -> t <> ''),
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'),
+        |            t -> t <> '')) * 2.0
+        |      + len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |            t -> t <> '')))
+        |        * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'),
+        |            t -> t <> '')) * 0.5
+        |      - length(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+        |        * 1.0 / length(text) * 3.0)) AS quality
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, n_tokens, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rn,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tq WHERE n_tokens > 0)
+        |SELECT source, CAST(rn AS INTEGER) AS rn, doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens,
+        |  ROUND(quality, 6) AS quality
+        |FROM w WHERE cum <= 500
+        |ORDER BY source, rn""".stripMargin,
+
+    "q96_train_order" ->
+      // the q64 md5-bucket idiom with an 'ord:' salt; per-shard rank.
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+        |  FROM documents)
+        |SELECT
+        |  CAST(('0x' || substr(ord_key, 1, 15))::BIGINT % 16 AS INTEGER)
+        |    AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ('0x' || substr(ord_key, 1, 15))::BIGINT % 16
+        |    ORDER BY ord_key, doc_id) AS BIGINT) AS pos,
+        |  doc_id, source
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin,
+
+    "q97_dim_stats" ->
+      // per-dim rollup of exact float->double casts; mean/RMS via the
+      // engine's decimal-sum rule (x2 is exact in a double: 24-bit float
+      // mantissas square into 48 <= 53 bits), ONE double division/sqrt.
+      (s"""WITH $vecsCte,
+        |x AS (
+        |  SELECT vec_id, d AS dim, v[d + 1] AS x
+        |  FROM (
+        |    SELECT vec_id, v, unnest(range(len(v))) AS d
+        |    FROM n
+        |    WHERE v IS NOT NULL
+        |      AND len(list_filter(v, e -> e IS NULL)) = 0))
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  MIN(x) AS vmin, MAX(x) AS vmax, MAX(abs(x)) AS max_abs,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE)
+        |        / COUNT(*), 6) AS mean,
+        |  ROUND(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+        |        / COUNT(*)), 6) AS rms
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin),
+
+    "q98_boilerplate" ->
+      // shingle df rollup joined back per doc — the sh CTE is the shared
+      // shingle grammar, so the ratio's numerator is exactly the text the
+      // q21 maxDf gate would classify as common.
+      (s"""WITH $shinglesCte,
+        |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+        |SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  ROUND(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 6) AS boilerplate_ratio
+        |FROM sh JOIN df USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+
+    "q100_snapshot_diff" ->
+      // the derived "next crawl" (drop mod-11, revise mod-7, add mod-13
+      // at +1e6) diffed against base by content digest.
+      """WITH nxt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |b AS (SELECT doc_id, md5(text) AS base_fp FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS next_fp FROM nxt)
+        |SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(base_fp, '') AS base_fp,
+        |  COALESCE(next_fp, '') AS next_fp
+        |FROM b FULL OUTER JOIN n ON b.doc_id = n.doc_id
+        |WHERE b.doc_id IS NULL OR n.doc_id IS NULL OR base_fp <> next_fp
+        |ORDER BY doc_id""".stripMargin
   )
 }

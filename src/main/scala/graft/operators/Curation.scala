@@ -874,6 +874,160 @@ object Curation {
       .orderBy($"source")
   }
 
+  /** Quality-ranked token-budget selection (q95) — the curation step that
+    * turns a scored corpus into a training set of a FIXED token size: per
+    * source, documents are ranked by the q29 quality score (best first,
+    * doc_id tiebreak) and kept while the running whitespace-token total
+    * stays within `budget`. The kept set is the maximal quality-first
+    * prefix — the greedy answer to "give me the best `budget` tokens from
+    * each source".
+    *
+    * Determinism: the rank order compares the q29 quality value, which is
+    * oracle-bit-equal ([[TextAnalysis.qualityScoreOf]]), with an integer
+    * doc_id tiebreak; the running total is an integer sum, so the budget
+    * boundary cannot diverge between engines. Zero-token documents are
+    * excluded up front (they carry no budget weight and an undefined
+    * score).
+    *
+    * Scale shape: the per-source window is the op's hazard — a mega-source
+    * would sort corpus-sized on one task. Because every candidate carries
+    * ≥ 1 token, at most `budget` documents can ever be kept, so a salted
+    * partial window (the [[sourceCapOf]] two-phase shape) first cuts each
+    * (source, salt) slice to its top-`budget` rows; the exact window then
+    * sees ≤ salts·budget rows per source REGARDLESS of corpus size. Both
+    * windows spill-sort on (quality, doc_id); nothing corpus-sized lands
+    * on a single task. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 500, salts: Int = 8): DataFrame =
+    tokenBudgetOf(Tables.documents(spark, dir), budget, salts)
+
+  /** [[tokenBudget]] over an arbitrary `(doc_id, source, text, n_chars)`
+    * frame. */
+  def tokenBudgetOf(docs: DataFrame, budget: Long, salts: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val scored = graft.operators.TextAnalysis.withQualityScore(docs)
+      .select($"doc_id", $"source", $"quality",
+        size(tokens($"text")).cast("bigint").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+    val partial = Window.partitionBy($"source", $"doc_id" % salts)
+      .orderBy($"quality".desc, $"doc_id")
+    val exact = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id")
+    scored
+      // ≥ 1 token per doc ⇒ the kept prefix has ≤ `budget` rows, and a
+      // kept doc's salt-partition rank ≤ its exact rank ≤ budget: the
+      // prune is lossless while bounding the exact window's input.
+      .withColumn("prn", row_number().over(partial))
+      .filter($"prn" <= budget)
+      .withColumn("rn", row_number().over(exact))
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(exact.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tokens" <= budget)
+      .select($"source", $"rn".cast("int").as("rn"), $"doc_id",
+        $"n_tokens", $"cum_tokens", round($"quality", 6).as("quality"))
+      .orderBy($"source", $"rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic training order
+  // ---------------------------------------------------------------------
+
+  /** Deterministic training-data ordering (q96) — the "global shuffle" a
+    * training run needs made reproducible: every document gets a shard
+    * (md5 bucket mod `nShards`) and a position within its shard (rank of
+    * the md5 order key). Any two runs — any cluster, any partitioning,
+    * any restart — read the exact same sequence, and a training job can
+    * seek to (shard, pos) to resume mid-epoch. The order key is salted
+    * with `"ord:"` so it is independent of the q64 split hash — documents
+    * adjacent here share no relationship with their split assignment.
+    *
+    * Scale shape: one hash exchange on `shard` plus a per-shard sort —
+    * exactly the `repartition(shard).sortWithinPartitions` layout a
+    * training-data writer wants. Shard count is the knob: pick
+    * nShards ≈ corpus_bytes / target_shard_bytes so each shard's sort
+    * fits one task's spill budget; the fixture uses 16. No window ever
+    * sees more than corpus/nShards rows, and the md5 key spreads
+    * uniformly so shards cannot skew. */
+  def trainOrder(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame =
+    trainOrderOf(Tables.documents(spark, dir), nShards)
+
+  /** [[trainOrder]] over an arbitrary `(doc_id, source)` frame. */
+  def trainOrderOf(docs: DataFrame, nShards: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = docs.select($"doc_id", $"source",
+      md5(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord_key"))
+      .withColumn("shard",
+        (expr("cast(conv(substring(ord_key, 1, 15), 16, 10) as bigint)")
+          % nShards).cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"ord_key", $"doc_id"))
+        .cast("long"))
+      .select($"shard", $"pos", $"doc_id", $"source")
+      .orderBy($"shard", $"pos")
+  }
+
+  // ---------------------------------------------------------------------
+  // Corpus snapshot diff
+  // ---------------------------------------------------------------------
+
+  /** Snapshot diff (q100) — the crawl-to-crawl delta report that drives
+    * incremental reprocessing: given two corpus snapshots keyed on doc_id,
+    * classify every changed identity as `added` (new id), `removed` (id
+    * gone) or `changed` (id present in both, md5(text) differs) and emit
+    * one row per non-identical document with both content fingerprints.
+    * Downstream consumers re-embed/re-index exactly these rows instead of
+    * the whole corpus — `unchanged` documents (the overwhelming majority
+    * of a real delta) are filtered out BEFORE the presentation sort, so
+    * the output is delta-sized, not corpus-sized.
+    *
+    * Scale shape: both sides project to (doc_id, md5(text)) map-side — 16
+    * bytes of digest per doc crosses the wire, never text — then one full
+    * outer join on doc_id, pinned shuffled (both sides corpus-sized), and
+    * a per-row status map. No windows, no skew risk beyond genuine id
+    * collisions (none: doc_id is the key). */
+  def snapshotDiffOf(base: DataFrame, next: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val b = base.select($"doc_id", md5($"text").as("base_fp"))
+      .hint("shuffle_hash")
+    val n = next.select($"doc_id", md5($"text").as("next_fp"))
+      .hint("shuffle_hash")
+    b.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"base_fp".isNull, "added")
+          .when($"next_fp".isNull, "removed")
+          .when($"base_fp" =!= $"next_fp", "changed")
+          .otherwise("unchanged"))
+      .filter($"status" =!= "unchanged")
+      .select($"doc_id", $"status",
+        coalesce($"base_fp", lit("")).as("base_fp"),
+        coalesce($"next_fp", lit("")).as("next_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Fixture form (q100): the "next crawl" is derived deterministically
+    * from the base corpus — every 11th document (mod 3) disappears, every
+    * 7th (mod 2) gets revised text, and every 13th (mod 5) spawns a new
+    * document id one million above its parent — so both engines diff the
+    * same pair of snapshots without a second fixture table. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+    val next = base.filter($"doc_id" % 11 =!= 3)
+      .withColumn("text", when($"doc_id" % 7 === 2,
+        concat($"text", lit(" rev2"))).otherwise($"text"))
+      .unionByName(base.filter($"doc_id" % 13 === 5)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+        .withColumn("text", concat($"text", lit(" new"))))
+    snapshotDiffOf(base, next)
+  }
+
   /** Per-source cumulative-survival aggregation over a
     * `(source, f_ex, f_near, f_q, f_lang)` flag frame — the funnel's final
     * stage, shared by the batch form above (q81) and the streaming form

@@ -187,6 +187,42 @@ object Dedup {
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramPairs(spark, dir, threshold, maxDf).orderBy(col("d1"), col("d2"))
 
+  /** Per-document boilerplate ratio (q98) — the line-dedup signal of the
+    * CCNet/RefinedWeb lineage at shingle granularity: a 3-shingle is
+    * "boilerplate" when it appears in ≥ `minDf` distinct documents
+    * (headers, footers, license blurbs, navigation chrome), and each
+    * document reports what fraction of its distinct shingles are such
+    * corpus-common text. High-ratio documents are template pages a
+    * quality filter should drop; the ratio is also the per-doc evidence
+    * behind q21's maxDf gate ("how much of this doc is text the pair
+    * stage ignores").
+    *
+    * Scale shape: rides the MEMOIZED shingle stage (q21/q22's); one
+    * (shingle → df) partial agg, one join back on the 64-bit shingle key
+    * — pinned shuffled, both sides are corpus-sized — then a per-doc
+    * partial agg. No posting list materializes and no per-shingle group
+    * exceeds the df count pair. Documents under 3 tokens have no
+    * shingles and are absent, like the rest of the shingle family. */
+  def boilerplate(spark: SparkSession, dir: String,
+      minDf: Int = 3): DataFrame =
+    boilerplateOfShingles(shingles(spark, dir), minDf)
+
+  /** [[boilerplate]] over an already-built `(doc_id, s)` shingle frame. */
+  private[graft] def boilerplateOfShingles(sh: DataFrame,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf below 2 marks unique text common: $minDf")
+    val dfF = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
+    sh.join(dfF, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"), col("n_common"),
+        round(col("n_common") * lit(1.0) / col("n_grams"), 6)
+          .as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end dedup decisions: one row per document with `keep` ∈ {0,1}.
     * A document is dropped iff it near-duplicates (3-shingle Jaccard ≥
     * `threshold`) a smaller-id document — the greedy min-id-representative

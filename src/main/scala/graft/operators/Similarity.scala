@@ -710,4 +710,49 @@ object Similarity {
       .select($"rank", $"doc_id", $"bm25_rank", $"cos_rank", $"rrf_score")
       .orderBy($"rank")
   }
+
+  /** Per-dimension embedding statistics (q97) — the calibration audit run
+    * before quantization (q67) or whitening: for every dimension, count,
+    * zero count, min/max, the |max| that seeds a per-CHANNEL int8 scale
+    * (vs q67's per-vector scale), the mean, and the RMS. A dimension with
+    * max_abs 100× its RMS is an outlier channel that per-tensor
+    * quantization would crush — exactly what this table exists to catch.
+    *
+    * Determinism: min/max/max_abs compare exact float→double casts
+    * (order-free); mean and RMS use the engine's decimal-sum rule — each
+    * element (or its square, exact in a double: 24-bit float mantissa
+    * squares into 48 ≤ 53 bits) is quantized to a DECIMAL once, the sum
+    * is order-independent, and ONE double division/sqrt finishes — never
+    * a shuffled double sum.
+    *
+    * Scale shape: posexplode fans each vector into `dim` rows, but the
+    * aggregate partial-combines map-side, so the shuffle carries one row
+    * per (partition, dimension) — dimension-count-sized, corpus-size
+    * independent, like the count-min grid. No windows, no driver state. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStatsOf(vecs(spark, dir))
+
+  /** [[dimStats]] over an arbitrary `(vec_id, v: array<double>)` frame. */
+  def dimStatsOf(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .filter($"v".isNotNull &&
+        not(coalesce(exists($"v", x => x.isNull), lit(true))))
+      .select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"x" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min($"x").as("vmin"),
+        max($"x").as("vmax"),
+        max(abs($"x")).as("max_abs"),
+        (sum($"x".cast("decimal(28,14)")).cast("double") / count(lit(1)))
+          .as("mean_raw"),
+        (sum(($"x" * $"x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("msq_raw"))
+      .select($"dim", $"n", $"n_zero", $"vmin", $"vmax", $"max_abs",
+        round($"mean_raw", 6).as("mean"),
+        round(sqrt($"msq_raw"), 6).as("rms"))
+      .orderBy($"dim")
+  }
 }

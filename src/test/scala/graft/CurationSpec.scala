@@ -790,4 +790,106 @@ class CurationSpec extends SparkSpec {
         assert(r.getDouble(7) === rd(c.toDouble / uni(t2)), "p_prev")
     }
   }
+
+  test("token budget keeps the maximal quality-first prefix per source") {
+    import org.apache.spark.sql.Row
+    val budget = 200L
+    val out = Curation.tokenBudget(spark, sfDir, budget = budget)
+      .collect()
+    // independent greedy over the engine's own per-doc quality scores
+    // (oracle-bit-equal by q29) and whitespace token counts
+    val scored = TextAnalysis.qualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = scored.filter(_._2 > 0)
+      .groupBy { case (id, _, _) => src(id) }
+      .toSeq.flatMap { case (s, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, q) => (-q, id) }.zipWithIndex.flatMap {
+          case ((id, n, _), i) =>
+            cum += n
+            if (cum <= budget) Some((s, i + 1, id, n, cum)) else None
+        }
+      }.toSet
+    assert(out.map { case Row(s: String, rn: Int, id: Long, n: Long,
+        cum: Long, _) => (s, rn, id, n, cum) }.toSet === want)
+    // kept rows are a contiguous rank prefix and every source stays in
+    // budget; the boundary is binding on the fixture (not everything kept)
+    out.groupBy(_.getString(0)).foreach { case (s, rows) =>
+      val rns = rows.map(_.getInt(1)).sorted
+      assert(rns.toSeq === (1 to rows.length), s"rank prefix for $s")
+      assert(rows.map(_.getLong(4)).max <= budget, s"budget for $s")
+    }
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.length < total, "fixture budget must be binding")
+    // the salted prune is lossless: salts=1 (pure exact window) agrees
+    val one = Curation.tokenBudgetOf(
+      Tables.documents(spark, sfDir), budget, salts = 1).collect()
+    assert(one.map(_.toSeq).toSet === out.map(_.toSeq).toSet)
+  }
+
+  test("train order shards every doc once with contiguous md5 positions") {
+    val nShards = 16
+    val out = Curation.trainOrder(spark, sfDir, nShards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.map(_._3).sorted.toSeq === ids.sorted.toSeq,
+      "every doc exactly once")
+    // shard matches an independent md5 recompute; positions follow the
+    // md5 order key so the sequence is content-determined, not input-order
+    val keyOf = ids.map(id => id -> md5Hex(s"ord:$id")).toMap
+    out.foreach { case (shard, _, id) =>
+      val want = (java.lang.Long.parseLong(keyOf(id).take(15), 16)
+        % nShards).toInt
+      assert(shard === want, s"shard of doc $id")
+    }
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < nShards)
+      val byPos = rows.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq === (1L to rows.length).toSeq,
+        s"contiguous positions in shard $shard")
+      assert(byPos.map(r => keyOf(r._3)).toSeq === rows.map(r => keyOf(r._3))
+        .sorted.toSeq, s"md5-ordered within shard $shard")
+    }
+    val again = Curation.trainOrder(spark, sfDir, nShards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq, "deterministic across runs")
+  }
+
+  test("snapshot diff classifies added/removed/changed and drops the rest") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")
+    ).toDF("doc_id", "text")
+    val next = Seq(
+      (1L, "alpha"),          // unchanged — must not appear
+      (2L, "beta revised"),   // changed
+      (4L, "delta"),          // unchanged
+      (9L, "epsilon")         // added
+    ).toDF("doc_id", "text")  // 3 removed
+    val out = Curation.snapshotDiffOf(base, next).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getString(3))).toMap
+    assert(out.keySet === Set(2L, 3L, 9L))
+    assert(out(2L) === (("changed", md5Hex("beta"), md5Hex("beta revised"))))
+    assert(out(3L) === (("removed", md5Hex("gamma"), "")))
+    assert(out(9L) === (("added", "", md5Hex("epsilon"))))
+    // fixture form: statuses match the derivation rules exactly
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byStatus = Curation.snapshotDiff(spark, sfDir).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byStatus.getOrElse("removed", Set.empty) ===
+      ids.filter(_ % 11 == 3))
+    assert(byStatus.getOrElse("changed", Set.empty) ===
+      ids.filter(id => id % 7 == 2 && id % 11 != 3))
+    assert(byStatus.getOrElse("added", Set.empty) ===
+      ids.filter(_ % 13 == 5).map(_ + 1000000L))
+    assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed")))
+  }
 }

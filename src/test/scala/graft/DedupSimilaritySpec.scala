@@ -700,4 +700,74 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(keep === (if (ex + nd > 0) 0 else 1), s"keep rule at doc $d")
     }
   }
+
+  test("dim stats match hand computation and skip invalid vectors") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Some(Seq(Some(1.0), Some(-2.0)))),
+      (2L, Some(Seq(Some(0.0), Some(4.0)))),
+      (3L, Some(Seq(Some(3.0), Some(0.0)))),
+      (4L, None),                            // null vector: excluded
+      (5L, Some(Seq(Some(9.0), None)))       // null element: excluded
+    ).toDF("vec_id", "v")
+    val out = Similarity.dimStatsOf(vs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(0, 1))
+    val d0 = out(0)
+    assert(d0.getLong(1) === 3L && d0.getLong(2) === 1L) // n, n_zero
+    assert(d0.getDouble(3) === 0.0 && d0.getDouble(4) === 3.0) // min, max
+    assert(d0.getDouble(5) === 3.0)                      // max_abs
+    assert(d0.getDouble(6) === (4.0 / 3 * 1e6).round / 1e6)   // mean
+    assert(d0.getDouble(7) ===
+      (math.sqrt(10.0 / 3) * 1e6).round / 1e6)           // rms
+    val d1 = out(1)
+    assert(d1.getDouble(3) === -2.0 && d1.getDouble(5) === 4.0)
+    // fixture: 64 dims, every dimension sees every valid vector
+    val fix = Similarity.dimStats(spark, sfDir).collect()
+    assert(fix.length === 64)
+    assert(fix.map(_.getLong(1)).distinct.length === 1,
+      "all dims must count the same vector population")
+    fix.foreach { r =>
+      assert(r.getDouble(5) >= math.abs(r.getDouble(6)), "max_abs >= |mean|")
+      assert(r.getDouble(5) >= r.getDouble(7) - 1e-9, "max_abs >= rms")
+    }
+  }
+
+  test("boilerplate ratio counts df-common shingles per doc") {
+    import spark.implicits._
+    val sh = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a")
+    ).toDF("doc_id", "s")
+    val out = Dedup.boilerplateOfShingles(sh, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def rd(x: Double) = (x * 1e6).round / 1e6
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, rd(2.0 / 3)), // a(df=3), b(df=2) common; c unique
+      (2L, 2L, 2L, 1.0),
+      (3L, 1L, 1L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.boilerplateOfShingles(sh, minDf = 1)
+    }
+    // fixture: one row per shingle-carrying doc, ratios in [0,1], and the
+    // ratio agrees with an independent df recount
+    val fix = Dedup.boilerplate(spark, sfDir).collect()
+    val withGrams = Dedup.shinglesOf(Tables.documents(spark, sfDir))
+      .select($"doc_id").distinct().count()
+    assert(fix.length.toLong === withGrams)
+    val dfOf = Dedup.shinglesOf(Tables.documents(spark, sfDir))
+      .groupBy($"s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val grams = Dedup.shinglesOf(Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    fix.foreach { r =>
+      val (id, n, c, ratio) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n.toInt === grams(id).length, s"gram count at doc $id")
+      assert(c.toInt === grams(id).count(dfOf(_) >= 3), s"common at $id")
+      assert(ratio === rd(c.toDouble / n), s"ratio at doc $id")
+    }
+  }
 }

@@ -537,6 +537,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q95 token budget windows on source, no join, no global window") {
+    val p = plan(operators.Curation.tokenBudget(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"pure scan + windows, no join:\n$p")
+    assert(p.contains("windowspecdefinition(source#"),
+      s"exact window must partition by source:\n$p")
+    assert(p.contains("(doc_id#") && p.contains("% 8"),
+      s"salted partial window must precede the exact one:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition stage before the presentation sort:\n$p")
+  }
+
+  test("q96 train order exchanges on shard only, sorts within shard") {
+    val p = plan(operators.Curation.trainOrder(spark, sfDir))
+    assert(!p.contains("Join"), s"pure map + per-shard window:\n$p")
+    assert(p.contains("windowspecdefinition(shard#"),
+      s"window must partition by shard:\n$p")
+    assert(p.contains("hashpartitioning(shard#"),
+      s"the one data exchange hashes on shard:\n$p")
+  }
+
+  test("q97 dim stats partial-aggregates the exploded frame map-side") {
+    val p = plan(operators.Similarity.dimStats(spark, sfDir))
+    assert(!p.contains("Join"), s"per-dim rollup joins nothing:\n$p")
+    assert(p.contains("Generate posexplode"),
+      s"dims fan out via posexplode:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_count")),
+      s"aggregate must partial-combine before the dim shuffle:\n$p")
+  }
+
+  test("q98 boilerplate pins the df join shuffled over the shingle key") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.boilerplate(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"df-side is corpus-sized: the shingle join must stay shuffled:\n$p")
+  }
+
+  test("q100 snapshot diff ships digests, not text, into the outer join") {
+    val p = plan(operators.Curation.snapshotDiff(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin") && p.contains("FullOuter"),
+      s"corpus-sized sides full-outer join shuffled:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the md5 projection must be below the exchange: no `text` column may
+    // cross the wire
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.nonEmpty && !p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")),
+      s"only (doc_id, fp) may shuffle:\n$p")
+  }
+
   test("q76 temperature mix broadcasts rates, nest-loops only the totals") {
     val p = plan(operators.Curation.temperatureMix(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"),
