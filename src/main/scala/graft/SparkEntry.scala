@@ -230,6 +230,12 @@ object SparkEntry {
     // corpus-common (df >= 3) — the CCNet/RefinedWeb line-dedup signal at
     // shingle granularity, riding the memoized shingle stage.
     "q98_boilerplate" -> ((s, d) => Dedup.boilerplate(s, d)),
+    // Streaming near-dup ingestion against a durable LSH index: the q87
+    // daily batch made continuous — per-doc band/digest state only, so
+    // verdicts are batch-boundary-free and one SQL oracle checks the
+    // replayed stream's final frame.
+    "q99_stream_index_dedup" ->
+      ((s, d) => graft.streaming.Continuous.streamedIndexDedup(s, d)),
     // Crawl-to-crawl snapshot diff: added/removed/changed rows by content
     // digest — the delta that drives incremental re-embed/re-index.
     "q100_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(s, d))
@@ -2113,6 +2119,40 @@ object SparkEntry {
         |        / COUNT(*), 6) AS boilerplate_ratio
         |FROM sh JOIN df USING (s)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+
+    "q99_stream_index_dedup" ->
+      // the streamed replay's verdicts are per-doc-state only (bands +
+      // digests, no corpus-relative gate), so the batch twin is direct:
+      // an incoming doc (mod 10) is a dup iff it shares a digest or an
+      // LSH band bucket with a shipped doc (any id) or a smaller-id
+      // incoming doc — the q22 band grammar, the q87 precedence rules.
+      (s"""WITH $minhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |ex AS (
+        |  SELECT DISTINCT n.doc_id FROM hx n JOIN hx o ON n.h = o.h
+        |    AND n.doc_id <> o.doc_id
+        |    AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id)
+        |  WHERE n.doc_id % 10 = 0),
+        |bd AS (
+        |  SELECT DISTINCT n.doc_id FROM bands n JOIN bands o
+        |    ON n.band = o.band AND n.bh = o.bh AND n.doc_id <> o.doc_id
+        |    AND (o.doc_id % 10 <> 0 OR o.doc_id < n.doc_id)
+        |  WHERE n.doc_id % 10 = 0)
+        |SELECT d.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+        |  CASE WHEN bd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS band_dup,
+        |  CASE WHEN ex.doc_id IS NOT NULL OR bd.doc_id IS NOT NULL
+        |       THEN 0 ELSE 1 END AS keep
+        |FROM documents d
+        |LEFT JOIN ex ON d.doc_id = ex.doc_id
+        |LEFT JOIN bd ON d.doc_id = bd.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin),
 
     "q100_snapshot_diff" ->
       // the derived "next crawl" (drop mod-11, revise mod-7, add mod-13

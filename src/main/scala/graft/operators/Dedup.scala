@@ -481,14 +481,18 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir).orderBy(col("doc_id"))
 
+  /** MinHash signatures of an arbitrary `(doc_id, s)` shingle frame —
+    * per-doc state only (no corpus-relative gate), which is what lets the
+    * streaming index dedup ([[graft.streaming.Continuous]], q99) sign each
+    * micro-batch independently of everything already ingested. */
+  private[graft] def signaturesOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(sigCol(0), (1 until K).map(sigCol): _*)
+
   /** Memoized unordered signature stage (used 3× inside [[minhashLsh]],
     * and by [[Curation.bloomDedup]]'s incremental band-membership check). */
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"minhash:$dir") {
-      shingles(spark, dir)
-        .groupBy(col("doc_id"))
-        .agg(sigCol(0), (1 until K).map(sigCol): _*)
-    }
+    memo(spark, s"minhash:$dir")(signaturesOf(shingles(spark, dir)))
 
   /** MinHash+LSH near-dup candidates: 4 bands × 2 rows; docs sharing any
     * band bucket become candidates; estimated Jaccard = matching signature

@@ -587,6 +587,156 @@ object Continuous {
   def streamingDedup(stream: DataFrame, horizon: String): DataFrame =
     stream.withWatermark("ts", horizon).dropDuplicates("fp")
 
+  /** Streaming near-dup ingestion against a DURABLE LSH index (q99) — the
+    * continuous form of the daily-batch dedup (q87/q94): documents arrive
+    * in micro-batches, each batch is checked against the index the shipped
+    * corpus seeded, verdicts are appended, and the batch's own signatures
+    * JOIN the index so later arrivals dedup against it. Unlike the
+    * df-gated shingle pipeline — whose gate is corpus-relative and
+    * therefore changes as the stream grows — every piece of state here is
+    * per-document (8 MinHash signatures → 4 band buckets + one digest per
+    * doc), so a doc's verdict depends only on WHAT arrived before it,
+    * never on how the stream was chopped into batches.
+    *
+    * Verdict rules mirror [[graft.operators.Dedup]]'s incremental tier:
+    * the shipped corpus wins regardless of id (`exact_dup` on digest
+    * match, `band_dup` on any shared LSH band bucket), and within the
+    * increment the smaller id wins — so with the replay staged in
+    * ascending id order (ids stand in for arrival order, the production
+    * first-seen-wins rule) the final verdict frame is batch-boundary-free
+    * and one batch SQL oracle-checks it.
+    *
+    * Scale shape: per commit, one batch-sized signature build (shingle
+    * explode + 8-way min agg over the BATCH only), two semi-join probes
+    * into the band/digest state pinned shuffle_hash (state is
+    * corpus-sized; the probe side is batch-sized), and two batch-sized
+    * appends. The index grows ~80 bytes/doc — the [[graft.operators.Dedup.writeDedupIndex]]
+    * footprint contract — and nothing ever rescans the shipped corpus. */
+  def streamedIndexDedup(spark: SparkSession, dir: String,
+      chunks: Int = 5, maxVerdictRows: Int = 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val isInc = pmod(col("doc_id"), lit(10)) === 0
+    val run = runSeq.incrementAndGet()
+    val stateRoot = s"target/streamstage/lshindex/run$run"
+    val stagedDir = s"$stateRoot/incoming"
+    val bandsDir = s"$stateRoot/bands"
+    val hashesDir = s"$stateRoot/hashes"
+    val verdictDir = s"$stateRoot/verdicts"
+    val ckpt = s"target/streamstage/ckpt/lsh$run"
+    try withStreamShuffle(spark, 8) {
+      // durable index seeded from the shipped corpus (inc=0 rows win
+      // against any increment id)
+      val prior = docs.filter(!isInc)
+      graft.operators.Dedup.bandBuckets(
+          graft.operators.Dedup.signaturesOf(graft.operators.Dedup.shinglesOf(prior)))
+        .withColumn("inc", lit(0))
+        .write.mode("overwrite").parquet(bandsDir)
+      prior.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("inc", lit(0))
+        .write.mode("overwrite").parquet(hashesDir)
+      // stage the increment as ascending-id chunk files with increasing
+      // mtimes: the file source replays them oldest-first, so batch order
+      // = id order — the determinism device that lets ids stand in for
+      // arrival time (production ingestion ids are arrival-ordered)
+      val inc = docs.filter(isInc)
+      val chunked = inc.withColumn("chunk",
+        ntile(chunks).over(Window.orderBy(col("doc_id"))) - 1)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stagedDir))
+      val base = System.currentTimeMillis()
+      for (i <- 0 until chunks) {
+        val tmp = s"$stateRoot/tmp$i"
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one staged file, got $part")
+        val dst = java.nio.file.Paths.get(s"$stagedDir/chunk$i.parquet")
+        java.nio.file.Files.move(part.head.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000))
+        deleteRecursively(tmp)
+      }
+      val schema = spark.read.parquet(stagedDir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+        .writeStream
+        .outputMode("append")
+        .queryName(s"q99_lsh_$run")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.select(col("doc_id"), col("text")).persist()
+            try {
+              val bBands = graft.operators.Dedup.bandBuckets(
+                graft.operators.Dedup.signaturesOf(
+                  graft.operators.Dedup.shinglesOf(b)))
+                .withColumn("inc", lit(1)).persist()
+              val bHashes = b
+                .select(col("doc_id"), md5(col("text")).as("h"))
+                .withColumn("inc", lit(1)).persist()
+              try {
+                // state BEFORE this batch ∪ the batch itself: the
+                // o.inc=0-or-smaller-id predicate resolves both the
+                // cross-batch and the within-batch precedence
+                val allBands = spark.read.parquet(bandsDir)
+                  .unionByName(bBands)
+                val allHashes = spark.read.parquet(hashesDir)
+                  .unionByName(bHashes)
+                val ex = bHashes.as("n")
+                  .join(allHashes.as("o").hint("shuffle_hash"),
+                    col("n.h") === col("o.h") && (col("o.inc") === 0 ||
+                      col("o.doc_id") < col("n.doc_id")), "left_semi")
+                  .select(col("doc_id"))
+                val bd = bBands.as("n")
+                  .join(allBands.as("o").hint("shuffle_hash"),
+                    col("n.band") === col("o.band") &&
+                      col("n.bh") === col("o.bh") && (col("o.inc") === 0 ||
+                      col("o.doc_id") < col("n.doc_id")), "left_semi")
+                  .select(col("doc_id")).distinct()
+                b.select(col("doc_id"))
+                  .join(ex.withColumn("ex", lit(1)).hint("shuffle_hash"),
+                    Seq("doc_id"), "left")
+                  .join(bd.withColumn("bd", lit(1)).hint("shuffle_hash"),
+                    Seq("doc_id"), "left")
+                  .select(col("doc_id"),
+                    when(col("ex").isNotNull, 1).otherwise(0)
+                      .as("exact_dup"),
+                    when(col("bd").isNotNull, 1).otherwise(0)
+                      .as("band_dup"))
+                  .withColumn("keep",
+                    when(col("exact_dup") + col("band_dup") > 0, 0)
+                      .otherwise(1))
+                  .write.mode("append").parquet(verdictDir)
+                // index += the WHOLE batch (dups included): later
+                // arrivals must match the first-seen copy even when a
+                // middle copy was dropped
+                bBands.write.mode("append").parquet(bandsDir)
+                bHashes.write.mode("append").parquet(hashesDir)
+              } finally { bBands.unpersist(); bHashes.unpersist(); () }
+            } finally { b.unpersist(); () }
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val out = spark.read.parquet(verdictDir)
+      val rows = out.limit(maxVerdictRows + 1).collect()
+      require(rows.length <= maxVerdictRows,
+        s"verdict frame exceeds $maxVerdictRows rows")
+      require(rows.length.toLong == inc.count(),
+        "one verdict per incoming doc")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, out.schema)
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(stateRoot)
+    }
+  }
+
   /** One progressive snapshot: progress fraction + the aggregate-so-far. */
   case class Snapshot(progress: Double, rows: Seq[Row])
 

@@ -517,4 +517,44 @@ class StreamingSpec extends SparkSpec {
     val fin = snaps.last.rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fin === batch)
   }
+
+  test("q99: streamed index dedup is batch-boundary-free and matches its batch twin") {
+    import spark.implicits._
+    def verdicts(chunks: Int) =
+      Continuous.streamedIndexDedup(spark, sfDir, chunks = chunks)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    val streamed = verdicts(5)
+    // chunk-boundary independence: the SAME verdict frame whatever the
+    // replay's batch size — the per-doc-state design contract
+    assert(verdicts(2) === streamed,
+      "verdicts must not depend on micro-batch boundaries")
+    // batch twin, directly from the band/digest definitions
+    val docs = Tables.documents(spark, sfDir)
+    val bands = graft.operators.Dedup.bandBuckets(
+      graft.operators.Dedup.signaturesOf(
+        graft.operators.Dedup.shinglesOf(docs)))
+    def precedent = (col("o.doc_id") % 10 =!= 0) ||
+      (col("o.doc_id") < col("n.doc_id"))
+    val hx = docs.select($"doc_id", md5($"text").as("h"))
+    val ex = hx.as("n").filter($"n.doc_id" % 10 === 0)
+      .join(hx.as("o"), $"n.h" === $"o.h" &&
+        $"n.doc_id" =!= $"o.doc_id" && precedent, "left_semi")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val bd = bands.as("n").filter($"n.doc_id" % 10 === 0)
+      .join(bands.as("o"), $"n.band" === $"o.band" &&
+        $"n.bh" === $"o.bh" && $"n.doc_id" =!= $"o.doc_id" && precedent,
+        "left_semi")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val incoming = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.map(_._1).toSet === incoming, "one row per incoming doc")
+    streamed.foreach { case (id, e, b, keep) =>
+      assert(e === (if (ex(id)) 1 else 0), s"exact_dup at doc $id")
+      assert(b === (if (bd(id)) 1 else 0), s"band_dup at doc $id")
+      assert(keep === (if (e + b > 0) 0 else 1), s"keep rule at doc $id")
+    }
+    assert(streamed.exists(_._4 == 0) && streamed.exists(_._4 == 1),
+      "fixture must exercise both verdicts")
+  }
 }
