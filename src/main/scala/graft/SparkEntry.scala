@@ -238,7 +238,17 @@ object SparkEntry {
       ((s, d) => graft.streaming.Continuous.streamedIndexDedup(s, d)),
     // Crawl-to-crawl snapshot diff: added/removed/changed rows by content
     // digest — the delta that drives incremental re-embed/re-index.
-    "q100_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(s, d))
+    "q100_snapshot_diff" -> ((s, d) => Curation.snapshotDiff(s, d)),
+    // Per-source token-distribution drift: KL(source || corpus) with the
+    // q70 decimal-quantized ln carve-out — the content-shift monitor a
+    // corpus refresh runs before a drifted source trains.
+    "q101_term_drift" -> ((s, d) => TextAnalysis.termDrift(s, d)),
+    // Per-column expectations audit: nulls/distincts/min/max per column —
+    // the schema-level quality gate on every new corpus drop.
+    "q102_column_audit" -> ((s, d) => Curation.columnAudit(s, d)),
+    // Language-ID confusion matrix: (labeled, predicted) cells with
+    // row-normalized recall — the accuracy audit over the q28 classifier.
+    "q107_lid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2175,6 +2185,101 @@ object SparkEntry {
         |  COALESCE(next_fp, '') AS next_fp
         |FROM b FULL OUTER JOIN n ON b.doc_id = n.doc_id
         |WHERE b.doc_id IS NULL OR n.doc_id IS NULL OR base_fp <> next_fp
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q101_term_drift" ->
+      // the q70 ln protocol: per-term contribution quantized to
+      // DECIMAL(28,14) before the order-free per-source sum, one double
+      // conversion, 6-dp round; double op order mirrors the Spark chain.
+      """WITH st AS (
+        |  SELECT source, tok, COUNT(*) AS cs FROM (
+        |    SELECT source,
+        |      unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |        t -> t <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |ct AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS cc FROM st GROUP BY tok),
+        |stot AS (
+        |  SELECT source, CAST(SUM(cs) AS BIGINT) AS ts,
+        |    COUNT(*) AS n_terms
+        |  FROM st GROUP BY source),
+        |ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS tc FROM ct)
+        |SELECT st.source, stot.ts AS n_tokens, stot.n_terms AS n_terms,
+        |  ROUND(CAST(SUM(CAST(
+        |    (CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)) *
+        |    ln((CAST(cs AS DOUBLE) * tc) /
+        |       (CAST(cc AS DOUBLE) * CAST(ts AS DOUBLE)))
+        |    AS DECIMAL(28,14))) AS DOUBLE), 6) AS kl_divergence
+        |FROM st JOIN ct USING (tok) JOIN stot USING (source), ctot
+        |GROUP BY st.source, stot.ts, stot.n_terms
+        |ORDER BY source""".stripMargin,
+
+    "q102_column_audit" ->
+      // one per-column aggregate each, unioned — min/max taken on the
+      // native type THEN rendered as VARCHAR (lexicographic min of a
+      // numeric column would be wrong).
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS vmin,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS vmax
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    COUNT(DISTINCT text), MIN(text), MAX(text)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    COUNT(DISTINCT source), MIN(source), MAX(source)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    COUNT(DISTINCT n_chars),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY col_name""".stripMargin,
+
+    "q107_lid_confusion" ->
+      // the q28 classifier core verbatim, rolled up to (lang, pred_lang)
+      // cells with a row-normalized share.
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      t -> t <> '')) AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','is') THEN 1 ELSE 0 END) AS s_en,
+        |    SUM(CASE WHEN tok IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS s_de,
+        |    SUM(CASE WHEN tok IN ('le','la','et','les','des','un') THEN 1 ELSE 0 END) AS s_fr,
+        |    SUM(CASE WHEN tok IN ('el','los','las','y','es','una') THEN 1 ELSE 0 END) AS s_es,
+        |    SUM(CASE WHEN tok IN ('的','是','在','了','我','和') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM toks GROUP BY doc_id, lang),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN s_en = m AND m > 0 THEN 'en'
+        |         WHEN s_de = m AND m > 0 THEN 'de'
+        |         WHEN s_fr = m AND m > 0 THEN 'fr'
+        |         WHEN s_es = m AND m > 0 THEN 'es'
+        |         WHEN s_zh = m AND m > 0 THEN 'zh'
+        |         ELSE 'und' END AS pred_lang
+        |  FROM (SELECT *, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS m FROM s)),
+        |c AS (
+        |  SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        |  GROUP BY lang, pred_lang),
+        |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY lang)
+        |SELECT c.lang, c.pred_lang, c.n AS n,
+        |  ROUND(c.n * 1.0 / t.t, 6) AS share
+        |FROM c JOIN t USING (lang)
+        |ORDER BY lang, pred_lang""".stripMargin
   )
 }

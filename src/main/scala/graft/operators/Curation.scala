@@ -1044,4 +1044,39 @@ object Curation {
         sum(col("f_ex") * col("f_near") * col("f_q") * col("f_lang"))
           .cast("bigint").as("n_final"))
       .orderBy(col("source"))
+
+  /** Per-column expectations audit (q102) — the schema-level data-quality
+    * pass a pipeline runs on every new corpus drop before any curation
+    * logic touches it: for each column, the row count, null count,
+    * distinct count, and min/max rendered as strings (one uniform report
+    * schema across column types). A column whose null rate or value range
+    * jumped between drops is the earliest possible corruption signal —
+    * cheaper than any content-level check downstream.
+    *
+    * Scale shape: one single-pass aggregate PER COLUMN, each scanning only
+    * its own column (parquet column pruning makes the N scans read the
+    * same bytes one N-column scan would) — no expand-based
+    * multi-countDistinct blowing up the shuffle row count; min/max/count
+    * partial-aggregate map-side, countDistinct shuffles the column's
+    * distinct values only. */
+  def columnAudit(spark: SparkSession, dir: String): DataFrame =
+    columnAuditOf(Tables.documents(spark, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** [[columnAudit]] over an arbitrary frame and column list. */
+  def columnAuditOf(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column to audit")
+    columns.map { c =>
+      df.select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("vmin"),
+          max(col(c)).cast("string").as("vmax"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("vmin"), col("vmax"))
+    }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
 }

@@ -596,4 +596,71 @@ object TextAnalysis {
         round($"pair_count" * lit(1.0) / $"c2", 6).as("p_prev"))
       .orderBy($"rank")
   }
+
+  /** Per-source token-distribution drift (q101) — KL(source ‖ corpus) over
+    * whitespace-token unigram distributions: the drift monitor a corpus
+    * refresh pipeline runs to catch a source whose content shifted (a crawl
+    * gone off-topic, a mis-tagged dump) before it trains. Every source
+    * token is by construction in the corpus support, so the divergence is
+    * always finite.
+    *
+    * Determinism: the ln() follows the q70 protocol (the documented
+    * transcendental carve-out) — each per-term contribution
+    * p_s·ln(p_s/p_c) is quantized to DECIMAL(28,14) before the
+    * order-independent per-source sum, converted to double once, rounded
+    * to 6 decimals.
+    *
+    * Scale shape: one (source, token) partial-agg shuffle; the corpus term
+    * frame derives from it (no second corpus scan) and joins back SHUFFLED
+    * on the token — it is vocabulary-sized, and broadcasting it is the q21
+    * keep-list mistake. Per-source totals are a source-count-bounded
+    * broadcast; the corpus total a one-row broadcast crossJoin. */
+  def termDrift(spark: SparkSession, dir: String): DataFrame =
+    termDriftOf(Tables.documents(spark, dir))
+
+  /** [[termDrift]] over an arbitrary `(source, text)` frame. */
+  def termDriftOf(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
+    val stot = st.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ts"), count(lit(1)).as("n_terms"))
+    val ctot = ct.agg(sum(col("cc")).cast("double").as("tc"))
+    st
+      .join(ct.hint("shuffle_hash"), Seq("tok"))
+      .join(broadcast(stot), Seq("source"))
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("ts"), col("n_terms"),
+        ((col("cs").cast("double") / col("ts").cast("double")) *
+          log((col("cs").cast("double") * col("tc")) /
+              (col("cc").cast("double") * col("ts").cast("double"))))
+          .cast("decimal(28,14)").as("term"))
+      .groupBy(col("source"), col("ts"), col("n_terms"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl_divergence"))
+      .select(col("source"), col("ts").as("n_tokens"), col("n_terms"),
+        col("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
+  /** Language-ID confusion matrix (q107) — the accuracy audit over the q28
+    * classifier: per (labeled, predicted) cell, the document count and its
+    * share of the labeled language's documents (row-normalized recall).
+    * The audit a pipeline reads before trusting the classifier to route
+    * documents into per-language training mixes.
+    *
+    * Scale shape: rides [[langId]]'s zero-shuffle per-row scoring; the
+    * rollup is one partial-agg shuffle to ≤ |langs|² cells, and the
+    * row-total join broadcasts the ≤ |langs|-row frame. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+    cells
+      .join(broadcast(rowTotals), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n") * lit(1.0) / col("t"), 6).as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
 }

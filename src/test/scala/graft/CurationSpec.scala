@@ -892,4 +892,60 @@ class CurationSpec extends SparkSpec {
       ids.filter(_ % 13 == 5).map(_ + 1000000L))
     assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed")))
   }
+
+  test("term drift is zero for a corpus-shaped source, positive for a skew") {
+    import spark.implicits._
+    // two sources with IDENTICAL token distributions -> corpus equals each,
+    // so KL(source || corpus) = 0 for both; a third source of unseen-mix
+    // tokens drags the corpus distribution away from the first two
+    val uniform = Seq(
+      (1L, "alpha beta gamma", "s1"), (2L, "alpha beta gamma", "s2")
+    ).toDF("doc_id", "text", "source")
+    val kl0 = TextAnalysis.termDriftOf(uniform).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl0 === Map("s1" -> 0.0, "s2" -> 0.0))
+    val skewed = uniform.unionAll(
+      Seq((3L, "delta delta delta delta delta delta", "s3"))
+        .toDF("doc_id", "text", "source"))
+    val kl = TextAnalysis.termDriftOf(skewed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = kl.map(r => r._1 -> r).toMap
+    // Gibbs: KL >= 0 always, and every source now differs from the corpus
+    assert(kl.forall(_._4 > 0.0))
+    assert(bySrc("s3")._2 === 6L && bySrc("s3")._3 === 1L)
+    // s1/s2 stay symmetric (identical content -> identical divergence)
+    assert(bySrc("s1")._4 === bySrc("s2")._4)
+  }
+
+  test("column audit reports nulls, distincts and native-typed ranges") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (2L, "bb"), (10L, null), (9L, "a"), (null, "bb")
+    ).toDF("id", "s")
+    val out = Curation.columnAuditOf(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    // min/max on the NATIVE type then rendered: 2 < 9 < 10 numerically
+    // (a lexicographic min would say "10" < "2")
+    assert(out("id") === ((4L, 1L, 3L, "2", "10")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "bb")))
+  }
+
+  test("lang-id confusion cells partition the corpus and shares row-sum to 1") {
+    val docs = Tables.documents(spark, sfDir)
+    val perDoc = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val cells = TextAnalysis.langIdConfusion(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3)))
+    // cells reproduce the per-doc rollup exactly
+    val expected = perDoc.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(cells.map(c => c._1 -> c._2).toMap === expected.toMap)
+    assert(cells.map(_._2).sum === docs.count())
+    // per labeled language, the shares sum to 1 (6-dp rounding slack)
+    cells.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    }
+  }
 }
