@@ -246,6 +246,14 @@ object SparkEntry {
     // Per-column expectations audit: nulls/distincts/min/max per column —
     // the schema-level quality gate on every new corpus drop.
     "q102_column_audit" -> ((s, d) => Curation.columnAudit(s, d)),
+    // Windowed co-occurrence PMI: the collocation/association statistic
+    // behind phrase mining and word2vec-style pre-training, reported for
+    // the top-k pairs so output stays recipe-sized at any scale.
+    "q103_pmi_cooc" -> ((s, d) => TextAnalysis.pmiCooc(s, d)),
+    // Johnson-Lindenstrauss sign projection: deterministic md5-derived
+    // +/-1 matrix compresses embeddings 64 -> 16 dims before ANN/cluster
+    // stages — no stored model, any executor regenerates any entry.
+    "q104_jl_projection" -> ((s, d) => Similarity.jlProjection(s, d)),
     // Language-ID confusion matrix: (labeled, predicted) cells with
     // row-normalized recall — the accuracy audit over the q28 classifier.
     "q107_lid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d))
@@ -2247,6 +2255,65 @@ object SparkEntry {
         |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
         |  FROM documents)
         |ORDER BY col_name""".stripMargin,
+
+    "q103_pmi_cooc" ->
+      // pairs within a +/-2 positional window, unordered-normalized;
+      // PMI is one ln() per OUTPUT row (q70 carve-out) over integer
+      // counts and one-row double totals — no shuffled double sums.
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT LEAST(t[i], t[j]) AS w1, GREATEST(t[i], t[j]) AS w2
+        |  FROM (
+        |    SELECT t, i, unnest(range(i + 1, LEAST(i + 2, len(t)) + 1)) AS j
+        |    FROM (
+        |      SELECT t, unnest(range(1, len(t))) AS i
+        |      FROM toks WHERE len(t) >= 2))),
+        |pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM pr GROUP BY w1, w2),
+        |tp AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS tp FROM pc),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM uni),
+        |top AS (
+        |  SELECT w1, w2, pair_count,
+        |    ROW_NUMBER() OVER (ORDER BY pair_count DESC, w1, w2) AS rank
+        |  FROM pc QUALIFY rank <= 20)
+        |SELECT CAST(rank AS INTEGER) AS rank, w1, w2, pair_count,
+        |  u1.c AS c1, u2.c AS c2,
+        |  ROUND(ln((CAST(pair_count AS DOUBLE) / tp) /
+        |    ((CAST(u1.c AS DOUBLE) / tt) * (CAST(u2.c AS DOUBLE) / tt))), 6)
+        |    AS pmi
+        |FROM top
+        |JOIN uni u1 ON top.w1 = u1.w
+        |JOIN uni u2 ON top.w2 = u2.w, tp, tt
+        |ORDER BY rank""".stripMargin,
+
+    "q104_jl_projection" ->
+      // the q97 decimal protocol: each x*s(j,d) product quantized to
+      // DECIMAL(28,14) before the order-free (vec, j) sum; sign from the
+      // top bit of md5(j:d)'s first hex digit; one double division by
+      // sqrt(16) = 4.0.
+      """WITH val AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, e -> e IS NULL)) = 0),
+        |x AS (
+        |  SELECT vec_id, d, v[d + 1] AS x, j
+        |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS d FROM val),
+        |       (SELECT unnest(range(16)) AS j)),
+        |p AS (
+        |  SELECT vec_id, j,
+        |    SUM(CAST(x * (CASE WHEN substr(md5(concat(j, ':', d)), 1, 1)
+        |        IN ('0','1','2','3','4','5','6','7')
+        |        THEN 1.0 ELSE -1.0 END) AS DECIMAL(28,14))) AS acc
+        |  FROM x GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(j AS INTEGER) AS j,
+        |  ROUND(CAST(acc AS DOUBLE) / 4.0, 6) AS y
+        |FROM p ORDER BY vec_id, j""".stripMargin,
 
     "q107_lid_confusion" ->
       // the q28 classifier core verbatim, rolled up to (lang, pred_lang)

@@ -755,4 +755,48 @@ object Similarity {
         round(sqrt($"msq_raw"), 6).as("rms"))
       .orderBy($"dim")
   }
+
+  /** Johnson–Lindenstrauss random projection (q104) — compress each
+    * embedding to `outDim` dimensions with a deterministic ±1 sign matrix
+    * (Achlioptas' database-friendly JL variant: s(j,d) = ±1 from the md5
+    * of (j, d), scaled by 1/√outDim). The dimensionality-reduction step a
+    * pipeline runs before ANN indexing or clustering when the full width
+    * is too expensive — JL guarantees pairwise distances survive within
+    * (1±ε) at outDim = O(ln n / ε²), and the sign matrix needs no stored
+    * model: any executor regenerates any entry from the hash.
+    *
+    * Determinism: each product x·s(j,d) is quantized to DECIMAL(28,14)
+    * before the order-free per-(vector, j) sum (the q97 protocol), ONE
+    * double division by √outDim, 6-dp round.
+    *
+    * Scale shape: the dim × outDim explode fans each vector into
+    * 64·outDim rows, but the aggregate partial-combines map-side to
+    * `outDim` rows per vector before the one shuffle — corpus-linear with
+    * a constant factor, no model state, no driver collect. Long-form
+    * output (vec_id, j, y) keeps the schema width-independent. */
+  def jlProjection(spark: SparkSession, dir: String,
+      outDim: Int = 16): DataFrame =
+    jlProjectionOf(vecs(spark, dir), outDim)
+
+  /** [[jlProjection]] over an arbitrary `(vec_id, v: array<double>)`
+    * frame. */
+  def jlProjectionOf(embeddings: DataFrame, outDim: Int = 16): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    require(outDim > 0, s"need positive outDim, got $outDim")
+    embeddings
+      .filter($"v".isNotNull &&
+        not(coalesce(exists($"v", x => x.isNull), lit(true))))
+      .select($"vec_id", posexplode($"v").as(Seq("d", "x")))
+      .select($"vec_id", $"d", $"x",
+        explode(expr(s"sequence(0, ${outDim - 1})")).as("j"))
+      .withColumn("s",
+        when(substring(md5(concat($"j", lit(":"), $"d")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))
+          .otherwise(lit(-1.0)))
+      .groupBy($"vec_id", $"j")
+      .agg(sum(($"x" * $"s").cast("decimal(28,14)")).as("acc"))
+      .select($"vec_id", $"j",
+        round($"acc".cast("double") / math.sqrt(outDim), 6).as("y"))
+      .orderBy($"vec_id", $"j")
+  }
 }

@@ -643,6 +643,66 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Windowed co-occurrence PMI (q103) — pointwise mutual information over
+    * token pairs within a ±`window` positional window: the association
+    * statistic behind phrase mining, collocation detection, and classic
+    * embedding pre-training (word2vec's positive samples are exactly these
+    * windowed pairs). Reported for the `k` most frequent unordered pairs,
+    * so the output is recipe-sized at any corpus scale.
+    *
+    * Determinism: PMI is a single ln() per OUTPUT row (the q70 carve-out;
+    * no shuffled double sums anywhere — the inputs are integer counts and
+    * one-row double totals), rounded to 6 decimals.
+    *
+    * Scale shape: the window explode emits ≤ `window` pairs per token
+    * (corpus-linear, not quadratic), partial-aggregated map-side into the
+    * one (w1, w2) shuffle; unigram counts join only for the ≤ 2k tokens
+    * the top-k needs (semi-join gate, broadcast of a k-bounded frame);
+    * totals are one-row broadcast crossJoins. */
+  def pmiCooc(spark: SparkSession, dir: String, window: Int = 2,
+      k: Int = 20): DataFrame =
+    pmiCoocOf(Tables.documents(spark, dir), window, k)
+
+  /** [[pmiCooc]] over an arbitrary `(text)` frame. */
+  def pmiCoocOf(docs: DataFrame, window: Int = 2, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && k > 0, s"need window >= 1 and k > 0, got $window/$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(tokens($"text").as("t"))
+    val pc = toks
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(t) - 1), i ->
+           |  transform(sequence(i + 1, least(i + $window, size(t))),
+           |    j -> struct(least(element_at(t, i), element_at(t, j)) AS w1,
+           |                greatest(element_at(t, i), element_at(t, j)) AS w2))))"""
+          .stripMargin)).as("p"))
+      .groupBy($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val tp = pc.agg(sum($"pair_count").cast("double").as("tp"))
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val tt = uni.agg(sum($"c").cast("double").as("tt"))
+    val top = pc.orderBy($"pair_count".desc, $"w1", $"w2").limit(k)
+    val wanted = top.select($"w1".as("w")).union(top.select($"w2")).distinct()
+    val uniSmall = uni.join(broadcast(wanted), Seq("w"), "left_semi")
+    top
+      .join(broadcast(uniSmall.select($"w".as("w1"), $"c".as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uniSmall.select($"w".as("w2"), $"c".as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(tp))
+      .crossJoin(broadcast(tt))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"pair_count".desc, $"w1", $"w2")))
+      .select($"rank", $"w1", $"w2", $"pair_count", $"c1", $"c2",
+        round(log(($"pair_count".cast("double") / $"tp") /
+          (($"c1".cast("double") / $"tt") * ($"c2".cast("double") / $"tt"))),
+          6).as("pmi"))
+      .orderBy($"rank")
+  }
+
   /** Language-ID confusion matrix (q107) — the accuracy audit over the q28
     * classifier: per (labeled, predicted) cell, the document count and its
     * share of the labeled language's documents (row-normalized recall).

@@ -932,6 +932,31 @@ class CurationSpec extends SparkSpec {
     assert(out("s") === ((4L, 1L, 2L, "a", "bb")))
   }
 
+  test("windowed PMI matches a hand computation and respects the window") {
+    import spark.implicits._
+    // 3x "a b" + 1x "c d": adjacent pairs only; tt = 8 tokens, tp = 4 pairs
+    val docs = Seq("a b", "a b", "a b", "c d").toDF("text")
+    val out = TextAnalysis.pmiCoocOf(docs, window = 2, k = 10).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(6)))).toMap
+    assert(out.keySet === Set(("a", "b"), ("c", "d")))
+    assert(out(("a", "b"))._1 === 3L)
+    // PMI(a,b) = ln((3/4) / ((3/8)*(3/8))) ; PMI(c,d) = ln((1/4)/((1/8)^2))
+    assert(math.abs(out(("a", "b"))._2 -
+      math.log((3.0 / 4) / ((3.0 / 8) * (3.0 / 8)))) < 1e-6)
+    assert(math.abs(out(("c", "d"))._2 -
+      math.log((1.0 / 4) / ((1.0 / 8) * (1.0 / 8)))) < 1e-6)
+    // window = 2 reaches one past adjacency: "a b c" pairs all three
+    val tri = Seq("a b c").toDF("text")
+    val pairs = TextAnalysis.pmiCoocOf(tri, window = 2, k = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(pairs === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // window = 1 keeps only adjacency
+    val adj = TextAnalysis.pmiCoocOf(tri, window = 1, k = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(adj === Set(("a", "b"), ("b", "c")))
+  }
+
   test("lang-id confusion cells partition the corpus and shares row-sum to 1") {
     val docs = Tables.documents(spark, sfDir)
     val perDoc = TextAnalysis.langId(spark, sfDir).collect()

@@ -770,4 +770,40 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(ratio === rd(c.toDouble / n), s"ratio at doc $id")
     }
   }
+
+  test("JL projection is linear, deterministic, and norm-preserving on average") {
+    import spark.implicits._
+    val base = Seq(0.5, -1.25, 2.0, 0.0, 3.5, -0.75, 1.0, -2.0)
+    val twice = base.map(_ * 2.0)
+    val vs = Seq((1L, base), (2L, twice), (3L, base))
+      .toDF("vec_id", "v")
+    val out = Similarity.jlProjectionOf(vs, outDim = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 12)
+    (0 until 4).foreach { j =>
+      // deterministic sign matrix: identical vectors project identically,
+      // and scaling the input scales the output (inputs chosen so the
+      // decimal quantization is exact and 2x stays within 6-dp rounding)
+      assert(out((1L, j)) === out((3L, j)), s"determinism at j=$j")
+      assert(math.abs(out((2L, j)) - 2.0 * out((1L, j))) < 1e-9,
+        s"linearity at j=$j")
+    }
+    // JL contract on the fixture: squared-norm ratio concentrates around 1
+    val proj = Similarity.jlProjection(spark, sfDir, outDim = 16)
+      .groupBy($"vec_id").agg(sum($"y" * $"y").as("p2"))
+    val orig = Tables.embeddings(spark, sfDir)
+      .filter($"embedding".isNotNull &&
+        not(coalesce(exists($"embedding", x => x.isNull), lit(true))))
+      .select($"vec_id",
+        aggregate($"embedding", lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+    val ratios = proj.join(orig, Seq("vec_id"))
+      .select(($"p2" / $"n2").as("r")).collect().map(_.getDouble(0)).sorted
+    assert(ratios.nonEmpty)
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.4 && median < 2.5,
+      s"median norm ratio $median outside the JL band")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.6, s"mean norm ratio $mean drifted")
+  }
 }
