@@ -254,6 +254,13 @@ object SparkEntry {
     // +/-1 matrix compresses embeddings 64 -> 16 dims before ANN/cluster
     // stages — no stored model, any executor regenerates any entry.
     "q104_jl_projection" -> ((s, d) => Similarity.jlProjection(s, d)),
+    // Dedup threshold calibration: pair/doc/loser counts at a ladder of
+    // Jaccard thresholds from ONE pass over the memoized intersection
+    // stage — the curve read before committing a dedup policy.
+    "q105_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    // Near-dup cluster-size histogram, singletons included: the one-line
+    // duplication profile of the corpus next to the q105 sweep.
+    "q106_cluster_sizes" -> ((s, d) => Curation.clusterSizes(s, d)),
     // Language-ID confusion matrix: (labeled, predicted) cells with
     // row-normalized recall — the accuracy audit over the q28 classifier.
     "q107_lid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d))
@@ -2314,6 +2321,54 @@ object SparkEntry {
         |SELECT vec_id, CAST(j AS INTEGER) AS j,
         |  ROUND(CAST(acc AS DOUBLE) / 4.0, 6) AS y
         |FROM p ORDER BY vec_id, j""".stripMargin,
+
+    "q105_threshold_sweep" ->
+      // the q21 candidate chain WITHOUT its fixed threshold; each pair
+      // tags every ladder rung its rounded Jaccard clears.
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT d1, d2, ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id),
+        |th AS (
+        |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |    AS threshold),
+        |tagged AS (
+        |  SELECT threshold, d1, d2 FROM jd, th WHERE jaccard >= threshold),
+        |pa AS (
+        |  SELECT threshold, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT d2) AS n_losers
+        |  FROM tagged GROUP BY threshold),
+        |da AS (
+        |  SELECT threshold, COUNT(DISTINCT doc) AS n_docs FROM (
+        |    SELECT threshold, d1 AS doc FROM tagged
+        |    UNION ALL SELECT threshold, d2 FROM tagged)
+        |  GROUP BY threshold)
+        |SELECT pa.threshold, n_pairs, n_docs, n_losers
+        |FROM pa JOIN da USING (threshold)
+        |ORDER BY threshold""".stripMargin),
+
+    "q106_cluster_sizes" ->
+      // the q50 component chain rolled up twice: cluster -> size,
+      // size -> (n_clusters, n_docs); singletons ride the COALESCE.
+      (s"""WITH RECURSIVE $ngramPairsCte,
+        |${ccCte("doc_id")},
+        |assigned AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sizes AS (
+        |  SELECT cluster, COUNT(*) AS size FROM assigned GROUP BY cluster)
+        |SELECT size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(size) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY size ORDER BY size""".stripMargin),
 
     "q107_lid_confusion" ->
       // the q28 classifier core verbatim, rolled up to (lang, pred_lang)

@@ -1045,6 +1045,25 @@ object Curation {
           .cast("bigint").as("n_final"))
       .orderBy(col("source"))
 
+  /** Near-dup cluster-size histogram (q106) — how many clusters of each
+    * size the q50 contraction produced, singletons included: the one-line
+    * duplication profile of a corpus (a heavy tail of large clusters means
+    * boilerplate or mirror sites; a spike at size N means an N-way crawl
+    * overlap). Reading it next to [[Dedup.thresholdSweep]] tells a
+    * pipeline owner what the chosen threshold actually did.
+    *
+    * Scale shape: rides [[dedupClusters]] (memoized pair stage + the
+    * O(log n) star contraction); two partial-agg shuffles collapse to a
+    * cluster-count frame then a size-count frame — output is bounded by
+    * the largest cluster size, never corpus-sized. */
+  def clusterSizes(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
+    dedupClusters(spark, dir, threshold, maxDf)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("size")).as("n_docs"))
+      .orderBy(col("size"))
+
   /** Per-column expectations audit (q102) — the schema-level data-quality
     * pass a pipeline runs on every new corpus drop before any curation
     * logic touches it: for each column, the row count, null count,

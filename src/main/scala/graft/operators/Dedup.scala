@@ -223,6 +223,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup threshold calibration sweep (q105) — the pair/doc counts at a
+    * ladder of Jaccard thresholds, from ONE pass over the memoized
+    * intersection stage: how many pairs, how many involved documents, and
+    * how many would-be losers (the q35 min-id rule's d2 side) each
+    * candidate threshold implies. This is the curve a pipeline owner reads
+    * to pick the dedup threshold — run the expensive candidate stage once,
+    * see every policy's yield before committing one.
+    *
+    * Scale shape: rides [[interCounts]] (built once per session for the
+    * whole shingle family); each surviving pair explodes into at most
+    * |thresholds| tagged rows (a constant), then two partial-agg shuffles
+    * to a |thresholds|-row frame. Nothing new touches the corpus. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      maxDf: Int = 100): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val minTh = thresholds.min
+    val jd = interCounts(spark, dir, maxDf)
+      .select(col("d1"), col("d2"),
+        round(col("i") * lit(1.0) / (col("c1") + col("c2") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minTh)
+    val arr = thresholds.sorted.map(t => s"${t}D").mkString(",")
+    val tagged = jd.select(col("d1"), col("d2"),
+      explode(expr(s"filter(array($arr), t -> jaccard >= t)"))
+        .as("threshold"))
+    val pairsAgg = tagged.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("d2")).as("n_losers"))
+    val docsAgg = tagged.select(col("threshold"), col("d1").as("doc"))
+      .union(tagged.select(col("threshold"), col("d2")))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    pairsAgg.join(docsAgg, Seq("threshold"))
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+        col("n_losers"))
+      .orderBy(col("threshold"))
+  }
+
   /** End-to-end dedup decisions: one row per document with `keep` ∈ {0,1}.
     * A document is dropped iff it near-duplicates (3-shingle Jaccard ≥
     * `threshold`) a smaller-id document — the greedy min-id-representative

@@ -771,6 +771,46 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep is monotone and its 0.8 rung equals the q21 pairs") {
+    import spark.implicits._
+    val sweep = Dedup.thresholdSweep(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(sweep.nonEmpty)
+    // raising the threshold can only shrink every count
+    sweep.sliding(2).foreach {
+      case Array((t1, p1, d1, l1), (t2, p2, d2, l2)) =>
+        assert(t1 < t2 && p1 >= p2 && d1 >= d2 && l1 >= l2,
+          s"sweep not monotone between $t1 and $t2")
+      case _ =>
+    }
+    // the 0.8 rung must agree with the fixed-threshold operator exactly
+    val pairs08 = Dedup.ngramJaccard(spark, sfDir, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sweep.find(_._1 == 0.8).foreach { case (_, p, d, l) =>
+      assert(p === pairs08.length.toLong)
+      assert(d === pairs08.flatMap(x => Seq(x._1, x._2)).distinct.length.toLong)
+      assert(l === pairs08.map(_._2).distinct.length.toLong)
+    }
+    assert(sweep.exists(_._1 == 0.8), "default ladder must include 0.8")
+  }
+
+  test("cluster-size histogram partitions the corpus") {
+    import graft.operators.Curation
+    val hist = Curation.clusterSizes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // every document lands in exactly one cluster of exactly one size
+    assert(hist.map(_._3).sum === nDocs)
+    hist.foreach { case (size, nc, nd) =>
+      assert(nd === size * nc, s"size $size row inconsistent")
+    }
+    // docs in size>=2 clusters are exactly the pair participants
+    val paired = Dedup.ngramJaccard(spark, sfDir, 0.8).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length.toLong
+    assert(hist.filter(_._1 >= 2).map(_._3).sum === paired)
+  }
+
   test("JL projection is linear, deterministic, and norm-preserving on average") {
     import spark.implicits._
     val base = Seq(0.5, -1.25, 2.0, 0.0, 3.5, -0.75, 1.0, -2.0)
