@@ -263,7 +263,11 @@ object SparkEntry {
     "q106_cluster_sizes" -> ((s, d) => Curation.clusterSizes(s, d)),
     // Language-ID confusion matrix: (labeled, predicted) cells with
     // row-normalized recall — the accuracy audit over the q28 classifier.
-    "q107_lid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d))
+    "q107_lid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    // MinHash sketch-accuracy audit: every banded candidate with both the
+    // 8-perm estimate and the true shingle Jaccard plus absolute error —
+    // the evidence for trusting q22's estimates at the chosen threshold.
+    "q108_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2402,6 +2406,49 @@ object SparkEntry {
         |SELECT c.lang, c.pred_lang, c.n AS n,
         |  ROUND(c.n * 1.0 / t.t, 6) AS share
         |FROM c JOIN t USING (lang)
-        |ORDER BY lang, pred_lang""".stripMargin
+        |ORDER BY lang, pred_lang""".stripMargin,
+
+    "q108_minhash_accuracy" ->
+      // q22's band/estimate grammar without its 0.5 floor, joined to the
+      // true shingle Jaccard (intersection restricted to candidate docs);
+      // est - jaccard arithmetic mirrors the Spark double chain.
+      (s"""WITH $minhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT cand.d1, cand.d2, COUNT(*) AS i
+        |  FROM cand
+        |  JOIN sh x ON cand.d1 = x.doc_id
+        |  JOIN sh y ON cand.d2 = y.doc_id AND x.s = y.s
+        |  GROUP BY cand.d1, cand.d2),
+        |est AS (
+        |  SELECT cand.d1, cand.d2,
+        |    ((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT
+        |     + (sa.s2 = sb.s2)::INT + (sa.s3 = sb.s3)::INT
+        |     + (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT
+        |     + (sa.s6 = sb.s6)::INT + (sa.s7 = sb.s7)::INT) / 8.0
+        |      AS est_jaccard
+        |  FROM cand
+        |  JOIN sig sa ON cand.d1 = sa.doc_id
+        |  JOIN sig sb ON cand.d2 = sb.doc_id)
+        |SELECT est.d1, est.d2, est_jaccard,
+        |  ROUND(COALESCE(i, 0) * 1.0
+        |        / (ca.c + cb.c - COALESCE(i, 0)), 6) AS jaccard,
+        |  ROUND(abs(est_jaccard
+        |    - ROUND(COALESCE(i, 0) * 1.0
+        |            / (ca.c + cb.c - COALESCE(i, 0)), 6)), 6) AS abs_err
+        |FROM est
+        |LEFT JOIN inter ON est.d1 = inter.d1 AND est.d2 = inter.d2
+        |JOIN docLen ca ON est.d1 = ca.doc_id
+        |JOIN docLen cb ON est.d2 = cb.doc_id
+        |ORDER BY est.d1, est.d2""".stripMargin)
   )
 }

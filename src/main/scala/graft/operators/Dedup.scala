@@ -575,6 +575,53 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  /** MinHash estimation-accuracy audit (q108) — every banded candidate
+    * pair with BOTH its 8-permutation signature estimate and the true
+    * shingle Jaccard, plus the absolute error: the sketch-quality evidence
+    * a pipeline owner reads before trusting q22's estimates to gate a
+    * 100 TB dedup (if the error at the chosen threshold is too wide, raise
+    * K or verify candidates exactly like q56 does). Unlike q22, no
+    * estimate floor is applied — the full error profile including the
+    * collision-only tail is the point.
+    *
+    * Scale shape: candidates come from the memoized band stage (bounded by
+    * bucket occupancy, never all-pairs); the exact side intersects
+    * shingles ONLY for candidate docs (two shuffled joins bounded by
+    * candidate count × doc shingles, the q84-verify pattern); corpus-sized
+    * sides are pinned shuffle_hash throughout. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = signatures(spark, dir)
+    val bandsF = bands(spark, dir)
+    val cand = bandsF.as("a").join(bandsF.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    val sh = shingles(spark, dir)
+    val docLen = sh.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sh.as("x").hint("shuffle_hash"), $"d1" === $"x.doc_id")
+      .join(sh.as("y").hint("shuffle_hash"),
+        $"d2" === $"y.doc_id" && $"x.s" === $"y.s")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
+    val matches = (0 until K)
+      .map(i => when(col(s"sa.s$i") === col(s"sb.s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), $"d1" === $"sa.doc_id")
+      .join(sig.as("sb"), $"d2" === $"sb.doc_id")
+      .select($"d1", $"d2", (matches / lit(K.toDouble)).as("est_jaccard"))
+      .join(inter.hint("shuffle_hash"), Seq("d1", "d2"), "left")
+      .join(docLen.as("ca").hint("shuffle_hash"), $"d1" === $"ca.doc_id")
+      .join(docLen.as("cb").hint("shuffle_hash"), $"d2" === $"cb.doc_id")
+      .select($"d1", $"d2", $"est_jaccard",
+        round(coalesce($"i", lit(0L)) * lit(1.0) /
+          ($"ca.c" + $"cb.c" - coalesce($"i", lit(0L))), 6).as("jaccard"))
+      .withColumn("abs_err", round(abs($"est_jaccard" - $"jaccard"), 6))
+      .orderBy($"d1", $"d2")
+  }
+
   /** 60-bit SimHash fingerprint per document: md5 of each distinct token
     * gives a 60-bit hash; fingerprint bit j is the sign of the per-bit vote
     * sum. One shuffle-free pass via the native [[graft.functions.Simhash]]

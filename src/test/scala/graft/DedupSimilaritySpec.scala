@@ -811,6 +811,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hist.filter(_._1 >= 2).map(_._3).sum === paired)
   }
 
+  test("minhash accuracy audit covers q22's pairs and bounds exact-dup error") {
+    val audit = Dedup.minhashAccuracy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(audit.nonEmpty)
+    // estimates are multiples of 1/8 and the error column is consistent
+    audit.values.foreach { case (est, j, err) =>
+      assert((est * 8).isWhole && est >= 0.0 && est <= 1.0)
+      assert(math.abs(err - math.abs(est - j)) < 1e-6)
+    }
+    // q22 = exactly the audit rows clearing the 0.5 estimate floor
+    val q22 = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(q22.map(_._1).toSet ===
+      audit.filter(_._2._1 >= 0.5).keySet)
+    q22.foreach { case (k, est) => assert(audit(k)._1 === est) }
+    // a true exact duplicate (jaccard 1.0) must estimate 1.0: all 8 mins
+    // are minima of the SAME shingle set
+    audit.values.filter(_._2 == 1.0).foreach { case (est, _, err) =>
+      assert(est === 1.0 && err === 0.0)
+    }
+  }
+
   test("JL projection is linear, deterministic, and norm-preserving on average") {
     import spark.implicits._
     val base = Seq(0.5, -1.25, 2.0, 0.0, 3.5, -0.75, 1.0, -2.0)
