@@ -598,4 +598,82 @@ class PlanSpec extends SparkSpec {
       s"exactly the one-row normalizer may nest-loop:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
+
+  test("q101 term drift joins the vocab frame shuffled, totals broadcast") {
+    val p = plan(operators.TextAnalysis.termDrift(spark, sfDir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"the corpus-term frame is vocabulary-sized — never broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"exactly the one-row corpus total may nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q102 column audit is join-free and prunes each scan to one column") {
+    val p = plan(operators.Curation.columnAudit(spark, sfDir))
+    assert(!p.contains("Join"), s"independent per-column aggregates:\n$p")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.size === 5, s"one scan per audited column:\n$p")
+    scans.foreach { l =>
+      val schema = l.substring(l.indexOf("ReadSchema: struct<"))
+      assert(!schema.takeWhile(_ != '>').contains(","),
+        s"scan must read exactly its own column: $l")
+    }
+  }
+
+  test("q103 PMI joins only k-bounded frames; totals nest-loop one row each") {
+    val p = plan(operators.TextAnalysis.pmiCooc(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 2,
+      s"exactly the two one-row totals may nest-loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("q104 JL projection is join-free and partial-aggregates map-side") {
+    val p = plan(operators.Similarity.jlProjection(spark, sfDir))
+    assert(!p.contains("Join"), s"pure explode + rollup:\n$p")
+    assert(p.contains("Generate posexplode"),
+      s"dims fan out via posexplode:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_sum")),
+      s"the (vec, j) sum must partial-combine before its shuffle:\n$p")
+  }
+
+  test("q105 threshold sweep rides the gated index; corpus joins shuffled") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.thresholdSweep(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"keep-list/docLen joins stay shuffled like q21's:\n$p")
+    assert(p.contains("Generate explode"),
+      s"ladder rungs come from the per-pair threshold explode:\n$p")
+  }
+
+  test("q106 cluster sizes: agg chain only, no pair explosion") {
+    StageMemo.clear()
+    val p = plan(operators.Curation.clusterSizes(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_count")),
+      s"both rollups must partial-combine:\n$p")
+  }
+
+  test("q107 confusion matrix joins only the langs-bounded totals") {
+    val p = plan(operators.TextAnalysis.langIdConfusion(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"nothing corpus-sized survives to the join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"row totals broadcast onto the cells:\n$p")
+  }
+
+  test("q108 minhash accuracy pins the shingle-side joins shuffled") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.minhashAccuracy(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no pair explosion:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the candidate-x-shingle intersection joins stay shuffled:\n$p")
+  }
 }
