@@ -262,6 +262,22 @@ object ScaleSmoke {
       // bounded top-k — must stay agg-linear like vocab_growth
       "token_merges" -> ((d, _) => operators.TextAnalysis.tokenPairMerges(
         spark, d)),
+      // drift/audit tier (q101-q108): term drift is a (source, token)
+      // partial agg + a shuffled vocab join — agg-linear like perplexity;
+      // PMI's window explode emits <= 2 pairs/token (corpus-linear) with a
+      // bounded top-k; JL projection is a pure explode + map-side-combined
+      // rollup (the zero-shuffle-ish control like quantize_int8); the
+      // minhash audit rides the band stage and must track its candidate
+      // output; the threshold sweep re-reads the intersection frame at a
+      // constant |ladder| fanout — exponent must mirror the ngram row's
+      "term_drift" -> ((d, _) => operators.TextAnalysis.termDrift(spark, d)),
+      "pmi_cooc" -> ((d, _) => operators.TextAnalysis.pmiCooc(spark, d)),
+      "jl_projection" -> ((d, _) => operators.Similarity.jlProjection(spark, d)),
+      "minhash_accuracy" -> ((d, _) => operators.Dedup.minhashAccuracy(spark, d)),
+      "threshold_sweep" -> ((d, m) => operators.Dedup.thresholdSweep(
+        spark, d, maxDf = 100 * m)),
+      "cluster_sizes" -> ((d, m) => operators.Curation.clusterSizes(
+        spark, d, maxDf = 100 * m)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)
