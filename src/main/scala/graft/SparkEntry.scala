@@ -267,7 +267,11 @@ object SparkEntry {
     // MinHash sketch-accuracy audit: every banded candidate with both the
     // 8-perm estimate and the true shingle Jaccard plus absolute error —
     // the evidence for trusting q22's estimates at the chosen threshold.
-    "q108_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d))
+    "q108_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    // ANN recall audit: per-query recall@5 of both scale paths (q27 LSH,
+    // q38 IVF) against the q26 exact top-k — the acceptance evidence for
+    // replacing the brute-force scan; the embedding twin of q108.
+    "q109_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2449,6 +2453,102 @@ object SparkEntry {
         |LEFT JOIN inter ON est.d1 = inter.d1 AND est.d2 = inter.d2
         |JOIN docLen ca ON est.d1 = ca.doc_id
         |JOIN docLen cb ON est.d2 = cb.doc_id
-        |ORDER BY est.d1, est.d2""".stripMargin)
+        |ORDER BY est.d1, est.d2""".stripMargin),
+
+    "q109_ann_recall" ->
+      // the q26 (brute), q27 (LSH) and q38 (IVF) oracle chains verbatim
+      // (CTEs renamed where the two approximate chains collide), rolled
+      // up to per-query hit counts against the exact top-5.
+      (s"""WITH $vecsCte,
+        |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |bsc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM q JOIN n b ON q.vec_id <> b.vec_id),
+        |br AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM bsc),
+        |truth AS (SELECT q_id, neighbor FROM br WHERE rank <= 5),
+        |planes AS (
+        |  SELECT p, list_transform(range(64), d ->
+        |    CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+        |                || CAST(d AS VARCHAR)), 1, 2))::INT % 2 = 1
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+        |  FROM (SELECT unnest(range(80)) AS p)),
+        |bits AS (
+        |  SELECT n.vec_id, p // 10 AS tbl, p % 10 AS b,
+        |    CASE WHEN list_dot_product(n.v, pl) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM n, planes WHERE n.v IS NOT NULL
+        |    AND len(list_filter(n.v, x -> x IS NULL)) = 0),
+        |sigs AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(SUM(bit * CAST(POWER(2, b) AS BIGINT)) AS BIGINT) AS sig
+        |  FROM bits GROUP BY vec_id, tbl),
+        |small AS (
+        |  SELECT tbl, sig FROM sigs GROUP BY tbl, sig HAVING COUNT(*) <= 2048),
+        |idx AS (
+        |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s JOIN small USING (tbl, sig)),
+        |flips AS (
+        |  SELECT CAST(0 AS BIGINT) AS flip
+        |  UNION ALL
+        |  SELECT CAST(POWER(2, b) AS BIGINT) FROM (SELECT unnest(range(10)) AS b)),
+        |lprobes AS (
+        |  SELECT s.vec_id AS q_id, s.tbl, xor(s.sig, f.flip) AS sig
+        |  FROM sigs s, flips f WHERE s.vec_id % 100 = 0),
+        |lcand AS (
+        |  SELECT DISTINCT p.q_id, i.vec_id AS neighbor
+        |  FROM lprobes p JOIN idx i USING (tbl, sig)
+        |  WHERE p.q_id <> i.vec_id),
+        |lsc AS (
+        |  SELECT q_id, neighbor,
+        |    ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |  FROM lcand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
+        |lr AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM lsc),
+        |lsh AS (SELECT q_id, neighbor FROM lr WHERE rank <= 5),
+        |piv AS (SELECT vec_id AS pid, v AS pv, norm AS pnorm FROM n
+        |        WHERE vec_id % 16 = 1),
+        |assign AS (
+        |  SELECT vec_id, pid FROM (
+        |    SELECT b.vec_id, p.pid, ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_dot_product(b.v, p.pv) / b.norm / p.pnorm DESC,
+        |               p.pid) AS rk
+        |    FROM n b, piv p) WHERE rk = 1),
+        |cells AS (SELECT pid FROM assign GROUP BY pid HAVING COUNT(*) <= 65536),
+        |gated AS (SELECT assign.* FROM assign JOIN cells USING (pid)),
+        |iprobes AS (
+        |  SELECT q_id, pid FROM (
+        |    SELECT q.vec_id AS q_id, p.pid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.v, p.pv) / q.norm / p.pnorm DESC,
+        |               p.pid) AS rk
+        |    FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q, piv p)
+        |  WHERE rk <= 20),
+        |icand AS (
+        |  SELECT iprobes.q_id, gated.vec_id AS neighbor
+        |  FROM iprobes JOIN gated USING (pid)
+        |  WHERE iprobes.q_id <> gated.vec_id),
+        |isc AS (
+        |  SELECT q_id, neighbor,
+        |    ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |  FROM icand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
+        |ir AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM isc),
+        |ivf AS (SELECT q_id, neighbor FROM ir WHERE rank <= 5),
+        |tn AS (SELECT q_id, COUNT(*) AS n_true FROM truth GROUP BY q_id),
+        |hl AS (SELECT t.q_id, COUNT(*) AS n_hit_lsh
+        |       FROM truth t JOIN lsh USING (q_id, neighbor) GROUP BY t.q_id),
+        |hi AS (SELECT t.q_id, COUNT(*) AS n_hit_ivf
+        |       FROM truth t JOIN ivf USING (q_id, neighbor) GROUP BY t.q_id)
+        |SELECT tn.q_id, tn.n_true,
+        |  CAST(COALESCE(n_hit_lsh, 0) AS BIGINT) AS n_hit_lsh,
+        |  CAST(COALESCE(n_hit_ivf, 0) AS BIGINT) AS n_hit_ivf,
+        |  ROUND(COALESCE(n_hit_lsh, 0) * 1.0 / tn.n_true, 6) AS recall_lsh,
+        |  ROUND(COALESCE(n_hit_ivf, 0) * 1.0 / tn.n_true, 6) AS recall_ivf
+        |FROM tn
+        |LEFT JOIN hl ON tn.q_id = hl.q_id
+        |LEFT JOIN hi ON tn.q_id = hi.q_id
+        |ORDER BY tn.q_id""".stripMargin)
   )
 }

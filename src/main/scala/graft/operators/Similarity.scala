@@ -756,6 +756,44 @@ object Similarity {
       .orderBy($"dim")
   }
 
+  /** ANN recall audit (q109) — per query vector, recall@k of BOTH scale
+    * paths (q27's multi-table sign-LSH and q38's IVF) against the q26
+    * exact top-k: the acceptance evidence for replacing the brute-force
+    * scan at 100 TB. Production reads the recall distribution (min/median)
+    * before routing a workload to a bucketed index — the embedding twin of
+    * [[Dedup.minhashAccuracy]]. On the fixture the table shows the
+    * documented regime split numerically: IVF carries generic top-k
+    * (macro recall ≥ 0.9), while sign-LSH's recall is low there BY DESIGN
+    * — its buckets only co-locate the high-cosine near-dup regime q56
+    * uses it for. Routing a weak-similarity workload to the LSH path is
+    * exactly the mistake this audit catches.
+    *
+    * Scale shape: all three inputs are (queries × k)-bounded frames riding
+    * the memoized vector stage; the intersections are semi-joins on
+    * (q_id, neighbor) pinned shuffled (the frames are corpus/100-sized —
+    * fixture-scale stats must not elect a broadcast that dies at 100×),
+    * and the rollup is one partial agg per side. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = bruteForceTopK(spark, dir).select($"q_id", $"neighbor")
+    val t = truth.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+    def hits(approx: DataFrame, name: String) = truth
+      .join(approx.select($"q_id", $"neighbor").hint("shuffle_hash"),
+        Seq("q_id", "neighbor"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as(name))
+    t
+      .join(hits(lshTopK(spark, dir), "n_hit_lsh"), Seq("q_id"), "left")
+      .join(hits(ivfTopK(spark, dir), "n_hit_ivf"), Seq("q_id"), "left")
+      .select($"q_id", $"n_true",
+        coalesce($"n_hit_lsh", lit(0L)).as("n_hit_lsh"),
+        coalesce($"n_hit_ivf", lit(0L)).as("n_hit_ivf"))
+      .withColumn("recall_lsh",
+        round($"n_hit_lsh" * lit(1.0) / $"n_true", 6))
+      .withColumn("recall_ivf",
+        round($"n_hit_ivf" * lit(1.0) / $"n_true", 6))
+      .orderBy($"q_id")
+  }
+
   /** Johnson–Lindenstrauss random projection (q104) — compress each
     * embedding to `outDim` dimensions with a deterministic ±1 sign matrix
     * (Achlioptas' database-friendly JL variant: s(j,d) = ±1 from the md5

@@ -676,4 +676,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"),
       s"the candidate-x-shingle intersection joins stay shuffled:\n$p")
   }
+
+  test("q109 ann recall pins the intersection semi-joins shuffled") {
+    StageMemo.clear()
+    val p = plan(operators.Similarity.annRecall(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs explosion:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("LeftSemi")),
+      s"the (q_id, neighbor) intersections are corpus/100-sized — " +
+        s"semi-joins must stay shuffled:\n$p")
+  }
 }
