@@ -271,7 +271,14 @@ object SparkEntry {
     // ANN recall audit: per-query recall@5 of both scale paths (q27 LSH,
     // q38 IVF) against the q26 exact top-k — the acceptance evidence for
     // replacing the brute-force scan; the embedding twin of q108.
-    "q109_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
+    "q109_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // fuzzy-exact dedup: q20's hash-groupBy over canonicalized text; the
+    // n_variants column is the dup tier raw exact dedup ships twice
+    "q110_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
+    // LSH banding planner: expected candidates vs recall for every
+    // (bands, rows) split of the 8-permutation signature — the sketch-
+    // config twin of q105's threshold sweep; q22's 4x2 is one output row
+    "q111_lsh_planner" -> ((s, d) => Dedup.lshPlanner(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2549,6 +2556,65 @@ object SparkEntry {
         |FROM tn
         |LEFT JOIN hl ON tn.q_id = hl.q_id
         |LEFT JOIN hi ON tn.q_id = hi.q_id
-        |ORDER BY tn.q_id""".stripMargin)
+        |ORDER BY tn.q_id""".stripMargin),
+
+    "q110_normalized_dedup" ->
+      // q20's hash-groupBy over the canonical form; n_variants counts the
+      // distinct raw digests each normalized group collapses
+      ("""WITH nrm AS (
+        |  SELECT doc_id, md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM documents)
+        |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT raw_h) AS n_variants, h
+        |FROM nrm GROUP BY h ORDER BY keeper""".stripMargin),
+
+    "q111_lsh_planner" ->
+      // the q105 jd chain feeding the analytic S-curve 1-(1-j^r)^b per
+      // banding of K=8. Powers are LEFT-ASSOCIATED multiply chains (like
+      // the Spark side — never POWER(): libm and java.lang.Math disagree
+      // in the last ulp); per-pair probabilities sum as decimals.
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS j
+        |  FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id),
+        |jf AS (SELECT j FROM jd WHERE j >= 0.1),
+        |probs AS (
+        |  SELECT 1 AS bands, 8 AS rows_per_band, j,
+        |    1.0 - (1.0 - j*j*j*j*j*j*j*j) AS p FROM jf
+        |  UNION ALL SELECT 2, 4, j,
+        |    1.0 - (1.0 - j*j*j*j) * (1.0 - j*j*j*j) FROM jf
+        |  UNION ALL SELECT 4, 2, j,
+        |    1.0 - (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j)
+        |    FROM jf
+        |  UNION ALL SELECT 8, 1, j,
+        |    1.0 - (1.0 - j) * (1.0 - j) * (1.0 - j) * (1.0 - j) * (1.0 - j)
+        |      * (1.0 - j) * (1.0 - j) * (1.0 - j) FROM jf),
+        |pd AS (
+        |  SELECT bands, rows_per_band, j,
+        |    CAST(ROUND(p, 9) AS DECIMAL(28,9)) AS p FROM probs)
+        |SELECT bands, rows_per_band,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_target,
+        |  ROUND(CAST(SUM(p) AS DOUBLE), 6) AS exp_candidates,
+        |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
+        |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE), 6)
+        |    AS exp_caught,
+        |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
+        |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+        |        / CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT),
+        |        6) AS recall
+        |FROM pd GROUP BY bands, rows_per_band ORDER BY bands""".stripMargin)
   )
 }

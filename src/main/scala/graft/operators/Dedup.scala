@@ -94,6 +94,44 @@ object Dedup {
       .orderBy($"keeper")
   }
 
+  /** Normalized ("fuzzy-exact") dedup (q110) — [[exact]]'s hash-groupBy
+    * over a CANONICALIZED text: lowercase, non-alphanumerics folded to
+    * space, whitespace runs collapsed, edges trimmed. This is the standard
+    * pre-step of the C4/CCNet lineage: trivially-reformatted copies
+    * (capitalization, punctuation, line-wrapping) hash apart under q20's
+    * raw digest but together here, and the gap between the two is exactly
+    * what `n_variants` reports — the number of DISTINCT raw digests each
+    * normalized group collapses (a group with `n_variants > 1` is a dup
+    * family raw exact dedup would have shipped twice). It deliberately
+    * sits between q20 (raw digest) and q21 (shingle Jaccard): cheaper than
+    * any pair stage, catches the reformatting tier of duplication.
+    *
+    * Scale shape: identical to [[exact]] — a per-row normalize + digest
+    * map, then ONE hash-groupBy shuffle carrying a 16-byte key per doc.
+    * No pair stage, no skew risk beyond genuinely identical normal forms.
+    * The normalization is regex-only (no Unicode tables beyond `lower`) so
+    * the DuckDB oracle reproduces every digest bit-for-bit. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, dir))
+
+  /** The canonical form [[normalizedDedup]] hashes — exposed so callers
+    * composing their own dedup (and the spec) use the exact normalization
+    * the operator groups by. */
+  private[graft] def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** [[normalizedDedup]] over an arbitrary `(doc_id, text)` frame. */
+  private[graft] def normalizedDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("raw_h"),
+        md5(normalizeText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_h")).as("n_variants"))
+      .select(col("keeper"), col("n_copies"), col("n_variants"), col("h"))
+      .orderBy(col("keeper"))
+
   /** Unordered N-gram Jaccard near-dup pairs over an arbitrary
     * `(doc_id, text)` frame — the library building block behind
     * [[ngramJaccard]] and [[deduplicate]].
@@ -260,6 +298,65 @@ object Dedup {
       .select(col("threshold"), col("n_pairs"), col("n_docs"),
         col("n_losers"))
       .orderBy(col("threshold"))
+  }
+
+  /** MinHash-LSH parameter planner (q111) — the (bands, rows-per-band)
+    * calibration curve for a K-permutation signature, computed ANALYTICALLY
+    * from the corpus's true pair-similarity profile: for every banding of
+    * K = 8 (1×8, 2×4, 4×2, 8×1) and every candidate pair with true Jaccard
+    * j (from the memoized intersection stage, down to `floor`), the
+    * detection probability is the textbook S-curve 1 − (1 − jʳ)ᵇ. Summing
+    * it over pairs gives the expected candidate count (the cost a banding
+    * implies) and, over pairs at or above `threshold`, the expected catch —
+    * so `recall` vs `exp_candidates` is the exact precision/recall trade a
+    * pipeline owner reads before committing a 100 TB LSH pass. q22's
+    * shipped 4×2 banding is one row of this output; q105 is the same
+    * planner idea one level up (which THRESHOLD), this is which SKETCH
+    * CONFIG clears it.
+    *
+    * Determinism: jʳ and (1−jʳ)ᵇ are LEFT-ASSOCIATED multiply chains over
+    * the rounded Jaccard (never `pow` — libm and java.lang.Math disagree in
+    * the last ulp), per-pair probabilities are rounded and summed as
+    * decimals, so the oracle hash-checks every column.
+    *
+    * Scale shape: rides [[interCounts]] (built once per session for the
+    * whole shingle family); each pair explodes into exactly 4 config rows,
+    * then one partial-agg shuffle to a 4-row frame. Nothing new touches
+    * the corpus. */
+  def lshPlanner(spark: SparkSession, dir: String, threshold: Double = 0.8,
+      floor: Double = 0.1, maxDf: Int = 100): DataFrame = {
+    require(floor <= threshold, s"floor $floor above threshold $threshold")
+    // left-associated integer power: bit-identical to the SQL chain
+    // x*x*...*x (SQL `*` is left-associative too)
+    def ipow(x: Column, n: Int): Column = Seq.fill(n)(x).reduce(_ * _)
+    val jd = interCounts(spark, dir, maxDf)
+      .select(col("d1"), col("d2"),
+        round(col("i") * lit(1.0) / (col("c1") + col("c2") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= floor)
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val perConfig = configs.map { case (b, r) =>
+      val p = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), r), b)
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"), p.as("p"))
+    }
+    val dec = "decimal(28,9)"
+    jd.select(col("jaccard"), explode(array(perConfig: _*)).as("c"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("jaccard"), round(col("c.p"), 9).cast(dec).as("p"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("p")).cast("double").as("candidates_d"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L))
+          .as("n_target"),
+        sum(when(col("jaccard") >= threshold, col("p"))
+          .otherwise(lit(0).cast(dec))).cast("double").as("caught_d"))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        col("n_target"),
+        round(col("candidates_d"), 6).as("exp_candidates"),
+        round(col("caught_d"), 6).as("exp_caught"),
+        round(col("caught_d") / col("n_target"), 6).as("recall"))
+      .orderBy(col("bands"))
   }
 
   /** End-to-end dedup decisions: one row per document with `keep` ∈ {0,1}.

@@ -795,6 +795,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sweep.exists(_._1 == 0.8), "default ladder must include 0.8")
   }
 
+  test("normalized dedup merges reformatted copies raw dedup keeps apart") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO-WORLD."),
+      (4L, "a different document"),
+      (5L, "a different document")).toDF("doc_id", "text")
+    val res = Dedup.normalizedDedupOf(docs).collect()
+    assert(res.length === 2, "five docs collapse to two canonical forms")
+    // 1/2/3 share a canonical form but carry three distinct raw digests —
+    // the tier q20 ships three times and q110 ships once
+    val g = res.find(_.getAs[Long]("keeper") == 1L).get
+    assert(g.getAs[Long]("n_copies") === 3L)
+    assert(g.getAs[Long]("n_variants") === 3L)
+    // 4/5 are raw-identical: q20 already merges them, n_variants stays 1
+    val g2 = res.find(_.getAs[Long]("keeper") == 4L).get
+    assert(g2.getAs[Long]("n_copies") === 2L)
+    assert(g2.getAs[Long]("n_variants") === 1L)
+    assert(res.map(_.getAs[Long]("n_copies")).sum === 5L, "partition")
+  }
+
+  test("normalized dedup refines raw exact dedup on the fixture") {
+    val raw = Dedup.exact(spark, sfDir).collect()
+    val norm = Dedup.normalizedDedup(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // both partition the corpus; normalization can only merge groups
+    assert(norm.map(_.getAs[Long]("n_copies")).sum === nDocs)
+    assert(norm.length <= raw.length)
+    // every raw group lands whole inside one normalized group: the
+    // variant counts sum back to the raw group count
+    assert(norm.map(_.getAs[Long]("n_variants")).sum === raw.length.toLong)
+    // keepers are minimal per group, so the global min doc survives
+    assert(norm.map(_.getAs[Long]("keeper")).min ===
+      raw.map(_.getAs[Long]("keeper")).min)
+  }
+
+  test("lsh planner brackets q22's banding with a monotone trade") {
+    val rows = Dedup.lshPlanner(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_target"),
+        r.getAs[Double]("exp_candidates"), r.getAs[Double]("exp_caught"),
+        r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(rows.map(x => (x._1, x._2)).toSeq ===
+      Seq((1, 8), (2, 4), (4, 2), (8, 1)), "every banding of K=8 present")
+    // every config is scored against the same pair profile
+    assert(rows.map(_._3).distinct.length === 1)
+    assert(rows.map(_._4).distinct.length === 1)
+    assert(rows.head._4 > 0, "fixture must contain target pairs")
+    rows.foreach { r =>
+      assert(r._7 >= 0.0 && r._7 <= 1.0, s"recall in [0,1]: $r")
+      assert(r._6 <= r._5 + 1e-9, s"caught is a subset of candidates: $r")
+      assert(r._5 <= r._3 + 1e-9, s"p <= 1 bounds candidates by pairs: $r")
+    }
+    // more bands (fewer rows per band) = looser curve: candidate volume
+    // and recall both rise together — the trade the planner exists to show
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._5 <= b._5 + 1e-9, s"candidates monotone in bands: $a $b")
+        assert(a._7 <= b._7 + 1e-9, s"recall monotone in bands: $a $b")
+      case _ =>
+    }
+    // hand-checkable endpoint: 8 bands x 1 row catches a j>=0.8 pair with
+    // p >= 1-(0.2)^8 > 0.999997 — the recall average can't read below it
+    assert(rows.last._7 >= 0.999, s"8x1 endpoint recall: ${rows.last}")
+  }
+
   test("cluster-size histogram partitions the corpus") {
     import graft.operators.Curation
     val hist = Curation.clusterSizes(spark, sfDir).collect()

@@ -650,6 +650,33 @@ class PlanSpec extends SparkSpec {
       s"ladder rungs come from the per-pair threshold explode:\n$p")
   }
 
+  test("q110 normalized dedup: one hash-groupBy, no joins") {
+    val p = plan(Dedup.normalizedDedup(spark, sfDir))
+    assert(!p.contains("Join"),
+      s"a per-row canonicalize + digest groupBy must not join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")),
+      s"the digest groupBy must partial-combine map-side:\n$p")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(scan.contains("doc_id") && scan.contains("text") &&
+      !scan.contains("source"),
+      s"scan reads only the two consumed columns: $scan")
+  }
+
+  test("q111 lsh planner rides the gated index; rollup partial-combines") {
+    StageMemo.clear()
+    val p = plan(Dedup.lshPlanner(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"keep-list/docLen joins stay shuffled like q21's:\n$p")
+    assert(p.contains("Generate explode"),
+      s"config rows come from the per-pair banding explode:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")),
+      s"the 4-row rollup must partial-combine before its shuffle:\n$p")
+  }
+
   test("q106 cluster sizes: agg chain only, no pair explosion") {
     StageMemo.clear()
     val p = plan(operators.Curation.clusterSizes(spark, sfDir))
