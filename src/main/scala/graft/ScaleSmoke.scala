@@ -278,6 +278,19 @@ object ScaleSmoke {
         spark, d, maxDf = 100 * m)),
       "cluster_sizes" -> ((d, m) => operators.Curation.clusterSizes(
         spark, d, maxDf = 100 * m)),
+      // q110: one per-row canonicalize + digest groupBy — must be
+      // agg-linear like exact dedup (the control row for the pair family)
+      "normalized_dedup" -> ((d, _) => operators.Dedup.normalizedDedup(
+        spark, d)),
+      // q111: rides the intersection stage at a constant 4-config fanout —
+      // exponent must mirror the ngram row's, output fixed at 4 rows
+      "lsh_planner" -> ((d, m) => operators.Dedup.lshPlanner(
+        spark, d, maxDf = 100 * m)),
+      // q112: the funnel's joins + per-row maps + one (split, shard)
+      // window — output is one row per doc (out-exponent 1.00); time must
+      // track the pair stage it rides plus a corpus-linear window sort
+      "training_manifest" -> ((d, m) => operators.Curation.trainingManifest(
+        spark, d, maxDf = 100 * m)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

@@ -278,7 +278,10 @@ object SparkEntry {
     // LSH banding planner: expected candidates vs recall for every
     // (bands, rows) split of the 8-permutation signature — the sketch-
     // config twin of q105's threshold sweep; q22's 4x2 is one output row
-    "q111_lsh_planner" -> ((s, d) => Dedup.lshPlanner(s, d))
+    "q111_lsh_planner" -> ((s, d) => Dedup.lshPlanner(s, d)),
+    // training manifest: the per-document disposition (q81 gates + q61
+    // PII total + q64 split + kept-only q96 read order) a trainer ships
+    "q112_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2615,6 +2618,67 @@ object SparkEntry {
         |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
         |        / CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT),
         |        6) AS recall
-        |FROM pd GROUP BY bands, rows_per_band ORDER BY bands""".stripMargin)
+        |FROM pd GROUP BY bands, rows_per_band ORDER BY bands""".stripMargin),
+
+    "q112_training_manifest" ->
+      // the q81 flag chain per document (not rolled up), plus the q61 PII
+      // hit total, the q64 split bucket, and the q96 ord key/shard; the
+      // kept-only position is a running SUM(keep) times keep.
+      (s"""WITH $ngramPairsCte,
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |losers AS (SELECT DISTINCT d2 AS doc_id FROM pairs),
+        |q AS (
+        |  SELECT d.doc_id,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(t.t,
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(t.t) * 2.0
+        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+        |        * 1.0 / length(d.text) * 3.0)) AS quality
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |flags AS (
+        |  SELECT d.doc_id, d.source,
+        |    ('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 1000 AS bucket,
+        |    md5('ord:' || CAST(d.doc_id AS VARCHAR)) AS ord_key,
+        |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_ex,
+        |    CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
+        |    CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS f_q,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS f_lang,
+        |    ROUND(q.quality, 6) AS quality,
+        |    CAST(len(regexp_extract_all(d.text,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+        |      + len(regexp_extract_all(d.text,
+        |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+        |      + len(regexp_extract_all(d.text,
+        |        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))
+        |      + len(regexp_extract_all(d.text, '\\bcustomer [a-z]+'))
+        |      AS INTEGER) AS pii_hits
+        |  FROM documents d
+        |  LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |  LEFT JOIN losers l ON d.doc_id = l.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    f_ex * f_near * f_q * f_lang AS keep,
+        |    CASE WHEN f_ex = 0 THEN 'exact_dup'
+        |         WHEN f_near = 0 THEN 'near_dup'
+        |         WHEN f_q = 0 THEN 'low_quality'
+        |         WHEN f_lang = 0 THEN 'lang' ELSE '' END AS drop_reason,
+        |    quality, pii_hits, ord_key,
+        |    CAST(('0x' || substr(ord_key, 1, 15))::BIGINT % 16 AS INTEGER)
+        |      AS shard
+        |  FROM flags)
+        |SELECT doc_id, source, split, keep, drop_reason, quality, pii_hits,
+        |  shard,
+        |  CAST(SUM(keep) OVER (PARTITION BY split, shard
+        |    ORDER BY ord_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * keep
+        |    AS BIGINT) AS pos
+        |FROM m ORDER BY doc_id""".stripMargin)
   )
 }

@@ -974,6 +974,92 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Training manifest (the shippable per-document disposition)
+  // ---------------------------------------------------------------------
+
+  /** Training manifest (q112) — ONE row per document carrying the full
+    * disposition a training run consumes, composed from the tiers the
+    * engine already proves separately: the q81 funnel's keep/drop gates
+    * (exact keeper → near-dup survivor → quality ≥ `qualityMin` → language)
+    * collapsed to a `keep` bit plus the FIRST failing gate as
+    * `drop_reason`; the q61 PII hit total (a redaction workload note, not
+    * a drop gate); the q64 content-hash split; and, for KEPT documents
+    * only, the q96 deterministic (shard, pos) read order within their
+    * (split, shard) — dropped documents carry pos = 0. This is the
+    * artifact the rest of the pipeline exists to produce: a trainer reads
+    * `keep = 1` rows of its split in (shard, pos) order, an auditor reads
+    * the drop_reason/pii histogram, and both get identical answers on any
+    * cluster, any partitioning, any rerun.
+    *
+    * The kept-only position avoids a second pass: a running
+    * `sum(keep) OVER (split, shard ORDER BY ord_key, doc_id)` counts kept
+    * rows up to and including the current one, so multiplying by `keep`
+    * yields the 1-based rank among kept documents (and 0 for drops) in one
+    * window.
+    *
+    * Scale shape: the near-dup loser set rides the memoized df-gated pair
+    * stage (q21's); the keeper/loser/quality joins are doc-keyed and
+    * pinned shuffle_hash (corpus-sized both sides); PII counts, split and
+    * shard are per-row maps; the one window sorts ~corpus/(splits·nShards)
+    * rows per task — `nShards` is the knob, sized like q96's so each
+    * shard's sort fits a task's spill budget. */
+  def trainingManifest(spark: SparkSession, dir: String,
+      qualityMin: Double = 0.5, lang: String = "en",
+      threshold: Double = 0.8, maxDf: Int = 100,
+      nShards: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(1).as("f_ex"))
+      .hint("shuffle_hash")
+    val losers = Dedup.ngramPairs(spark, dir, threshold, maxDf)
+      .select($"d2".as("doc_id")).distinct()
+      .withColumn("is_loser", lit(1))
+      .hint("shuffle_hash")
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id", $"quality")
+      .hint("shuffle_hash")
+    // per-row columns: PII hit total (q61's pattern set), q64 split
+    // bucket, q96 ord key + shard — all map-side, no extra shuffles
+    val piiHits = piiPatterns.map { case (_, pat) =>
+      size(regexp_extract_all($"text", lit(pat), lit(0))) }.reduce(_ + _)
+    val bucket = expr("cast(conv(substring(md5(concat(source, ':', " +
+      "cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+    val base = docs
+      .select($"doc_id", $"source", $"lang", piiHits.as("pii_hits"),
+        bucket.as("bucket"),
+        md5(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord_key"))
+      .withColumn("split", when($"bucket" < 800, "train")
+        .when($"bucket" < 900, "val").otherwise("test"))
+      .withColumn("shard",
+        (expr("cast(conv(substring(ord_key, 1, 15), 16, 10) as bigint)")
+          % nShards).cast("int"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .withColumn("f_ex", coalesce($"f_ex", lit(0)))
+      .withColumn("f_near", when($"is_loser".isNull, 1).otherwise(0))
+      .withColumn("f_q", when($"quality" >= qualityMin, 1).otherwise(0))
+      .withColumn("f_lang", when($"lang" === lang, 1).otherwise(0))
+      .withColumn("keep", $"f_ex" * $"f_near" * $"f_q" * $"f_lang")
+      .withColumn("drop_reason",
+        when($"f_ex" === 0, "exact_dup").when($"f_near" === 0, "near_dup")
+          .when($"f_q" === 0, "low_quality").when($"f_lang" === 0, "lang")
+          .otherwise(""))
+    val w = Window.partitionBy($"split", $"shard")
+      .orderBy($"ord_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("pos", (sum($"keep").over(w) * $"keep").cast("long"))
+      .select($"doc_id", $"source", $"split", $"keep", $"drop_reason",
+        round($"quality", 6).as("quality"), $"pii_hits", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // Corpus snapshot diff
   // ---------------------------------------------------------------------
 

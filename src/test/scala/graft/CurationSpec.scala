@@ -860,6 +860,48 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq, "deterministic across runs")
   }
 
+  test("training manifest composes the funnel, splits, PII and read order") {
+    import spark.implicits._
+    val m = Curation.trainingManifest(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(m.length === nDocs, "one disposition row per document")
+    // keep == all four gates passed; drop_reason names the FIRST failure
+    m.foreach { r =>
+      val (keep, reason) = (r.getAs[Int]("keep"), r.getAs[String]("drop_reason"))
+      assert((keep == 1) === reason.isEmpty, s"keep/reason disagree: $r")
+      assert(keep == 1 || Seq("exact_dup", "near_dup", "low_quality", "lang")
+        .contains(reason), s"unknown reason: $r")
+    }
+    // the per-source keep totals are exactly the funnel's n_final column
+    val funnel = Curation.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_final")).toMap
+    val kept = m.filter(_.getAs[Int]("keep") == 1)
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong)
+    funnel.foreach { case (src, n) =>
+      assert(kept.getOrElse(src, 0L) === n, s"source $src keep total")
+    }
+    // split assignment is exactly q64's
+    val splits = Curation.assignSplits(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    m.foreach(r => assert(r.getAs[String]("split") ===
+      splits(r.getAs[Long]("doc_id")), s"split mismatch at $r"))
+    // near-dup reasons are pair losers that survived the exact gate
+    val losers = Dedup.ngramJaccard(spark, sfDir, 0.8).collect()
+      .map(_.getLong(1)).toSet
+    m.filter(_.getAs[String]("drop_reason") == "near_dup")
+      .foreach(r => assert(losers.contains(r.getAs[Long]("doc_id"))))
+    // kept positions are contiguous 1..n per (split, shard) in ord order;
+    // dropped docs always read pos 0
+    m.filter(_.getAs[Int]("keep") == 0)
+      .foreach(r => assert(r.getAs[Long]("pos") === 0L))
+    m.filter(_.getAs[Int]("keep") == 1)
+      .groupBy(r => (r.getAs[String]("split"), r.getAs[Int]("shard")))
+      .foreach { case (grp, rows) =>
+        val ps = rows.map(_.getAs[Long]("pos")).sorted
+        assert(ps === (1L to rows.length).toArray.toSeq, s"pos gap in $grp")
+      }
+  }
+
   test("snapshot diff classifies added/removed/changed and drops the rest") {
     import spark.implicits._
     val base = Seq(

@@ -677,6 +677,20 @@ class PlanSpec extends SparkSpec {
       s"the 4-row rollup must partial-combine before its shuffle:\n$p")
   }
 
+  test("q112 training manifest: shuffled doc joins, partitioned window") {
+    StageMemo.clear()
+    val p = plan(operators.Curation.trainingManifest(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no pair explosion:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"keeper/loser/quality joins pinned shuffled:\n$p")
+    // the read-order window must be (split, shard)-partitioned — a global
+    // window would single-task the corpus
+    val win = p.linesIterator.find(_.contains("windowspecdefinition")).get
+    assert(win.contains("split") && win.contains("shard"),
+      s"window partitioned by (split, shard): $win")
+  }
+
   test("q106 cluster sizes: agg chain only, no pair explosion") {
     StageMemo.clear()
     val p = plan(operators.Curation.clusterSizes(spark, sfDir))
