@@ -555,11 +555,9 @@ object Curation {
     * ⌈weight⌉, and the only shuffle is the final (source, epoch)
     * partial-agg count. */
   def epochMixOf(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val bucket = expr(
-      "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
     docs
       .join(broadcast(weights), Seq("wk"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", splitBucket)
       .withColumn("copies",
         floor(col("weight")).cast("int") +
           when(col("bucket") <
@@ -600,25 +598,37 @@ object Curation {
     * and the assignment is identical on any cluster and partitioning.
     *
     * Pure per-row map, zero shuffles before the presentation sort. */
+  /** The standard 80/10/10 recipe — q64's fixture form and the split q112
+    * stamps on the manifest. */
+  val defaultSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The content-derived 0–999 split bucket (q64's key; q62's fractional
+    * slice reuses the same idiom). One definition — the split hash is an
+    * oracle-parity contract shared by q62/q64/q112. */
+  private[graft] val splitBucket: Column = expr(
+    "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
+
+  /** Bucket → split name for cumulative `splits` fractions (reads the
+    * `bucket` column); the last split takes the remainder so threshold
+    * rounding can never leave a bucket unassigned. */
+  private def splitOfBucket(splits: Seq[(String, Double)]): Column = {
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), rest) =>
+        when(col("bucket") < math.round(c * 1000).toInt, name).otherwise(rest)
+    }
+  }
+
   def assignSplitsOf(docs: DataFrame,
-      splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+      splits: Seq[(String, Double)] = defaultSplits): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must be non-negative and sum to 1, got $splits")
-    val bucket = expr(
-      "cast(conv(substring(md5(concat(source, ':', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
-    // cumulative thresholds in bucket units; the last split takes the
-    // remainder so threshold rounding can never leave a bucket unassigned
-    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val assigned = splits.init.zip(cum).foldRight(
-      lit(splits.last._1): Column) { case (((name, _), c), rest) =>
-      when(col("bucket") < math.round(c * 1000).toInt, name).otherwise(rest)
-    }
     docs
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", splitBucket)
       .select(col("doc_id"), col("source"), col("bucket"),
-        assigned.as("split"))
+        splitOfBucket(splits).as("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -777,27 +787,45 @@ object Curation {
       maxDf: Int = 100): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    withGateFlags(spark, dir, docs.select($"doc_id", $"source", $"lang"),
+        qualityMin, lang, 0.8, maxDf)
+      .select($"source", $"f_ex", $"f_near", $"f_q", $"f_lang")
+      .transform(funnelAgg)
+  }
+
+  /** The four funnel gate flags appended to `base` (any frame carrying
+    * `doc_id` and `lang`), plus the q29 `quality` value they test. The gate
+    * DEFINITIONS live here once — q81's rollup and q112's per-document
+    * manifest must agree formula-for-formula, and their specs compare
+    * totals, not formulas, so a second copy could silently diverge.
+    * Keeper/loser/quality joins are doc-keyed and pinned shuffle_hash
+    * (corpus-sized both sides); the loser side rides the memoized df-gated
+    * pair stage. */
+  private def withGateFlags(spark: SparkSession, dir: String,
+      base: DataFrame, qualityMin: Double, lang: String,
+      threshold: Double, maxDf: Int): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
     val keepers = docs.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id", lit(1).as("f_ex"))
       .hint("shuffle_hash")
-    val losers = Dedup.ngramPairs(spark, dir, 0.8, maxDf)
+    val losers = Dedup.ngramPairs(spark, dir, threshold, maxDf)
       .select($"d2".as("doc_id")).distinct()
       .withColumn("is_loser", lit(1))
       .hint("shuffle_hash")
     val quality = TextAnalysis.qualityScore(spark, dir)
       .select($"doc_id", $"quality")
       .hint("shuffle_hash")
-    docs.select($"doc_id", $"source", $"lang")
+    base
       .join(keepers, Seq("doc_id"), "left")
       .join(losers, Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"))
-      .select($"source",
-        coalesce($"f_ex", lit(0)).as("f_ex"),
-        when($"is_loser".isNull, 1).otherwise(0).as("f_near"),
-        when($"quality" >= qualityMin, 1).otherwise(0).as("f_q"),
-        when($"lang" === lang, 1).otherwise(0).as("f_lang"))
-      .transform(funnelAgg)
+      .withColumn("f_ex", coalesce($"f_ex", lit(0)))
+      .withColumn("f_near", when($"is_loser".isNull, 1).otherwise(0))
+      .withColumn("f_q", when($"quality" >= qualityMin, 1).otherwise(0))
+      .withColumn("f_lang", when($"lang" === lang, 1).otherwise(0))
+      .drop("is_loser")
   }
 
   /** Token-weighted dedup yield per source (q92): the funnel (q81) counts
@@ -955,16 +983,22 @@ object Curation {
       nShards: Int = 16): DataFrame =
     trainOrderOf(Tables.documents(spark, dir), nShards)
 
+  /** q96's salted deterministic read-order key, and its shard derivation
+    * (reads the `ord_key` column). One definition — the (shard, pos)
+    * layout is an oracle-parity contract shared by q96 and q112. */
+  private[graft] val ordKey: Column =
+    md5(concat(lit("ord:"), col("doc_id").cast("string")))
+  private def shardOfOrdKey(nShards: Int): Column =
+    (expr("cast(conv(substring(ord_key, 1, 15), 16, 10) as bigint)")
+      % nShards).cast("int")
+
   /** [[trainOrder]] over an arbitrary `(doc_id, source)` frame. */
   def trainOrderOf(docs: DataFrame, nShards: Int): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val keyed = docs.select($"doc_id", $"source",
-      md5(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord_key"))
-      .withColumn("shard",
-        (expr("cast(conv(substring(ord_key, 1, 15), 16, 10) as bigint)")
-          % nShards).cast("int"))
+    val keyed = docs.select($"doc_id", $"source", ordKey.as("ord_key"))
+      .withColumn("shard", shardOfOrdKey(nShards))
     keyed
       .withColumn("pos", row_number().over(
         Window.partitionBy($"shard").orderBy($"ord_key", $"doc_id"))
@@ -1010,40 +1044,20 @@ object Curation {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val docs = Tables.documents(spark, dir)
-    val keepers = docs.groupBy(md5($"text").as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id", lit(1).as("f_ex"))
-      .hint("shuffle_hash")
-    val losers = Dedup.ngramPairs(spark, dir, threshold, maxDf)
-      .select($"d2".as("doc_id")).distinct()
-      .withColumn("is_loser", lit(1))
-      .hint("shuffle_hash")
-    val quality = TextAnalysis.qualityScore(spark, dir)
-      .select($"doc_id", $"quality")
-      .hint("shuffle_hash")
     // per-row columns: PII hit total (q61's pattern set), q64 split
-    // bucket, q96 ord key + shard — all map-side, no extra shuffles
+    // bucket, q96 ord key + shard — all map-side, no extra shuffles; the
+    // formulas are the shared splitBucket/splitOfBucket/ordKey helpers, so
+    // the manifest cannot diverge from q62/q64/q96
     val piiHits = piiPatterns.map { case (_, pat) =>
       size(regexp_extract_all($"text", lit(pat), lit(0))) }.reduce(_ + _)
-    val bucket = expr("cast(conv(substring(md5(concat(source, ':', " +
-      "cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000")
-    val base = docs
+    val base = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"lang", piiHits.as("pii_hits"),
-        bucket.as("bucket"),
-        md5(concat(lit("ord:"), $"doc_id".cast("string"))).as("ord_key"))
-      .withColumn("split", when($"bucket" < 800, "train")
-        .when($"bucket" < 900, "val").otherwise("test"))
-      .withColumn("shard",
-        (expr("cast(conv(substring(ord_key, 1, 15), 16, 10) as bigint)")
-          % nShards).cast("int"))
-      .join(keepers, Seq("doc_id"), "left")
-      .join(losers, Seq("doc_id"), "left")
-      .join(quality, Seq("doc_id"))
-      .withColumn("f_ex", coalesce($"f_ex", lit(0)))
-      .withColumn("f_near", when($"is_loser".isNull, 1).otherwise(0))
-      .withColumn("f_q", when($"quality" >= qualityMin, 1).otherwise(0))
-      .withColumn("f_lang", when($"lang" === lang, 1).otherwise(0))
+        splitBucket.as("bucket"), ordKey.as("ord_key"))
+      .withColumn("split", splitOfBucket(defaultSplits))
+      .withColumn("shard", shardOfOrdKey(nShards))
+    // the gate flags are the shared q81 definitions (withGateFlags)
+    val flagged = withGateFlags(spark, dir, base, qualityMin, lang,
+        threshold, maxDf)
       .withColumn("keep", $"f_ex" * $"f_near" * $"f_q" * $"f_lang")
       .withColumn("drop_reason",
         when($"f_ex" === 0, "exact_dup").when($"f_near" === 0, "near_dup")
@@ -1052,7 +1066,7 @@ object Curation {
     val w = Window.partitionBy($"split", $"shard")
       .orderBy($"ord_key", $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
+    flagged
       .withColumn("pos", (sum($"keep").over(w) * $"keep").cast("long"))
       .select($"doc_id", $"source", $"split", $"keep", $"drop_reason",
         round($"quality", 6).as("quality"), $"pii_hits", $"shard", $"pos")

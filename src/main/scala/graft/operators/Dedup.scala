@@ -277,12 +277,10 @@ object Dedup {
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
       maxDf: Int = 100): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val minTh = thresholds.min
-    val jd = interCounts(spark, dir, maxDf)
-      .select(col("d1"), col("d2"),
-        round(col("i") * lit(1.0) / (col("c1") + col("c2") - col("i")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minTh)
+    // the 6-dp Jaccard rounding is the oracle-parity contract shared by
+    // the whole shingle family — one definition (jaccardOfInter), not
+    // per-caller copies
+    val jd = jaccardOfInter(interCounts(spark, dir, maxDf), thresholds.min)
     val arr = thresholds.sorted.map(t => s"${t}D").mkString(",")
     val tagged = jd.select(col("d1"), col("d2"),
       explode(expr(s"filter(array($arr), t -> jaccard >= t)"))
@@ -329,11 +327,7 @@ object Dedup {
     // left-associated integer power: bit-identical to the SQL chain
     // x*x*...*x (SQL `*` is left-associative too)
     def ipow(x: Column, n: Int): Column = Seq.fill(n)(x).reduce(_ * _)
-    val jd = interCounts(spark, dir, maxDf)
-      .select(col("d1"), col("d2"),
-        round(col("i") * lit(1.0) / (col("c1") + col("c2") - col("i")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= floor)
+    val jd = jaccardOfInter(interCounts(spark, dir, maxDf), floor)
     val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
     val perConfig = configs.map { case (b, r) =>
       val p = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), r), b)
