@@ -302,13 +302,26 @@ object Curation {
     * identical min-id labelling (differential-tested). */
   private[graft] def starContract(pairs: DataFrame,
       maxIter: Int = 50, driverEdgeBudget: Long = 100000): (DataFrame, Int) = {
+    // localCheckpoint + a fresh-DataFrame rewrap. The rewrap matters: a
+    // checkpointed frame's LogicalRDD still CARRIES the origin plan's
+    // Catalyst constraints, whose attribute ids are stale after the cut,
+    // and Spark 4.1's Union constraint rewrite throws
+    // `key not found: u#N` on them — observed at the 10x scale smoke when
+    // the pair input is itself a union (q86's text ∪ media graph; q50's
+    // single-source input never trips it). Rebuilding from the
+    // checkpointed RDD keeps the persisted data and schema but drops the
+    // stale constraints, so the loop's self-unions stay legal for ANY
+    // caller-supplied pair lineage.
+    def checkpointed(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      df.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     // canonical big→small orientation, self-loops dropped
-    var edges = pairs
+    var edges = checkpointed(pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // one pass over the pair frame (explode), not two (select-d1 union
     // select-d2): everything below `pairs` — the LSH/ngram candidate
     // machinery above the memoized stages — would otherwise run twice
@@ -390,7 +403,7 @@ object Curation {
     }
     var converged = edgeCount == 0L
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = checkpointed(smallStar(largeStar(edges)))
       // both sides distinct: equal counts + empty difference ⇔ equal sets;
       // the previous round's count is carried over, so each round pays one
       // count + one bounded except probe, not two counts

@@ -34,6 +34,27 @@ class PropertySpec extends SparkSpec {
     }, runs = 15)
   }
 
+  test("text normalization is idempotent and case/punct/space-insensitive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val gen = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    holds(Prop.forAll(gen) { s =>
+      def norm(xs: String*): Seq[String] = xs.zipWithIndex
+        .map { case (x, i) => (i.toLong, x) }
+        .toDF("doc_id", "text")
+        .select(graft.operators.Dedup.normalizeText(col("text")))
+        .collect().map(_.getString(0)).toSeq
+      // the q110 group key must not move under a second normalization,
+      // re-casing, punctuation insertion, or whitespace inflation — that
+      // is exactly the dup tier the operator exists to collapse
+      val Seq(base) = norm(s)
+      norm(base, s.toUpperCase,
+        s.replace(" ", ", "), "  " + s.replace(" ", "\t \t") + " ")
+        .forall(_ == base)
+    }, runs = 20)
+  }
+
   test("secondarySorted equals in-memory group-sort for arbitrary data") {
     import spark.implicits._
     val gen = Gen.listOfN(60,
