@@ -164,6 +164,29 @@ class RobustnessSpec extends SparkSpec {
       "y" -> "y", "z" -> "y"))
   }
 
+  test("q110-q112 guards: loud refusals and degenerate inputs") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    // misconfigurations fail fast with a named argument, not a bad plan
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.lshPlanner(spark, sfDir, threshold = 0.5, floor = 0.9))
+    assert(e1.getMessage.contains("floor"))
+    val e2 = intercept[IllegalArgumentException](
+      Curation.trainingManifest(spark, sfDir, nShards = 0))
+    assert(e2.getMessage.contains("nShards"))
+    // an empty corpus yields an empty manifest-style dedup, not an error
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.normalizedDedupOf(noDocs).count() === 0)
+    // null text hashes to a null canonical form and lands in one group
+    // (md5(NULL) = NULL on both engines) rather than crashing the scan
+    val withNull = Seq((1L, null), (2L, "a b"), (3L, "A  b."))
+      .asInstanceOf[Seq[(Long, String)]].toDF("doc_id", "text")
+    val groups = Dedup.normalizedDedupOf(withNull).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sum === 3L)
+    assert(groups.exists(r => r.getAs[Long]("keeper") == 2L &&
+      r.getAs[Long]("n_copies") == 2L), "2/3 share a canonical form")
+  }
+
   test("k-means over a corpus with no valid vectors returns empty, not error") {
     import spark.implicits._
     import graft.operators.Similarity
