@@ -143,6 +143,29 @@ class RobustnessSpec extends SparkSpec {
       7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("star contraction accepts union-lineage pair inputs (q86's shape)") {
+    import graft.operators.{Curation, Dedup, Multimodal}
+    // q86 feeds the contraction a UNION of two real pair stages. On
+    // Spark 4.1 a localCheckpoint'ed frame still carries the origin
+    // plan's Catalyst constraints (with stale attribute ids), and the
+    // loop's self-union threw `key not found: u#N` on exactly this input
+    // at the 10x scale smoke. driverEdgeBudget = 0 forces the distributed
+    // loop at fixture size, which REPRODUCES the crash pre-fix (verified:
+    // a toy union's constraints don't trip it, the genuine pair-stage
+    // lineage does) — so this differential is the regression net, and it
+    // also pins that both contraction paths label the union identically.
+    StageMemo.clear()
+    def run(budget: Long) = Curation.crossModalClustersOf(
+      Tables.documents(spark, sfDir),
+      Dedup.ngramPairs(spark, sfDir, 0.8, 100),
+      Multimodal.blockhashPairs(spark, sfDir, 3),
+      driverEdgeBudget = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val distributed = run(0)
+    assert(distributed.nonEmpty)
+    assert(distributed === run(100000), "both paths label identically")
+  }
+
   test("star contraction keeps non-Long integral ids on the driver fast path") {
     import spark.implicits._
     import graft.operators.Curation
