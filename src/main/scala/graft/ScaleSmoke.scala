@@ -291,6 +291,11 @@ object ScaleSmoke {
       // track the pair stage it rides plus a corpus-linear window sort
       "training_manifest" -> ((d, m) => operators.Curation.trainingManifest(
         spark, d, maxDf = 100 * m)),
+      // q113: per-row score + constant-fanout explode + one partial-agg
+      // rollup — must stay agg-linear like pii_scan (output fixed at
+      // |ladder| rows)
+      "quality_sweep" -> ((d, _) => operators.TextAnalysis.qualitySweep(
+        spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

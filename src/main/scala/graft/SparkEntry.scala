@@ -281,7 +281,10 @@ object SparkEntry {
     "q111_lsh_planner" -> ((s, d) => Dedup.lshPlanner(s, d)),
     // training manifest: the per-document disposition (q81 gates + q61
     // PII total + q64 split + kept-only q96 read order) a trainer ships
-    "q112_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d))
+    "q112_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d)),
+    // quality-gate calibration: doc AND token survival per quality rung —
+    // the curve behind q81/q95/q112's fixed 0.5; q105's twin for quality
+    "q113_quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2679,6 +2682,38 @@ object SparkEntry {
         |    ORDER BY ord_key, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * keep
         |    AS BIGINT) AS pos
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    "q113_quality_sweep" ->
+      // the q29/q81 quality chain scored once; each doc tags every ladder
+      // rung its quality clears; corpus totals ride a one-row frame.
+      // shinglesCte is imported for its `toks` member only.
+      (s"""WITH $shinglesCte,
+        |scored AS (
+        |  SELECT
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(t.t,
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(t.t) * 2.0
+        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+        |        * 1.0 / length(d.text) * 3.0)) AS quality,
+        |    CAST(len(t.t) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |tot AS (SELECT COUNT(*) AS n_total,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total FROM scored),
+        |th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS DOUBLE)
+        |  AS threshold),
+        |tagged AS (
+        |  SELECT threshold, n_tokens FROM scored, th
+        |  WHERE quality >= threshold)
+        |SELECT threshold, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(COUNT(*) * 1.0 / n_total, 6) AS pct_docs,
+        |  ROUND(SUM(n_tokens) * 1.0 / tokens_total, 6) AS pct_tokens
+        |FROM tagged, tot
+        |GROUP BY threshold, n_total, tokens_total
+        |ORDER BY threshold""".stripMargin)
   )
 }

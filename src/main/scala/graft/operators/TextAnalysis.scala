@@ -115,6 +115,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Quality-threshold calibration sweep (q113) — doc and token survival
+    * at a ladder of quality cut-offs, from ONE scored pass: the curve a
+    * pipeline owner reads before committing the quality gate that q81's
+    * funnel, q95's budget and q112's manifest all apply at a fixed 0.5.
+    * Token counts matter independently of doc counts (q92's lesson: a rung
+    * can keep 90% of documents but 60% of tokens when the long documents
+    * are the low-quality ones), so the sweep reports both, with fractions
+    * of the corpus totals. q105 is the same planner idea for the DEDUP
+    * threshold; this is the QUALITY gate's.
+    *
+    * Scale shape: the q29 score and token count are per-row maps; each doc
+    * explodes into at most |thresholds| tagged rows (a constant), then one
+    * partial-agg shuffle to a |thresholds|-row frame; the corpus totals
+    * are a one-row aggregate broadcast in. Nothing else touches the
+    * corpus. */
+  def qualitySweep(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val scored = withQualityScore(Tables.documents(spark, dir))
+      .select(col("quality"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val tot = scored.agg(count(lit(1)).as("n_total"),
+      sum(col("n_tokens")).as("tokens_total"))
+    val arr = thresholds.sorted.map(t => s"${t}D").mkString(",")
+    scored
+      .select(col("n_tokens"),
+        explode(expr(s"filter(array($arr), t -> quality >= t)"))
+          .as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") * lit(1.0) / col("n_total"), 6).as("pct_docs"),
+        round(col("n_tokens") * lit(1.0) / col("tokens_total"), 6)
+          .as("pct_tokens"))
+      .orderBy(col("threshold"))
+  }
+
   /** Token counting per source: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single non-space symbols). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {

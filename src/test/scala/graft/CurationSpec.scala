@@ -860,6 +860,30 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq, "deterministic across runs")
   }
 
+  test("quality sweep is monotone and its rungs match brute-force recounts") {
+    val sweep = TextAnalysis.qualitySweep(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq === Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+    // raising the cut-off can only shrink both survivals
+    sweep.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, s"sweep not monotone: $a $b")
+      case _ =>
+    }
+    sweep.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0 && r._5 >= 0.0 && r._5 <= 1.0)
+    }
+    // every rung equals a brute-force recount over the q29 scores
+    val scored = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Double]("quality"), r.getAs[Long]("n_tokens")))
+    sweep.foreach { case (t, nd, nt, _, _) =>
+      val kept = scored.filter(_._1 >= t)
+      assert(nd === kept.length.toLong, s"doc count at $t")
+      assert(nt === kept.map(_._2).sum, s"token count at $t")
+    }
+  }
+
   test("training manifest composes the funnel, splits, PII and read order") {
     import spark.implicits._
     val m = Curation.trainingManifest(spark, sfDir).collect()

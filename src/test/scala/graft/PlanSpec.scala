@@ -677,6 +677,18 @@ class PlanSpec extends SparkSpec {
       s"the 4-row rollup must partial-combine before its shuffle:\n$p")
   }
 
+  test("q113 quality sweep: per-row score + one rollup, no corpus joins") {
+    val p = plan(operators.TextAnalysis.qualitySweep(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), s"no corpus-keyed join belongs:\n$p")
+    // exactly one nest-loop: the broadcast one-row totals frame
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
+      s"one one-row totals broadcast only:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")),
+      s"the rung rollup must partial-combine before its shuffle:\n$p")
+  }
+
   test("q112 training manifest: shuffled doc joins, partitioned window") {
     StageMemo.clear()
     val p = plan(operators.Curation.trainingManifest(spark, sfDir))
