@@ -862,6 +862,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.last._7 >= 0.999, s"8x1 endpoint recall: ${rows.last}")
   }
 
+  test("lsh planner's 4x2 prediction brackets the shipped banding's catch") {
+    // the planner is analytic (S-curve over true Jaccards); q108's audit
+    // is the REALITY of the shipped 4-band sketch (every banded candidate
+    // with its true Jaccard). The md5 "permutations" are one fixed draw,
+    // so the realization won't equal the expectation — but an S-curve
+    // that's wrong by construction would miss by far more than 2x.
+    val actualCaught = Dedup.minhashAccuracy(spark, sfDir).collect()
+      .count(_.getAs[Double]("jaccard") >= 0.8).toLong
+    val row = Dedup.lshPlanner(spark, sfDir).collect()
+      .find(_.getAs[Int]("bands") == 4).get
+    val expCaught = row.getAs[Double]("exp_caught")
+    val nTarget = row.getAs[Long]("n_target")
+    assert(actualCaught <= nTarget, "catch can't exceed the target pool")
+    assert(actualCaught >= 0.5 * expCaught &&
+      actualCaught <= math.min(nTarget.toDouble, 2.0 * expCaught),
+      s"actual $actualCaught vs predicted $expCaught (target $nTarget)")
+  }
+
   test("cluster-size histogram partitions the corpus") {
     import graft.operators.Curation
     val hist = Curation.clusterSizes(spark, sfDir).collect()
