@@ -381,7 +381,12 @@ object ScaleSmoke {
         val perK = ts.map { case (m, s, r) =>
           s""""${m}x":${jnum(if (r > 0) s * 1000.0 / r else Double.NaN)}"""
         }.mkString(",")
-        println(s"""{"op":"$name","exponent":${jnum(slope)},""" +
+        // `mults` names the lap configuration: the same op measured at
+        // "10,30" and later "10,100" appends two records, and an op-keyed
+        // reader needs the field to keep both instead of silently
+        // last-wins-ing one series
+        println(s"""{"op":"$name","mults":"${mults.mkString(",")}",""" +
+          s""""exponent":${jnum(slope)},""" +
           s""""out_exponent":${jnum(outSlope)},$steps,""" +
           s""""pairs_emitted":{$emitted},"sec_per_1k_out":{$perK},$series}""")
       }

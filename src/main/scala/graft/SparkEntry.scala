@@ -2701,19 +2701,26 @@ object SparkEntry {
         |        * 1.0 / length(d.text) * 3.0)) AS quality,
         |    CAST(len(t.t) AS BIGINT) AS n_tokens
         |  FROM documents d JOIN toks t USING (doc_id)),
-        |tot AS (SELECT COUNT(*) AS n_total,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total FROM scored),
-        |th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS DOUBLE)
-        |  AS threshold),
+        |th AS (SELECT CAST(unnest([-1.0, 0.3, 0.4, 0.5, 0.6, 0.7])
+        |  AS DOUBLE) AS threshold),
         |tagged AS (
         |  SELECT threshold, n_tokens FROM scored, th
-        |  WHERE quality >= threshold)
-        |SELECT threshold, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-        |  ROUND(COUNT(*) * 1.0 / n_total, 6) AS pct_docs,
-        |  ROUND(SUM(n_tokens) * 1.0 / tokens_total, 6) AS pct_tokens
-        |FROM tagged, tot
-        |GROUP BY threshold, n_total, tokens_total
+        |  WHERE quality >= threshold),
+        |agg AS (
+        |  SELECT threshold, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM tagged GROUP BY threshold),
+        |sp AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN threshold = -1.0 THEN n_docs END) OVER ()
+        |      AS n_total,
+        |    MAX(CASE WHEN threshold = -1.0 THEN n_tokens END) OVER ()
+        |      AS tokens_total
+        |  FROM agg)
+        |SELECT threshold, n_docs, n_tokens,
+        |  ROUND(n_docs * 1.0 / n_total, 6) AS pct_docs,
+        |  ROUND(n_tokens * 1.0 / tokens_total, 6) AS pct_tokens
+        |FROM sp WHERE threshold <> -1.0
         |ORDER BY threshold""".stripMargin)
   )
 }

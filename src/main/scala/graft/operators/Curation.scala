@@ -302,22 +302,28 @@ object Curation {
     * identical min-id labelling (differential-tested). */
   private[graft] def starContract(pairs: DataFrame,
       maxIter: Int = 50, driverEdgeBudget: Long = 100000): (DataFrame, Int) = {
-    // localCheckpoint + a fresh-DataFrame rewrap. The rewrap matters: a
-    // checkpointed frame's LogicalRDD still CARRIES the origin plan's
-    // Catalyst constraints, whose attribute ids are stale after the cut,
-    // and Spark 4.1's Union constraint rewrite throws
-    // `key not found: u#N` on them — observed at the 10x scale smoke when
-    // the pair input is itself a union (q86's text ∪ media graph; q50's
-    // single-source input never trips it). Rebuilding from the
-    // checkpointed RDD keeps the persisted data and schema but drops the
-    // stale constraints, so the loop's self-unions stay legal for ANY
-    // caller-supplied pair lineage.
-    def checkpointed(df: DataFrame): DataFrame = {
+    // localCheckpoint + a fresh-DataFrame rewrap, at entry AND per round.
+    // The rewrap matters twice over. (1) Correctness: a checkpointed
+    // frame's LogicalRDD still CARRIES the origin plan's Catalyst
+    // constraints, whose attribute ids are stale after the cut, and
+    // Spark 4.1's Union constraint rewrite throws `key not found: u#N`
+    // on them — observed at the 10x scale smoke when the pair input is
+    // itself a union (q86's text ∪ media graph; q50's single-source
+    // input never trips it). Rebuilding from the checkpointed RDD keeps
+    // the persisted data and schema but drops the stale constraints.
+    // (2) Scale safety: the rewrapped frame also loses the checkpoint's
+    // accurate size stats, so Catalyst can never elect a broadcast of a
+    // per-round edge/mins frame on fixture-scale evidence — frames that
+    // grow with the corpus must shuffle. The quiet-box 10x/30x series
+    // (54 s / 332 s for the q86 graph) was measured with this
+    // configuration; the rewrap's external-Row conversion did not
+    // register against the per-round shuffles.
+    def cleanCheckpoint(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
       df.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
     // canonical big→small orientation, self-loops dropped
-    var edges = checkpointed(pairs
+    var edges = cleanCheckpoint(pairs
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -403,7 +409,7 @@ object Curation {
     }
     var converged = edgeCount == 0L
     while (!converged && it < maxIter) {
-      val next = checkpointed(smallStar(largeStar(edges)))
+      val next = cleanCheckpoint(smallStar(largeStar(edges)))
       // both sides distinct: equal counts + empty difference ⇔ equal sets;
       // the previous round's count is carried over, so each round pays one
       // count + one bounded except probe, not two counts

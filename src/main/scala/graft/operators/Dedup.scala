@@ -277,6 +277,8 @@ object Dedup {
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
       maxDf: Int = 100): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds double-count the ladder: $thresholds")
     // the 6-dp Jaccard rounding is the oracle-parity contract shared by
     // the whole shingle family — one definition (jaccardOfInter), not
     // per-caller copies

@@ -126,26 +126,41 @@ object TextAnalysis {
     * threshold; this is the QUALITY gate's.
     *
     * Scale shape: the q29 score and token count are per-row maps; each doc
-    * explodes into at most |thresholds| tagged rows (a constant), then one
-    * partial-agg shuffle to a |thresholds|-row frame; the corpus totals
-    * are a one-row aggregate broadcast in. Nothing else touches the
-    * corpus. */
+    * explodes into at most |thresholds|+1 tagged rows (a constant) — the
+    * extra one is a sentinel rung at −1 that every scorable doc clears, so
+    * the corpus totals come out of the SAME partial-agg shuffle instead of
+    * a second scan — then one rollup to a |thresholds|-row frame. The
+    * totals spread across the ladder through a window over that tiny
+    * frame. Nothing else touches the corpus. */
   def qualitySweep(spark: SparkSession, dir: String,
       thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds double-count survivors: $thresholds")
+    require(thresholds.forall(t => t >= 0.0 && t <= 1.0),
+      s"quality is clamped to [0,1]; rungs outside it are dead: $thresholds")
     val scored = withQualityScore(Tables.documents(spark, dir))
       .select(col("quality"),
         size(tokens(col("text"))).cast("bigint").as("n_tokens"))
-    val tot = scored.agg(count(lit(1)).as("n_total"),
-      sum(col("n_tokens")).as("tokens_total"))
-    val arr = thresholds.sorted.map(t => s"${t}D").mkString(",")
+    // sentinel first: quality >= -1 holds for every scorable doc, so the
+    // -1 rung IS the totals row and the corpus is scanned exactly once
+    val arr = ("-1.0D" +: thresholds.sorted.map(t => s"${t}D")).mkString(",")
+    // the window frame is the rollup output: |thresholds|+1 rows — a
+    // global window here is a constant-size broadcast, not a corpus sort
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     scored
       .select(col("n_tokens"),
         explode(expr(s"filter(array($arr), t -> quality >= t)"))
           .as("threshold"))
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_total",
+        max(when(col("threshold") === -1.0, col("n_docs"))).over(w))
+      .withColumn("tokens_total",
+        max(when(col("threshold") === -1.0, col("n_tokens"))).over(w))
+      .filter(col("threshold") =!= -1.0)
       .select(col("threshold"), col("n_docs"), col("n_tokens"),
         round(col("n_docs") * lit(1.0) / col("n_total"), 6).as("pct_docs"),
         round(col("n_tokens") * lit(1.0) / col("tokens_total"), 6)

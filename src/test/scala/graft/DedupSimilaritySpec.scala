@@ -868,16 +868,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // with its true Jaccard). The md5 "permutations" are one fixed draw,
     // so the realization won't equal the expectation — but an S-curve
     // that's wrong by construction would miss by far more than 2x.
+    // population note: q108's true Jaccard is UNGATED while the planner's
+    // target pool rides the df-gated intersection stage — the fixture's
+    // max shingle df is 9 (well under the 100 cap), so the two agree
+    // here, but `actual <= n_target` is NOT a general invariant and is
+    // deliberately not asserted.
     val actualCaught = Dedup.minhashAccuracy(spark, sfDir).collect()
       .count(_.getAs[Double]("jaccard") >= 0.8).toLong
     val row = Dedup.lshPlanner(spark, sfDir).collect()
       .find(_.getAs[Int]("bands") == 4).get
     val expCaught = row.getAs[Double]("exp_caught")
-    val nTarget = row.getAs[Long]("n_target")
-    assert(actualCaught <= nTarget, "catch can't exceed the target pool")
     assert(actualCaught >= 0.5 * expCaught &&
-      actualCaught <= math.min(nTarget.toDouble, 2.0 * expCaught),
-      s"actual $actualCaught vs predicted $expCaught (target $nTarget)")
+      actualCaught <= 2.0 * expCaught,
+      s"actual $actualCaught vs predicted $expCaught")
   }
 
   test("cluster-size histogram partitions the corpus") {

@@ -677,13 +677,13 @@ class PlanSpec extends SparkSpec {
       s"the 4-row rollup must partial-combine before its shuffle:\n$p")
   }
 
-  test("q113 quality sweep: per-row score + one rollup, no corpus joins") {
+  test("q113 quality sweep: ONE corpus scan, join-free, partial rollup") {
     val p = plan(operators.TextAnalysis.qualitySweep(spark, sfDir))
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
-      !p.contains("ShuffledHashJoin"), s"no corpus-keyed join belongs:\n$p")
-    // exactly one nest-loop: the broadcast one-row totals frame
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1,
-      s"one one-row totals broadcast only:\n$p")
+    // the sentinel-rung design makes the totals part of the same rollup:
+    // no join of any kind, and the corpus is scanned exactly once
+    assert(!p.contains("Join"), s"the sweep must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"one corpus scan only (the docstring's single-pass claim):\n$p")
     assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
       l.contains("partial_")),
       s"the rung rollup must partial-combine before its shuffle:\n$p")
