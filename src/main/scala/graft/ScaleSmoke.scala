@@ -296,6 +296,10 @@ object ScaleSmoke {
       // |ladder| rows)
       "quality_sweep" -> ((d, _) => operators.TextAnalysis.qualitySweep(
         spark, d)),
+      // q114: the same shape keyed by split — per-row score/split maps +
+      // one 3-row partial agg
+      "split_balance" -> ((d, _) => operators.Curation.splitBalance(
+        spark, d)),
     )
     val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(',').map(_.trim).toSet)

@@ -284,7 +284,11 @@ object SparkEntry {
     "q112_training_manifest" -> ((s, d) => Curation.trainingManifest(s, d)),
     // quality-gate calibration: doc AND token survival per quality rung —
     // the curve behind q81/q95/q112's fixed 0.5; q105's twin for quality
-    "q113_quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(s, d))
+    "q113_quality_sweep" -> ((s, d) => TextAnalysis.qualitySweep(s, d)),
+    // split-balance audit: volume/source/language/quality parity across
+    // train-val-test — the distribution half of eval hygiene (q72 is the
+    // duplication half)
+    "q114_split_balance" -> ((s, d) => Curation.splitBalance(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2721,6 +2725,43 @@ object SparkEntry {
         |  ROUND(n_docs * 1.0 / n_total, 6) AS pct_docs,
         |  ROUND(n_tokens * 1.0 / tokens_total, 6) AS pct_tokens
         |FROM sp WHERE threshold <> -1.0
-        |ORDER BY threshold""".stripMargin)
+        |ORDER BY threshold""".stripMargin),
+
+    "q114_split_balance" ->
+      // the q93 rollup keyed by the q64 split instead of source: quality
+      // via the shared decimal-sum pattern, split via the shared bucket.
+      (s"""WITH $shinglesCte,
+        |q AS (
+        |  SELECT d.doc_id,
+        |    LEAST(1.0, GREATEST(0.0,
+        |      0.2
+        |      + len(list_filter(t.t,
+        |          x -> x IN ('the','a','of','and','to','is')))
+        |        * 1.0 / len(t.t) * 2.0
+        |      + len(list_distinct(t.t)) * 1.0 / len(t.t) * 0.5
+        |      - length(regexp_replace(d.text, '[a-z0-9\\s]', '', 'g'))
+        |        * 1.0 / length(d.text) * 3.0)) AS quality
+        |  FROM documents d JOIN toks t USING (doc_id)),
+        |tk AS (
+        |  SELECT doc_id, source, lang,
+        |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |        t -> t <> '')) AS n_tokens,
+        |    CASE WHEN ('0x' || substr(md5(source || ':'
+        |             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000 < 800 THEN 'train'
+        |         WHEN ('0x' || substr(md5(source || ':'
+        |             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 6) AS pct_en,
+        |  CAST(SUM(CAST(ROUND(q.quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS avg_quality
+        |FROM tk JOIN q USING (doc_id)
+        |GROUP BY split ORDER BY split""".stripMargin)
   )
 }

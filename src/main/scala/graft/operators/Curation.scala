@@ -655,6 +655,38 @@ object Curation {
   def assignSplits(spark: SparkSession, dir: String): DataFrame =
     assignSplitsOf(Tables.documents(spark, dir))
 
+  /** Split-balance audit (q114) — the distribution-parity half of eval
+    * hygiene (q72's leakage audit is the duplication half): per split,
+    * the volume (docs/tokens), source coverage, language mix and
+    * decimal-exact mean q29 quality. A content-hash split is unbiased BY
+    * CONSTRUCTION, but the audit is what a pipeline owner actually ships
+    * next to the split — a val set that under-represents a source or
+    * skews quality means eval numbers won't transfer, and this one table
+    * says so before any training run does. Split and quality formulas are
+    * the shared q64/q29 definitions, so the audit can never drift from
+    * the split it audits.
+    *
+    * Scale shape: per-row score/split maps, then ONE |splits|-row partial
+    * agg — dataset card's shape keyed by split instead of source. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TextAnalysis.withQualityScore(
+        Tables.documents(spark, dir))
+      .withColumn("bucket", splitBucket)
+      .withColumn("split", splitOfBucket(defaultSplits))
+      .withColumn("n_tokens",
+        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"source").as("n_sources"),
+        round(sum(when($"lang" === "en", 1).otherwise(0)) * lit(1.0) /
+          count(lit(1)), 6).as("pct_en"),
+        (sum(round($"quality", 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"))
+      .orderBy($"split")
+  }
+
   /** Split-leakage check — the eval-hygiene audit run after ANY split:
     * count near-dup pairs ([[Dedup.ngramJaccard]]'s graph) whose endpoints
     * land in different [[assignSplitsOf]] splits. A train/test near-dup

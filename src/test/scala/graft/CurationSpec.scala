@@ -860,6 +860,36 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq, "deterministic across runs")
   }
 
+  test("split balance partitions the corpus and recounts per-split stats") {
+    val bal = Curation.splitBalance(spark, sfDir).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(bal.keySet === Set("train", "val", "test"))
+    // volumes partition the corpus exactly as the q64 assignment does
+    val splits = Curation.assignSplits(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+    val bySplit = splits.groupBy(_._2).view.mapValues(_.length.toLong)
+    bal.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_docs") === bySplit(s), s"doc volume at $s")
+    }
+    assert(bal.values.map(_.getAs[Long]("n_docs")).sum === splits.length)
+    // per-split token totals and english fractions recount exactly
+    val docs = Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text").split("\\s+").count(_.nonEmpty).toLong,
+          r.getAs[String]("lang"))).toMap
+    val splitOf = splits.toMap
+    bal.foreach { case (s, r) =>
+      val members = docs.filter { case (id, _) => splitOf(id) == s }
+      assert(r.getAs[Long]("n_tokens") === members.values.map(_._1).sum,
+        s"token volume at $s")
+      val pctEn = members.values.count(_._2 == "en").toDouble / members.size
+      assert(math.abs(r.getAs[Double]("pct_en") - pctEn) < 1e-6,
+        s"language mix at $s")
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0, s"mean quality in range at $s")
+    }
+  }
+
   test("quality sweep is monotone and its rungs match brute-force recounts") {
     val sweep = TextAnalysis.qualitySweep(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),

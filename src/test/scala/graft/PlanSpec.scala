@@ -689,6 +689,16 @@ class PlanSpec extends SparkSpec {
       s"the rung rollup must partial-combine before its shuffle:\n$p")
   }
 
+  test("q114 split balance: one scan, join-free, partial rollup") {
+    val p = plan(operators.Curation.splitBalance(spark, sfDir))
+    assert(!p.contains("Join"), s"per-row maps + one rollup, no join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"one corpus scan only:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")),
+      s"the split rollup must partial-combine before its shuffle:\n$p")
+  }
+
   test("q112 training manifest: shuffled doc joins, partitioned window") {
     StageMemo.clear()
     val p = plan(operators.Curation.trainingManifest(spark, sfDir))
