@@ -629,9 +629,14 @@ class PlanSpec extends SparkSpec {
       s"top-k must be a bounded heap, not a global sort:\n$p")
   }
 
-  test("q104 JL projection is join-free and partial-aggregates map-side") {
+  test("q104 JL projection broadcasts only the sign matrix; partial agg") {
     val p = plan(operators.Similarity.jlProjection(spark, sfDir))
-    assert(!p.contains("Join"), s"pure explode + rollup:\n$p")
+    // the one join is the dim-count sign-matrix broadcast (model-fixed,
+    // never corpus-sized); the corpus side must not shuffle for it
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) === 1,
+      s"exactly the sign-matrix broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side never shuffles for the sign join:\n$p")
     assert(p.contains("Generate posexplode"),
       s"dims fan out via posexplode:\n$p")
     assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
