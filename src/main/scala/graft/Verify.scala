@@ -27,9 +27,16 @@ object Verify {
     // queries (the driver leaves it unset and dumps everything).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Record which queries this dump ATTEMPTED, so the differential can
+    // tell "filtered out" (skip) from "crashed before writing anything"
+    // (fail) — a plan-construction failure leaves no result dir at all,
+    // and without this file a filtered-dump-aware checker would silently
+    // absorb it as a skip.
+    Files.writeString(Paths.get(s"$outDir/attempted.txt"),
+      attempted.keys.toSeq.sorted.mkString("", "\n", "\n"))
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -19,10 +19,9 @@ import graft.Tables
   */
 object Curation {
 
-  /** Word tokens of `text` (whitespace split, empties dropped) — same
-    * tokenizer as [[Dedup]]/[[TextAnalysis]]. */
-  private def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+  /** Word tokens of `text` — the shared engine-wide tokenizer
+    * ([[TextAnalysis.tokens]]; one definition, oracle-parity contract). */
+  private def tokens(c: Column): Column = TextAnalysis.tokens(c)
 
   // ---------------------------------------------------------------------
   // Benchmark decontamination
@@ -674,8 +673,7 @@ object Curation {
         Tables.documents(spark, dir))
       .withColumn("bucket", splitBucket)
       .withColumn("split", splitOfBucket(defaultSplits))
-      .withColumn("n_tokens",
-        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint"))
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount($"text"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("n_tokens"),
@@ -898,8 +896,7 @@ object Curation {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", $"source",
-        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint")
-          .as("n_tokens"))
+        TextAnalysis.wsTokenCount($"text").as("n_tokens"))
     val decisions = Dedup.deduplicate(spark, dir, threshold,
       pairs = Some(Dedup.ngramPairs(spark, dir, threshold, maxDf)))
     toks.join(decisions.hint("shuffle_hash"), Seq("doc_id"))
@@ -929,8 +926,7 @@ object Curation {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"lang", $"n_chars",
-        size(filter(split($"text", "\\s+"), t => t =!= "")).cast("bigint")
-          .as("n_tokens"))
+        TextAnalysis.wsTokenCount($"text").as("n_tokens"))
     val quality = TextAnalysis.qualityScore(spark, dir)
       .select($"doc_id", $"quality").hint("shuffle_hash")
     val decisions = Dedup.deduplicate(spark, dir).hint("shuffle_hash")

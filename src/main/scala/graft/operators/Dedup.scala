@@ -23,9 +23,11 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word tokens of `text` (whitespace split, empties dropped). */
-  private def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+  /** Word tokens of `text` — the shared engine-wide tokenizer
+    * ([[TextAnalysis.tokens]]; one definition, oracle-parity contract).
+    * (InvertedIndex's LOWERCASED variant is deliberately separate — Lucene
+    * analyzer semantics, not this tokenizer.) */
+  private def tokens(c: Column): Column = TextAnalysis.tokens(c)
 
   /** Session-scoped memo for shared pipeline stages (shingle pairs, minhash
     * signatures, simhash fingerprints) — see [[graft.StageMemo]]. The

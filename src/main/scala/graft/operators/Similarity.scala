@@ -830,8 +830,15 @@ object Similarity {
     // fixed, broadcast-safe at any corpus size) instead of recomputing
     // md5(j:d) once per (vector, dimension, j) row: at sf0.1 the inline
     // form paid 5.12M md5 calls for 1,024 distinct values, and md5
-    // dominated the operator's measured cost
-    val signs = exploded.select($"d").distinct()
+    // dominated the operator's measured cost. Dimension indices come
+    // from sequence(0, max width - 1) over a one-row max-size aggregate
+    // — a v-column-only scan with no explode, no distinct shuffle (the
+    // first cut re-exploded the corpus just to enumerate ~64 values);
+    // ragged widths are safe, the join drops generated d's no row carries
+    val signs = embeddings
+      .select(size($"v").as("n"))
+      .agg(max($"n").as("n"))
+      .select(explode(expr("sequence(0, n - 1)")).as("d"))
       .select($"d", array((0 until outDim).map(j =>
         when(substring(md5(concat(lit(j), lit(":"), $"d")), 1, 1)
           .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))

@@ -19,7 +19,18 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private def tokens(c: Column): Column = filter(split(c, "\\s+"), t => t =!= "")
+  /** Word tokens of `text` (whitespace split, empties dropped) — THE
+    * tokenizer of the text/curation tiers, and an oracle-parity contract
+    * (`regexp_split_to_array` + `list_filter` on the DuckDB side). One
+    * definition, engine-wide. */
+  private[graft] def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count as a bigint — THE token unit every budget and
+    * yield figure in the engine uses; same one-definition contract as
+    * [[tokens]]. */
+  private[graft] def wsTokenCount(c: Column): Column =
+    size(tokens(c)).cast("bigint")
 
   /** Tiny per-language stopword lexicons for the n-gram/stopword-hit
     * language-ID heuristic. Order = deterministic tie-break priority. */

@@ -50,17 +50,24 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if len(sys.argv) > 3:  # optional: check a single query by name
         oracle = {k: v for k, v in oracle.items() if k == sys.argv[3]}
-    # A SPARK_GRAFT_QUERIES-filtered Verify run dumps a subset; queries with
-    # no result dir were filtered out, not broken — skip them instead of
-    # printing a FAIL wall. A FULL dump that MISSES a query still fails (the
-    # dir exists but is empty/invalid), so driver semantics are unchanged.
+    # A SPARK_GRAFT_QUERIES-filtered Verify run dumps a subset. Verify
+    # writes the ATTEMPTED query names to attempted.txt; only queries the
+    # dump never attempted are skipped — an attempted query with no result
+    # dir CRASHED before writing anything and must fail, and an oracle key
+    # missing from the queries map (never attempted in an UNFILTERED run)
+    # must fail too, not skip. Dumps without the marker keep the original
+    # all-strict behavior.
     import os
-    dumped = {k: v for k, v in oracle.items()
-              if os.path.isdir(f"{out_dir}/{k}")}
-    skipped = len(oracle) - len(dumped)
-    if skipped:
-        print(f"(skipping {skipped} queries not in this filtered dump)")
-    oracle = dumped
+    marker = f"{out_dir}/attempted.txt"
+    if os.path.exists(marker):
+        attempted = set(open(marker).read().split())
+        filtered = len(attempted) < len(oracle)
+        checked = {k: v for k, v in oracle.items()
+                   if k in attempted or not filtered}
+        skipped = len(oracle) - len(checked)
+        if skipped:
+            print(f"(skipping {skipped} queries not in this filtered dump)")
+        oracle = checked
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
