@@ -288,7 +288,11 @@ object SparkEntry {
     // split-balance audit: volume/source/language/quality parity across
     // train-val-test — the distribution half of eval hygiene (q72 is the
     // duplication half)
-    "q114_split_balance" -> ((s, d) => Curation.splitBalance(s, d))
+    "q114_split_balance" -> ((s, d) => Curation.splitBalance(s, d)),
+    // prefix-truncation recall audit: serve from the first 16 dims vs the
+    // full-width exact top-k — the storage-tier acceptance table (q109's
+    // twin for width instead of bucketing)
+    "q115_truncation_recall" -> ((s, d) => Similarity.truncationRecall(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2762,6 +2766,42 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(q.quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
         |    / COUNT(*) AS avg_quality
         |FROM tk JOIN q USING (doc_id)
-        |GROUP BY split ORDER BY split""".stripMargin)
+        |GROUP BY split ORDER BY split""".stripMargin),
+
+    "q115_truncation_recall" ->
+      // the q26 exact chain at BOTH widths (full = q109's truth CTE;
+      // truncated = the same chain over list_slice(v, 1, 16) with norms
+      // recomputed on the prefix), rolled to per-query hit counts.
+      (s"""WITH $vecsCte,
+        |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |bsc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM q JOIN n b ON q.vec_id <> b.vec_id),
+        |br AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM bsc),
+        |truth AS (SELECT q_id, neighbor FROM br WHERE rank <= 5),
+        |tn AS (
+        |  SELECT vec_id, tv AS v, sqrt(list_dot_product(tv, tv)) AS norm
+        |  FROM (SELECT vec_id, list_slice(v, 1, 16) AS tv FROM n)),
+        |tsc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM (SELECT * FROM tn WHERE vec_id % 100 = 0) q
+        |  JOIN tn b ON q.vec_id <> b.vec_id),
+        |tr AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM tsc),
+        |ta AS (SELECT q_id, neighbor FROM tr WHERE rank <= 5),
+        |cnt AS (SELECT q_id, COUNT(*) AS n_true FROM truth GROUP BY q_id),
+        |h AS (SELECT truth.q_id, COUNT(*) AS n_hit
+        |      FROM truth JOIN ta USING (q_id, neighbor)
+        |      GROUP BY truth.q_id)
+        |SELECT cnt.q_id, cnt.n_true,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(COALESCE(n_hit, 0) * 1.0 / cnt.n_true, 6) AS recall
+        |FROM cnt LEFT JOIN h ON cnt.q_id = h.q_id
+        |ORDER BY cnt.q_id""".stripMargin)
   )
 }

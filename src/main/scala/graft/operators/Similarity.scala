@@ -775,22 +775,65 @@ object Similarity {
     * and the rollup is one partial agg per side. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = bruteForceTopK(spark, dir).select($"q_id", $"neighbor")
-    val t = truth.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
-    def hits(approx: DataFrame, name: String) = truth
-      .join(approx.select($"q_id", $"neighbor").hint("shuffle_hash"),
-        Seq("q_id", "neighbor"), "left_semi")
-      .groupBy($"q_id").agg(count(lit(1)).as(name))
-    t
-      .join(hits(lshTopK(spark, dir), "n_hit_lsh"), Seq("q_id"), "left")
-      .join(hits(ivfTopK(spark, dir), "n_hit_ivf"), Seq("q_id"), "left")
-      .select($"q_id", $"n_true",
-        coalesce($"n_hit_lsh", lit(0L)).as("n_hit_lsh"),
-        coalesce($"n_hit_ivf", lit(0L)).as("n_hit_ivf"))
+    // ONE truth reference: hit markers left-join onto the truth list
+    // (1:≤1, no fanout — (q_id, neighbor) is unique on both sides) and a
+    // single groupBy yields n_true and both hit counts. The earlier
+    // semi-join-per-path form referenced `truth` three times, so the
+    // whole brute-force chain re-executed per reference.
+    def marked(approx: DataFrame, flag: String) = approx
+      .select($"q_id", $"neighbor").withColumn(flag, lit(1))
+      .hint("shuffle_hash")
+    bruteForceTopK(spark, dir).select($"q_id", $"neighbor")
+      .join(marked(lshTopK(spark, dir), "h_lsh"),
+        Seq("q_id", "neighbor"), "left")
+      .join(marked(ivfTopK(spark, dir), "h_ivf"),
+        Seq("q_id", "neighbor"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"h_lsh", lit(0))).cast("bigint").as("n_hit_lsh"),
+        sum(coalesce($"h_ivf", lit(0))).cast("bigint").as("n_hit_ivf"))
       .withColumn("recall_lsh",
         round($"n_hit_lsh" * lit(1.0) / $"n_true", 6))
       .withColumn("recall_ivf",
         round($"n_hit_ivf" * lit(1.0) / $"n_true", 6))
+      .orderBy($"q_id")
+  }
+
+  /** Dim-truncation recall audit (q115) — per-query recall@k of serving
+    * nearest neighbors from the FIRST `keepDims` embedding dimensions
+    * against the full-width exact top-k: the acceptance evidence for
+    * prefix-truncated (matryoshka-style) storage tiers, where a 4× smaller
+    * index is worth it exactly when this table says recall holds. The
+    * q104 JL projection answers the same storage question with a random
+    * transform; this audits the simpler "just keep the prefix" policy —
+    * which only works when the embedding model front-loads information,
+    * which is precisely what the audit measures. Embedding twin of q109
+    * (which audits the bucketing approximations at full width).
+    *
+    * Scale shape: two broadcast-query-side scans of the memoized vector
+    * frame (the q26 chain at both widths — truncation is a per-row
+    * `slice`), bounded top-k heaps, one semi-join of two k-row-per-query
+    * lists. */
+  def truncationRecall(spark: SparkSession, dir: String, keepDims: Int = 16,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(keepDims > 0 && keepDims <= DIM,
+      s"keepDims must be in [1, $DIM], got $keepDims")
+    val trunc = vecs(spark, dir)
+      .select($"vec_id", $"label", slice($"v", 1, keepDims).as("v"))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
+    // one truth reference (q109's single-pass marker shape): the hit flag
+    // left-joins onto the truth list (1:≤1, no fanout) and one groupBy
+    // yields n_true and n_hit together
+    bruteForceTopK(spark, dir, k).select($"q_id", $"neighbor")
+      .join(queryCosTopK(trunc, k, negativesOnly = false)
+        .select($"q_id", $"neighbor").withColumn("hit", lit(1))
+        .hint("shuffle_hash"),
+        Seq("q_id", "neighbor"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0))).cast("bigint").as("n_hit"))
+      .withColumn("recall", round($"n_hit" * lit(1.0) / $"n_true", 6))
       .orderBy($"q_id")
   }
 

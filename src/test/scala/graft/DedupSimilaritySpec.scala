@@ -832,6 +832,26 @@ class DedupSimilaritySpec extends SparkSpec {
       raw.map(_.getAs[Long]("keeper")).min)
   }
 
+  test("truncation recall is exact at full width and bounded below it") {
+    // identity check: "truncating" to the full 64 dims must reproduce the
+    // exact top-k, so every query reads recall 1.0 — any disagreement
+    // means the two chains' arithmetic has drifted apart
+    val full = Similarity.truncationRecall(spark, sfDir, keepDims = 64)
+      .collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getAs[Double]("recall") === 1.0,
+      s"full-width identity at ${r.getAs[Long]("q_id")}"))
+    // the audited policy: recall well-defined per query, k truths each
+    val r16 = Similarity.truncationRecall(spark, sfDir).collect()
+    assert(r16.length === full.length, "same query population")
+    r16.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === r.getAs[Long]("n_hit") / 5.0)
+    }
+  }
+
   test("lsh planner brackets q22's banding with a monotone trade") {
     val rows = Dedup.lshPlanner(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),

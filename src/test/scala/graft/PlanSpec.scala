@@ -745,13 +745,35 @@ class PlanSpec extends SparkSpec {
       s"the candidate-x-shingle intersection joins stay shuffled:\n$p")
   }
 
-  test("q109 ann recall pins the intersection semi-joins shuffled") {
+  test("q109 ann recall: single truth pass, marker joins shuffled") {
     StageMemo.clear()
     val p = plan(operators.Similarity.annRecall(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"no all-pairs explosion:\n$p")
+    // the hit markers left-join onto ONE truth list; the joined sides are
+    // corpus/100-sized lists, pinned shuffled
     assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
-      l.contains("LeftSemi")),
-      s"the (q_id, neighbor) intersections are corpus/100-sized — " +
-        s"semi-joins must stay shuffled:\n$p")
+      l.contains("LeftOuter")),
+      s"the (q_id, neighbor) marker joins must stay shuffled:\n$p")
+    // one brute-force chain, not one per audited path: the full-width
+    // query-vs-corpus scan (the only non-equi BNLJ — the lsh/ivf chains'
+    // Cross nest-loops are their documented one-row/√n broadcasts)
+    // appears exactly once
+    assert(p.linesIterator.count(l => l.contains("BroadcastNestedLoopJoin")
+      && l.contains("NOT (vec_id")) === 1,
+      s"truth computed once:\n$p")
+  }
+
+  test("q115 truncation recall: two query scans, shuffled marker join") {
+    StageMemo.clear()
+    val p = plan(operators.Similarity.truncationRecall(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs explosion:\n$p")
+    // both widths run the q26 shape EXACTLY ONCE: the 1%-query side
+    // broadcasts against the corpus scan, never the reverse, and the
+    // single-pass marker join keeps the truth chain from re-executing
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 2,
+      s"two broadcast-query scans (full + truncated):\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("LeftOuter")),
+      s"the top-k marker join stays shuffled like q109's:\n$p")
   }
 }
