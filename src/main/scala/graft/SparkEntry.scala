@@ -292,7 +292,11 @@ object SparkEntry {
     // prefix-truncation recall audit: serve from the first 16 dims vs the
     // full-width exact top-k — the storage-tier acceptance table (q109's
     // twin for width instead of bucketing)
-    "q115_truncation_recall" -> ((s, d) => Similarity.truncationRecall(s, d))
+    "q115_truncation_recall" -> ((s, d) => Similarity.truncationRecall(s, d)),
+    // int8-quantization recall audit: the precision knob's acceptance
+    // table, completing the q109/q115 trio (bucketing / width / precision)
+    "q116_quantization_recall" ->
+      ((s, d) => Similarity.quantizationRecall(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2797,6 +2801,52 @@ object SparkEntry {
         |cnt AS (SELECT q_id, COUNT(*) AS n_true FROM truth GROUP BY q_id),
         |h AS (SELECT truth.q_id, COUNT(*) AS n_hit
         |      FROM truth JOIN ta USING (q_id, neighbor)
+        |      GROUP BY truth.q_id)
+        |SELECT cnt.q_id, cnt.n_true,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(COALESCE(n_hit, 0) * 1.0 / cnt.n_true, 6) AS recall
+        |FROM cnt LEFT JOIN h ON cnt.q_id = h.q_id
+        |ORDER BY cnt.q_id""".stripMargin),
+
+    "q116_quantization_recall" ->
+      // q115's chain with q67's quantize-dequantize in place of the
+      // truncation; unquantizable vectors drop from the served index.
+      (s"""WITH $vecsCte,
+        |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |bsc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM q JOIN n b ON q.vec_id <> b.vec_id),
+        |br AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM bsc),
+        |truth AS (SELECT q_id, neighbor FROM br WHERE rank <= 5),
+        |dv AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(round(x * 127.0 / max_abs) AS INTEGER) * max_abs / 127.0)
+        |      AS v
+        |  FROM (
+        |    SELECT vec_id, v,
+        |      list_max(list_transform(v, x -> abs(x))) AS max_abs
+        |    FROM n
+        |    WHERE v IS NOT NULL
+        |      AND len(list_filter(v, x -> x IS NULL)) = 0)
+        |  WHERE max_abs > 0),
+        |dn AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM dv),
+        |qsc AS (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
+        |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
+        |  FROM (SELECT * FROM dn WHERE vec_id % 100 = 0) q
+        |  JOIN dn b ON q.vec_id <> b.vec_id),
+        |qr AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM qsc),
+        |qa AS (SELECT q_id, neighbor FROM qr WHERE rank <= 5),
+        |cnt AS (SELECT q_id, COUNT(*) AS n_true FROM truth GROUP BY q_id),
+        |h AS (SELECT truth.q_id, COUNT(*) AS n_hit
+        |      FROM truth JOIN qa USING (q_id, neighbor)
         |      GROUP BY truth.q_id)
         |SELECT cnt.q_id, cnt.n_true,
         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,

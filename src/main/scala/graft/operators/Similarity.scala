@@ -837,6 +837,47 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** Quantization recall audit (q116) — per-query recall@k of serving
+    * nearest neighbors from int8-quantized-then-dequantized embeddings
+    * (q67's per-vector max-abs scheme) against the full-precision exact
+    * top-k. Completes the storage-tier acceptance TRIO: q109 audits the
+    * bucketing approximations, q115 the width cut, this the precision
+    * cut — the three knobs a 100 TB vector index actually turns, each
+    * with the same per-query recall table as its evidence. q67 audits the
+    * quantized VALUES (saturation, moments); this audits what the
+    * retrieval consumer cares about.
+    *
+    * Scale shape: q115's — two broadcast-query scans of the memoized
+    * vector frame (full precision and dequantized; quantization is a
+    * per-row map), bounded top-k heaps, one shuffled marker join.
+    * Unquantizable vectors (null elements, all-zero) are absent from the
+    * dequantized index — exactly production, where they cannot be served
+    * from the int8 tier — so truth neighbors among them read as misses. */
+  def quantizationRecall(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val deq = vecs(spark, dir)
+      .filter($"v".isNotNull &&
+        not(coalesce(exists($"v", x => x.isNull), lit(true))))
+      .withColumn("max_abs",
+        expr("aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+      .filter($"max_abs" > 0)
+      .withColumn("v", expr("transform(v, x -> " +
+        "cast(round(x * 127.0 / max_abs) as int) * max_abs / 127.0)"))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
+      .select($"vec_id", $"label", $"v", $"norm")
+    bruteForceTopK(spark, dir, k).select($"q_id", $"neighbor")
+      .join(queryCosTopK(deq, k, negativesOnly = false)
+        .select($"q_id", $"neighbor").withColumn("hit", lit(1))
+        .hint("shuffle_hash"),
+        Seq("q_id", "neighbor"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce($"hit", lit(0))).cast("bigint").as("n_hit"))
+      .withColumn("recall", round($"n_hit" * lit(1.0) / $"n_true", 6))
+      .orderBy($"q_id")
+  }
+
   /** Johnson–Lindenstrauss random projection (q104) — compress each
     * embedding to `outDim` dimensions with a deterministic ±1 sign matrix
     * (Achlioptas' database-friendly JL variant: s(j,d) = ±1 from the md5

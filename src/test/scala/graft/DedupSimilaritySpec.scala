@@ -852,6 +852,27 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantization recall is near-lossless where truncation is not") {
+    // int8 per-vector quantization perturbs each coordinate by <= 1/254
+    // of the vector's max-abs — cosine RANKS survive; pin a high floor
+    val q = Similarity.quantizationRecall(spark, sfDir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 5L)
+      assert(r.getAs[Double]("recall") >= 0.8,
+        s"int8 should be near-lossless: $r")
+    }
+    // the discriminating contrast the audit trio exists to surface: on
+    // embeddings that do NOT front-load information (this fixture's), the
+    // precision cut is free while the width cut is catastrophic — a
+    // pipeline owner reading both tables picks int8, not truncation
+    val t = Similarity.truncationRecall(spark, sfDir).collect()
+    val qMacro = q.map(_.getAs[Double]("recall")).sum / q.length
+    val tMacro = t.map(_.getAs[Double]("recall")).sum / t.length
+    assert(qMacro > tMacro,
+      s"int8 macro $qMacro must beat 4x truncation's $tMacro here")
+  }
+
   test("lsh planner brackets q22's banding with a monotone trade") {
     val rows = Dedup.lshPlanner(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),

@@ -763,6 +763,17 @@ class PlanSpec extends SparkSpec {
       s"truth computed once:\n$p")
   }
 
+  test("q116 quantization recall: two query scans, shuffled marker join") {
+    StageMemo.clear()
+    val p = plan(operators.Similarity.quantizationRecall(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs explosion:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 2,
+      s"two broadcast-query scans (full + dequantized):\n$p")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") &&
+      l.contains("LeftOuter")),
+      s"the top-k marker join stays shuffled like q109's:\n$p")
+  }
+
   test("q115 truncation recall: two query scans, shuffled marker join") {
     StageMemo.clear()
     val p = plan(operators.Similarity.truncationRecall(spark, sfDir))
