@@ -163,6 +163,76 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Single-pass blockhash kernel: positional block sums of a payload's
+  * codepoint values, mean-tested into a `blocks`-bit fingerprint — the
+  * whole q83 chain (per-char explode → (doc, blk) partial agg → per-doc
+  * total window → fingerprint assembly, three shuffles of n_chars rows)
+  * in one in-row pass. Bit-identical to the portable SQL chain on the
+  * engine's pinned ASCII payload domain, and codepoint-faithful to the
+  * DuckDB oracle (per-position `ord`) beyond it: block of position p is
+  * floor(p·blocks/n) over n codepoints, value is the codepoint, bit b set
+  * iff blocks·sum(b) > total. */
+object BlockhashKernel {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      blocks: Int): Long = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length).toLong
+    if (n == 0) return 0L // operators filter empties; defensive identity
+    val sums = new Array[Long](blocks)
+    var total = 0L
+    var i = 0
+    var pos = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sums(((pos * blocks) / n).toInt) += cp
+      total += cp
+      i += Character.charCount(cp)
+      pos += 1L
+    }
+    var fp = 0L
+    var b = 0
+    while (b < blocks) {
+      if (blocks.toLong * sums(b) > total) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+}
+
+/** `blocks`-bit blockhash fingerprint of a string payload as a single-pass
+  * native expression (see [[BlockhashKernel]]). */
+case class BlockhashFp(child: Expression, blocks: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_blockhash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+    child.dataType match {
+      case StringType if blocks > 0 && blocks <= 60 =>
+        TypeCheckResult.TypeCheckSuccess
+      case StringType => TypeCheckResult.TypeCheckFailure(
+        s"graft_blockhash needs 1..60 blocks, got $blocks")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_blockhash requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BlockhashKernel.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], blocks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BlockhashKernel.compute($c, $blocks);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** SimHash fingerprint of an array<string> token column. */
   def simhash(tokens: Column): Column =
@@ -171,4 +241,8 @@ object TextFunctions {
   /** md5-prefix hashes of all `n`-token shingles of a token array. */
   def shingleHashes(tokens: Column, n: Int = 3): Column =
     Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
+
+  /** Blockhash fingerprint of a string payload column. */
+  def blockhashFp(text: Column, blocks: Int = 60): Column =
+    Bridge.column(BlockhashFp(Bridge.expression(text), blocks))
 }

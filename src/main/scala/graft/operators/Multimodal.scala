@@ -153,6 +153,29 @@ object Multimodal {
     * window + aggregate — shuffle volume is O(60 · records), independent
     * of payload length. */
   def blockhashOf(docs: DataFrame, blocks: Int = 60): DataFrame = {
+    require(blocks > 0 && blocks <= 60,
+      s"fingerprint must fit 60 bits (4x15 banding), got $blocks blocks")
+    // one native per-row pass ([[graft.functions.BlockhashKernel]]): the
+    // earlier relational chain exploded every payload to per-char rows and
+    // paid a (doc, blk) partial agg + per-doc total window + fingerprint
+    // rollup — three shuffles carrying n_chars rows — to compute what is a
+    // per-row function of the payload. The kernel is bit-identical on the
+    // pinned ASCII payload domain (MultimodalSpec) and codepoint-faithful
+    // to the DuckDB oracle beyond it; the differential spec pins the two
+    // formulations equal row-for-row on the fixture.
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.blockhashFp(col("text"), blocks)
+          .as("phash"))
+  }
+
+  /** The superseded relational formulation of [[blockhashOf]] — kept as
+    * the differential REFERENCE for the native kernel (the spec pins the
+    * two equal row-for-row on the fixture; the oracle SQL mirrors this
+    * chain). Not used by any query path. */
+  private[graft] def blockhashOfRelational(docs: DataFrame,
+      blocks: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(blocks > 0 && blocks <= 60,
       s"fingerprint must fit 60 bits (4x15 banding), got $blocks blocks")

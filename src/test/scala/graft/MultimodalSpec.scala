@@ -122,6 +122,18 @@ class MultimodalSpec extends SparkSpec {
     assert(want.nonEmpty && got === want)
   }
 
+  test("native blockhash kernel equals the relational formulation") {
+    // the shipped path is the single-pass codegen kernel; the relational
+    // chain stays as the oracle-documented reference — every fixture doc
+    // must fingerprint identically through both
+    val docs = Tables.documents(spark, sfDir)
+    val native = Multimodal.blockhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Multimodal.blockhashOfRelational(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native === rel)
+  }
+
   test("blockhash is locality-preserving where a checksum is not") {
     import spark.implicits._
     // base payload: 60 blocks of 10 chars with a clear high/low structure

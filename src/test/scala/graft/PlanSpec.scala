@@ -445,13 +445,18 @@ class PlanSpec extends SparkSpec {
       s"the assignment self-join (corpus-sized both sides) must shuffle:\n$p")
   }
 
-  test("q83 blockhash is join-free: explode, partial agg, doc window") {
+  test("q83 blockhash is a pure per-row map: no join, no shuffle at all") {
     val p = plan(operators.Multimodal.blockhashOf(
       Tables.documents(spark, sfDir)))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"fingerprinting must not join:\n$p")
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
-      "per-block sums must partial-combine before the (doc_id, blk) shuffle")
+    // the native kernel computes the whole fingerprint in-row — the old
+    // explode/agg/window chain shuffled n_chars rows three times
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate") &&
+      !p.contains("Window"),
+      s"the native kernel leaves nothing to shuffle:\n$p")
+    assert(p.contains("graft_blockhash"),
+      s"the codegen kernel expression drives the scan:\n$p")
   }
 
   test("q84 media near-dup joins bands only, never the cross product") {
