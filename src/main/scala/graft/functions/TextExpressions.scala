@@ -199,6 +199,91 @@ object BlockhashKernel {
   }
 }
 
+/** Per-FRAME blockhash kernel ([[BlockhashKernel]] at frame granularity,
+  * q90's fingerprint stage): one in-row pass over the payload's codepoints
+  * emits a `blocks`-bit fingerprint per `frameChars`-codepoint frame (the
+  * last frame is shorter; its block grid stretches over the ACTUAL frame
+  * length, exactly like the relational chain's
+  * `least(n - f·frameChars, frameChars)` denominator). Positions are
+  * consumed in order, so each frame's sums accumulate in one fixed
+  * `blocks`-long buffer and flush at the frame boundary — no per-char
+  * rows, no (doc, frame, blk) shuffle. */
+object FrameBlockhashKernel {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+      frameChars: Int, blocks: Int): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length).toLong
+    val nFrames = ((n + frameChars - 1) / frameChars).toInt
+    val out = new Array[Any](nFrames)
+    val sums = new Array[Long](blocks)
+    var total = 0L
+    var frame = 0
+    def flush(): Unit = {
+      var fp = 0L
+      var b = 0
+      while (b < blocks) {
+        if (blocks.toLong * sums(b) > total) fp |= 1L << b
+        b += 1
+      }
+      out(frame) = fp
+      java.util.Arrays.fill(sums, 0L)
+      total = 0L
+    }
+    var i = 0
+    var pos = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val f = (pos / frameChars).toInt
+      if (f != frame) { flush(); frame = f }
+      val fn = math.min(n - f.toLong * frameChars, frameChars.toLong)
+      sums((((pos % frameChars) * blocks) / fn).toInt) += cp
+      total += cp
+      i += Character.charCount(cp)
+      pos += 1L
+    }
+    if (n > 0) flush()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Per-frame blockhash fingerprints of a string payload as a single-pass
+  * native expression (see [[FrameBlockhashKernel]]). */
+case class FrameBlockhashes(child: Expression, frameChars: Int, blocks: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_frame_blockhashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+    child.dataType match {
+      case StringType if frameChars > 0 && blocks > 0 && blocks <= 60 =>
+        TypeCheckResult.TypeCheckSuccess
+      case StringType => TypeCheckResult.TypeCheckFailure(
+        s"graft_frame_blockhashes needs frameChars > 0 and 1..60 blocks, " +
+          s"got $frameChars/$blocks")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_frame_blockhashes requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    FrameBlockhashKernel.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      frameChars, blocks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FrameBlockhashKernel.compute(" +
+        s"$c, $frameChars, $blocks);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `blocks`-bit blockhash fingerprint of a string payload as a single-pass
   * native expression (see [[BlockhashKernel]]). */
 case class BlockhashFp(child: Expression, blocks: Int)
@@ -245,4 +330,10 @@ object TextFunctions {
   /** Blockhash fingerprint of a string payload column. */
   def blockhashFp(text: Column, blocks: Int = 60): Column =
     Bridge.column(BlockhashFp(Bridge.expression(text), blocks))
+
+  /** Per-frame blockhash fingerprints of a string payload column. */
+  def frameBlockhashes(text: Column, frameChars: Int,
+      blocks: Int = 60): Column =
+    Bridge.column(FrameBlockhashes(Bridge.expression(text), frameChars,
+      blocks))
 }

@@ -301,26 +301,23 @@ object Curation {
     * identical min-id labelling (differential-tested). */
   private[graft] def starContract(pairs: DataFrame,
       maxIter: Int = 50, driverEdgeBudget: Long = 100000): (DataFrame, Int) = {
-    // localCheckpoint + a fresh-DataFrame rewrap, at entry AND per round.
-    // The rewrap matters twice over. (1) Correctness: a checkpointed
-    // frame's LogicalRDD still CARRIES the origin plan's Catalyst
-    // constraints, whose attribute ids are stale after the cut, and
-    // Spark 4.1's Union constraint rewrite throws `key not found: u#N`
-    // on them — observed at the 10x scale smoke when the pair input is
-    // itself a union (q86's text ∪ media graph; q50's single-source
-    // input never trips it). Rebuilding from the checkpointed RDD keeps
-    // the persisted data and schema but drops the stale constraints.
-    // (2) Scale safety: the rewrapped frame also loses the checkpoint's
-    // accurate size stats, so Catalyst can never elect a broadcast of a
-    // per-round edge/mins frame on fixture-scale evidence — frames that
-    // grow with the corpus must shuffle. The quiet-box 10x/30x series
-    // (54 s / 332 s for the q86 graph) was measured with this
-    // configuration; the rewrap's external-Row conversion did not
-    // register against the per-round shuffles.
-    def cleanCheckpoint(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      df.sparkSession.createDataFrame(ck.rdd, ck.schema)
-    }
+    // localCheckpoint with the origin constraints surgically removed, at
+    // entry AND per round. A checkpointed frame's LogicalRDD still
+    // CARRIES the origin plan's Catalyst constraints, whose attribute ids
+    // are stale after the cut, and Spark 4.1's Union constraint rewrite
+    // throws `key not found: u#N` on them — observed at the 10x scale
+    // smoke when the pair input is itself a union (q86's text ∪ media
+    // graph; q50's single-source input never trips it). The Bridge shim
+    // drops exactly the stale constraints while KEEPING the checkpoint's
+    // accurate size statistics — an earlier createDataFrame(rdd, schema)
+    // rewrap discarded those too, which cost the loop its legitimate
+    // late-round small-frame broadcasts (isolated 100x smoke: 168 s
+    // stat-less vs ~100 s with stats). Broadcast election here is
+    // evidence-based (real checkpointed sizes), never a fixture-scale
+    // misestimate.
+    def cleanCheckpoint(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
+        df.localCheckpoint())
     // canonical big→small orientation, self-loops dropped
     var edges = cleanCheckpoint(pairs
       .select(greatest(col("d1"), col("d2")).as("u"),

@@ -270,27 +270,20 @@ object Multimodal {
       cutDist: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(frameChars > 0, s"frameChars must be positive, got $frameChars")
-    val chars = Tables.documents(spark, dir)
+    // one native per-row pass emits ALL frame fingerprints
+    // ([[graft.functions.FrameBlockhashKernel]]): the earlier relational
+    // chain exploded every payload to per-char rows and paid a
+    // (doc, frame, blk) partial agg + per-frame total window + fingerprint
+    // rollup; what survives is the frame-bounded posexplode (≤ n/128 rows
+    // per doc) and the lag window the operator is actually about. The
+    // kernel's per-frame grid matches the relational definition exactly
+    // (last frame's blocks stretch over its actual length) — the
+    // MultimodalSpec pure-Scala frame-hash reference pins it bit-for-bit.
+    val fp = Tables.documents(spark, dir)
       .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), length(col("text")).as("n"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "c")))
-      .filter(col("c") =!= "")
       .select(col("doc_id"),
-        expr(s"cast(pos as bigint) div $frameChars").as("f"),
-        // in-frame block index over the ACTUAL frame length (the last
-        // frame is shorter): pif * 60 div fn, all from global position
-        expr(s"""(cast(pos as bigint) % $frameChars) * 60 div
-                 least(n - (cast(pos as bigint) div $frameChars) * $frameChars,
-                       $frameChars)""").as("blk"),
-        ascii(col("c")).as("v"))
-    val fp = chars
-      .groupBy(col("doc_id"), col("f"), col("blk"))
-      .agg(sum(col("v")).as("s"))
-      .withColumn("total",
-        sum(col("s")).over(Window.partitionBy(col("doc_id"), col("f"))))
-      .groupBy(col("doc_id"), col("f"))
-      .agg(sum(when(lit(60) * col("s") > col("total"),
-        expr("cast(pow(2, blk) as bigint)")).otherwise(0L)).as("fh"))
+        posexplode(graft.functions.TextFunctions.frameBlockhashes(
+          col("text"), frameChars, 60)).as(Seq("f", "fh")))
     fp
       .withColumn("ph", lag(col("fh"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("f"))))

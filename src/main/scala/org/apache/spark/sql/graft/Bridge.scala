@@ -19,4 +19,32 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Rebuild a `localCheckpoint`ed frame's LogicalRDD WITHOUT its origin
+    * constraints but WITH its effective statistics.
+    *
+    * Why both halves matter: the checkpoint's LogicalRDD carries the
+    * ORIGIN plan's constraints, whose attribute ids are stale after the
+    * lineage cut — Spark 4.1's Union constraint rewrite throws
+    * `key not found: u#N` on them when the frame is later self-unioned
+    * (observed in the star-contraction loop over a union-lineage pair
+    * graph). Dropping the constraints by round-tripping through
+    * `createDataFrame(rdd, schema)` fixes the crash but ALSO discards the
+    * checkpoint's accurate size statistics, which costs the contraction
+    * its legitimate late-round small-frame broadcasts (measured 1.6× at
+    * the 100× smoke). This shim removes exactly the stale constraints and
+    * nothing else. Frames that are not a bare LogicalRDD pass through
+    * untouched. */
+  def dropOriginConstraints(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark =
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val clean = org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(spark, Some(lr.stats), None)
+        org.apache.spark.sql.classic.Dataset.ofRows(spark, clean)
+      case _ => df
+    }
 }
