@@ -268,6 +268,108 @@ object Curation {
     labels
   }
 
+  /** Open-addressed primitive long→long map (linear probing, power-of-two
+    * capacity, 0.5 load factor) for the partition-local union-find: a boxed
+    * `HashMap[Long, Long]` costs ~48 bytes/entry and a GC tax exactly where
+    * the pre-contraction must be cheap — one task may hold a couple of
+    * million vertices (a 128 MB edge split ≈ 8M edges). Two long arrays is
+    * ~16 bytes/entry and zero allocation on the hot path.
+    * `Long.MinValue` is the empty-slot sentinel; a real key equal to it is
+    * routed through a scalar side field so the map stays total over the
+    * full id domain. */
+  private[graft] final class LongLongMap(initialCapacity: Int = 1 << 12) {
+    private final val EMPTY = Long.MinValue
+    private var cap = Integer.highestOneBit(
+      math.max(initialCapacity - 1, 8)) << 1
+    private var mask = cap - 1
+    private var keys = Array.fill(cap)(EMPTY)
+    private var vals = new Array[Long](cap)
+    private var used = 0
+    private var minKeyPresent = false
+    private var minKeyValue = 0L
+    def size: Int = used + (if (minKeyPresent) 1 else 0)
+    private def slot(k: Long): Int = {
+      // finalizer from splitmix64: full avalanche so sequential doc ids
+      // don't cluster into one probe run
+      var h = k
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var i = ((h ^ (h >>> 31)).toInt) & mask
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      if (k == EMPTY) return if (minKeyPresent) minKeyValue else dflt
+      val i = slot(k)
+      if (keys(i) == k) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      if (k == EMPTY) { minKeyPresent = true; minKeyValue = v; return }
+      val i = slot(k)
+      if (keys(i) == EMPTY) {
+        keys(i) = k; vals(i) = v; used += 1
+        if (used * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = Array.fill(cap)(EMPTY); vals = new Array[Long](cap); used = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != EMPTY) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    /** Iterate current (key, value) pairs. Values read live; safe under
+      * concurrent `put` to EXISTING keys (path compression) because keys
+      * never move without `grow`, which insertion-free iteration never
+      * triggers. */
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != EMPTY) f(keys(i), vals(i))
+        i += 1
+      }
+      if (minKeyPresent) f(EMPTY, minKeyValue)
+    }
+  }
+
+  /** Partition-local union-find over one task's edge slice: contracts every
+    * LOCAL component to a star rooted at its minimum id and emits only the
+    * (member, root) star edges — `members = vertices − local components`
+    * rows, so a clique's C(N,2) edges collapse to N−1 in one narrow pass,
+    * before any shuffle. Union-by-min + full path compression keeps every
+    * root the minimum of its component, so emitted edges stay canonically
+    * oriented (member > root) and the downstream star loop's min-id
+    * labelling is exactly preserved (connectivity of a partition's edge set
+    * equals connectivity of its spanning star forest; the union over
+    * partitions preserves global connectivity). */
+  private[graft] def partitionUnionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new LongLongMap()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent.put(c, r); c = n
+      }
+      r
+    }
+    it.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    // entries are EXACTLY the non-root vertices (roots never acquire a
+    // parent); find() during emission only rewrites existing entries, so
+    // the map never grows mid-iteration
+    val out = Vector.newBuilder[(Long, Long)]
+    out.sizeHint(parent.size)
+    parent.foreachEntry((k, _) => out += ((k, find(k))))
+    out.result().iterator
+  }
+
   /** Connected components by alternating large-star / small-star contraction
     * — the O(log n)-round algorithm (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC 2014), diameter-independent: the
@@ -298,9 +400,19 @@ object Curation {
     * (default 100k edges ≈ 1.6 MB — same bounded-driver-state discipline
     * as [[bloomDedup]]'s budget and SideData's broadcast guard); above it,
     * the O(log n) contraction runs exactly as before. Both paths emit the
-    * identical min-id labelling (differential-tested). */
+    * identical min-id labelling (differential-tested).
+    *
+    * Graphs above the budget first take a PARTITION-LOCAL UNION-FIND
+    * pre-contraction ([[partitionUnionFind]], `preContract = true`): one
+    * narrow `mapPartitions` pass replaces each task's edge slice with its
+    * spanning star forest, so the sequential ~6-shuffle rounds start from
+    * near-spanning-tree size instead of the raw pair volume (a clique's
+    * C(N,2) edges become N−1). Label-identical by construction and by
+    * differential spec; `preContract = false` keeps the raw loop for
+    * differential testing. */
   private[graft] def starContract(pairs: DataFrame,
-      maxIter: Int = 50, driverEdgeBudget: Long = 100000): (DataFrame, Int) = {
+      maxIter: Int = 50, driverEdgeBudget: Long = 100000,
+      preContract: Boolean = true): (DataFrame, Int) = {
     // localCheckpoint with the origin constraints surgically removed, at
     // entry AND per round. A checkpointed frame's LogicalRDD still
     // CARRIES the origin plan's Catalyst constraints, whose attribute ids
@@ -361,6 +473,37 @@ object Curation {
     val integralId = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
+    }
+    // Partition-local union-find pre-contraction (r11): one narrow
+    // mapPartitions pass replaces each task's edge slice with its spanning
+    // star forest BEFORE the distributed loop, so a clique-heavy graph
+    // (the near-dup corpora: q50/q68/q85/q86/q106) enters the ~6-shuffle
+    // rounds at near-spanning-tree size instead of C(N,2) — at the 100x
+    // media decade this is the difference between contracting 34.6M edges
+    // and contracting ~1M. Labels are exactly preserved: a partition's star
+    // forest has the same connectivity as its edge set, star edges stay
+    // canonical (member > root, root = local min), and the vertex frame is
+    // untouched (every vertex incident to an edge survives as a star
+    // endpoint). Integral-id-gated like the driver path (the primitive map
+    // is Long-keyed); non-integral graphs keep the type-agnostic loop.
+    // The reduced set may now fit the driver budget — re-gating below lets
+    // a formerly-large graph finish on the driver fast path.
+    if (preContract && integralId && edgeCount > driverEdgeBudget) {
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      import org.apache.spark.sql.types.LongType
+      edges = cleanCheckpoint(edges
+        .select(col("u").cast(LongType).as("_1"),
+          col("v").cast(LongType).as("_2"))
+        .as[(Long, Long)]
+        .mapPartitions(partitionUnionFind)
+        .toDF("u", "v")
+        .select(col("u").cast(idType).as("u"), col("v").cast(idType).as("v"))
+        // two partitions can derive the same (member, root) star edge from
+        // different original edges; the loop's convergence check counts
+        // edges, so restore the distinct-set invariant here
+        .distinct())
+      edgeCount = edges.count()
     }
     if (edgeCount <= driverEdgeBudget && integralId) {
       val spark = pairs.sparkSession

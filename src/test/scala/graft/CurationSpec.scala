@@ -215,6 +215,71 @@ class CurationSpec extends SparkSpec {
       === got.sorted, "driver and distributed paths must agree")
   }
 
+  test("partition-local pre-contraction preserves labels and cuts rounds") {
+    import spark.implicits._
+    // clique-heavy multi-partition graph: three cliques (the near-dup
+    // corpus shape the pre-contraction exists for), a 200-vertex chain
+    // whose edges scatter across partitions (cross-partition stitching),
+    // and isolated pairs. repartition(8) forces every local union-find to
+    // see only a slice of each component.
+    val cliques = for {
+      (base, n) <- Seq((1000L, 40), (2000L, 25), (3000L, 15))
+      i <- 0 until n; j <- (i + 1) until n
+    } yield (base + i, base + j)
+    val chain = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val pairs = new scala.util.Random(41).shuffle(cliques ++ chain ++
+      Seq((5000L, 5001L), (5002L, 5003L)))
+      .toDF("d1", "d2").repartition(8)
+    // budget 0 forces the distributed loop in both variants
+    val (withPre, roundsPre) =
+      Curation.starContract(pairs, driverEdgeBudget = 0)
+    val (without, roundsPlain) =
+      Curation.starContract(pairs, driverEdgeBudget = 0, preContract = false)
+    val a = withPre.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = without.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a === b, "pre-contracted and plain labels must agree exactly")
+    // ground truth from the driver union-find path
+    val fast = Curation.starContract(pairs)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a === fast, "pre-contracted labels must match the driver path")
+    assert(roundsPre <= roundsPlain,
+      s"pre-contraction must not add rounds ($roundsPre vs $roundsPlain)")
+  }
+
+  test("partitionUnionFind collapses a clique slice to a star forest") {
+    // one partition's slice of a 50-clique: C(50,2)=1225 edges in, 49
+    // star edges out, all rooted at the minimum and canonically oriented
+    val clique = for {
+      i <- 0 until 50; j <- (i + 1) until 50
+    } yield (100L + j, 100L + i) // canonical u > v
+    val out = Curation.partitionUnionFind(clique.iterator).toVector
+    assert(out.length === 49)
+    assert(out.forall(_._2 === 100L), "all star edges root at the minimum")
+    assert(out.map(_._1).sorted === (101L to 149L).toVector)
+    // two disjoint local components contract independently
+    val two = Iterator((2L, 1L), (3L, 2L), (10L, 9L))
+    val stars = Curation.partitionUnionFind(two).toVector.sorted
+    assert(stars === Vector((2L, 1L), (3L, 1L), (10L, 9L)))
+    assert(Curation.partitionUnionFind(Iterator.empty).isEmpty)
+  }
+
+  test("LongLongMap survives growth and the sentinel key") {
+    val m = new Curation.LongLongMap(initialCapacity = 4)
+    // force several growth rounds past the 0.5 load factor
+    (0L until 10000L).foreach(k => m.put(k * 7919L, k))
+    assert(m.size === 10000)
+    (0L until 10000L).foreach(k => assert(m.getOrElse(k * 7919L, -1L) === k))
+    assert(m.getOrElse(123L, -1L) === -1L)
+    // Long.MinValue is the empty-slot sentinel: it must still round-trip
+    assert(m.getOrElse(Long.MinValue, -1L) === -1L)
+    m.put(Long.MinValue, 42L)
+    assert(m.getOrElse(Long.MinValue, -1L) === 42L)
+    assert(m.size === 10001)
+    var seen = 0
+    m.foreachEntry((_, _) => seen += 1)
+    assert(seen === 10001)
+  }
+
   test("star contraction equals label propagation on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
