@@ -15,10 +15,11 @@ import scala.util.control.NonFatal
   *
   * Two totals are reported: `value` (warm: shared memoized stages — the
   * steady state of a production session running the whole suite, where
-  * e.g. the shingle frame is built once and reused) and `cold_total` (a
-  * third lap with [[StageMemo]] cleared before every query, so each
-  * per-query number pays its own shared-stage build). Read warm numbers as
-  * suite throughput and cold numbers as single-query latency.
+  * e.g. the shingle frame is built once and reused) and `cold_total` (two
+  * further laps with [[StageMemo]] cleared before every query — min per
+  * query, same noise-damping as the warm pair — so each per-query number
+  * pays its own shared-stage build). Read warm numbers as suite throughput
+  * and cold numbers as single-query latency.
   */
 object Bench {
 
@@ -147,13 +148,27 @@ object Bench {
       }
     }
     val warmMemo = StageMemo.statsSnapshot(reset = true)
-    // cold lap: every query pays its own shared-stage build; snapshot per
-    // query so each build lands on the query that triggered it
+    // cold laps: every query pays its own shared-stage build; snapshot per
+    // query so each build lands on the query that triggered it. TWO laps,
+    // min per query — the single cold lap produced a recurring class of
+    // spurious sub-2 s "risers" every round (r7–r10: 1.5–3.2× cold vs prior
+    // round while every warm twin stayed flat); min-of-2 retires it the
+    // same way the warm lap pair does. Attribution keeps lap 1's per-query
+    // snapshots (build costs are lap-stable; only scheduler noise isn't).
     val (coldWithMemo, coldLoad) = sampledLap {
-      ordered.map { case (name, fn) =>
+      val lap1 = ordered.map { case (name, fn) =>
         StageMemo.clear()
         val t = runOnce(name, fn, sfDir)
         (name, t, StageMemo.statsSnapshot(reset = true))
+      }
+      val lap2 = ordered.map { case (name, fn) =>
+        StageMemo.clear()
+        val t = runOnce(name, fn, sfDir)
+        StageMemo.statsSnapshot(reset = true) // discard: lap 1 owns attribution
+        name -> t
+      }
+      lap1.zip(lap2).map { case ((n, a, s), (_, b)) =>
+        (n, if (a < 0 || b < 0) -1.0 else math.min(a, b), s)
       }
     }
     val cold = coldWithMemo.map { case (n, t, _) => n -> t }
@@ -277,7 +292,33 @@ object Bench {
       s"""{"metric":"total_warm","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
         s"""$sentinel,${load.warm.fields},"queries":${json(short(results), 2)}}""",
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
-        s"""$sentinel,${load.cold.fields},""" +
-        s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""")
+        s"""$sentinel,${load.cold.fields},"cold_protocol":"min2",""" +
+        s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""",
+      memoRollupLine(sfDir, total, coldTotal, warmMemo, coldPerQuery))
+  }
+
+  /** The LAST line of the report: a compact whole-run memo rollup (warm +
+    * cold-lap-1 counters, top build keys by exclusive ms). The r10 artifact
+    * lost all 48 detailed memo lines to the driver's bounded TAIL capture
+    * because they were emitted before the totals — the rollup rides at the
+    * very end so any tail of any size retains the attribution headline.
+    * It also repeats `value`/`cold_total`, so a parser that keeps only the
+    * final line still recovers both headline totals. */
+  private[graft] def memoRollupLine(sfDir: String, total: Double,
+      coldTotal: Double, warmMemo: StageMemo.Stats,
+      coldPerQuery: Seq[(String, StageMemo.Stats)]): String = {
+    val all = warmMemo +: coldPerQuery.map(_._2)
+    val builds = all.flatMap(_.builds.toSeq).groupBy(_._1).map {
+      case (k, vs) => k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+    }
+    val top = builds.toSeq.sortBy(-_._2._2).take(8).map { case (k, (n, ms)) =>
+      "\"" + k.replace(sfDir, "sf") + "\":{\"n\":" + n + ",\"ms\":" + ms + "}"
+    }
+    s"""{"metric":"memo_rollup","unit":"sec","sf":"$sfDir",""" +
+      s""""value":${fmt(total, 2)},"cold_total":${fmt(coldTotal, 2)},""" +
+      s""""hits":${all.map(_.hits).sum},"misses":${all.map(_.misses).sum},""" +
+      s""""evictions":${all.map(_.evictions).sum},""" +
+      s""""build_ms_total":${all.map(_.buildMsTotal).sum},""" +
+      s""""top_builds":${top.mkString("{", ",", "}")}}"""
   }
 }

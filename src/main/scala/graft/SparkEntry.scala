@@ -296,7 +296,14 @@ object SparkEntry {
     // int8-quantization recall audit: the precision knob's acceptance
     // table, completing the q109/q115 trio (bucketing / width / precision)
     "q116_quantization_recall" ->
-      ((s, d) => Similarity.quantizationRecall(s, d))
+      ((s, d) => Similarity.quantizationRecall(s, d)),
+    // Streamed cross-modal dedup: q86's any-modality decision as a REAL
+    // incremental streaming job — per-commit contracted star-forest state
+    // over both modality indexes (minhash bands + digests, blockhash
+    // fingerprints); the final cumulative frame is batch-boundary-free
+    // and bit-equal to the stream-tier batch twin the oracle computes.
+    "q117_stream_crossmodal" ->
+      ((s, d) => streaming.Continuous.streamedCrossModalDedup(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2482,8 +2489,10 @@ object SparkEntry {
 
     "q109_ann_recall" ->
       // the q26 (brute), q27 (LSH) and q38 (IVF) oracle chains verbatim
-      // (CTEs renamed where the two approximate chains collide), rolled
-      // up to per-query hit counts against the exact top-5.
+      // (CTEs renamed where the two approximate chains collide), plus the
+      // SAME LSH index re-probed at Hamming-2 radius (flips2 = flips ∪
+      // all two-bit masks — the multi-probe knob), rolled up to per-query
+      // hit counts against the exact top-5.
       (s"""WITH $vecsCte,
         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
         |bsc AS (
@@ -2532,6 +2541,27 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
         |       AS INTEGER) AS rank FROM lsc),
         |lsh AS (SELECT q_id, neighbor FROM lr WHERE rank <= 5),
+        |flips2 AS (
+        |  SELECT flip FROM flips
+        |  UNION ALL
+        |  SELECT CAST(POWER(2, a.b) AS BIGINT) + CAST(POWER(2, b.b) AS BIGINT)
+        |  FROM (SELECT unnest(range(10)) AS b) a
+        |  JOIN (SELECT unnest(range(10)) AS b) b ON a.b < b.b),
+        |mprobes AS (
+        |  SELECT s.vec_id AS q_id, s.tbl, xor(s.sig, f.flip) AS sig
+        |  FROM sigs s, flips2 f WHERE s.vec_id % 100 = 0),
+        |mcand AS (
+        |  SELECT DISTINCT p.q_id, i.vec_id AS neighbor
+        |  FROM mprobes p JOIN idx i USING (tbl, sig)
+        |  WHERE p.q_id <> i.vec_id),
+        |msc AS (
+        |  SELECT q_id, neighbor,
+        |    ROUND(list_dot_product(a.v, b.v) / a.norm / b.norm, 6) AS cos
+        |  FROM mcand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
+        |mr AS (SELECT q_id, neighbor, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor)
+        |       AS INTEGER) AS rank FROM msc),
+        |mpr AS (SELECT q_id, neighbor FROM mr WHERE rank <= 5),
         |piv AS (SELECT vec_id AS pid, v AS pv, norm AS pnorm FROM n
         |        WHERE vec_id % 16 = 1),
         |assign AS (
@@ -2565,15 +2595,20 @@ object SparkEntry {
         |hl AS (SELECT t.q_id, COUNT(*) AS n_hit_lsh
         |       FROM truth t JOIN lsh USING (q_id, neighbor) GROUP BY t.q_id),
         |hi AS (SELECT t.q_id, COUNT(*) AS n_hit_ivf
-        |       FROM truth t JOIN ivf USING (q_id, neighbor) GROUP BY t.q_id)
+        |       FROM truth t JOIN ivf USING (q_id, neighbor) GROUP BY t.q_id),
+        |hm AS (SELECT t.q_id, COUNT(*) AS n_hit_mp
+        |       FROM truth t JOIN mpr USING (q_id, neighbor) GROUP BY t.q_id)
         |SELECT tn.q_id, tn.n_true,
         |  CAST(COALESCE(n_hit_lsh, 0) AS BIGINT) AS n_hit_lsh,
         |  CAST(COALESCE(n_hit_ivf, 0) AS BIGINT) AS n_hit_ivf,
+        |  CAST(COALESCE(n_hit_mp, 0) AS BIGINT) AS n_hit_mp,
         |  ROUND(COALESCE(n_hit_lsh, 0) * 1.0 / tn.n_true, 6) AS recall_lsh,
-        |  ROUND(COALESCE(n_hit_ivf, 0) * 1.0 / tn.n_true, 6) AS recall_ivf
+        |  ROUND(COALESCE(n_hit_ivf, 0) * 1.0 / tn.n_true, 6) AS recall_ivf,
+        |  ROUND(COALESCE(n_hit_mp, 0) * 1.0 / tn.n_true, 6) AS recall_mp
         |FROM tn
         |LEFT JOIN hl ON tn.q_id = hl.q_id
         |LEFT JOIN hi ON tn.q_id = hi.q_id
+        |LEFT JOIN hm ON tn.q_id = hm.q_id
         |ORDER BY tn.q_id""".stripMargin),
 
     "q110_normalized_dedup" ->
@@ -2629,10 +2664,11 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
         |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE), 6)
         |    AS exp_caught,
+        |  CASE WHEN SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) > 0 THEN
         |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
         |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
         |        / CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT),
-        |        6) AS recall
+        |        6) END AS recall
         |FROM pd GROUP BY bands, rows_per_band ORDER BY bands""".stripMargin),
 
     "q112_training_manifest" ->
@@ -2775,7 +2811,9 @@ object SparkEntry {
     "q115_truncation_recall" ->
       // the q26 exact chain at BOTH widths (full = q109's truth CTE;
       // truncated = the same chain over list_slice(v, 1, 16) with norms
-      // recomputed on the prefix), rolled to per-query hit counts.
+      // recomputed on the prefix; all-zero prefixes excluded — unservable
+      // from this tier, mirroring q116's max_abs > 0), rolled to per-query
+      // hit counts.
       (s"""WITH $vecsCte,
         |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
         |bsc AS (
@@ -2788,7 +2826,8 @@ object SparkEntry {
         |truth AS (SELECT q_id, neighbor FROM br WHERE rank <= 5),
         |tn AS (
         |  SELECT vec_id, tv AS v, sqrt(list_dot_product(tv, tv)) AS norm
-        |  FROM (SELECT vec_id, list_slice(v, 1, 16) AS tv FROM n)),
+        |  FROM (SELECT vec_id, list_slice(v, 1, 16) AS tv FROM n)
+        |  WHERE sqrt(list_dot_product(tv, tv)) > 0),
         |tsc AS (
         |  SELECT q.vec_id AS q_id, b.vec_id AS neighbor,
         |    ROUND(list_dot_product(q.v, b.v) / q.norm / b.norm, 6) AS cos
@@ -2852,6 +2891,52 @@ object SparkEntry {
         |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
         |  ROUND(COALESCE(n_hit, 0) * 1.0 / cnt.n_true, 6) AS recall
         |FROM cnt LEFT JOIN h ON cnt.q_id = h.q_id
-        |ORDER BY cnt.q_id""".stripMargin)
+        |ORDER BY cnt.q_id""".stripMargin),
+
+    "q117_stream_crossmodal" ->
+      // the stream-tier batch twin: q22's band-collision pairs ∪ exact
+      // digest pairs (text) ∪ q84's blockhash Hamming pairs (media), one
+      // reachability contraction over the joint edge set — q86's decision
+      // shape with per-document-state pair tiers, so the streamed job's
+      // final frame is batch-boundary-free and equals this exactly.
+      (s"""WITH RECURSIVE $minhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |tband AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |tdig AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |tpairs AS (SELECT d1, d2 FROM tband UNION SELECT d1, d2 FROM tdig),
+        |$blockhashCte,
+        |mpairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |allpairs AS (
+        |  SELECT d1, d2 FROM tpairs UNION SELECT d1, d2 FROM mpairs),
+        |${ccCte("doc_id", "allpairs")},
+        |tdoc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT d1 AS doc_id FROM tpairs UNION ALL SELECT d2 FROM tpairs)),
+        |mdoc AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT d1 AS doc_id FROM mpairs UNION ALL SELECT d2 FROM mpairs))
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS keep,
+        |  (CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS n_modalities
+        |FROM documents d
+        |LEFT JOIN comp c USING (doc_id)
+        |LEFT JOIN tdoc t USING (doc_id)
+        |LEFT JOIN mdoc m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -642,6 +642,36 @@ object Curation {
       Dedup.ngramPairs(spark, dir, threshold, maxDf),
       Multimodal.blockhashPairs(spark, dir, maxDist))
 
+  /** Batch twin of the STREAMED cross-modal dedup (q117,
+    * [[graft.streaming.Continuous.streamedCrossModalDedup]]): the q86
+    * decision shape over the STREAM-TIER pair graphs — text pairs from
+    * MinHash band-bucket collisions (q22's 4×2 banding) plus exact-digest
+    * matches (q99's per-document state tier: no corpus-relative df gate,
+    * so a stream can sign each arrival independently of everything already
+    * ingested), media pairs from the blockhash Hamming ≤ `maxDist` graph
+    * (q84 — already per-document state). Because components and min-id
+    * labels depend only on the edge UNION, the streamed job converges to
+    * this frame bit-for-bit on any batch chunking — which is exactly what
+    * the q117 oracle checks. */
+  def crossModalStreamTwin(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bands = Dedup.bands(spark, dir)
+    val tBand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // digest pairs are NOT subsumed by band pairs: a doc under 3 tokens
+    // has no shingles, hence no signature and no bands, but two identical
+    // short texts are still exact duplicates
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val tDigest = hashes.as("a").join(hashes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    crossModalClustersOf(docs, tBand.union(tDigest).distinct(),
+      Multimodal.blockhashPairs(spark, dir, maxDist))
+  }
+
   // ---------------------------------------------------------------------
   // PII scan / redaction
   // ---------------------------------------------------------------------

@@ -316,6 +316,16 @@ object Dedup {
     * planner idea one level up (which THRESHOLD), this is which SKETCH
     * CONFIG clears it.
     *
+    * `exp_candidates` is a FLOOR-TRUNCATED LOWER BOUND on candidate
+    * volume: the sum runs only over pairs with true Jaccard ≥ `floor`
+    * that also share a df-gated shingle, yet sub-floor pairs still
+    * collide with p = 1 − (1 − jʳ)ᵇ > 0. On a corpus where low-j pairs
+    * dominate (most of a 100 TB crawl), size the pass off this number
+    * plus headroom — or lower `floor` until the marginal contribution is
+    * negligible — never off the bound alone. `recall` is NULL (with an
+    * explicit `when`) when no pair clears `threshold`: an undefined ratio
+    * is reported as undefined, not as an engine-specific /0 artifact.
+    *
     * Determinism: jʳ and (1−jʳ)ᵇ are LEFT-ASSOCIATED multiply chains over
     * the rounded Jaccard (never `pow` — libm and java.lang.Math disagree in
     * the last ulp), per-pair probabilities are rounded and summed as
@@ -353,7 +363,11 @@ object Dedup {
         col("n_target"),
         round(col("candidates_d"), 6).as("exp_candidates"),
         round(col("caught_d"), 6).as("exp_caught"),
-        round(col("caught_d") / col("n_target"), 6).as("recall"))
+        // DELIBERATE null when no pair clears `threshold`: recall over an
+        // empty target pool is undefined, and an explicit when() says so
+        // on purpose instead of leaking engine-specific /0 semantics
+        when(col("n_target") > 0,
+          round(col("caught_d") / col("n_target"), 6)).as("recall"))
       .orderBy(col("bands"))
   }
 

@@ -174,8 +174,22 @@ object Similarity {
     * DedupSimilaritySpec on planted duplicates); for weakly-similar top-k
     * over unclustered corpora use [[ivfTopK]]. */
   def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
+      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
+      probeDist: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // multi-probe radius: every bucket within Hamming `probeDist` of the
+    // query's signature, in every table — 1 + bits + C(bits,2) probes per
+    // table at radius 2 (56 at the default 10 bits), a fixed per-query
+    // fanout that buys recall without touching index size. Radius > 2
+    // explodes combinatorially for marginal lift — rejected.
+    require(probeDist >= 0 && probeDist <= 2,
+      s"probeDist must be 0..2, got $probeDist")
+    val flips: Seq[Long] = Seq(0L) ++
+      (if (probeDist >= 1) (0 until bits).map(b => 1L << b) else Nil) ++
+      (if (probeDist >= 2)
+        for { a <- 0 until bits; b <- (a + 1) until bits }
+          yield (1L << a) | (1L << b)
+      else Nil)
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val sigs = sigFrame(e, bits, tables)
@@ -183,8 +197,7 @@ object Similarity {
       Seq("tbl", "sig"), "left_semi")
     val probes = sigFrame(e.filter(isQuery), bits, tables)
       .select(col("vec_id").as("q_id"), col("tbl"),
-        explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*))
-          .as("flip"),
+        explode(array(flips.map(lit): _*)).as("flip"),
         col("sig").as("qsig"))
       .select(col("q_id"), col("tbl"),
         expr("qsig ^ flip").as("sig"))
@@ -766,9 +779,13 @@ object Similarity {
     * (macro recall ≥ 0.9), while sign-LSH's recall is low there BY DESIGN
     * — its buckets only co-locate the high-cosine near-dup regime q56
     * uses it for. Routing a weak-similarity workload to the LSH path is
-    * exactly the mistake this audit catches.
+    * exactly the mistake this audit catches. The `recall_mp` column is
+    * the mitigation knob priced in the same table: Hamming-2 MULTI-PROBE
+    * over the very same LSH index (wider per-query probe fanout, zero
+    * index growth), which dominates `recall_lsh` pointwise
+    * (candidates(H2) ⊇ candidates(H1)) and narrows the regime split.
     *
-    * Scale shape: all three inputs are (queries × k)-bounded frames riding
+    * Scale shape: all four inputs are (queries × k)-bounded frames riding
     * the memoized vector stage; the intersections are semi-joins on
     * (q_id, neighbor) pinned shuffled (the frames are corpus/100-sized —
     * fixture-scale stats must not elect a broadcast that dies at 100×),
@@ -783,19 +800,32 @@ object Similarity {
     def marked(approx: DataFrame, flag: String) = approx
       .select($"q_id", $"neighbor").withColumn(flag, lit(1))
       .hint("shuffle_hash")
+    // the Hamming-2 MULTI-PROBE row: same index, same tables — only the
+    // per-query probe fanout widens (56 probes/table vs 11), so the audit
+    // shows what the cheap knob buys in the generic top-k regime where
+    // single-probe sign-LSH recall is low by design (its H1 candidates
+    // need near-identical signatures, which weakly-similar true
+    // neighbors rarely have; candidates(H2) ⊇ candidates(H1), so this
+    // recall dominates recall_lsh pointwise — spec-asserted)
+    val mp = lshTopKOf(vecs(spark, dir), $"vec_id" % 100 === 0,
+      probeDist = 2)
     bruteForceTopK(spark, dir).select($"q_id", $"neighbor")
       .join(marked(lshTopK(spark, dir), "h_lsh"),
         Seq("q_id", "neighbor"), "left")
       .join(marked(ivfTopK(spark, dir), "h_ivf"),
         Seq("q_id", "neighbor"), "left")
+      .join(marked(mp, "h_mp"), Seq("q_id", "neighbor"), "left")
       .groupBy($"q_id")
       .agg(count(lit(1)).as("n_true"),
         sum(coalesce($"h_lsh", lit(0))).cast("bigint").as("n_hit_lsh"),
-        sum(coalesce($"h_ivf", lit(0))).cast("bigint").as("n_hit_ivf"))
+        sum(coalesce($"h_ivf", lit(0))).cast("bigint").as("n_hit_ivf"),
+        sum(coalesce($"h_mp", lit(0))).cast("bigint").as("n_hit_mp"))
       .withColumn("recall_lsh",
         round($"n_hit_lsh" * lit(1.0) / $"n_true", 6))
       .withColumn("recall_ivf",
         round($"n_hit_ivf" * lit(1.0) / $"n_true", 6))
+      .withColumn("recall_mp",
+        round($"n_hit_mp" * lit(1.0) / $"n_true", 6))
       .orderBy($"q_id")
   }
 
@@ -813,15 +843,23 @@ object Similarity {
     * Scale shape: two broadcast-query-side scans of the memoized vector
     * frame (the q26 chain at both widths — truncation is a per-row
     * `slice`), bounded top-k heaps, one semi-join of two k-row-per-query
-    * lists. */
+    * lists. Vectors whose truncated prefix is all-zero are absent from the
+    * truncated index (no direction to rank by — unservable from this
+    * tier, mirroring [[quantizationRecall]]'s max_abs > 0 exclusion), so
+    * truth neighbors among them read as misses. */
   def truncationRecall(spark: SparkSession, dir: String, keepDims: Int = 16,
       k: Int = 5): DataFrame = {
     import spark.implicits._
     require(keepDims > 0 && keepDims <= DIM,
       s"keepDims must be in [1, $DIM], got $keepDims")
+    // a nonzero vector whose first keepDims dims are all zero has no
+    // direction in the truncated space — unservable from this tier, same
+    // exclusion (and miss accounting) as quantizationRecall's max_abs > 0;
+    // without the filter its cosine is an engine-dependent 0/0
     val trunc = vecs(spark, dir)
       .select($"vec_id", $"label", slice($"v", 1, keepDims).as("v"))
       .withColumn("norm", sqrt(dot($"v", $"v")))
+      .filter($"norm" > 0)
     // one truth reference (q109's single-pass marker shape): the hit flag
     // left-joins onto the truth list (1:≤1, no fanout) and one groupBy
     // yields n_true and n_hit together

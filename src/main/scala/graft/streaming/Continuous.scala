@@ -217,6 +217,35 @@ object Continuous {
     schemaCache.computeIfAbsent(staged,
       _ => spark.read.parquet(staged).schema)
 
+  /** Stage `df` as `chunks` single-file ascending-`doc_id` parquet chunks
+    * with strictly increasing mtimes, so the file stream source replays
+    * them oldest-first: batch order = id order — the determinism device
+    * that lets ids stand in for arrival time (production ingestion ids are
+    * arrival-ordered). Shared by the streamed index dedup (q99) and the
+    * streamed cross-modal dedup (q117). */
+  private def stageOrderedChunks(df: DataFrame, chunks: Int,
+      stagedDir: String, tmpRoot: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val chunked = df.withColumn("chunk",
+      ntile(chunks).over(Window.orderBy(col("doc_id"))) - 1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stagedDir))
+    val base = System.currentTimeMillis()
+    for (i <- 0 until chunks) {
+      val tmp = s"$tmpRoot/tmp$i"
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one staged file, got $part")
+      val dst = java.nio.file.Paths.get(s"$stagedDir/chunk$i.parquet")
+      java.nio.file.Files.move(part.head.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000))
+      deleteRecursively(tmp)
+    }
+  }
+
   private def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
@@ -614,7 +643,6 @@ object Continuous {
     * footprint contract — and nothing ever rescans the shipped corpus. */
   def streamedIndexDedup(spark: SparkSession, dir: String,
       chunks: Int = 5, maxVerdictRows: Int = 1000000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
     val isInc = pmod(col("doc_id"), lit(10)) === 0
     val run = runSeq.incrementAndGet()
@@ -635,29 +663,8 @@ object Continuous {
       prior.select(col("doc_id"), md5(col("text")).as("h"))
         .withColumn("inc", lit(0))
         .write.mode("overwrite").parquet(hashesDir)
-      // stage the increment as ascending-id chunk files with increasing
-      // mtimes: the file source replays them oldest-first, so batch order
-      // = id order — the determinism device that lets ids stand in for
-      // arrival time (production ingestion ids are arrival-ordered)
       val inc = docs.filter(isInc)
-      val chunked = inc.withColumn("chunk",
-        ntile(chunks).over(Window.orderBy(col("doc_id"))) - 1)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(stagedDir))
-      val base = System.currentTimeMillis()
-      for (i <- 0 until chunks) {
-        val tmp = s"$stateRoot/tmp$i"
-        chunked.filter(col("chunk") === i).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-        require(part.length == 1, s"expected one staged file, got $part")
-        val dst = java.nio.file.Paths.get(s"$stagedDir/chunk$i.parquet")
-        java.nio.file.Files.move(part.head.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000))
-        deleteRecursively(tmp)
-      }
+      stageOrderedChunks(inc, chunks, stagedDir, stateRoot)
       val schema = spark.read.parquet(stagedDir).schema
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)
@@ -728,6 +735,197 @@ object Continuous {
         s"verdict frame exceeds $maxVerdictRows rows")
       require(rows.length.toLong == inc.count(),
         "one verdict per incoming doc")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, out.schema)
+        .orderBy(col("doc_id"))
+    } finally {
+      deleteRecursively(ckpt)
+      deleteRecursively(stateRoot)
+    }
+  }
+
+  /** Streamed CROSS-MODAL dedup (q117) — q86's "duplicate in ANY modality"
+    * decision as a continuous ingestion job: the whole corpus replays in
+    * ascending-id micro-batches; each commit signs the batch in BOTH
+    * modalities (MinHash band buckets + exact digest for text, 60-bit
+    * blockhash fingerprint for media), probes the durable per-modality
+    * indexes for cross- and within-batch matches, folds the new edges into
+    * a CONTRACTED star-forest state, and re-emits the cumulative keep/drop
+    * frame — revising earlier verdicts when a new arrival glues two
+    * existing clusters together (the case per-commit pairwise verdicts
+    * structurally miss).
+    *
+    * The state design that makes this scale: the cluster state is the star
+    * FOREST from the previous commit's contraction, never the accumulated
+    * pair list — contracting (forest ∪ new edges) yields components
+    * identical to contracting every edge ever seen (a forest preserves its
+    * graph's connectivity), so per-commit contraction input stays
+    * near-spanning-forest-sized no matter how many pairs history holds.
+    * This is [[graft.operators.Curation.partitionUnionFind]]'s identity
+    * applied across TIME instead of across tasks. And because components
+    * and min-id labels depend only on the edge UNION, the final frame is
+    * batch-boundary-free by construction: bit-equal to the batch twin
+    * [[graft.operators.Curation.crossModalStreamTwin]] on ANY chunking —
+    * which is what the oracle checks.
+    *
+    * Scale shape per commit: two band probes + one digest probe of
+    * batch-sized frames against the corpus-sized indexes (pinned
+    * shuffle_hash, candidate volume bounded by bucket occupancy — the q22
+    * contract), one contraction over forest+new edges, and batch-sized
+    * state appends (~100 bytes/doc across the three indexes). Nothing
+    * ever rescans ingested corpus text. */
+  def streamedCrossModalDedup(spark: SparkSession, dir: String,
+      chunks: Int = 4, maxVerdictRows: Int = 1000000): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val run = runSeq.incrementAndGet()
+    val stateRoot = s"target/streamstage/crossmodal/run$run"
+    val stagedDir = s"$stateRoot/incoming"
+    val bandsDir = s"$stateRoot/bands"
+    val hashesDir = s"$stateRoot/hashes"
+    val fpDir = s"$stateRoot/fp"
+    val partsDir = s"$stateRoot/parts"
+    val seenDir = s"$stateRoot/seen"
+    val ckpt = s"target/streamstage/ckpt/xmodal$run"
+    val D = graft.operators.Dedup
+    def textState(b: DataFrame) =
+      (D.bandBuckets(D.signaturesOf(D.shinglesOf(b))),
+        b.select(col("doc_id"), md5(col("text")).as("h")))
+    try withStreamShuffle(spark, 8) {
+      // seed EMPTY durable state (schema-bearing zero-row writes): unlike
+      // q99 there is no pre-shipped corpus — everything arrives streamed
+      val e = docs.limit(0)
+      val (eBands, eHashes) = textState(e)
+      eBands.write.mode("overwrite").parquet(bandsDir)
+      eHashes.write.mode("overwrite").parquet(hashesDir)
+      graft.operators.Multimodal.blockhashOf(e)
+        .write.mode("overwrite").parquet(fpDir)
+      e.select(col("doc_id"), lit("text").as("modality"))
+        .write.mode("overwrite").parquet(partsDir)
+      e.select(col("doc_id")).write.mode("overwrite").parquet(seenDir)
+      e.select(col("doc_id").as("d1"), col("doc_id").as("d2"))
+        .write.mode("overwrite").parquet(s"$stateRoot/forest/v0")
+      stageOrderedChunks(docs.select(col("doc_id"), col("text")), chunks,
+        stagedDir, stateRoot)
+      val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+      val schema = spark.read.parquet(stagedDir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+        .writeStream
+        .outputMode("append")
+        .queryName(s"q117_xmodal_$run")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val i = commitSeq.incrementAndGet()
+            val b = batch.select(col("doc_id"), col("text")).persist()
+            try {
+              val (bBands0, bHashes0) = textState(b)
+              val bBands = bBands0.persist()
+              val bHashes = bHashes0.persist()
+              val bFp = graft.operators.Multimodal.blockhashOf(b).persist()
+              try {
+                // state BEFORE this batch ∪ the batch itself: one probe
+                // resolves both cross-batch and within-batch matches
+                val allBands = spark.read.parquet(bandsDir).unionByName(bBands)
+                val allHashes = spark.read.parquet(hashesDir).unionByName(bHashes)
+                val allFp = spark.read.parquet(fpDir).unionByName(bFp)
+                def canon(df: DataFrame) = df.select(
+                  least(col("n.doc_id"), col("o.doc_id")).as("d1"),
+                  greatest(col("n.doc_id"), col("o.doc_id")).as("d2"))
+                  .distinct()
+                val tEdges = canon(bBands.as("n")
+                  .join(allBands.as("o").hint("shuffle_hash"),
+                    col("n.band") === col("o.band") &&
+                      col("n.bh") === col("o.bh") &&
+                      col("n.doc_id") =!= col("o.doc_id")))
+                val dEdges = canon(bHashes.as("n")
+                  .join(allHashes.as("o").hint("shuffle_hash"),
+                    col("n.h") === col("o.h") &&
+                      col("n.doc_id") =!= col("o.doc_id")))
+                // 4×15-band blocked Hamming probe (exact for dist ≤ 3 by
+                // pigeonhole — Dedup.bandedHammingPairs' blocking, probe
+                // form: batch side vs everything, never state × state)
+                def fpBands(f: DataFrame) = f.select(col("doc_id"),
+                  col("phash"), explode(array((0 until 4).map(bb =>
+                    struct(lit(bb).as("band"),
+                      expr(s"(phash div cast(pow(2, ${15 * bb}) as bigint))" +
+                        " % 32768").as("bh"))): _*)).as("e"))
+                  .select(col("doc_id"), col("phash"),
+                    col("e.band"), col("e.bh"))
+                val mEdges = canon(fpBands(bFp).as("n")
+                  .join(fpBands(allFp).as("o").hint("shuffle_hash"),
+                    col("n.band") === col("o.band") &&
+                      col("n.bh") === col("o.bh") &&
+                      col("n.doc_id") =!= col("o.doc_id"))
+                  .filter(expr("bit_count(n.phash ^ o.phash) <= 3")))
+                val textPairs = tEdges.union(dEdges).distinct()
+                // modality participation (feeds n_modalities), appended
+                // before the snapshot below reads the parts state back
+                textPairs.select(explode(array(col("d1"), col("d2")))
+                    .as("doc_id")).distinct()
+                  .withColumn("modality", lit("text"))
+                  .union(mEdges.select(explode(array(col("d1"), col("d2")))
+                      .as("doc_id")).distinct()
+                    .withColumn("modality", lit("media")))
+                  .write.mode("append").parquet(partsDir)
+                // contract (previous forest ∪ new edges) — the previous
+                // contraction's star edges stand in for all prior history
+                val prevForest =
+                  spark.read.parquet(s"$stateRoot/forest/v${i - 1}")
+                val labels =
+                  graft.operators.Curation.connectedComponentsStar(
+                    prevForest.unionByName(
+                      textPairs.union(mEdges).distinct()))
+                labels.filter(col("id") =!= col("label"))
+                  .select(col("id").as("d1"), col("label").as("d2"))
+                  .write.mode("overwrite")
+                  .parquet(s"$stateRoot/forest/v$i")
+                // index += the whole batch; later arrivals must match it
+                bBands.write.mode("append").parquet(bandsDir)
+                bHashes.write.mode("append").parquet(hashesDir)
+                bFp.write.mode("append").parquet(fpDir)
+                b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+                // cumulative decision snapshot: every doc seen so far,
+                // current cluster/keep/n_modalities (earlier verdicts may
+                // legitimately flip when clusters merge)
+                val forest = spark.read.parquet(s"$stateRoot/forest/v$i")
+                val parts = spark.read.parquet(partsDir)
+                  .groupBy(col("doc_id"))
+                  .agg(max(when(col("modality") === "text", 1).otherwise(0))
+                      .as("in_text"),
+                    max(when(col("modality") === "media", 1).otherwise(0))
+                      .as("in_media"))
+                spark.read.parquet(seenDir)
+                  .join(forest.withColumnRenamed("d1", "doc_id")
+                    .hint("shuffle_hash"), Seq("doc_id"), "left")
+                  .join(parts.hint("shuffle_hash"), Seq("doc_id"), "left")
+                  .select(col("doc_id"),
+                    coalesce(col("d2"), col("doc_id")).as("cluster"),
+                    when(coalesce(col("d2"), col("doc_id")) === col("doc_id"),
+                      1).otherwise(0).as("keep"),
+                    (coalesce(col("in_text"), lit(0))
+                      + coalesce(col("in_media"), lit(0)))
+                      .as("n_modalities"))
+                  .write.mode("overwrite")
+                  .parquet(s"$stateRoot/verdicts/v$i")
+              } finally {
+                bBands.unpersist(); bHashes.unpersist(); bFp.unpersist(); ()
+              }
+            } finally { b.unpersist(); () }
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val n = commitSeq.get()
+      require(n > 0, "cross-modal stream produced no commits")
+      val out = spark.read.parquet(s"$stateRoot/verdicts/v$n")
+      val rows = out.limit(maxVerdictRows + 1).collect()
+      require(rows.length <= maxVerdictRows,
+        s"decision frame exceeds $maxVerdictRows rows")
+      require(rows.length.toLong == docs.count(),
+        "one decision per ingested doc")
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.toSeq.asJava, out.schema)
         .orderBy(col("doc_id"))

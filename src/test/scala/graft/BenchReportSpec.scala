@@ -4,9 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench artifact contract: the driver tail-captures stdout, so every
   * emitted line must be self-contained JSON, the part lines must stay under
-  * 1 KB, and the FINAL line alone must recover both totals and every
-  * per-query cold number. Parsed with Jackson (on the Spark classpath) —
-  * the same class of strict parser the driver uses. */
+  * 1 KB, the compact total line must recover both totals and every
+  * per-query cold number, and the memo rollup must be the VERY LAST line
+  * (r10 lost all detailed memo lines to the bounded tail capture). Parsed
+  * with Jackson (on the Spark classpath) — the same class of strict parser
+  * the driver uses. */
 class BenchReportSpec extends AnyFunSuite {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -40,9 +42,50 @@ class BenchReportSpec extends AnyFunSuite {
       assert(l.length < 1024, s"${l.length} bytes: ${l.take(60)}..."))
   }
 
-  test("the final line alone recovers totals and all cold entries") {
+  /** The compact total line (second to last — the memo rollup rides after
+    * it, and both repeat the headline totals). */
+  private def totalLine(ls: Seq[String]) =
+    ls.map(mapper.readTree).filter(_.get("metric").asText == "total").last
+
+  test("the memo rollup is the very last line of the report") {
+    // r10's lesson: the driver keeps a bounded TAIL of stdout, and every
+    // memo line emitted before the totals was sheared out of the artifact.
+    // The rollup must ride at the absolute end, under the 1 KB budget,
+    // carrying counters, top build keys, and both headline totals.
     val last = mapper.readTree(lines.last)
-    assert(last.get("metric").asText === "total")
+    assert(last.get("metric").asText === "memo_rollup")
+    assert(last.toString.length < 1024)
+    assert(math.abs(last.get("value").asDouble - 59 * 1.234) < 0.05)
+    assert(math.abs(last.get("cold_total").asDouble - 59 * 12.345) < 0.05)
+    // warm (120 hits) + per-query cold windows (58 hit rows)
+    assert(last.get("hits").asLong === 178)
+    assert(last.get("misses").asLong === 16)
+    assert(last.get("build_ms_total").asLong === 27200)
+    val top = last.get("top_builds")
+    assert(top.has("ngraminter:sf:100") && top.has("shingles:sf"))
+    // warm build + q21's cold build aggregate per key, sorted by ms
+    assert(top.get("ngraminter:sf:100").get("ms").asLong === 22400)
+    assert(top.get("ngraminter:sf:100").get("n").asLong === 2)
+    assert(top.fieldNames().next() === "ngraminter:sf:100")
+  }
+
+  test("the rollup caps at the top 8 build keys and stays parseable") {
+    val wide = StageMemo.Stats(0, 30, 0,
+      (1 to 30).map(i => s"stage_with_a_longer_name_$i:$sf:0.8" ->
+        (3L, 1000L * i)).toMap)
+    val line = Bench.memoRollupLine(sf, 1.0, 2.0, wide, Nil)
+    assert(line.length < 1024, s"${line.length} bytes")
+    val p = mapper.readTree(line)
+    assert(p.get("top_builds").size === 8)
+    // the 8 largest by ms survive
+    assert(p.get("top_builds").has(s"stage_with_a_longer_name_30:sf:0.8"))
+    assert(!p.get("top_builds").has(s"stage_with_a_longer_name_1:sf:0.8"))
+    assert(p.get("build_ms_total").asLong === (1 to 30).map(1000L * _).sum)
+  }
+
+  test("the final total line recovers totals and all cold entries") {
+    val last = totalLine(lines)
+    assert(last.get("cold_protocol").asText === "min2")
     assert(math.abs(last.get("value").asDouble - 59 * 1.234) < 0.05)
     assert(math.abs(last.get("cold_total").asDouble - 59 * 12.345) < 0.05)
     val qs = last.get("queries")
@@ -69,8 +112,7 @@ class BenchReportSpec extends AnyFunSuite {
   test("failed queries keep their -1 marker through formatting") {
     val ls = Bench.reportLines("/sf", Seq("q01_x" -> -1.0), Seq("q01_x" -> -1.0),
       quietLoad)
-    val last = mapper.readTree(ls.last)
-    assert(last.get("queries").get("q01").asDouble === -1.0)
+    assert(totalLine(ls).get("queries").get("q01").asDouble === -1.0)
   }
 
   test("part lines and totals carry the load-sentinel fields") {
@@ -80,7 +122,7 @@ class BenchReportSpec extends AnyFunSuite {
       Seq("load_before", "load_after", "load_max", "cpu_utilization").foreach(f =>
         assert(p.has(f), s"$f missing: ${p.toString.take(80)}"))
     }
-    val last = mapper.readTree(lines.last)
+    val last = totalLine(lines)
     assert(last.get("cores").asInt === 32)
     assert(last.get("contended").asBoolean === false)
     assert(math.abs(last.get("load_before").asDouble - 31.0) < 0.01)
@@ -145,7 +187,7 @@ class BenchReportSpec extends AnyFunSuite {
     val busy = quietLoad.copy(warm = Bench.LapLoad(49.0, 52.3, 52.3, 11.2))
     assert(busy.contended)
     val ls = Bench.reportLines("/sf", warm, cold, busy)
-    assert(mapper.readTree(ls.last).get("contended").asBoolean === true)
+    assert(totalLine(ls).get("contended").asBoolean === true)
     // a burst CONTAINED inside the lap — quiet endpoints, hot mid-lap
     // sample — still flags: the r8 miss the periodic sampler closes
     val burst = quietLoad.copy(cold = Bench.LapLoad(20.0, 21.0, 55.0, 22.0))

@@ -201,6 +201,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.nonEmpty, "q27 must return rows at fixture scale")
   }
 
+  test("Hamming-2 multi-probe dominates single-probe LSH recall per query") {
+    // candidates(H2) ⊇ candidates(H1) and a true top-5 member present in
+    // a candidate set can never be outranked past position 5 (at most
+    // rank-1 vectors beat it anywhere) — so recall_mp >= recall_lsh must
+    // hold POINTWISE, and on the fixture's generic-top-k regime the wider
+    // probe fanout must lift macro recall strictly (the regime-split
+    // mitigation q109 prices).
+    val audit = Similarity.annRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(5), r.getDouble(7)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (q, lsh, mp) =>
+      assert(mp >= lsh, s"query $q: recall_mp $mp < recall_lsh $lsh")
+    }
+    val (macroLsh, macroMp) =
+      (audit.map(_._2).sum / audit.size, audit.map(_._3).sum / audit.size)
+    assert(macroMp > macroLsh,
+      s"multi-probe must lift macro recall ($macroMp vs $macroLsh)")
+  }
+
   test("IVF ANN reaches 0.9 recall vs brute force on the fixture") {
     val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -972,8 +991,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val audit = Similarity.annRecall(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
-          r.getDouble(5)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5),
+          r.getDouble(6)))).toMap
     val byQ = truth.groupBy(_._1)
     assert(audit.keySet === byQ.keySet, "one audit row per truth query")
     byQ.foreach { case (q, rows) =>

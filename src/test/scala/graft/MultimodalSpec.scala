@@ -48,6 +48,77 @@ class MultimodalSpec extends SparkSpec {
     assert(opens.value === 4L, "open() must run once per partition")
   }
 
+  test("a real javax.imageio BMP decoder drives the seam end-to-end") {
+    import spark.implicits._
+    // JDK-only real decoder (no new deps): payloads are genuine BMP
+    // containers authored with ImageIO, and the codec parses REAL headers
+    // and decodes REAL pixels — proving the open()-once-per-partition
+    // contract against an actually stateful decoder (an ImageIO reader
+    // holds its input stream via setInput and is reused record to record,
+    // exactly the handle-reuse the seam exists for).
+    def bmpBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 2654435761L + x * 7919 + y * 104729).toInt
+          & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", bos),
+        "JDK must ship a BMP writer")
+      bos.toByteArray
+    }
+    // a function VAL, not a def: the codec's task closure references it,
+    // and a lifted local def would drag the (non-serializable) spec
+    // instance into the closure
+    val pixelMd5: java.awt.image.BufferedImage => String = img => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        md.update(Array[Byte]((p >> 16).toByte, (p >> 8).toByte, p.toByte))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+    val opens = spark.sparkContext.longAccumulator("imageio_opens")
+    class ImageIoCodec extends Multimodal.MediaCodec {
+      override def open(): Multimodal.MediaRecord => Multimodal.MediaFeatures = {
+        opens.add(1)
+        // per-partition decoder handle, REUSED across records
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("bmp").next()
+        r => {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          try {
+            reader.setInput(iis)
+            val img = reader.read(0)
+            Multimodal.MediaFeatures(r.doc_id, r.media_type,
+              r.bytes.length.toLong, img.getWidth, img.getHeight,
+              pixelMd5(img))
+          } finally iis.close()
+        }
+      }
+    }
+    val dims = (0L until 24L).map(i =>
+      i -> (4 + (i % 5).toInt, 3 + (i % 3).toInt))
+    val media = dims.map { case (i, (w, h)) =>
+      Multimodal.MediaRecord(i, "image/bmp", bmpBytes(w, h, i.toInt))
+    }.toDS().repartition(4)
+    val feats = Multimodal.decodeWith(media, new ImageIoCodec).collect()
+    assert(feats.length === 24)
+    assert(opens.value === 4L, "open() must run once per partition")
+    // dimensions come from the REAL container header; pixel checksums must
+    // match an independent driver-side ImageIO decode of the same payload
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    dims.foreach { case (i, (w, h)) =>
+      assert(byId(i).width === w && byId(i).height === h,
+        s"doc $i decoded ${byId(i).width}x${byId(i).height}, authored ${w}x$h")
+      val independent = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmpBytes(w, h, i.toInt)))
+      assert(byId(i).checksum === pixelMd5(independent),
+        s"doc $i pixel digest must match an independent decode")
+    }
+  }
+
   test("frame sampling strides the payload deterministically") {
     val bytes = Array.tabulate[Byte](10)(_.toByte)
     assert(Multimodal.StubCodec.frameSample(bytes, 3).toSeq ===

@@ -557,4 +557,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._4 == 0) && streamed.exists(_._4 == 1),
       "fixture must exercise both verdicts")
   }
+
+  test("q117: streamed cross-modal dedup converges to the batch twin " +
+      "on any chunking") {
+    def decisions(chunks: Int) =
+      Continuous.streamedCrossModalDedup(spark, sfDir, chunks = chunks)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val streamed = decisions(4)
+    // batch-boundary independence: the star-forest state makes the final
+    // frame a pure function of the edge UNION, so any chunking agrees
+    assert(decisions(2) === streamed,
+      "decisions must not depend on micro-batch boundaries")
+    // and the edge union is the stream-tier batch twin's graph exactly
+    val twin = graft.operators.Curation.crossModalStreamTwin(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(streamed === twin, "final frame must equal the batch twin")
+    // the fixture must exercise the machinery: drops, keeps, and paired
+    // docs in each modality
+    assert(streamed.exists(_._3 == 0) && streamed.exists(_._3 == 1))
+    assert(streamed.exists(_._4 >= 1), "some doc must be paired somewhere")
+    // clusters must be real merges (some representative owns >= 2 docs)
+    val sizes = streamed.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.max >= 2, "fixture must produce a non-trivial cluster")
+  }
+
+  test("q117: commits stay batch-sized and the stream makes >= 2 of them") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name != null && e.progress.name.startsWith("q117_xmodal"))
+          progress.add(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = Continuous.streamedCrossModalDedup(spark, sfDir, chunks = 4)
+      val n = out.count()
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (progress.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val commits = progress.asScala.filter(_.numInputRows > 0).toSeq
+      assert(commits.size === 4,
+        s"expected one data commit per staged chunk, saw " +
+          commits.sortBy(_.batchId)
+            .map(p => s"b${p.batchId}=${p.numInputRows}").mkString(","))
+      // per-commit input must be CHUNK-sized, not corpus-sized — the
+      // incremental contract (a trigger that merged the staged files
+      // would blow this bound). The commit's plan references the streamed
+      // batch TWICE by design (probe side ∪ index side), so the leaf
+      // metric double-counts: bound at 2× chunk, not 1×.
+      val perChunk = (n + 3) / 4
+      commits.foreach(p => assert(p.numInputRows <= 2 * perChunk + 2,
+        s"commit ${p.batchId} ingested ${p.numInputRows} rows " +
+          s"(> 2x chunk ${2 * perChunk + 2})"))
+    } finally spark.streams.removeListener(listener)
+  }
 }

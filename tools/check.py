@@ -60,8 +60,16 @@ def main():
     import os
     marker = f"{out_dir}/attempted.txt"
     if os.path.exists(marker):
-        attempted = set(open(marker).read().split())
-        filtered = len(attempted) < len(oracle)
+        toks = open(marker).read().split()
+        flags = [t for t in toks if t.startswith("filtered=")]
+        attempted = {t for t in toks if not t.startswith("filtered=")}
+        if flags:
+            # Verify states the filter mode explicitly: an UNFILTERED run
+            # checks the whole oracle map, so an oracle key the queries map
+            # lost fails (no result dir) instead of skipping.
+            filtered = flags[0] == "filtered=true"
+        else:  # legacy dump without the flag: infer from counts
+            filtered = len(attempted) < len(oracle)
         checked = {k: v for k, v in oracle.items()
                    if k in attempted or not filtered}
         skipped = len(oracle) - len(checked)
