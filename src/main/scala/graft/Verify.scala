@@ -33,13 +33,16 @@ object Verify {
     // tell "filtered out" (skip) from "crashed before writing anything"
     // (fail) — a plan-construction failure leaves no result dir at all,
     // and without this file a filtered-dump-aware checker would silently
-    // absorb it as a skip. The first token states EXPLICITLY whether the
-    // run was name-filtered: inferring it from len(attempted)<len(oracle)
-    // would misread an unfiltered run whose queries map lost a key the
-    // oracle map still has — exactly the case that must FAIL, not skip.
+    // absorb it as a skip. attempted.txt stays PURE query names (any
+    // pre-existing parser keeps working); the sibling filtered.txt states
+    // EXPLICITLY whether the run was name-filtered — inferring that from
+    // len(attempted)<len(oracle) would misread an unfiltered run whose
+    // queries map lost a key the oracle map still has, exactly the case
+    // that must FAIL, not skip.
     Files.writeString(Paths.get(s"$outDir/attempted.txt"),
-      (s"filtered=${only.isDefined}" +: attempted.keys.toSeq.sorted)
-        .mkString("", "\n", "\n"))
+      attempted.keys.toSeq.sorted.mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(s"$outDir/filtered.txt"),
+      s"${only.isDefined}\n")
     attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

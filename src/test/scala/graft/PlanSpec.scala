@@ -779,6 +779,17 @@ class PlanSpec extends SparkSpec {
       s"the top-k marker join stays shuffled like q109's:\n$p")
   }
 
+  test("q117 stream twin: every pair tier is a banded equi-join") {
+    StageMemo.clear()
+    val p = plan(operators.Curation.crossModalStreamTwin(spark, sfDir))
+    // three pair tiers (minhash bands, digests, blockhash bands) are all
+    // keyed self-joins — nothing in the twin may fall back to an
+    // all-pairs or non-equi plan at any scale
+    assert(!p.contains("CartesianProduct"), s"no all-pairs explosion:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every pair tier must join on its band/digest key:\n$p")
+  }
+
   test("q115 truncation recall: two query scans, shuffled marker join") {
     StageMemo.clear()
     val p = plan(operators.Similarity.truncationRecall(spark, sfDir))

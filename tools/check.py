@@ -60,14 +60,13 @@ def main():
     import os
     marker = f"{out_dir}/attempted.txt"
     if os.path.exists(marker):
-        toks = open(marker).read().split()
-        flags = [t for t in toks if t.startswith("filtered=")]
-        attempted = {t for t in toks if not t.startswith("filtered=")}
-        if flags:
+        attempted = set(open(marker).read().split())
+        flag = f"{out_dir}/filtered.txt"
+        if os.path.exists(flag):
             # Verify states the filter mode explicitly: an UNFILTERED run
             # checks the whole oracle map, so an oracle key the queries map
             # lost fails (no result dir) instead of skipping.
-            filtered = flags[0] == "filtered=true"
+            filtered = open(flag).read().strip() == "true"
         else:  # legacy dump without the flag: infer from counts
             filtered = len(attempted) < len(oracle)
         checked = {k: v for k, v in oracle.items()
