@@ -15,6 +15,47 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("partition-local union-find preserves components on any partitioning") {
+    // the pre-contraction identity starContract (and q117's forest state)
+    // rests on: for ANY edge list chopped into ANY partitions, the union
+    // of per-partition star forests has exactly the components of the
+    // original graph — checked against a reference union-find, driverless
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 80)
+      edges <- Gen.listOfN(m, Gen.zip(
+        Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+      parts <- Gen.choose(1, 6)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (edges.filter(e => e._1 != e._2), parts, seed)
+    def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    holds(Prop.forAll(gen) { case (edges, parts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val slices = edges.groupBy(_ => rnd.nextInt(parts)).values.toSeq
+      val forest = slices.flatMap(s =>
+        graft.operators.Curation.partitionUnionFind(s.iterator))
+      // same components AND same min-id labels as the raw edge list; the
+      // forest is bounded by the edges processed (each entry is one
+      // successful union) and stays canonically oriented
+      components(forest) == components(edges) &&
+        forest.size <= edges.size &&
+        forest.forall { case (mem, root) => mem > root }
+    })
+  }
+
   test("simhash is invariant under token order and duplication") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
