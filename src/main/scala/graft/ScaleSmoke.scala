@@ -141,6 +141,13 @@ object ScaleSmoke {
       // micro-batch, so the 1× -> N× delta must track data volume only
       // (the key space — windows x event types — is unchanged by staging)
       "stream_windows" -> ((d, _) => streaming.Continuous.streamedWindowedCounts(spark, d)),
+      // streamed cross-modal dedup (q117): whole-corpus replay in 4
+      // commits over PER-DOC state only (minhash bands, digests, blockhash
+      // fingerprints) + the star-forest contraction — no df-gated stage
+      // anywhere, so growth must track the banded candidate volume plus
+      // the fixed per-commit trigger overhead, never corpus pairs
+      "stream_xmodal" -> ((d, _) =>
+        streaming.Continuous.streamedCrossModalDedup(spark, d)),
       "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, d), maxDf = 100 * m)),
       // sliding-window substring audit: grams ≤ 1/token and hits ≤ tokens,

@@ -420,6 +420,53 @@ class StreamingSpec extends SparkSpec {
       "the redaction map must be identical streamed and batch")
   }
 
+  test("q117 per-commit trigger duration stays under the pinned bound at sf0.1") {
+    // The cross-modal stream's scale contract: each commit pays the
+    // BATCH's signature builds + three banded probes + one contraction
+    // over (forest ∪ new edges) — measured ~2.5-3 s per commit at sf0.1
+    // (13.7 s total over 4 commits + the ~3 s lifecycle floor). Two
+    // regression classes this net catches: re-pairing the accumulated
+    // corpus per commit (all-pairs instead of banded probes), and
+    // contracting the accumulated PAIR LIST instead of the star forest —
+    // both slow EVERY commit, so bounding the MINIMUM over post-first
+    // commits at 10 s must trip; a single co-tenant burst cannot flake it.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryProgressEvent, QueryStartedEvent, QueryTerminatedEvent}
+    val progress = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name != null && e.progress.name.startsWith("q117_xmodal"))
+          progress.add(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01, "documents.parquet").exists(),
+      s"sf0.1 fixture not staged at $sf01")
+    spark.streams.addListener(listener)
+    try {
+      val out = Continuous.streamedCrossModalDedup(spark, sf01)
+      assert(out.count() > 0)
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (progress.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      val commits = progress.asScala.filter(_.numInputRows > 0).toSeq
+      assert(commits.size >= 2,
+        s"expected >= 2 data commits, saw ${progress.size} progress events")
+      val durations = commits.sortBy(_.batchId).map { p =>
+        val ms = p.durationMs.get("triggerExecution")
+        assert(ms != null, s"commit ${p.batchId} missing triggerExecution")
+        ms.longValue
+      }
+      assert(durations.drop(1).min < 10000L,
+        s"every post-first cross-modal commit breached the 10s bound " +
+          s"(${durations.mkString(",")}ms) — per-commit work is no longer " +
+          "batch-sized (steady state is ~3s)")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("q88 per-commit trigger duration stays under the pinned bound at sf0.1") {
     // The funnel's scale contract: each commit pays the INCREMENT's pair
     // join against the accumulated index (steady ~2.5 s per commit at
