@@ -363,11 +363,13 @@ object Curation {
     }
     // entries are EXACTLY the non-root vertices (roots never acquire a
     // parent); find() during emission only rewrites existing entries, so
-    // the map never grows mid-iteration
-    val out = Vector.newBuilder[(Long, Long)]
-    out.sizeHint(parent.size)
-    parent.foreachEntry((k, _) => out += ((k, find(k))))
-    out.result().iterator
+    // the map never grows mid-iteration. Keys snapshot into one primitive
+    // array and the (member, root) rows stream lazily — a large slice
+    // (millions of members) never holds its whole output boxed at once.
+    val ks = new Array[Long](parent.size)
+    var n = 0
+    parent.foreachEntry((k, _) => { ks(n) = k; n += 1 })
+    ks.iterator.map(k => (k, find(k)))
   }
 
   /** Connected components by alternating large-star / small-star contraction
