@@ -294,7 +294,30 @@ object Bench {
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":${fmt(total, 2)},""" +
         s"""$sentinel,${load.cold.fields},"cold_protocol":"min2",""" +
         s""""cold_total":${fmt(coldTotal, 2)},"queries":${json(short(cold), 2)}}""",
-      memoRollupLine(sfDir, total, coldTotal, warmMemo, coldPerQuery))
+      memoRollupLine(sfDir, total, coldTotal, warmMemo, coldPerQuery),
+      perQueryTailLine(sfDir, results, cold))
+  }
+
+  /** The FINAL line of the report: BOTH laps' per-query numbers as compact
+    * centisecond arrays in lexicographic query-name order. The driver
+    * artifact keeps only a bounded TAIL of stdout (~2000 chars) — the full
+    * `total_warm` dict line (~1.5 KB) plus the cold dict line (~1.5 KB)
+    * cannot both survive it, which is why earlier rounds' artifacts carried
+    * only cold per-query numbers. Two int arrays (~0.5 KB each) fit next to
+    * the memo rollup, so the tail alone recovers warm AND cold per query.
+    * `order` documents the array index contract: position i is the i-th
+    * query name in ascending lexicographic order — the same names (and the
+    * same sort) CORRECTNESS_r{N}.json's keys carry. -1 = query failed. */
+  private[graft] def perQueryTailLine(sfDir: String,
+      results: Seq[(String, Double)], cold: Seq[(String, Double)]): String = {
+    def cs(rs: Seq[(String, Double)]): String = rs
+      .map { case (_, v) => if (v < 0) "-1" else math.round(v * 100).toString }
+      .mkString("[", ",", "]")
+    def tot(rs: Seq[(String, Double)]) = fmt(rs.map(_._2).filter(_ >= 0).sum, 2)
+    s"""{"metric":"perq_tail","unit":"centisec","sf":"$sfDir",""" +
+      s""""value":${tot(results)},"cold_total":${tot(cold)},""" +
+      s""""n":${results.size},"order":"query_names_lex_asc",""" +
+      s""""warm_cs":${cs(results)},"cold_cs":${cs(cold)}}"""
   }
 
   /** The LAST line of the report: a compact whole-run memo rollup (warm +
@@ -314,8 +337,14 @@ object Bench {
     val top = builds.toSeq.sortBy(-_._2._2).take(8).map { case (k, (n, ms)) =>
       "\"" + k.replace(sfDir, "sf") + "\":{\"n\":" + n + ",\"ms\":" + ms + "}"
     }
+    // "attribution" names the counters' window explicitly: warm-lap plus
+    // COLD LAP 1 only (lap 2's snapshots are discarded — build costs are
+    // lap-stable, and a query's min-of-2 time can come from either lap), so
+    // a parser must not reconcile build_ms_total against the min-of-2
+    // totals and read the gap as missing work.
     s"""{"metric":"memo_rollup","unit":"sec","sf":"$sfDir",""" +
       s""""value":${fmt(total, 2)},"cold_total":${fmt(coldTotal, 2)},""" +
+      s""""attribution":"warm+cold_lap1",""" +
       s""""hits":${all.map(_.hits).sum},"misses":${all.map(_.misses).sum},""" +
       s""""evictions":${all.map(_.evictions).sum},""" +
       s""""build_ms_total":${all.map(_.buildMsTotal).sum},""" +

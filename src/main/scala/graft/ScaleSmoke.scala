@@ -54,6 +54,9 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // attribution mode (Bench's protocol): memo misses materialize eagerly
+    // so build_s is the stage's real cost, not plan construction
+    StageMemo.eagerBuild = true
 
     // key-shift mult copies; `perturb` runs with the copy index `_i` still
     // in scope so per-copy transforms (near-dup text, decorrelated vectors)
@@ -316,16 +319,33 @@ object ScaleSmoke {
     // output count rides the plan as a CollectMetrics accumulator, so the
     // per-pair throughput contract is measured without a second job (a
     // separate count() would re-run a 5-minute 30x pipeline) and without
-    // letting Catalyst prune the plan the way a bare count() would
+    // letting Catalyst prune the plan the way a bare count() would.
+    // Each row also carries the op's STAGE SPLIT (build_s = memoized
+    // shared-stage builds, eager-materialized like Bench's attribution
+    // mode; consume_s = the rest): end-to-end top-decade laps swing ±10%
+    // on the pair-stage build alone (r11's variance probe), so a <1.3x
+    // delta is only attributable with the split in the same lap. Ops that
+    // ride no memoized stage report build_s 0 and consume_s = sec.
     def time(op: String, label: String, df: => DataFrame): (Double, Long) = {
       StageMemo.clear() // each op pays its own shared stages — honest scaling
+      StageMemo.statsSnapshot(reset = true) // open this op's window
       val obs = org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
       df.observe(obs, count(lit(1)).as("rows"))
         .write.mode("overwrite").format("noop").save()
       val s = (System.nanoTime() - t0) / 1e9
       val rows = obs.get("rows") match { case l: Long => l; case _ => -1L }
-      println(f"""{"op":"${op}_$label","sec":$s%.2f,"rows_out":$rows}""")
+      val stats = StageMemo.statsSnapshot(reset = true)
+      val buildS = stats.buildMsTotal / 1000.0
+      val consumeS = math.max(s - buildS, 0.0)
+      val topBuilds = stats.builds.toSeq.sortBy(-_._2._2).take(4)
+        .map { case (k, (_, ms)) =>
+          "\"" + k.replace(sfDir, "sf").replace("target/scale/", "") +
+            "\":" + ms }
+        .mkString("{", ",", "}")
+      println(f"""{"op":"${op}_$label","sec":$s%.2f,"rows_out":$rows,""" +
+        f""""build_s":$buildS%.2f,"consume_s":$consumeS%.2f,""" +
+        s""""builds_ms":$topBuilds}""")
       (s, rows)
     }
 

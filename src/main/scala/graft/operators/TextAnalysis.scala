@@ -477,10 +477,15 @@ object TextAnalysis {
       .withColumn("bucket", bucket)
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cell"))
+    // bounded top-k FIRST (TakeOrderedAndProject — the sibling pattern of
+    // bm25TopDocs/tokenPairMerges/pmiCooc), then rank the k-row frame: a
+    // row_number window over the full vocabulary would sort it in ONE
+    // partition unless Spark's InferWindowGroupLimit happens to rescue it —
+    // an optimizer rewrite this operator must not lean on
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("exact_cnt").desc, col("tok"))))
-      .filter(col("rank") <= k)
     exact
       .withColumn("h", md5(col("tok")))
       .select(col("rank"), col("tok"), col("exact_cnt"), col("h"), rows)

@@ -226,6 +226,11 @@ object Continuous {
   private def stageOrderedChunks(df: DataFrame, chunks: Int,
       stagedDir: String, tmpRoot: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // FIXTURE PLUMBING ONLY: the unpartitioned ntile window funnels the
+    // corpus through ONE partition by construction — acceptable here
+    // because this stages a test/bench replay, never an operator path. Do
+    // not copy this pattern into an operator; rank-then-limit or a keyed
+    // window is the scale-safe shape.
     val chunked = df.withColumn("chunk",
       ntile(chunks).over(Window.orderBy(col("doc_id"))) - 1)
     java.nio.file.Files.createDirectories(
@@ -237,7 +242,8 @@ object Continuous {
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet"))
-      require(part.length == 1, s"expected one staged file, got $part")
+      require(part.length == 1, s"expected one staged file, got " +
+        part.map(_.getName).mkString("[", ", ", "]"))
       val dst = java.nio.file.Paths.get(s"$stagedDir/chunk$i.parquet")
       java.nio.file.Files.move(part.head.toPath, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
@@ -245,6 +251,24 @@ object Continuous {
       deleteRecursively(tmp)
     }
   }
+
+  /** Re-execution guard for the foreachBatch state appenders (q88, q99,
+    * q117): their per-commit writes are blind `mode("append")` parquet
+    * appends — NOT idempotent if Spark ever re-executes a micro-batch.
+    * Safe today only because every run starts from a FRESH checkpoint
+    * (deleted in `finally`) and a failed batch fails the whole bounded
+    * query, so no restart path exists. This require makes that invariant
+    * explicit: a re-delivered batchId fails loudly instead of silently
+    * double-appending state. Before lifting any of these jobs to a
+    * RESTARTABLE stream, key the state versions off the supplied batchId
+    * (idempotent overwrite-per-version, the forest/vN pattern) instead of
+    * relying on this guard. */
+  private def requireFreshBatch(
+      lastBatchId: java.util.concurrent.atomic.AtomicLong, id: Long): Unit =
+    require(lastBatchId.getAndSet(id) < id,
+      s"micro-batch $id re-executed — append-only state writes are not " +
+        "idempotent; key state versions off batchId before making this " +
+        "stream restartable")
 
   private def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
@@ -521,6 +545,7 @@ object Continuous {
     // setting should win: the helper only ever LOWERS, so deployments
     // size it by raising this floor, not fighting a hardcode.
     try withStreamShuffle(spark, 8) {
+      val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(staged)
         .writeStream
@@ -531,6 +556,7 @@ object Continuous {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, id: Long) =>
           if (!batch.isEmpty) {
+            requireFreshBatch(lastBatchId, id)
             val docs = batch.select(col("doc_id"), col("source"),
               col("lang"), col("n_chars"), col("text"))
             // per-row flags for the increment, appended once per doc —
@@ -666,6 +692,7 @@ object Continuous {
       val inc = docs.filter(isInc)
       stageOrderedChunks(inc, chunks, stagedDir, stateRoot)
       val schema = spark.read.parquet(stagedDir).schema
+      val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)
         .writeStream
@@ -673,8 +700,9 @@ object Continuous {
         .queryName(s"q99_lsh_$run")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           if (!batch.isEmpty) {
+            requireFreshBatch(lastBatchId, id)
             val b = batch.select(col("doc_id"), col("text")).persist()
             try {
               val bBands = graft.operators.Dedup.bandBuckets(
@@ -808,6 +836,7 @@ object Continuous {
         stagedDir, stateRoot)
       val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
       val schema = spark.read.parquet(stagedDir).schema
+      val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)
         .writeStream
@@ -815,8 +844,9 @@ object Continuous {
         .queryName(s"q117_xmodal_$run")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, id: Long) =>
           if (!batch.isEmpty) {
+            requireFreshBatch(lastBatchId, id)
             val i = commitSeq.incrementAndGet()
             val b = batch.select(col("doc_id"), col("text")).persist()
             try {

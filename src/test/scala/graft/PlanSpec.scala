@@ -280,6 +280,12 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
       s"cell and exact aggregates must both plan partial+final:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // the exact-audit top-k is a BOUNDED heap (orderBy.limit → TakeOrdered,
+    // the bm25/pmi/token-merges sibling pattern), never a row_number window
+    // over the full vocabulary that sorts it in one partition (r11 verdict:
+    // that shape leaned on Spark's InferWindowGroupLimit rescue)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary top-k must plan as a bounded heap:\n$p")
   }
 
   test("q73 k-means assignment plans as a pure map: no exchange, no join") {

@@ -464,6 +464,19 @@ class StreamingSpec extends SparkSpec {
         s"every post-first cross-modal commit breached the 10s bound " +
           s"(${durations.mkString(",")}ms) — per-commit work is no longer " +
           "batch-sized (steady state is ~3s)")
+      // the growth-with-history class (contracting the accumulated PAIR
+      // LIST instead of the star forest) shows most strongly in the FINAL
+      // commit and can leave the minimum intact — bound the median (robust
+      // to one co-tenant burst) and the last commit (looser: one burst CAN
+      // land on it) separately
+      val post = durations.drop(1).sorted
+      assert(post(post.size / 2) < 10000L,
+        s"median post-first commit breached 10s (${durations.mkString(",")}ms)" +
+          " — per-commit cost is growing with history")
+      assert(durations.last < 20000L,
+        s"final commit breached 20s (${durations.mkString(",")}ms) — " +
+          "per-commit cost is growing with accumulated history (the " +
+          "accumulated-pair-list regression class)")
     } finally spark.streams.removeListener(listener)
   }
 
