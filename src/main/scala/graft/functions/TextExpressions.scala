@@ -128,11 +128,86 @@ object ShingleKernel {
   }
 }
 
+/** [[ShingleKernel.shingleHashes]] with the hex encoding elided: the SAME
+  * first 8 md5 digest bytes, folded big-endian into one SIGNED 64-bit long
+  * (bit-for-bit the value obtained by parsing the 16-hex-char key as an
+  * unsigned 64-bit integer — a bijection, spec-pinned). This is the
+  * engine's default shingle currency since r12: the shingle frame, the df
+  * keep-list semi-join, and the posting-list groupBy are the fattest
+  * shuffles in the whole engine, and an 8-byte fixed-width key halves
+  * their width versus the 16-byte variable-length UTF8 hex form (and
+  * compares/hashes as one word). The hex form survives behind
+  * `spark.graft.shingleCurrency=hex` as the differential twin. */
+object ShingleLongKernel {
+  def shingleHashLongs(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val count = if (m >= n) m - n + 1 else 0
+    val out = new Array[Any](count)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < count) {
+      md.reset()
+      // null tokens vanish (separator included), exactly like concat_ws
+      var j = 0
+      var emitted = false
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) {
+          if (emitted) md.update(' '.toByte)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          emitted = true
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Signed-64-bit md5 shingle keys of a token array ([[ShingleLongKernel]])
+  * as a native expression — the long-currency twin of [[ShingleHashes]].
+  * Fewer than `n` tokens yield an empty array. */
+case class ShingleHashLongs(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_longs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    child.dataType match {
+      case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hash_longs requires array<string> and n >= 1, got " +
+          s"${other.simpleString}, n=$n")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleLongKernel.shingleHashLongs(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleLongKernel.shingleHashLongs($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** 16-hex-char md5 shingle keys of a token array as a native expression —
   * the hot inner loop of every shingle-based pipeline (n-gram Jaccard,
   * MinHash-LSH, decontamination, bloom dedup, duplicate clusters), one
   * pass, codegen-friendly like [[Simhash]]. Fewer than `n` tokens yield an
-  * empty array (≙ the guarded SQL CASE). */
+  * empty array (≙ the guarded SQL CASE). Since r12 this is the
+  * DIFFERENTIAL TWIN of [[ShingleHashLongs]] (the default currency). */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType =
@@ -326,6 +401,11 @@ object TextFunctions {
   /** md5-prefix hashes of all `n`-token shingles of a token array. */
   def shingleHashes(tokens: Column, n: Int = 3): Column =
     Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
+
+  /** Signed-64-bit md5-prefix hashes of all `n`-token shingles — the
+    * default (half-width) shuffle currency of the shingle family. */
+  def shingleHashLongs(tokens: Column, n: Int = 3): Column =
+    Bridge.column(ShingleHashLongs(Bridge.expression(tokens), n))
 
   /** Blockhash fingerprint of a string payload column. */
   def blockhashFp(text: Column, blocks: Int = 60): Column =

@@ -44,27 +44,56 @@ object Dedup {
     * needed. */
   def clearStageCache(): Unit = graft.StageMemo.clear()
 
-  /** Distinct word 3-shingles of a `(doc_id, text)` frame, keyed by a fixed
-    * 16-hex-char md5 prefix: (doc_id, s). Hashing before the distinct/groupBy
-    * shuffles caps per-record shuffle width regardless of shingle text
-    * length — at corpus scale the shuffle volume is the cost that matters.
-    * 64-bit prefix collisions are ~n²/2⁶⁵ (negligible), and the oracle hashes
-    * identically so results stay bit-equal.
+  /** The shingle family's shuffle-key currency, read from the session conf
+    * `spark.graft.shingleCurrency`:
+    *  - `"long"` (default since r12) — the first 8 md5 digest bytes folded
+    *    big-endian into one SIGNED 64-bit long. Fixed 8-byte keys: the
+    *    shingle frame, the df keep-list, and the posting-list groupBy (the
+    *    fattest shuffles in the engine — the r11 isolated probes pinned
+    *    this stage at 85-95% of the cluster family's top-decade wall-time)
+    *    hash/compare one word instead of a 16-byte UTF8 string.
+    *  - `"hex"` — the r11 form (16-hex-char md5 prefix), kept for one
+    *    round as the differential twin: the two currencies are a BIJECTION
+    *    (parse the hex key as an unsigned 64-bit integer and reinterpret
+    *    signed — spec-pinned against both kernels), so every downstream
+    *    count, pair, Jaccard, and verdict is identical under either.
+    * No query output ever exposes `s` itself, and the one consumer of the
+    * key's VALUE (the minhash sigCol) reconstructs the exact hex form
+    * pre-shuffle, so the oracle SQL is untouched by the switch. */
+  private[graft] def shingleCurrency(spark: SparkSession): String = {
+    val c = spark.conf.get("spark.graft.shingleCurrency", "long")
+    require(c == "long" || c == "hex",
+      s"spark.graft.shingleCurrency must be 'long' or 'hex', got '$c'")
+    c
+  }
+
+  /** Distinct word 3-shingles of a `(doc_id, text)` frame: (doc_id, s)
+    * with `s` in the session's [[shingleCurrency]] (8-byte bigint by
+    * default; 16-hex md5 prefix under the `hex` twin). Hashing before the
+    * distinct/groupBy shuffles caps per-record shuffle width regardless of
+    * shingle text length — at corpus scale the shuffle volume is the cost
+    * that matters. 64-bit prefix collisions are ~n²/2⁶⁵ (negligible), and
+    * the oracle hashes the same md5 prefix so results stay bit-equal.
     *
-    * The per-shingle hash runs in the native [[graft.functions.ShingleHashes]]
+    * The per-shingle hash runs in the native
+    * [[graft.functions.ShingleHashLongs]] / [[graft.functions.ShingleHashes]]
     * expression — one digest pass per shingle, no intermediate concat/hex/
-    * substring strings — and is bit-identical to the portable SQL
+    * substring strings — over exactly the bytes of the portable SQL
     * `substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16)` the
     * DuckDB oracle runs (differential-tested in DedupSimilaritySpec).
     * Documents with fewer than 3 tokens yield NO shingles (empty array →
     * explode drops the row). */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val hashArr =
+      if (shingleCurrency(docs.sparkSession) == "hex")
+        graft.functions.TextFunctions.shingleHashes(col("t"), 3)
+      else graft.functions.TextFunctions.shingleHashLongs(col("t"), 3)
     docs
       // round-robin the RAW docs so the explode+hash stage fans out to full
       // parallelism even from a few-file scan, and doc-length skew spreads.
-      // This exchanges text bytes once — ~3x less data than the exploded
-      // shingle frame (16 hex bytes per token vs ~5 text bytes per token),
-      // which is what the global .distinct() here used to shuffle.
+      // This exchanges text bytes once — less data than the exploded
+      // shingle frame (8-16 hash bytes per token vs ~5 text bytes per
+      // token), which is what the global .distinct() here used to shuffle.
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -73,16 +102,17 @@ object Dedup {
         // per-row, no shuffle; a global .distinct() cost a full exchange of
         // the fattest frame in the pipeline for the same (doc_id, s) set
         // (rows are unique per doc already)
-        explode(array_distinct(
-          graft.functions.TextFunctions.shingleHashes(col("t"), 3)))
-          .as("s"))
+        explode(array_distinct(hashArr)).as("s"))
+  }
 
   /** Memoized shingle stage over the fixture corpus — the input of BOTH the
     * ngram-pair pipeline (q21/q35) and the minhash signature build (q22), so
     * one verify/bench round scans + shuffles the shingle frame once, not
-    * once per consumer. */
+    * once per consumer. Keyed by currency so the differential twin never
+    * reads the other currency's cached frame. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"shingles:$dir")(shinglesOf(Tables.documents(spark, dir)))
+    memo(spark, s"shingles:$dir:${shingleCurrency(spark)}")(
+      shinglesOf(Tables.documents(spark, dir)))
 
   /** Exact dedup: group identical texts by digest, keep the smallest doc_id
     * (SURVEY north-star op; hash-groupBy — one shuffle, no skew risk beyond
@@ -586,8 +616,12 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val isInc = pmod(col("doc_id"), lit(10)) === 0
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    // the currency is part of the key: a persisted hex-keyed index must
+    // never union with a long-keyed increment (and vice versa) after a
+    // session flips spark.graft.shingleCurrency
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_") +
-      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
+      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x" +
+      s"_${shingleCurrency(spark)}"
     val path = s"target/dedupindex/$key"
     val success = java.nio.file.Paths.get(s"$path/hashes/_SUCCESS")
     val walk = java.nio.file.Files.walk(
@@ -622,7 +656,7 @@ object Dedup {
 
   private val K = 8 // minhash signature length
   private def sigCol(i: Int): Column =
-    min(md5(concat(lit(s"$i:"), col("s")))).as(s"s$i")
+    min(md5(concat(lit(s"$i:"), col("sx")))).as(s"s$i")
 
   /** Per-document MinHash signatures: k independent md5-keyed minima over the
     * shingle set. Constant per-doc state — scales to any corpus. */
@@ -632,10 +666,27 @@ object Dedup {
   /** MinHash signatures of an arbitrary `(doc_id, s)` shingle frame —
     * per-doc state only (no corpus-relative gate), which is what lets the
     * streaming index dedup ([[graft.streaming.Continuous]], q99) sign each
-    * micro-batch independently of everything already ingested. */
-  private[graft] def signaturesOf(sh: DataFrame): DataFrame =
-    sh.groupBy(col("doc_id"))
+    * micro-batch independently of everything already ingested.
+    *
+    * The signature hash is the ONE place that consumes the shingle key's
+    * VALUE (md5 of "i:" + key), so under the long currency the exact
+    * 16-hex form is reconstructed per row BEFORE the per-doc partial
+    * aggregation (`lower(lpad(hex(s), 16, '0'))` inverts the big-endian
+    * fold bit-for-bit) — signatures, band buckets, and every estimate
+    * built on them are identical under either currency and match the
+    * oracle's `md5('i:' || s)` over the hex CTE unchanged. The map-side
+    * partial agg collapses to K minima per doc before the shuffle, so the
+    * reconstruction never widens an exchange. */
+  private[graft] def signaturesOf(sh: DataFrame): DataFrame = {
+    val sx = sh.schema("s").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        lower(lpad(hex(col("s")), 16, "0"))
+      case _ => col("s")
+    }
+    sh.withColumn("sx", sx)
+      .groupBy(col("doc_id"))
       .agg(sigCol(0), (1 until K).map(sigCol): _*)
+  }
 
   /** Memoized unordered signature stage (used 3× inside [[minhashLsh]],
     * and by [[Curation.bloomDedup]]'s incremental band-membership check). */

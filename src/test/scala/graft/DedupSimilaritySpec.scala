@@ -93,7 +93,12 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("native shingle hashes are bit-identical to the portable SQL formula") {
     import spark.implicits._
-    // the exact expression the DuckDB oracle runs, over the fixture corpus
+    // the exact expression the DuckDB oracle runs, over the fixture corpus,
+    // reinterpreted through the hex<->long BIJECTION (parse the 16-hex key
+    // as an unsigned 64-bit integer = the big-endian fold of the same 8
+    // digest bytes) — the contract that lets the long currency ship with
+    // the oracle SQL untouched
+    def hexToLong(h: String): Long = java.lang.Long.parseUnsignedLong(h, 16)
     val sqlForm = Tables.documents(spark, sfDir)
       .selectExpr("doc_id",
         "filter(split(text, '\\\\s+'), t -> t <> '') AS t")
@@ -103,16 +108,16 @@ class DedupSimilaritySpec extends SparkSpec {
           |    i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
           |ELSE cast(array() as array<string>) END) AS s""".stripMargin)
       .distinct()
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), hexToLong(r.getString(1)))).toSet
     val native = Dedup.shingles(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(native === sqlForm && native.nonEmpty)
     // unicode + short-doc edges: multi-byte tokens hash over UTF-8 bytes,
     // <3 tokens yield nothing
     val edge = Seq((1L, "héllo wörld ünïcode têst"), (2L, "too short"))
       .toDF("doc_id", "text")
     val e1 = graft.operators.Dedup.shinglesOf(edge)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val e2 = edge
       .selectExpr("doc_id", "filter(split(text, '\\\\s+'), t -> t <> '') AS t")
       .selectExpr("doc_id",
@@ -120,9 +125,59 @@ class DedupSimilaritySpec extends SparkSpec {
           |  transform(sequence(0, size(t)-3),
           |    i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
           |ELSE cast(array() as array<string>) END) AS s""".stripMargin)
-      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .distinct().collect()
+      .map(r => (r.getLong(0), hexToLong(r.getString(1)))).toSet
     assert(e1 === e2)
     assert(e1.forall(_._1 == 1L), "2-token doc must produce no shingles")
+  }
+
+  test("shingle currency: long and hex twins are a bijection with identical " +
+      "downstream pairs, signatures, and novelty") {
+    import spark.implicits._
+    def underCurrency[A](c: String)(body: => A): A = {
+      val prev = spark.conf.getOption("spark.graft.shingleCurrency")
+      spark.conf.set("spark.graft.shingleCurrency", c)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.shingleCurrency", v)
+        case None => spark.conf.unset("spark.graft.shingleCurrency")
+      }
+    }
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // 1. key bijection: the long kernel IS the hex kernel's value parsed
+    //    as an unsigned 64-bit integer, row for row
+    val hexSh = underCurrency("hex") {
+      Dedup.shinglesOf(docs).collect()
+        .map(r => (r.getLong(0),
+          java.lang.Long.parseUnsignedLong(r.getString(1), 16))).toSet
+    }
+    val longSh = Dedup.shinglesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(longSh === hexSh && longSh.nonEmpty)
+    // the reconstruction signaturesOf applies must invert the fold exactly
+    val recon = Dedup.shinglesOf(docs)
+      .select($"doc_id", lower(lpad(hex($"s"), 16, "0")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0),
+        java.lang.Long.parseUnsignedLong(r.getString(1), 16))).toSet
+    assert(recon === longSh)
+    // 2. downstream identity: pair lists, minhash estimates (the one
+    //    key-VALUE consumer), and novelty counts agree bit for bit
+    def pairsUnder(c: String) = underCurrency(c) {
+      Dedup.ngramJaccardOf(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(pairsUnder("long") === pairsUnder("hex"))
+    def sigsUnder(c: String) = underCurrency(c) {
+      Dedup.signaturesOf(Dedup.shinglesOf(docs)).collect()
+        .map(r => (r.getLong(0), (1 to 8).map(r.getString).mkString("|")))
+        .toSet
+    }
+    assert(sigsUnder("long") === sigsUnder("hex"))
+    // 3. the conf rejects typos instead of silently defaulting
+    underCurrency("base58") {
+      intercept[IllegalArgumentException](Dedup.shinglesOf(docs))
+    }
   }
 
   test("shingle and simhash kernels skip null tokens like concat_ws") {
@@ -777,9 +832,9 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fix.length.toLong === withGrams)
     val dfOf = Dedup.shinglesOf(Tables.documents(spark, sfDir))
       .groupBy($"s").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val grams = Dedup.shinglesOf(Tables.documents(spark, sfDir)).collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     fix.foreach { r =>
       val (id, n, c, ratio) =
