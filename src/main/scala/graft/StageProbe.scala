@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Isolated-stage probe (scale-evidence harness): times ONE shared memoized
+  * stage cold, N laps, outside any consuming operator — the attribution
+  * tool behind the r11/r12 scale artifacts. End-to-end top-decade op laps
+  * swing ±10% on the pair-stage build alone (SCALE_r11 line 9), so "did
+  * this round's change move the dominant stage" is only answerable by
+  * timing the stage in isolation, on one box, in one session.
+  *
+  * Usage:
+  *   sbt "runMain graft.StageProbe [stage] [dir] [maxDf] [laps] [currency...]"
+  * defaults: ngraminter target/scale/x30 3000 3 long hex
+  *
+  * Stages: `ngraminter` (the df-gated shingle-intersection chain — scan →
+  * shingle hash → df gate → posting-list pair explode → doc-length joins,
+  * the measured 85-95% term of the cluster family's 30× wall-time). Each
+  * lap clears [[StageMemo]] and sinks the stage to the noop writer with an
+  * observe row counter, exactly like ScaleSmoke's protocol; passing
+  * several currencies A/Bs them in the SAME session (same JIT, same box
+  * load regime), one JSON row per currency.
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val stage = args.lift(0).getOrElse("ngraminter")
+    val dir = args.lift(1).getOrElse("target/scale/x30")
+    val maxDf = args.lift(2).map(_.toInt).getOrElse(3000)
+    val laps = args.lift(3).map(_.toInt).getOrElse(3)
+    val currencies =
+      if (args.length > 4) args.drop(4).toSeq else Seq("long", "hex")
+    require(stage == "ngraminter", s"unknown stage: $stage")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warm-up at the smallest fixture (the Bench protocol) so
+    // the first timed lap doesn't absorb JVM start-up
+    val warmDir = "/root/testdata/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      StageMemo.clear()
+      operators.Dedup.interCounts(spark, warmDir, 100)
+        .write.mode("overwrite").format("noop").save()
+    }
+    for (currency <- currencies) {
+      spark.conf.set("spark.graft.shingleCurrency", currency)
+      var rows = -1L
+      val times = (1 to laps).map { _ =>
+        StageMemo.clear() // cold: the lap pays scan + hash + gate + pairs
+        val obs = org.apache.spark.sql.Observation()
+        val t0 = System.nanoTime()
+        operators.Dedup.interCounts(spark, dir, maxDf)
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").format("noop").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        rows = obs.get("rows") match { case l: Long => l; case _ => -1L }
+        s
+      }
+      val lapsJson = times.map(t =>
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(t)))
+        .mkString("[", ",", "]")
+      println(s"""{"op":"${stage}_probe","dir":"$dir","maxDf":$maxDf,""" +
+        s""""currency":"$currency","pairs":$rows,"cold_laps_sec":$lapsJson,""" +
+        s""""load_1m":${Bench.loadavg1}}""")
+    }
+    StageMemo.clear()
+    spark.stop()
+  }
+}
