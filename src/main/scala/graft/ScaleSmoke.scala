@@ -194,6 +194,13 @@ object ScaleSmoke {
             expr("transform(embedding, x -> cast(x as double))").as("v")),
           bits = bits)
       },
+      // multi-probe variant of the near-dup pair path (r12): radius-1
+      // probing multiplies candidate generation by the fixed 11-mask
+      // fanout — this row pins that growth stays fanout-bounded (same
+      // exponent shape as neardup_lsh, a constant-factor higher), never
+      // corpus-shaped
+      "neardup_lsh_mp" -> ((d, _) => operators.Similarity.cosineNearDupLsh(
+        spark, d, probeDist = 1)),
       "tfidf" -> ((d, _) => operators.TextAnalysis.tfidfTopTerms(spark, d)),
       // training-layout tier: all four are contractually linear (per-row
       // map / explode + one partial-agg shuffle / per-source window) —
@@ -265,6 +272,24 @@ object ScaleSmoke {
       "incremental_fixed" -> ((d, m) => operators.Dedup.incrementalDedupOf(
         Tables.documents(spark, d), col("doc_id") < 2500,
         maxDf = 100 * m)),
+      // forest-state incremental CLUSTERS (q118's production shape): the
+      // same fixed increment against a growing shipped index whose durable
+      // cluster state is the star FOREST, seeded OUTSIDE the timed lap
+      // (the amortized shipped-corpus build — see the pre-stage block).
+      // Timed work = the increment's bounded candidate probe + the
+      // (forest ∪ new pairs) contraction + the seen-docs assembly; cost
+      // must track the df-gate scan (corpus-linear), never the
+      // accumulated pair list the forest replaces (dedup_clusters is the
+      // pair-state re-derivation this row is read against)
+      "incr_clusters_forest" -> { (d, m) =>
+        val docs = Tables.documents(spark, d)
+        val path = operators.Dedup.ensureFixtureIndex(spark, d,
+          docs.filter(col("doc_id") >= 2500), "lt2500",
+          withForest = true, maxDf = 100 * m)
+        operators.Dedup.incrementalClustersAgainstIndex(spark, path,
+          docs.filter(col("doc_id") < 2500), maxDf = 100 * m,
+          commit = false)
+      },
       // scene cuts (q90): same per-char explode volume contract as
       // media_phash, plus the frame-bounded lag window
       "scene_cuts" -> ((d, _) => operators.Multimodal.sceneCuts(spark, d)),
@@ -353,6 +378,18 @@ object ScaleSmoke {
     val laps = ("1x", sfDir, 1) +: mults.map(m =>
       (s"${m}x", s"target/scale/x$m", m))
     mults.foreach(m => stageAll(s"target/scale/x$m", m))
+    // pre-stage incr_clusters_forest's persisted state (index + forest v0
+    // over the shipped side) OUTSIDE the timed laps: the one-time shipped-
+    // corpus build is amortized production cost, not per-increment cost —
+    // the freshness check inside the op lambda then reduces to file mtimes
+    if (selected.exists(_._1 == "incr_clusters_forest"))
+      for ((_, dir, m) <- laps) {
+        val docs = Tables.documents(spark, dir)
+        operators.Dedup.ensureFixtureIndex(spark, dir,
+          docs.filter(col("doc_id") >= 2500), "lt2500",
+          withForest = true, maxDf = 100 * m)
+        ()
+      }
     // warm-up lap at the smallest sf (JIT + codegen + catalog caches, same
     // protocol as Bench) — otherwise the first timed op absorbs ~5 s of JVM
     // warm-up and the 1x point biases every exponent low

@@ -303,7 +303,14 @@ object SparkEntry {
     // fingerprints); the final cumulative frame is batch-boundary-free
     // and bit-equal to the stream-tier batch twin the oracle computes.
     "q117_stream_crossmodal" ->
-      ((s, d) => streaming.Continuous.streamedCrossModalDedup(s, d))
+      ((s, d) => streaming.Continuous.streamedCrossModalDedup(s, d)),
+    // Forest-state incremental clusters: the q94 persisted index upgraded
+    // with a durable cluster star forest (q117's forest identity on the
+    // daily-batch tier) — the mod-10 increment's near-dup pairs contract
+    // against the shipped 90%'s persisted forest, yielding q50's cluster
+    // frame over every doc seen, without re-deriving membership from the
+    // accumulated pair list.
+    "q118_index_clusters" -> ((s, d) => Dedup.indexClusters(s, d))
   )
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
@@ -2937,6 +2944,47 @@ object SparkEntry {
         |LEFT JOIN comp c USING (doc_id)
         |LEFT JOIN tdoc t USING (doc_id)
         |LEFT JOIN mdoc m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q118_index_clusters" ->
+      // forest-state incremental clusters: components over the UNION of
+      // the exact edge generations the state path performs — shipped-
+      // internal pairs df-gated on the shipped corpus alone (the persisted
+      // forest v0's world: the increment didn't exist when it was built)
+      // plus increment-involving pairs df-gated on index ∪ increment = the
+      // full corpus (q87's gate). The forest identity (a star forest
+      // preserves its graph's connectivity) makes contracting
+      // (forest v0 ∪ new pairs) equal to contracting this union directly.
+      // docLen is per-doc (same values under either gate world).
+      (s"""WITH RECURSIVE $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare0 AS (SELECT s FROM sh WHERE doc_id % 10 <> 0
+        |  GROUP BY s HAVING COUNT(*) <= 100),
+        |idx0 AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare0 USING (s)
+        |  WHERE sh.doc_id % 10 <> 0),
+        |inter0 AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx0 a JOIN idx0 b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |inter1 AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2
+        |  FROM (SELECT * FROM inter0 UNION ALL SELECT * FROM inter1) u
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id
+        |  WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8),
+        |${ccCte("doc_id")}
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  CASE WHEN COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)
   )
 }

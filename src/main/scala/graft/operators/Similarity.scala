@@ -173,23 +173,30 @@ object Similarity {
     * cos ≥ 0.95 with 16-bit tables recall is ≳ 99% (asserted in
     * DedupSimilaritySpec on planted duplicates); for weakly-similar top-k
     * over unclustered corpora use [[ivfTopK]]. */
-  def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
-      probeDist: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // multi-probe radius: every bucket within Hamming `probeDist` of the
-    // query's signature, in every table — 1 + bits + C(bits,2) probes per
-    // table at radius 2 (56 at the default 10 bits), a fixed per-query
-    // fanout that buys recall without touching index size. Radius > 2
-    // explodes combinatorially for marginal lift — rejected.
+  /** XOR masks enumerating every signature within Hamming `probeDist` —
+    * the multi-probe fanout shared by the top-k probe path ([[lshTopKOf]])
+    * and the near-dup pair path ([[cosineNearDupLshOf]]):
+    * 1 + bits + C(bits,2) masks at radius 2 (56 at the default 10 bits), a
+    * fixed per-row fanout that buys recall without touching index size.
+    * Radius > 2 explodes combinatorially for marginal lift — rejected. */
+  private def probeFlips(bits: Int, probeDist: Int): Seq[Long] = {
     require(probeDist >= 0 && probeDist <= 2,
       s"probeDist must be 0..2, got $probeDist")
-    val flips: Seq[Long] = Seq(0L) ++
+    Seq(0L) ++
       (if (probeDist >= 1) (0 until bits).map(b => 1L << b) else Nil) ++
       (if (probeDist >= 2)
         for { a <- 0 until bits; b <- (a + 1) until bits }
           yield (1L << a) | (1L << b)
       else Nil)
+  }
+
+  def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
+      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
+      probeDist: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // multi-probe radius: every bucket within Hamming `probeDist` of the
+    // query's signature, in every table
+    val flips = probeFlips(bits, probeDist)
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val sigs = sigFrame(e, bits, tables)
@@ -253,13 +260,30 @@ object Similarity {
     *  - exact verification is linear in candidates, which the planted-dup
     *    regime keeps near-linear in corpus size. */
   def cosineNearDupLshOf(vecsDf: DataFrame, threshold: Double = 0.4,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048): DataFrame = {
+      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
+      probeDist: Int = 0): DataFrame = {
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val sigs = sigFrame(e, bits, tables)
     val idx = sigs.join(smallBucketsOf(sigs, maxBucket),
       Seq("tbl", "sig"), "left_semi")
-    val cand = idx.as("a").join(idx.as("b"),
+    // multi-probe (probeDist > 0): one side additionally probes every
+    // bucket within Hamming `probeDist` of its signature, so a pair whose
+    // signatures differ in ≤ probeDist bits in SOME table still collides
+    // (flip = sig_a ^ sig_b works from either end, so probing one side
+    // covers both orders). The fanout is the fixed |probeFlips| per index
+    // row — candidate growth is bounded by fanout × the same maxBucket
+    // gate, never corpus-shaped; the gate applies BEFORE probing, so a hot
+    // bucket is dropped from both the probe and index sides. probeDist = 0
+    // is the single-bucket r11 path, bit-identical (flip mask 0 only).
+    val flips = probeFlips(bits, probeDist)
+    val probe =
+      if (probeDist == 0) idx
+      else idx
+        .select(col("vec_id"), col("tbl"),
+          explode(array(flips.map(lit): _*)).as("flip"), col("sig"))
+        .select(col("vec_id"), col("tbl"), expr("sig ^ flip").as("sig"))
+    val cand = probe.as("a").join(idx.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
@@ -281,11 +305,11 @@ object Similarity {
     * the driver checks pipeline fidelity; the recall CONTRACT at the
     * operator's target regime is the planted-duplicate spec). */
   def cosineNearDupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame =
+      threshold: Double = 0.4, probeDist: Int = 0): DataFrame =
     // memoized like Dedup.ngramPairs: the verified pair frame is shared by
     // the pair query (q56) and the cluster form (q68) in one session
-    graft.StageMemo(spark, s"lshpairs:$dir:$threshold") {
-      cosineNearDupLshOf(vecs(spark, dir), threshold)
+    graft.StageMemo(spark, s"lshpairs:$dir:$threshold:$probeDist") {
+      cosineNearDupLshOf(vecs(spark, dir), threshold, probeDist = probeDist)
     }
 
   /** Per-(label, dimension) centroid coordinate of a (label, v) frame —

@@ -318,6 +318,84 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe near-dup pairs dominate single-probe at bounded growth") {
+    import spark.implicits._
+    // harder regime than the 16-bit recall test: two tables only, wider
+    // perturbation — the single-probe path misses some planted pairs, so
+    // radius-1 probing has measurable headroom to recover them
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val noise = (0 until 400).map(i => (i.toLong, vec()))
+    val planted = (0 until 40).map { i =>
+      (1000L + i, noise(i)._2.map(x => x + 0.1 * rnd.nextGaussian()))
+    }
+    val docs = (noise ++ planted).toDF("vec_id", "v")
+    def pairsAt(pd: Int): Set[(Long, Long)] =
+      Similarity.cosineNearDupLshOf(docs, threshold = 0.9,
+        bits = 16, tables = 2, maxBucket = 1024, probeDist = pd).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairsAt(0)
+    val p1 = pairsAt(1)
+    def recall(p: Set[(Long, Long)]): Int =
+      (0 until 40).count(i => p.contains((i.toLong, 1000L + i)))
+    // radius-1 collisions include every radius-0 collision (flip mask 0)
+    assert(p0.subsetOf(p1), "multi-probe must be a superset of single-probe")
+    assert(recall(p1) > recall(p0),
+      s"radius-1 recall ${recall(p1)}/40 must beat single-probe" +
+        s" ${recall(p0)}/40 in this regime")
+    assert(recall(p1) >= 38, s"radius-1 recall ${recall(p1)}/40 too low")
+    // growth is bounded by the fixed probe fanout (1 + bits masks at
+    // radius 1), never corpus-shaped: nowhere near the all-pairs count
+    assert(p1.size <= p0.size * 17,
+      "candidate growth must stay within the probe fanout bound")
+    assert(p1.size < 440 * 439 / 4, "multi-probe must not approach all-pairs")
+  }
+
+  test("forest-state incremental cluster commits equal the pair-state " +
+      "re-derivation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val part = pmod($"doc_id", lit(3))
+    val shipped = docs.filter(part === 0)
+    val inc1 = docs.filter(part === 1)
+    val inc2 = docs.filter(part === 2)
+    val path = s"target/testidx/forestdiff${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(shipped, path)
+      Dedup.writeClusterForest(shipped, path)
+      // two state-transition commits: each contracts (previous forest ∪
+      // its increment's pairs) and appends the increment to the index, so
+      // commit 2's df gate and candidate probe see commit 1's docs
+      Dedup.incrementalClustersAgainstIndex(spark, path, inc1).collect()
+      val out =
+        Dedup.incrementalClustersAgainstIndex(spark, path, inc2).collect()
+      assert(new java.io.File(s"$path/forest/v2").isDirectory,
+        "each commit must persist a new forest version")
+      // pair-state twin: re-derive the SAME three edge generations the
+      // commits performed (shipped-internal at the shipped gate, each
+      // increment at its index ∪ increment gate) and contract their
+      // ACCUMULATED union once — the re-derivation the forest replaces
+      val e0 = Dedup.ngramJaccardOf(shipped).select($"d1", $"d2")
+      val e1 = Dedup.incrementalPairsOf(
+        Dedup.shinglesOf(shipped.unionByName(inc1)), Dedup.shinglesOf(inc1),
+        0.8, 100).select($"d1", $"d2")
+      val e2 = Dedup.incrementalPairsOf(
+        Dedup.shinglesOf(docs), Dedup.shinglesOf(inc2),
+        0.8, 100).select($"d1", $"d2")
+      val labels = operators.Curation.connectedComponentsStar(
+        e0.union(e1).union(e2).distinct())
+      val twin = docs.select($"doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("cluster"))
+        .withColumn("keep", when($"cluster" === $"doc_id", 1).otherwise(0))
+        .orderBy($"doc_id").collect()
+      assert(out.toSeq === twin.toSeq,
+        "forest-state and pair-state cluster frames must be identical")
+      assert(out.exists(_.getInt(2) == 0),
+        "the fixture's planted near-dups must produce at least one drop")
+    } finally rmrf(path)
+  }
+
   test("near-dup hot buckets are gated before pairing") {
     import spark.implicits._
     // a degenerate corpus (one shared direction) collides into ONE bucket
