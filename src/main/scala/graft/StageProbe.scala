@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * the measured 85-95% term of the cluster family's 30× wall-time). Each
   * lap clears [[StageMemo]] and sinks the stage to the noop writer with an
   * observe row counter, exactly like ScaleSmoke's protocol; passing
-  * several currencies A/Bs them in the SAME session (same JIT, same box
-  * load regime), one JSON row per currency.
+  * several variants A/Bs them in the SAME session (same JIT, same box
+  * load regime), one JSON row per variant. A variant is
+  * `currency[:emitter]` — e.g. `long`, `hex`, `long:hof` — selecting the
+  * shingle shuffle currency and the pair-emission form (default emitter =
+  * the session default, the streaming generator).
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
@@ -49,8 +52,17 @@ object StageProbe {
       operators.Dedup.interCounts(spark, warmDir, 100)
         .write.mode("overwrite").format("noop").save()
     }
-    for (currency <- currencies) {
+    for (variant <- currencies) {
+      val (currency, emitter) = variant.split(':') match {
+        case Array(c) => (c, None)
+        case Array(c, e) => (c, Some(e))
+        case _ => sys.error(s"bad variant: $variant")
+      }
       spark.conf.set("spark.graft.shingleCurrency", currency)
+      emitter match {
+        case Some(e) => spark.conf.set("spark.graft.pairEmitter", e)
+        case None => spark.conf.unset("spark.graft.pairEmitter")
+      }
       var rows = -1L
       val times = (1 to laps).map { _ =>
         StageMemo.clear() // cold: the lap pays scan + hash + gate + pairs
@@ -67,7 +79,8 @@ object StageProbe {
         String.format(java.util.Locale.ROOT, "%.1f", Double.box(t)))
         .mkString("[", ",", "]")
       println(s"""{"op":"${stage}_probe","dir":"$dir","maxDf":$maxDf,""" +
-        s""""currency":"$currency","pairs":$rows,"cold_laps_sec":$lapsJson,""" +
+        s""""currency":"$currency","emitter":"${emitter.getOrElse("gen")}",""" +
+        s""""pairs":$rows,"cold_laps_sec":$lapsJson,""" +
         s""""load_1m":${Bench.loadavg1}}""")
     }
     StageMemo.clear()

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
+  GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Streams the C(n,2) unordered doc-id pairs of one posting list as
+  * `(d1, d2)` rows with `d1 < d2`, WITHOUT materializing the pair array.
+  *
+  * This is the generator form of the pair-emission step inside the
+  * df-gated shingle-intersection stage (`Dedup.interCountsOfShingles`) —
+  * the engine's measured dominant top-decade cost. The SQL form it
+  * replaces (`explode(flatten(transform(ds, (x, i) -> transform(slice(ds,
+  * i + 2, ...), y -> struct(least, greatest)))))`) runs on Catalyst's
+  * higher-order functions, which are CodegenFallback: for a posting list
+  * of df docs it interprets ~df² lambda calls and materializes df sliced
+  * arrays, df nested arrays, one flattened array and df²/2 boxed structs
+  * PER ROW before the explode even starts — at the 30× smoke's maxDf 3000
+  * gate that is a ~4.5M-element array built eagerly for one hot shingle.
+  * The generator sorts the list once (so `d1 < d2` needs no per-pair
+  * least/greatest) and hands each pair to `GenerateExec` lazily; peak
+  * memory per row drops from O(df²) to O(df).
+  *
+  * Emission-order note: the pair MULTISET over value pairs {a_i, a_j},
+  * i < j is invariant under permuting the input array, so sorting first
+  * changes nothing downstream (the consumer is an unordered groupBy
+  * count) — spec-pinned against the HOF twin. Null elements cannot occur
+  * in posting lists built by `collect_list` (it drops nulls); a null slot
+  * in a hand-built array is rejected loudly rather than miscounted. */
+case class DocIdPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_doc_id_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_doc_id_pairs requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i),
+        "graft_doc_id_pairs: null doc id in posting list")
+      a(i) = arr.getLong(i)
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    new scala.collection.AbstractIterator[InternalRow] {
+      private var x = 0
+      private var y = 1
+      override def hasNext: Boolean = y < a.length
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(Array[Any](a(x), a(y)))
+        y += 1
+        if (y == a.length) { x += 1; y = x + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -407,6 +407,11 @@ object TextFunctions {
   def shingleHashLongs(tokens: Column, n: Int = 3): Column =
     Bridge.column(ShingleHashLongs(Bridge.expression(tokens), n))
 
+  /** Streaming C(n,2) pair generator over a bigint posting-list column —
+    * yields `(d1, d2)` rows, `d1 < d2`; alias with `.as(Seq("d1", "d2"))`. */
+  def docIdPairs(postings: Column): Column =
+    Bridge.column(DocIdPairs(Bridge.expression(postings)))
+
   /** Blockhash fingerprint of a string payload column. */
   def blockhashFp(text: Column, blocks: Int = 60): Column =
     Bridge.column(BlockhashFp(Bridge.expression(text), blocks))

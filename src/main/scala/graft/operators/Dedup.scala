@@ -67,6 +67,18 @@ object Dedup {
     c
   }
 
+  /** The intersection stage's pair-emission form, read from the session
+    * conf `spark.graft.pairEmitter`: `"gen"` (default since r12 — the
+    * streaming [[graft.functions.DocIdPairs]] generator) or `"hof"` (the
+    * prior explode-over-higher-order-functions form, kept as the
+    * differential twin; also the fallback for non-long doc ids). */
+  private[graft] def pairEmitter(spark: SparkSession): String = {
+    val e = spark.conf.get("spark.graft.pairEmitter", "gen")
+    require(e == "gen" || e == "hof",
+      s"spark.graft.pairEmitter must be 'gen' or 'hof', got '$e'")
+    e
+  }
+
   /** Distinct word 3-shingles of a `(doc_id, text)` frame: (doc_id, s)
     * with `s` in the session's [[shingleCurrency]] (8-byte bigint by
     * default; 16-hex md5 prefix under the `hex` twin). Hashing before the
@@ -202,13 +214,31 @@ object Dedup {
       .select(col("s"))
       .hint("shuffle_hash")
     val idx = sh.join(keep, Seq("s"), "left_semi")
-    val inter = idx.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val postings = idx.groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+    // pair emission: the streaming generator (default) hands each of the
+    // ≤ C(maxDf, 2) pairs of a posting list to GenerateExec lazily — the
+    // HOF twin (`spark.graft.pairEmitter=hof`) interprets ~df²
+    // CodegenFallback lambda calls and materializes the whole pair array
+    // per row first (see [[graft.functions.DocIdPairs]];
+    // multiset-identical, spec-pinned). The posting list carries DOC ids —
+    // longs under either shingle currency — so the generator applies to
+    // both; a non-long doc_id frame (library callers) takes the HOF form.
+    val docIdIsLong = sh.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    val pairRows =
+      if (pairEmitter(sh.sparkSession) == "gen" && docIdIsLong)
+        postings.select(graft.functions.TextFunctions
+          .docIdPairs(col("ds")).as(Seq("d1", "d2")))
+      else
+        postings.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
+            .stripMargin)).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val inter = pairRows
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     // docLen is O(corpus documents) — broadcast would die at scale just
     // like the keep-list; keep these as shuffled joins on the doc id

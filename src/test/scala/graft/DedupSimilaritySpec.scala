@@ -180,6 +180,63 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pair emitter: streaming generator and HOF twin are " +
+      "multiset-identical; generator streams sorted pairs") {
+    import spark.implicits._
+    def underEmitter[A](e: String)(body: => A): A = {
+      val prev = spark.conf.getOption("spark.graft.pairEmitter")
+      spark.conf.set("spark.graft.pairEmitter", e)
+      Dedup.clearStageCache() // the memo key carries no emitter tag
+      try body
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.graft.pairEmitter", v)
+          case None => spark.conf.unset("spark.graft.pairEmitter")
+        }
+        Dedup.clearStageCache()
+      }
+    }
+    // 1. downstream identity on the fixture: the FULL intersection frame
+    //    (pair ids, intersection count, both doc lengths) agrees bit for
+    //    bit — the multiset-of-pairs invariance under the generator's sort
+    def interUnder(e: String) = underEmitter(e) {
+      Dedup.interCounts(spark, sfDir, 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    val gen = interUnder("gen")
+    assert(gen === interUnder("hof") && gen.nonEmpty)
+    // 2. generator semantics directly: pairs are emitted d1 < d2 whatever
+    //    the posting-list order, duplicates pair like the HOF twin's
+    //    positional pairs, and short lists yield nothing
+    val lists = Seq(
+      (1L, Array(5L, 3L, 9L, 1L)),
+      (2L, Array(7L, 7L, 2L)), // duplicate id: C(3,2) pairs incl. (7,7)
+      (3L, Array(4L)), // singleton: no pairs
+      (4L, Array.empty[Long]))
+      .toDF("k", "ds")
+    val emitted = lists.select(graft.functions.TextFunctions
+        .docIdPairs($"ds").as(Seq("d1", "d2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val hofTwin = lists.selectExpr(
+        """inline(flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2)))))"""
+          .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(emitted === hofTwin)
+    assert(emitted((1L, 9L)) == 1 && emitted((7L, 7L)) == 1)
+    assert(emitted.keys.forall { case (a, b) => a <= b })
+    // 3. the conf rejects typos instead of silently defaulting
+    underEmitter("lazy") {
+      intercept[IllegalArgumentException](
+        Dedup.interCountsOfShingles(Dedup.shinglesOf(
+          Tables.documents(spark, sfDir)), 100))
+    }
+  }
+
   test("shingle and simhash kernels skip null tokens like concat_ws") {
     // null-bearing token arrays are legal input (ArrayType(..,
     // containsNull=true)); the kernels must match the portable SQL
