@@ -153,6 +153,11 @@ object ScaleSmoke {
         streaming.Continuous.streamedCrossModalDedup(spark, d)),
       "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, d), maxDf = 100 * m)),
+      // prefix-filtered twin (q119): identical output to ngram_jaccard by
+      // construction — this row prices what PPJoin-style candidate
+      // pruning is worth against the same gate at the same scale
+      "ngram_prefix" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
+        Tables.documents(spark, d), maxDf = 100 * m)),
       // sliding-window substring audit: grams ≤ 1/token and hits ≤ tokens,
       // so output is corpus-LINEAR even over the staged N-clique corpus
       // (unlike the pair family); the df gate shuffles at gram cardinality

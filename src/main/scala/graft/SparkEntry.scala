@@ -310,8 +310,33 @@ object SparkEntry {
     // against the shipped 90%'s persisted forest, yielding q50's cluster
     // frame over every doc seen, without re-deriving membership from the
     // accumulated pair list.
-    "q118_index_clusters" -> ((s, d) => Dedup.indexClusters(s, d))
+    "q118_index_clusters" -> ((s, d) => Dedup.indexClusters(s, d)),
+    // Prefix-filtered near-dup pairs: q21's EXACT output (same oracle SQL)
+    // via PPJoin-style candidate pruning — posting lists over per-doc
+    // rarest-first prefixes only, then exact verification of survivors.
+    // The fixed-threshold fast path next to the shared multi-consumer
+    // intersection stage; the r12 probe prices WHY (1.02B candidates at
+    // the 30x gate, 0.23% surviving the threshold).
+    "q119_dedup_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d))
   )
+
+  /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
+    * path must reproduce the classic df-gated pair stage bit for bit). */
+  private lazy val ngramPairsSql: String =
+    s"""WITH $shinglesCte,
+      |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+      |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+      |FROM inter
+      |JOIN docLen ca ON d1 = ca.doc_id
+      |JOIN docLen cb ON d2 = cb.doc_id
+      |WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
   private val shinglesCte =
@@ -762,21 +787,10 @@ object SparkEntry {
         |  SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         |  FROM documents GROUP BY md5(text))
         |ORDER BY keeper""".stripMargin,
-    "q21_dedup_ngram" ->
-      (s"""WITH $shinglesCte,
-        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
-        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
-        |FROM inter
-        |JOIN docLen ca ON d1 = ca.doc_id
-        |JOIN docLen cb ON d2 = cb.doc_id
-        |WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin),
+    "q21_dedup_ngram" -> ngramPairsSql,
+    // q119 is q21's EXACT output via prefix-filtered candidate generation
+    // — one oracle text, two engine paths (the differential is the point)
+    "q119_dedup_prefix" -> ngramPairsSql,
     "q22_dedup_minhash" ->
       (s"""WITH $minhashSigCte,
         |bands AS (

@@ -53,15 +53,22 @@ object StageProbe {
         .write.mode("overwrite").format("noop").save()
     }
     for (variant <- currencies) {
-      val (currency, emitter) = variant.split(':') match {
-        case Array(c) => (c, None)
-        case Array(c, e) => (c, Some(e))
-        case _ => sys.error(s"bad variant: $variant")
-      }
+      // currency[:emitter[:initN]] — empty segments take the session
+      // default; initN A/Bs AQE's initialPartitionNum (how finely the fat
+      // pair shuffle is sliced before coalescing) in the same session
+      val seg = variant.split(':')
+      val currency = seg(0)
+      val emitter = seg.lift(1).filter(_.nonEmpty)
+      val initN = seg.lift(2).filter(_.nonEmpty)
       spark.conf.set("spark.graft.shingleCurrency", currency)
       emitter match {
         case Some(e) => spark.conf.set("spark.graft.pairEmitter", e)
         case None => spark.conf.unset("spark.graft.pairEmitter")
+      }
+      val initNConf = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      initN match {
+        case Some(n) => spark.conf.set(initNConf, n)
+        case None => spark.conf.unset(initNConf)
       }
       var rows = -1L
       val times = (1 to laps).map { _ =>
@@ -80,6 +87,7 @@ object StageProbe {
         .mkString("[", ",", "]")
       println(s"""{"op":"${stage}_probe","dir":"$dir","maxDf":$maxDf,""" +
         s""""currency":"$currency","emitter":"${emitter.getOrElse("gen")}",""" +
+        initN.map(n => s""""init_partitions":$n,""").getOrElse("") +
         s""""pairs":$rows,"cold_laps_sec":$lapsJson,""" +
         s""""load_1m":${Bench.loadavg1}}""")
     }

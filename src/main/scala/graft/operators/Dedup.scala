@@ -214,30 +214,7 @@ object Dedup {
       .select(col("s"))
       .hint("shuffle_hash")
     val idx = sh.join(keep, Seq("s"), "left_semi")
-    val postings = idx.groupBy(col("s"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-    // pair emission: the streaming generator (default) hands each of the
-    // ≤ C(maxDf, 2) pairs of a posting list to GenerateExec lazily — the
-    // HOF twin (`spark.graft.pairEmitter=hof`) interprets ~df²
-    // CodegenFallback lambda calls and materializes the whole pair array
-    // per row first (see [[graft.functions.DocIdPairs]];
-    // multiset-identical, spec-pinned). The posting list carries DOC ids —
-    // longs under either shingle currency — so the generator applies to
-    // both; a non-long doc_id frame (library callers) takes the HOF form.
-    val docIdIsLong = sh.schema("doc_id").dataType ==
-      org.apache.spark.sql.types.LongType
-    val pairRows =
-      if (pairEmitter(sh.sparkSession) == "gen" && docIdIsLong)
-        postings.select(graft.functions.TextFunctions
-          .docIdPairs(col("ds")).as(Seq("d1", "d2")))
-      else
-        postings.select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
-            .stripMargin)).as("p"))
-          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-    val inter = pairRows
+    val inter = emitPostingPairs(idx)
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("i"))
     // docLen is O(corpus documents) — broadcast would die at scale just
@@ -249,6 +226,36 @@ object Dedup {
         col("d2") === col("cb.doc_id"))
       .select(col("d1"), col("d2"), col("i"),
         col("ca.c").as("c1"), col("cb.c").as("c2"))
+  }
+
+  /** Unordered `(d1 < d2)` co-occurrence pairs of a `(doc_id, s)` frame:
+    * per-shingle posting lists, then one pair row per doc pair per shared
+    * shingle (a pair sharing k shingles appears k times — the groupBy
+    * count downstream IS the intersection count).
+    *
+    * Pair emission: the streaming generator (default) hands each of the
+    * ≤ C(maxDf, 2) pairs of a posting list to GenerateExec lazily — the
+    * HOF twin (`spark.graft.pairEmitter=hof`) interprets ~df²
+    * CodegenFallback lambda calls and materializes the whole pair array
+    * per row first (see [[graft.functions.DocIdPairs]];
+    * multiset-identical, spec-pinned). The posting list carries DOC ids —
+    * longs under either shingle currency — so the generator applies to
+    * both; a non-long doc_id frame (library callers) takes the HOF form. */
+  private def emitPostingPairs(idx: DataFrame): DataFrame = {
+    val postings = idx.groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+    val docIdIsLong = idx.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (pairEmitter(idx.sparkSession) == "gen" && docIdIsLong)
+      postings.select(graft.functions.TextFunctions
+        .docIdPairs(col("ds")).as(Seq("d1", "d2")))
+    else
+      postings.select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
+          .stripMargin)).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
   }
 
   /** Memoized intersection stage over the fixture corpus. */
@@ -286,6 +293,106 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramPairs(spark, dir, threshold, maxDf).orderBy(col("d1"), col("d2"))
+
+  /** PREFIX-FILTERED n-gram Jaccard near-dup pairs (q119) — the exact
+    * same output as [[ngramJaccard]] (q21: same gate, same intersection
+    * semantics, same rounded filter — q119 ships q21's oracle SQL
+    * verbatim) computed WITHOUT materializing the full candidate frame.
+    *
+    * Why it exists: the shared intersection stage is output-bound at the
+    * df gate's candidate volume — the r12 isolated probe counts 1.02
+    * BILLION candidate pairs at the 30× df-3000 gate, of which 2.39M
+    * (0.23%) survive the J ≥ 0.8 filter. Prefix filtering (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.,
+    * PPJoin) prunes candidate GENERATION: under any global total order
+    * on shingles, a qualifying pair must share a shingle within each
+    * side's first `g − α + 1` gated shingles (g = gated count, α = the
+    * pair-independent overlap lower bound below), so posting lists are
+    * built over per-doc PREFIXES only and the full lists are consulted
+    * only to verify the surviving candidates exactly.
+    *
+    * The bound, derived for q21's exact semantics (i counts GATED shared
+    * shingles; c1/c2 are FULL distinct-shingle counts; the filter is
+    * `round(i/(c1+c2−i), 6) ≥ t`): a qualifying pair has true
+    * J ≥ t − 5e-7 (6-dp rounding can admit just-under pairs), and
+    * J ≥ t' with c_partner ≥ i forces i ≥ t'·c_x for EACH side x. α is
+    * computed in exact integer arithmetic as
+    * `max(1, (tn−1)·c div 1e6)` with `tn = round(t·1e6)` — a floor of a
+    * valid lower bound, so it can only LENGTHEN the prefix (more
+    * candidates), never drop a qualifying pair; float `ceil(t·c)` at a
+    * boundary (0.8·35 = 28.000…004) would do the opposite. A doc whose
+    * gated count falls below α cannot reach the threshold with any
+    * partner and contributes no prefix rows at all.
+    *
+    * Global order: ascending df, tie-broken by the shingle key — rarest
+    * first, the standard choice that minimizes prefix-posting overlap
+    * (hot shingles land at the ends of prefixes, so the pair fan-out
+    * concentrates on rare shingles with short posting lists).
+    *
+    * Scale shape: one window over the gated shingle frame (doc-keyed
+    * rank + gated count in the same exchange), prefix posting-list pair
+    * generation ([[emitPostingPairs]] — the same bounded-worst-key
+    * contract as the full stage, over far fewer rows), a distinct on the
+    * candidate pairs, then verification as candidates × doc-shingles:
+    * one shuffled join fanning each candidate to its d1 shingles and one
+    * shuffled semi-join probing (d2, s) membership. Every join pinned
+    * shuffle_hash — candidate and shingle frames are corpus-sized.
+    * Deliberately NOT memo-shared with [[interCounts]]: q78/q105/q111
+    * read the full candidate frame at other thresholds; this is the
+    * fixed-threshold fast path a production dedup (which runs ONE
+    * threshold) would choose. */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
+    ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[ngramJaccardPrefix]] over an arbitrary `(doc_id, text)` frame. */
+  def ngramJaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame =
+    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf)
+      .orderBy(col("d1"), col("d2"))
+
+  private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tn = math.round(threshold * 1e6)
+    require(tn >= 1 && tn <= 1000000,
+      s"threshold must be in (0, 1], got $threshold")
+    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    // (doc_id, s, df): the gated index, each row carrying its shingle's df
+    // for the global rarest-first order
+    val gated = sh.join(keep, Seq("s"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = gated
+      .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("r",
+        row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("g", count(lit(1)).over(byDoc))
+      .withColumn("alpha",
+        expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)"))
+      .filter(col("r") <= col("g") - col("alpha") + lit(1))
+      .select(col("doc_id"), col("s"))
+    val cand = emitPostingPairs(prefix).distinct()
+    // exact verification: fan each candidate to d1's gated shingles, keep
+    // the ones d2 also holds — the count is exactly interCounts' i
+    val gatedSlim = gated.select(col("doc_id"), col("s"))
+    val inter = cand
+      .join(gatedSlim.withColumnRenamed("doc_id", "d1").hint("shuffle_hash"),
+        Seq("d1"))
+      .join(gatedSlim.select(col("doc_id").as("d2"), col("s"))
+        .hint("shuffle_hash"), Seq("d2", "s"), "left_semi")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    jaccardOfInter(inter
+      .join(docLen.as("ca").hint("shuffle_hash"),
+        col("d1") === col("ca.doc_id"))
+      .join(docLen.as("cb").hint("shuffle_hash"),
+        col("d2") === col("cb.doc_id"))
+      .select(col("d1"), col("d2"), col("i"),
+        col("ca.c").as("c1"), col("cb.c").as("c2")), threshold)
+  }
 
   /** Per-document boilerplate ratio (q98) — the line-dedup signal of the
     * CCNet/RefinedWeb lineage at shingle granularity: a 3-shingle is

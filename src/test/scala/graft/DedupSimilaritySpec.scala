@@ -237,6 +237,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered pairs reproduce the classic pair stage exactly, " +
+      "including the rounding boundary") {
+    import spark.implicits._
+    // 1. fixture differential: q119's frame == q21's frame, row for row,
+    //    in order (both orderBy(d1, d2))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val classic = rows(Dedup.ngramJaccard(spark, sfDir))
+    val viaPrefix = rows(Dedup.ngramJaccardPrefix(spark, sfDir))
+    assert(viaPrefix === classic && classic.nonEmpty)
+    // 2. the exact-boundary pair: 9 distinct shingles each, 8 shared
+    //    (tokens 1..11 with the last differing) -> J = 8/(9+9-8) = 0.8
+    //    EXACTLY; the α floor must not prune it. The third doc shares 7
+    //    -> 7/11 ≈ 0.636364, excluded by both paths.
+    val toks = (1 to 11).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (toks.init :+ "tokB").mkString(" ")),
+      (3L, (toks.take(9) :+ "tokC" :+ "tokD").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = rows(Dedup.ngramJaccardOf(docs).orderBy($"d1", $"d2"))
+    val pref = rows(Dedup.ngramJaccardPrefixOf(docs))
+    assert(pref === exact)
+    assert(pref.exists { case (d1, d2, j) => d1 == 1L && d2 == 2L && j == 0.8 },
+      s"boundary pair (1,2) @ 0.8 must survive prefix filtering: $pref")
+    assert(!pref.exists { case (d1, d2, _) => d2 == 3L || d1 == 3L },
+      s"sub-threshold pairs with doc 3 must stay excluded: $pref")
+    // 3. threshold parameter sanity: at 0.6 the (1,3)/(2,3)-style pairs
+    //    enter for both paths identically
+    val exact06 = rows(Dedup.ngramJaccardOf(docs, threshold = 0.6)
+      .orderBy($"d1", $"d2"))
+    val pref06 = rows(Dedup.ngramJaccardPrefixOf(docs, threshold = 0.6))
+    assert(pref06 === exact06 && pref06.size > pref.size)
+  }
+
   test("shingle and simhash kernels skip null tokens like concat_ws") {
     // null-bearing token arrays are legal input (ArrayType(..,
     // containsNull=true)); the kernels must match the portable SQL
