@@ -366,6 +366,13 @@ object ScaleSmoke {
       val s = (System.nanoTime() - t0) / 1e9
       val rows = obs.get("rows") match { case l: Long => l; case _ => -1L }
       val stats = StageMemo.statsSnapshot(reset = true)
+      // shuffle files live until the driver GCs their dependencies
+      // (ContextCleaner is reference-triggered): in a multi-op 30× session
+      // the dead shuffles accumulate tens of GB and the LAST op pays
+      // ENOSPC (observed: 1B-pair shuffles from earlier ops starved a
+      // later op's spill). An explicit GC outside the timed window lets
+      // the cleaner reclaim them between ops.
+      System.gc()
       val buildS = stats.buildMsTotal / 1000.0
       val consumeS = math.max(s - buildS, 0.0)
       val topBuilds = stats.builds.toSeq.sortBy(-_._2._2).take(4)

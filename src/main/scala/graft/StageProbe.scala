@@ -33,7 +33,8 @@ object StageProbe {
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
     val currencies =
       if (args.length > 4) args.drop(4).toSeq else Seq("long", "hex")
-    require(stage == "ngraminter", s"unknown stage: $stage")
+    require(stage == "ngraminter" || stage == "prefixcand",
+      s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +45,53 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (stage == "prefixcand") {
+      // candidate-volume anatomy of the prefix-filtered pair path (q119):
+      // prefix rows, the RAW pair volume its posting lists would emit
+      // (sum C(n,2), computed from posting sizes — no pair materializes),
+      // and the distinct candidate count when the raw volume permits.
+      // This is the probe that explains a verify-stage blowup without
+      // paying for one.
+      val sh = operators.Dedup.shinglesOf(Tables.documents(spark, dir))
+      val prefix = operators.Dedup.prefixPostings(sh, 0.8, maxDf)
+        .localCheckpoint()
+      val prefixRows = prefix.count()
+      val rawPairs = prefix.groupBy(col("s")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+      val candDistinct =
+        if (rawPairs <= 2000000000L)
+          prefix.groupBy(col("s"))
+            .agg(collect_list(col("doc_id")).as("ds"))
+            .select(graft.functions.TextFunctions.docIdPairs(col("ds"))
+              .as(Seq("d1", "d2")))
+            .distinct().count()
+        else -1L
+      // distinct candidates surviving the PPJoin LENGTH filter
+      // (t·c1 ≤ c2 for c1 ≤ c2 — a qualifying pair always satisfies it,
+      // so adding it to candidate generation stays exact)
+      val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val candLen =
+        if (rawPairs <= 2000000000L)
+          prefix.groupBy(col("s"))
+            .agg(collect_list(col("doc_id")).as("ds"))
+            .select(graft.functions.TextFunctions.docIdPairs(col("ds"))
+              .as(Seq("d1", "d2")))
+            .distinct()
+            .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
+              .hint("shuffle_hash"), Seq("d1"))
+            .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
+              .hint("shuffle_hash"), Seq("d2"))
+            .filter(expr("800000 * greatest(c1, c2) <= 1000000 * least(c1, c2) + 999999"))
+            .count()
+        else -1L
+      println(s"""{"op":"prefixcand_probe","dir":"$dir","maxDf":$maxDf,""" +
+        s""""prefix_rows":$prefixRows,"raw_prefix_pairs":$rawPairs,""" +
+        s""""cand_distinct":$candDistinct,"cand_len_filtered":$candLen,""" +
+        s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
     // JIT/codegen warm-up at the smallest fixture (the Bench protocol) so
     // the first timed lap doesn't absorb JVM start-up
     val warmDir = "/root/testdata/sf0.001"

@@ -77,3 +77,59 @@ case class DocIdPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Exact intersection size of two SORTED bigint arrays — one merge pass,
+  * no allocation. The verify kernel of the prefix-filtered pair path
+  * (q119): candidates stream map-side past broadcast per-doc sorted
+  * shingle arrays, and this counts |gated(x) ∩ gated(y)| per candidate
+  * without materializing the intersection. Null inputs count 0 (a doc
+  * absent from the gated index shares nothing). Inputs MUST be sorted
+  * ascending — the operator sorts once at array build time; an unsorted
+  * input silently undercounts, which is why the builder (`sort_array`)
+  * and this kernel live next to each other. */
+object SortedIntersectKernel {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** [[SortedIntersectKernel]] as a native codegen expression. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_count requires two array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectKernel.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectKernel.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

@@ -412,6 +412,11 @@ object TextFunctions {
   def docIdPairs(postings: Column): Column =
     Bridge.column(DocIdPairs(Bridge.expression(postings)))
 
+  /** Exact intersection size of two SORTED bigint array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** Blockhash fingerprint of a string payload column. */
   def blockhashFp(text: Column, blocks: Int = 60): Column =
     Bridge.column(BlockhashFp(Bridge.expression(text), blocks))

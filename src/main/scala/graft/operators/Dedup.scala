@@ -332,15 +332,27 @@ object Dedup {
     * Scale shape: one window over the gated shingle frame (doc-keyed
     * rank + gated count in the same exchange), prefix posting-list pair
     * generation ([[emitPostingPairs]] — the same bounded-worst-key
-    * contract as the full stage, over far fewer rows), a distinct on the
-    * candidate pairs, then verification as candidates × doc-shingles:
-    * one shuffled join fanning each candidate to its d1 shingles and one
-    * shuffled semi-join probing (d2, s) membership. Every join pinned
-    * shuffle_hash — candidate and shingle frames are corpus-sized.
-    * Deliberately NOT memo-shared with [[interCounts]]: q78/q105/q111
-    * read the full candidate frame at other thresholds; this is the
-    * fixed-threshold fast path a production dedup (which runs ONE
-    * threshold) would choose. */
+    * contract as the full stage, over far fewer rows), a distinct + the
+    * PPJoin length filter on the candidates, then MAP-SIDE exact
+    * verification: per-doc sorted gated-shingle arrays broadcast once
+    * behind a loud `maxBroadcastDocs` budget gate (q25's pattern), each
+    * candidate intersected by the native [[graft.functions
+    * .SortedIntersectCount]] merge kernel — no per-candidate shuffle.
+    *
+    * Measured (SCALE_r12.jsonl, same-session A/B at the 30× staged
+    * clique corpus): 32.7 s vs the classic stage's 239.6 s — 7.3× —
+    * with identical 2,387,400-row output. The candidate anatomy behind
+    * it (prefixcand probe): 112.1M distinct prefix candidates, 44.6M
+    * after the length filter, 2.39M true; a SHUFFLED per-candidate
+    * verify at that density spilled ~80 GB and died ENOSPC, which is
+    * why the broadcast map-side verify is not an optimization but the
+    * difference between working and not. The gate is the honest cost:
+    * past `maxBroadcastDocs` the table doesn't fit and [[ngramJaccard]]
+    * (co-occurrence counting, no broadcast anywhere) is the scale path —
+    * the refusal message says so. Deliberately NOT memo-shared with
+    * [[interCounts]]: q78/q105/q111 read the full candidate frame at
+    * other thresholds; this is the fixed-threshold fast path a
+    * production dedup (which runs ONE threshold) would choose. */
   def ngramJaccardPrefix(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf)
@@ -352,8 +364,12 @@ object Dedup {
     ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf)
       .orderBy(col("d1"), col("d2"))
 
-  private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
-      threshold: Double, maxDf: Int): DataFrame = {
+  /** The per-doc rarest-first PREFIX posting frame of
+    * [[ngramJaccardPrefix]] — `(doc_id, s)` rows restricted to each doc's
+    * first `g − α + 1` gated shingles under the global (df, s) order.
+    * Exposed for the candidate-volume probe ([[graft.StageProbe]]). */
+  private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tn = math.round(threshold * 1e6)
     require(tn >= 1 && tn <= 1000000,
@@ -366,7 +382,7 @@ object Dedup {
     // for the global rarest-first order
     val gated = sh.join(keep, Seq("s"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = gated
+    gated
       .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("r",
         row_number().over(byDoc.orderBy(col("df"), col("s"))))
@@ -375,23 +391,60 @@ object Dedup {
         expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)"))
       .filter(col("r") <= col("g") - col("alpha") + lit(1))
       .select(col("doc_id"), col("s"))
+  }
+
+  private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
+      threshold: Double, maxDf: Int,
+      maxBroadcastDocs: Long = 500000L): DataFrame = {
+    val tn = math.round(threshold * 1e6)
+    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    val gated = sh.join(keep, Seq("s"))
+    val prefix = prefixPostings(sh, threshold, maxDf)
+    // candidates = prefix co-occurrence pairs, then the PPJoin LENGTH
+    // filter: a qualifying pair has i ≥ t'·max(c1,c2) and i ≤ min(c1,c2),
+    // so (tn−1)·max ≤ 1e6·min — integer-exact, prunes before any
+    // verification work touches the pair. Measured at the 30× clique
+    // smoke: 112.1M distinct prefix candidates → 44.6M after this filter
+    // (2.39M true pairs — see the regime note below).
     val cand = emitPostingPairs(prefix).distinct()
-    // exact verification: fan each candidate to d1's gated shingles, keep
-    // the ones d2 also holds — the count is exactly interCounts' i
-    val gatedSlim = gated.select(col("doc_id"), col("s"))
-    val inter = cand
-      .join(gatedSlim.withColumnRenamed("doc_id", "d1").hint("shuffle_hash"),
-        Seq("d1"))
-      .join(gatedSlim.select(col("doc_id").as("d2"), col("s"))
-        .hint("shuffle_hash"), Seq("d2", "s"), "left_semi")
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    jaccardOfInter(inter
-      .join(docLen.as("ca").hint("shuffle_hash"),
-        col("d1") === col("ca.doc_id"))
-      .join(docLen.as("cb").hint("shuffle_hash"),
-        col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"), col("i"),
-        col("ca.c").as("c1"), col("cb.c").as("c2")), threshold)
+      .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
+        .hint("shuffle_hash"), Seq("d2"))
+      .filter(expr(
+        s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
+    // exact verification, MAP-SIDE: per-doc sorted gated-shingle arrays
+    // broadcast once, each candidate intersected by the native
+    // merge-count kernel — no per-candidate shuffle at all. The row
+    // fan-out alternative (candidates × d1's shingles through a shuffled
+    // join) was measured to spill ~80 GB at the 30× clique smoke and die
+    // ENOSPC; the broadcast table is the verify structure PPJoin assumes.
+    // It is corpus-sized, so it gets q25's treatment: a loud budget gate
+    // naming the fallback instead of a silent driver kill.
+    val arrays = gated.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .localCheckpoint()
+    val nDocs = arrays.count()
+    require(nDocs <= maxBroadcastDocs,
+      s"ngramJaccardPrefix verifies against a BROADCAST per-doc shingle-" +
+        s"array table; $nDocs gated docs exceed maxBroadcastDocs=" +
+        s"$maxBroadcastDocs (~${maxBroadcastDocs / 5000}MB+). Use " +
+        "ngramJaccard (the shared co-occurrence stage) for corpora past " +
+        "the broadcast budget, or raise maxBroadcastDocs if the cluster " +
+        "can hold the table.")
+    val verified = cand
+      .join(broadcast(arrays.select(col("doc_id").as("d1"),
+        col("arr").as("a1"))), Seq("d1"))
+      .join(broadcast(arrays.select(col("doc_id").as("d2"),
+        col("arr").as("a2"))), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        graft.functions.TextFunctions
+          .sortedIntersectCount(col("a1"), col("a2")).as("i"),
+        col("c1"), col("c2"))
+    jaccardOfInter(verified, threshold)
   }
 
   /** Per-document boilerplate ratio (q98) — the line-dedup signal of the

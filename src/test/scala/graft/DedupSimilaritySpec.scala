@@ -272,6 +272,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pref06 === exact06 && pref06.size > pref.size)
   }
 
+  test("sorted-intersect kernel counts like array_intersect on sorted input") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(3L, 4L, 5L, 9L)), // 2 shared
+      (Array(1L, 2L), Array(3L, 4L)), // disjoint
+      (Array.empty[Long], Array(1L)), // empty side
+      (Array(2L, 2L, 5L), Array(2L, 5L))) // dup in input: merge advances both
+      .toDF("a", "b")
+    val got = df.select(TextFunctions.sortedIntersectCount($"a", $"b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 0L, 0L, 2L))
+    // differential vs the built-in on distinct sorted arrays (the
+    // operator's inputs are sort_array(collect_list) over distinct
+    // (doc_id, s) rows, so distinct-sorted is the real contract)
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(50)((
+      rnd.shuffle((1L to 40L).toList).take(rnd.nextInt(20)).sorted.toArray,
+      rnd.shuffle((1L to 40L).toList).take(rnd.nextInt(20)).sorted.toArray))
+      .toDF("a", "b")
+    val kernel = rand.select(TextFunctions.sortedIntersectCount($"a", $"b"))
+      .collect().map(_.getLong(0)).toSeq
+    val builtin = rand.selectExpr("size(array_intersect(a, b))")
+      .collect().map(_.getInt(0).toLong).toSeq
+    assert(kernel === builtin)
+    // the budget gate refuses loudly past maxBroadcastDocs, naming the
+    // classic path
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixOfShingles(Dedup.shinglesOf(docs), 0.8, 100,
+        maxBroadcastDocs = 3))
+    assert(e.getMessage.contains("ngramJaccard"))
+  }
+
   test("shingle and simhash kernels skip null tokens like concat_ws") {
     // null-bearing token arrays are legal input (ArrayType(..,
     // containsNull=true)); the kernels must match the portable SQL
