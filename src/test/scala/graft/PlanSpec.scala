@@ -227,6 +227,31 @@ class PlanSpec extends SparkSpec {
       "collect_list (printed above its semi-join input) must consume the gated index")
   }
 
+  test("ngram pair emission runs the streaming generator, not the HOF chain") {
+    StageMemo.clear() // cached AQE plans render Initial+Final sections
+    val p = plan(Dedup.ngramJaccardOf(Tables.documents(spark, sfDir)))
+    assert(p.contains("graft_doc_id_pairs"),
+      s"the DocIdPairs generator must carry the pair explode:\n$p")
+    assert(!p.contains("slice("),
+      "the interpreted HOF pair chain must be gone from the default plan")
+  }
+
+  test("q119 prefix path: broadcast array verify, no cartesian, gated gen") {
+    StageMemo.clear()
+    val p = plan(Dedup.ngramJaccardPrefix(spark, sfDir))
+    // the verify joins are the BROADCAST the operator's budget gate prices
+    assert(p.contains("BroadcastHashJoin"),
+      s"array verify must be a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in the prefix path:\n$p")
+    // candidate generation still streams through the generator over the
+    // PREFIX postings, and the df gate survives to the physical plan
+    assert(p.contains("graft_doc_id_pairs"), s"generator expected:\n$p")
+    assert(p.contains("graft_sorted_intersect_count"),
+      s"native merge-count kernel expected in the verify projection:\n$p")
+  }
+
   private def exchanges(p: String): Seq[String] =
     p.linesIterator.filter(_.contains("Exchange")).toSeq
 
