@@ -52,39 +52,42 @@ object StageProbe {
       // and the distinct candidate count when the raw volume permits.
       // This is the probe that explains a verify-stage blowup without
       // paying for one.
+      val tn = 800000L // the operator's default threshold, in exact ppm
       val sh = operators.Dedup.shinglesOf(Tables.documents(spark, dir))
       val prefix = operators.Dedup.prefixPostings(sh, 0.8, maxDf)
         .localCheckpoint()
       val prefixRows = prefix.count()
-      val rawPairs = prefix.groupBy(col("s")).agg(count(lit(1)).as("n"))
-        .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
-      val candDistinct =
-        if (rawPairs <= 2000000000L)
-          prefix.groupBy(col("s"))
+      // sum over zero rows is SQL NULL — an empty prefix frame (nothing
+      // passes the df gate) must report zeros, not NPE
+      val rawPairs = Option(prefix.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // the candidate frame is the probe's expensive job — build it ONCE
+      // (checkpoint) and take both counts from it
+      val (candDistinct, candLen) =
+        if (rawPairs > 0 && rawPairs <= 2000000000L) {
+          val cand = prefix.groupBy(col("s"))
             .agg(collect_list(col("doc_id")).as("ds"))
             .select(graft.functions.TextFunctions.docIdPairs(col("ds"))
               .as(Seq("d1", "d2")))
-            .distinct().count()
-        else -1L
-      // distinct candidates surviving the PPJoin LENGTH filter
-      // (t·c1 ≤ c2 for c1 ≤ c2 — a qualifying pair always satisfies it,
-      // so adding it to candidate generation stays exact)
-      val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val candLen =
-        if (rawPairs <= 2000000000L)
-          prefix.groupBy(col("s"))
-            .agg(collect_list(col("doc_id")).as("ds"))
-            .select(graft.functions.TextFunctions.docIdPairs(col("ds"))
-              .as(Seq("d1", "d2")))
-            .distinct()
+            .distinct().localCheckpoint()
+          val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+            .localCheckpoint()
+          // the EXACT length-filter predicate the operator applies
+          // ((tn−1)·max ≤ 1e6·min) — a different inequality here would
+          // misprice the operator's verify volume
+          val kept = cand
             .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
               .hint("shuffle_hash"), Seq("d1"))
             .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
               .hint("shuffle_hash"), Seq("d2"))
-            .filter(expr("800000 * greatest(c1, c2) <= 1000000 * least(c1, c2) + 999999"))
+            .filter(expr(
+              s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
             .count()
-        else -1L
+          (cand.count(), kept)
+        } else (if (rawPairs == 0) 0L else -1L,
+          if (rawPairs == 0) 0L else -1L)
       println(s"""{"op":"prefixcand_probe","dir":"$dir","maxDf":$maxDf,""" +
         s""""prefix_rows":$prefixRows,"raw_prefix_pairs":$rawPairs,""" +
         s""""cand_distinct":$candDistinct,"cand_len_filtered":$candLen,""" +

@@ -370,7 +370,6 @@ object Dedup {
     * Exposed for the candidate-volume probe ([[graft.StageProbe]]). */
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
       maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tn = math.round(threshold * 1e6)
     require(tn >= 1 && tn <= 1000000,
       s"threshold must be in (0, 1], got $threshold")
@@ -378,9 +377,17 @@ object Dedup {
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
-    // (doc_id, s, df): the gated index, each row carrying its shingle's df
-    // for the global rarest-first order
-    val gated = sh.join(keep, Seq("s"))
+    prefixOfGated(sh.join(keep, Seq("s")), docLen, tn)
+  }
+
+  /** The window core of [[prefixPostings]] over an already-built gated
+    * `(doc_id, s, df)` index and full-count `docLen` — split out so the
+    * operator can hand in CHECKPOINTED frames (its budget-gate count and
+    * its candidate job are separate Spark actions, and without the
+    * checkpoint each would re-pay the shingle scan + df aggregation). */
+  private def prefixOfGated(gated: DataFrame, docLen: DataFrame,
+      tn: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
     gated
       .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
@@ -397,12 +404,25 @@ object Dedup {
       threshold: Double, maxDf: Int,
       maxBroadcastDocs: Long = 500000L): DataFrame = {
     val tn = math.round(threshold * 1e6)
-    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    require(tn >= 1 && tn <= 1000000,
+      s"threshold must be in (0, 1], got $threshold")
+    // two Spark actions consume everything below (the budget-gate count,
+    // then the candidate job the caller runs) — checkpoint the shared
+    // frames ONCE so the shingle scan/hash and the df aggregation don't
+    // re-execute per action. docLen is docs-sized; gated is the shingle
+    // frame + an 8-byte df, both well under the corpora this operator's
+    // broadcast gate admits. dropOriginConstraints: checkpointed frames
+    // keep their stats but shed the stale origin constraints Spark 4.1
+    // chokes on (the q50 contraction lesson).
+    import org.apache.spark.sql.graft.Bridge
+    val docLen = Bridge.dropOriginConstraints(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
-    val gated = sh.join(keep, Seq("s"))
-    val prefix = prefixPostings(sh, threshold, maxDf)
+    val gated = Bridge.dropOriginConstraints(
+      sh.join(keep, Seq("s")).localCheckpoint())
+    val prefix = prefixOfGated(gated, docLen, tn)
     // candidates = prefix co-occurrence pairs, then the PPJoin LENGTH
     // filter: a qualifying pair has i ≥ t'·max(c1,c2) and i ≤ min(c1,c2),
     // so (tn−1)·max ≤ 1e6·min — integer-exact, prunes before any
@@ -745,6 +765,32 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/hashes")
   }
 
+  /** Read a persisted index's shingle frame, REFUSING a currency
+    * mismatch: the session's [[shingleCurrency]] decides the type of the
+    * increment's freshly-hashed keys, and Spark's set-operation coercion
+    * would widen a bigint∪string union to STRING — the long keys print as
+    * decimal digits that can never equal the index's 16-hex keys, so
+    * every cross-index probe silently finds nothing and each incoming doc
+    * reads as novel. The internal fixture path keys its index dirs by
+    * currency; this guard covers the PUBLIC path where the caller hands
+    * an arbitrary index location. */
+  private def readIndexShingles(spark: SparkSession,
+      indexPath: String): DataFrame = {
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val want = shingleCurrency(spark) match {
+      case "long" => org.apache.spark.sql.types.LongType
+      case _ => org.apache.spark.sql.types.StringType
+    }
+    val got = idxSh.schema("s").dataType
+    require(got == want,
+      s"persisted dedup index at $indexPath stores ${got.simpleString} " +
+        s"shingle keys but spark.graft.shingleCurrency=" +
+        s"'${shingleCurrency(spark)}' hashes the increment to " +
+        s"${want.simpleString} — set the conf to match the index or " +
+        "rebuild it under the session currency")
+    idxSh
+  }
+
   /** Dedup an `incoming` increment against a [[writeDedupIndex]]-persisted
     * corpus plus itself — [[incrementalDedupOf]]'s verdict rules
     * (shipped-corpus-wins; min-id within the increment) with the shipped
@@ -754,7 +800,7 @@ object Dedup {
   def incrementalDedupAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val idxSh = readIndexShingles(spark, indexPath)
     val idxHashes = spark.read.parquet(s"$indexPath/hashes")
     val newSh = shinglesOf(incoming)
     val newHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
@@ -918,7 +964,7 @@ object Dedup {
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
       commit: Boolean = true): DataFrame = {
     val v = latestForestVersion(indexPath)
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val idxSh = readIndexShingles(spark, indexPath)
     val newSh = shinglesOf(incoming)
     // materialize the pair probe once (checkpoint): the contraction and its
     // vertex frame both consume it, and in commit mode nothing downstream

@@ -109,13 +109,37 @@ class BenchReportSpec extends AnyFunSuite {
   }
 
   test("perq_tail stays inside the tail budget at full-suite width") {
-    // 130 queries (headroom over today's 117+new), worst-case magnitudes:
+    // 130 queries (headroom over today's 119+new), worst-case magnitudes:
     // warm ~9.99 s (3 digits), cold ~99.99 s (4 digits)
     val wide = (1 to 130).map(i => f"q$i%03d_name" -> 9.99)
     val wideCold = (1 to 130).map(i => f"q$i%03d_name" -> 99.99)
     val line = Bench.perQueryTailLine(sf, wide, wideCold)
     assert(line.length < 1450, s"${line.length} chars")
     assert(mapper.readTree(line).get("cold_cs").size === 130)
+  }
+
+  test("the last TWO lines fit the tail together at full-suite width") {
+    // The 59-name fixture above under-tests the combined budget: at 130
+    // queries perq_tail alone may legitimately reach ~1.4 KB, and the
+    // rollup ~1 KB, so the PAIR must be bounded at full width too. Shear
+    // order is designed: perq_tail is LAST and repeats both totals, so a
+    // pathological capture loses the rollup (attribution) before it loses
+    // per-query data — this test pins the realistic-shape pair under the
+    // budget: 130 queries, a 10-query 100 s+ cold tail (today's worst
+    // real cold is ~11 s), the rest 3-digit centiseconds, and a rollup
+    // carrying 8 real-length build keys.
+    val warm = (1 to 130).map(i => f"q$i%03d_name" -> 5.43)
+    val cold = (1 to 130).map(i =>
+      f"q$i%03d_name" -> (if (i <= 10) 123.45 else 9.87))
+    val tailLine = Bench.perQueryTailLine(sf, warm, cold)
+    val rollup = Bench.memoRollupLine(sf, 130 * 5.43, 130 * 9.87,
+      StageMemo.Stats(116, 99, 0,
+        (1 to 8).map(i => s"ngraminter:$sf:10$i" -> (16L, 30606L)).toMap),
+      Nil)
+    val combined = tailLine.length + rollup.length + 2
+    assert(combined < 1900, s"perq_tail (${tailLine.length}) + rollup " +
+      s"(${rollup.length}) = $combined chars — the driver's ~2000-char " +
+      "tail capture would shear into the per-query arrays")
   }
 
   test("the rollup caps at the top 8 build keys and stays parseable") {

@@ -306,6 +306,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("ngramJaccard"))
   }
 
+  test("persisted index refuses a shingle-currency mismatch loudly") {
+    // a hex-keyed index read in a long-currency session would union
+    // bigint∪string — Spark coerces to STRING and the long keys print as
+    // decimal digits that never equal the 16-hex index keys, so every
+    // cross-index probe silently finds nothing. The guard turns that
+    // silent wrong-verdict mode into a refusal naming the conf.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_currency_guard").toString
+    val prev = spark.conf.getOption("spark.graft.shingleCurrency")
+    try {
+      spark.conf.set("spark.graft.shingleCurrency", "hex")
+      Dedup.writeDedupIndex(docs.filter($"doc_id" <= 2), dir)
+      spark.conf.set("spark.graft.shingleCurrency", "long")
+      val e = intercept[IllegalArgumentException](
+        Dedup.incrementalDedupAgainstIndex(spark, dir,
+          docs.filter($"doc_id" === 3)))
+      assert(e.getMessage.contains("shingleCurrency"))
+      // matching currency works against the same files
+      spark.conf.set("spark.graft.shingleCurrency", "hex")
+      val ok = Dedup.incrementalDedupAgainstIndex(spark, dir,
+        docs.filter($"doc_id" === 3)).collect()
+      assert(ok.length == 1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.shingleCurrency", v)
+        case None => spark.conf.unset("spark.graft.shingleCurrency")
+      }
+    }
+  }
+
   test("shingle and simhash kernels skip null tokens like concat_ws") {
     // null-bearing token arrays are legal input (ArrayType(..,
     // containsNull=true)); the kernels must match the portable SQL
