@@ -342,7 +342,7 @@ object Dedup {
     * Measured (SCALE_r12.jsonl, same-session A/B at the 30× staged
     * clique corpus): 32.7 s vs the classic stage's 239.6 s — 7.3× —
     * with identical 2,387,400-row output. The candidate anatomy behind
-    * it (prefixcand probe): 112.1M distinct prefix candidates, 44.6M
+    * it (prefixcand probe): 112.1M distinct prefix candidates, 42.6M
     * after the length filter, 2.39M true; a SHUFFLED per-candidate
     * verify at that density spilled ~80 GB and died ENOSPC, which is
     * why the broadcast map-side verify is not an optimization but the
@@ -427,7 +427,7 @@ object Dedup {
     // filter: a qualifying pair has i ≥ t'·max(c1,c2) and i ≤ min(c1,c2),
     // so (tn−1)·max ≤ 1e6·min — integer-exact, prunes before any
     // verification work touches the pair. Measured at the 30× clique
-    // smoke: 112.1M distinct prefix candidates → 44.6M after this filter
+    // smoke: 112.1M distinct prefix candidates → 42.6M after this filter
     // (2.39M true pairs — see the regime note below).
     val cand = emitPostingPairs(prefix).distinct()
       .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
