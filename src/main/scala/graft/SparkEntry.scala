@@ -317,7 +317,14 @@ object SparkEntry {
     // The fixed-threshold fast path next to the shared multi-consumer
     // intersection stage; the r12 probe prices WHY (1.02B candidates at
     // the 30x gate, 0.23% surviving the threshold).
-    "q119_dedup_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d))
+    "q119_dedup_prefix" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d)),
+    // The prefix path's NO-BROADCAST verify (the shape it runs past the
+    // broadcast byte budget): candidates co-partitioned with the per-doc
+    // sorted-array table on d1 then d2, native merge-count kernel, zero
+    // broadcast relations — oracle-pinned against q21's SQL so the
+    // at-scale verify is correctness-proven, not just plan-proven.
+    "q120_dedup_prefix_merge" ->
+      ((s, d) => Dedup.ngramJaccardPrefixMerge(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -788,9 +795,12 @@ object SparkEntry {
         |  FROM documents GROUP BY md5(text))
         |ORDER BY keeper""".stripMargin,
     "q21_dedup_ngram" -> ngramPairsSql,
-    // q119 is q21's EXACT output via prefix-filtered candidate generation
-    // — one oracle text, two engine paths (the differential is the point)
+    // q119/q120 are q21's EXACT output via prefix-filtered candidate
+    // generation — one oracle text, three engine paths (q119 = broadcast
+    // verify, q120 = no-broadcast co-partitioned merge verify; the
+    // differential is the point)
     "q119_dedup_prefix" -> ngramPairsSql,
+    "q120_dedup_prefix_merge" -> ngramPairsSql,
     "q22_dedup_minhash" ->
       (s"""WITH $minhashSigCte,
         |bands AS (

@@ -49,12 +49,17 @@ object StageProbe {
       // candidate-volume anatomy of the prefix-filtered pair path (q119):
       // prefix rows, the RAW pair volume its posting lists would emit
       // (sum C(n,2), computed from posting sizes — no pair materializes),
-      // and the distinct candidate count when the raw volume permits.
-      // This is the probe that explains a verify-stage blowup without
-      // paying for one.
-      val tn = 800000L // the operator's default threshold, in exact ppm
+      // the distinct candidate count when the raw volume permits, and the
+      // survivors of each of the operator's two integer-exact filters
+      // (PPJoin length, PPJoin positional). This is the probe that
+      // explains a verify-stage blowup without paying for one. The
+      // threshold rides argv (position 4, default 0.8) and is echoed in
+      // the JSON row so the probe's numbers are self-describing (r12
+      // ADVICE: a hardcoded tn silently mismatched non-default runs).
+      val threshold = args.lift(4).map(_.toDouble).getOrElse(0.8)
+      val tn = math.round(threshold * 1e6)
       val sh = operators.Dedup.shinglesOf(Tables.documents(spark, dir))
-      val prefix = operators.Dedup.prefixPostings(sh, 0.8, maxDf)
+      val prefix = operators.Dedup.prefixPostings(sh, threshold, maxDf)
         .localCheckpoint()
       val prefixRows = prefix.count()
       // sum over zero rows is SQL NULL — an empty prefix frame (nothing
@@ -64,33 +69,39 @@ object StageProbe {
         .agg(sum(expr("n * (n - 1) div 2"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       // the candidate frame is the probe's expensive job — build it ONCE
-      // (checkpoint) and take both counts from it
-      val (candDistinct, candLen) =
+      // (checkpoint) and take every count from it
+      val (candDistinct, candLen, candPos) =
         if (rawPairs > 0 && rawPairs <= 2000000000L) {
           val cand = prefix.groupBy(col("s"))
-            .agg(collect_list(col("doc_id")).as("ds"))
-            .select(graft.functions.TextFunctions.docIdPairs(col("ds"))
-              .as(Seq("d1", "d2")))
-            .distinct().localCheckpoint()
+            .agg(collect_list(struct(col("doc_id"), col("rem"))).as("ds"))
+            .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
+              .as(Seq("d1", "d2", "rem1", "rem2")))
+            .groupBy(col("d1"), col("d2"))
+            .agg((max(least(col("rem1"), col("rem2"))) + lit(1L)).as("ub"))
+            .localCheckpoint()
           val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
             .localCheckpoint()
-          // the EXACT length-filter predicate the operator applies
-          // ((tn−1)·max ≤ 1e6·min) — a different inequality here would
-          // misprice the operator's verify volume
-          val kept = cand
+          // the EXACT filter predicates the operator applies — different
+          // inequalities here would misprice the operator's verify volume
+          val withLen = cand
             .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
               .hint("shuffle_hash"), Seq("d1"))
             .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
               .hint("shuffle_hash"), Seq("d2"))
             .filter(expr(
               s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
-            .count()
-          (cand.count(), kept)
+            .localCheckpoint()
+          val pos = withLen.filter(expr(
+            s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)")).count()
+          (cand.count(), withLen.count(), pos)
         } else (if (rawPairs == 0) 0L else -1L,
+          if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L)
       println(s"""{"op":"prefixcand_probe","dir":"$dir","maxDf":$maxDf,""" +
+        s""""threshold":$threshold,""" +
         s""""prefix_rows":$prefixRows,"raw_prefix_pairs":$rawPairs,""" +
         s""""cand_distinct":$candDistinct,"cand_len_filtered":$candLen,""" +
+        s""""cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return

@@ -412,6 +412,12 @@ object TextFunctions {
   def docIdPairs(postings: Column): Column =
     Bridge.column(DocIdPairs(Bridge.expression(postings)))
 
+  /** Streaming C(n,2) pair generator over an array<struct<doc_id, rem>>
+    * prefix posting list — yields `(d1, d2, rem1, rem2)` rows, `d1 < d2`;
+    * alias with `.as(Seq("d1", "d2", "rem1", "rem2"))`. */
+  def docIdRemPairs(postings: Column): Column =
+    Bridge.column(DocIdRemPairs(Bridge.expression(postings)))
+
   /** Exact intersection size of two SORTED bigint array columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(

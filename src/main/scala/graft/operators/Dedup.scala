@@ -331,43 +331,76 @@ object Dedup {
     *
     * Scale shape: one window over the gated shingle frame (doc-keyed
     * rank + gated count in the same exchange), prefix posting-list pair
-    * generation ([[emitPostingPairs]] — the same bounded-worst-key
-    * contract as the full stage, over far fewer rows), a distinct + the
-    * PPJoin length filter on the candidates, then MAP-SIDE exact
-    * verification: per-doc sorted gated-shingle arrays broadcast once
-    * behind a loud `maxBroadcastDocs` budget gate (q25's pattern), each
-    * candidate intersected by the native [[graft.functions
-    * .SortedIntersectCount]] merge kernel — no per-candidate shuffle.
+    * generation carrying PPJoin's positional payload
+    * ([[graft.functions.DocIdRemPairs]] — the same bounded-worst-key
+    * contract as the full stage, over far fewer rows), then THREE
+    * integer-exact candidate filters before any verification work:
+    * the PPJoin length filter (`(tn−1)·max(c1,c2) ≤ 1e6·min(c1,c2)`),
+    * and the PPJoin POSITIONAL filter — the pair's overlap upper bound
+    * from its first shared prefix shingle, `ub = 1 + min(g1−r1, g2−r2)`
+    * (computed as `max(least(rem1, rem2)) + 1` over the pair's shared
+    * prefix shingles; see [[graft.functions.DocIdRemPairs]] for why the
+    * max IS the first-match bound), kept only when
+    * `(1e6 + tn − 1)·ub ≥ (tn−1)·(c1 + c2)` — the exact integer form of
+    * `ub ≥ t′·(c1+c2)/(1+t′)`, the overlap a qualifying pair MUST reach.
+    * Survivors verify exactly against per-doc sorted gated-shingle
+    * arrays with the native [[graft.functions.SortedIntersectCount]]
+    * merge kernel, in one of two verify shapes (`verify` param):
+    *  - `broadcast` — arrays broadcast once, map-side intersect, no
+    *    per-candidate shuffle. Budget-gated on MEASURED bytes (total
+    *    gated cells × 8 + per-doc overhead, × 2 — Spark plans one
+    *    broadcast exchange per join side), not doc counts: a corpus of
+    *    long documents can't OOM the driver with the gate passed.
+    *  - `merge` — NO broadcast anywhere: candidates co-partitioned with
+    *    the array table on d1 (shuffled hash join), then the
+    *    (candidate, a1) rows co-partitioned on d2 against the same
+    *    array table. Shuffle volume = surviving candidates × array
+    *    width — the positional filter is what makes this affordable
+    *    (it kills the ENOSPC row-fan-out class the r12 first cut hit).
+    *  - `auto` (default) — measure the array table once (one aggregate
+    *    action), broadcast under `maxBroadcastBytes`, merge past it.
+    * The r12 `maxBroadcastDocs` refusal is RETIRED: past the budget the
+    * operator now demotes to the merge verify instead of falling back
+    * to the 8×-slower classic stage.
     *
     * Measured (SCALE_r12.jsonl, same-session A/B at the 30× staged
-    * clique corpus): 32.7 s vs the classic stage's 239.6 s — 7.3× —
-    * with identical 2,387,400-row output. The candidate anatomy behind
-    * it (prefixcand probe): 112.1M distinct prefix candidates, 42.6M
-    * after the length filter, 2.39M true; a SHUFFLED per-candidate
-    * verify at that density spilled ~80 GB and died ENOSPC, which is
-    * why the broadcast map-side verify is not an optimization but the
-    * difference between working and not. The gate is the honest cost:
-    * past `maxBroadcastDocs` the table doesn't fit and [[ngramJaccard]]
-    * (co-occurrence counting, no broadcast anywhere) is the scale path —
-    * the refusal message says so. Deliberately NOT memo-shared with
-    * [[interCounts]]: q78/q105/q111 read the full candidate frame at
-    * other thresholds; this is the fixed-threshold fast path a
-    * production dedup (which runs ONE threshold) would choose. */
+    * clique corpus, pre-positional-filter): 32.7 s vs the classic
+    * stage's 239.6 s — 7.3× — with identical 2,387,400-row output;
+    * candidate anatomy 112.1M distinct prefix candidates, 42.6M after
+    * the length filter, 2.39M true (SCALE_r13 re-prices with the
+    * positional filter and the merge verify). Deliberately NOT
+    * memo-shared with [[interCounts]]: q78/q105/q111 read the full
+    * candidate frame at other thresholds; this is the fixed-threshold
+    * fast path a production dedup (which runs ONE threshold) would
+    * choose. */
   def ngramJaccardPrefix(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf)
       .orderBy(col("d1"), col("d2"))
 
+  /** [[ngramJaccardPrefix]] with the verify stage FORCED to the
+    * no-broadcast co-partitioned merge shape (q120) — the verify the
+    * operator runs past the broadcast budget, pinned in the correctness
+    * gate against q21's oracle so the at-scale path is oracle-proven,
+    * not just plan-proven. */
+  def ngramJaccardPrefixMerge(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
+    ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf,
+        verify = "merge")
+      .orderBy(col("d1"), col("d2"))
+
   /** [[ngramJaccardPrefix]] over an arbitrary `(doc_id, text)` frame. */
   def ngramJaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8,
-      maxDf: Int = 100): DataFrame =
-    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf)
+      maxDf: Int = 100, verify: String = "auto"): DataFrame =
+    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify)
       .orderBy(col("d1"), col("d2"))
 
   /** The per-doc rarest-first PREFIX posting frame of
-    * [[ngramJaccardPrefix]] — `(doc_id, s)` rows restricted to each doc's
-    * first `g − α + 1` gated shingles under the global (df, s) order.
-    * Exposed for the candidate-volume probe ([[graft.StageProbe]]). */
+    * [[ngramJaccardPrefix]] — `(doc_id, s, rem)` rows restricted to each
+    * doc's first `g − α + 1` gated shingles under the global (df, s)
+    * order, with `rem = g − r` (the gated shingles ranked after this one
+    * — PPJoin's positional payload). Exposed for the candidate-volume
+    * probe ([[graft.StageProbe]]). */
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
       maxDf: Int): DataFrame = {
     val tn = math.round(threshold * 1e6)
@@ -397,23 +430,56 @@ object Dedup {
       .withColumn("alpha",
         expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)"))
       .filter(col("r") <= col("g") - col("alpha") + lit(1))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), (col("g") - col("r")).as("rem"))
+  }
+
+  /** Candidate pairs of a prefix posting frame, POSITION- and
+    * LENGTH-filtered, with both docs' full counts attached — the shared
+    * candidate stage of both verify shapes. One groupBy over the
+    * streamed positional pairs computes pair-distinctness AND the
+    * first-match overlap bound in the same shuffle the old `.distinct()`
+    * paid. */
+  private def prefixCandidates(prefix: DataFrame, docLen: DataFrame,
+      tn: Long): DataFrame = {
+    val postings = prefix.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("rem"))).as("ds"))
+    postings
+      .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
+        .as(Seq("d1", "d2", "rem1", "rem2")))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(least(col("rem1"), col("rem2"))) + lit(1L)).as("ub"))
+      .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
+        .hint("shuffle_hash"), Seq("d2"))
+      // PPJoin length filter: qualifying ⇒ i ≥ t′·max(c1,c2) and
+      // i ≤ min(c1,c2), so (tn−1)·max ≤ 1e6·min — integer-exact
+      .filter(expr(
+        s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
+      // PPJoin positional filter: J ≥ t′ ⟺ i ≥ t′·(c1+c2)/(1+t′), and
+      // i ≤ ub always — so a candidate whose bound can't reach the
+      // requirement is dead before any verify work. Exact integer form:
+      // (1e6 + tn − 1)·ub ≥ (tn−1)·(c1+c2).
+      .filter(expr(s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)"))
+      .select(col("d1"), col("d2"), col("c1"), col("c2"))
   }
 
   private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
-      threshold: Double, maxDf: Int,
-      maxBroadcastDocs: Long = 500000L): DataFrame = {
+      threshold: Double, maxDf: Int, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    require(verify == "auto" || verify == "broadcast" || verify == "merge",
+      s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
     val tn = math.round(threshold * 1e6)
     require(tn >= 1 && tn <= 1000000,
       s"threshold must be in (0, 1], got $threshold")
-    // two Spark actions consume everything below (the budget-gate count,
-    // then the candidate job the caller runs) — checkpoint the shared
-    // frames ONCE so the shingle scan/hash and the df aggregation don't
-    // re-execute per action. docLen is docs-sized; gated is the shingle
-    // frame + an 8-byte df, both well under the corpora this operator's
-    // broadcast gate admits. dropOriginConstraints: checkpointed frames
-    // keep their stats but shed the stale origin constraints Spark 4.1
-    // chokes on (the q50 contraction lesson).
+    // several Spark actions consume everything below (the array-table
+    // measurement in auto/broadcast mode, then the candidate job the
+    // caller runs) — checkpoint the shared frames ONCE so the shingle
+    // scan/hash and the df aggregation don't re-execute per action (and,
+    // in merge mode, per join side). docLen is docs-sized; gated is the
+    // shingle frame + an 8-byte df. dropOriginConstraints: checkpointed
+    // frames keep their stats but shed the stale origin constraints
+    // Spark 4.1 chokes on (the q50 contraction lesson).
     import org.apache.spark.sql.graft.Bridge
     val docLen = Bridge.dropOriginConstraints(
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
@@ -422,48 +488,65 @@ object Dedup {
       .hint("shuffle_hash")
     val gated = Bridge.dropOriginConstraints(
       sh.join(keep, Seq("s")).localCheckpoint())
-    val prefix = prefixOfGated(gated, docLen, tn)
-    // candidates = prefix co-occurrence pairs, then the PPJoin LENGTH
-    // filter: a qualifying pair has i ≥ t'·max(c1,c2) and i ≤ min(c1,c2),
-    // so (tn−1)·max ≤ 1e6·min — integer-exact, prunes before any
-    // verification work touches the pair. Measured at the 30× clique
-    // smoke: 112.1M distinct prefix candidates → 42.6M after this filter
-    // (2.39M true pairs — see the regime note below).
-    val cand = emitPostingPairs(prefix).distinct()
-      .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
-        .hint("shuffle_hash"), Seq("d1"))
-      .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
-        .hint("shuffle_hash"), Seq("d2"))
-      .filter(expr(
-        s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
-    // exact verification, MAP-SIDE: per-doc sorted gated-shingle arrays
-    // broadcast once, each candidate intersected by the native
-    // merge-count kernel — no per-candidate shuffle at all. The row
-    // fan-out alternative (candidates × d1's shingles through a shuffled
-    // join) was measured to spill ~80 GB at the 30× clique smoke and die
-    // ENOSPC; the broadcast table is the verify structure PPJoin assumes.
-    // It is corpus-sized, so it gets q25's treatment: a loud budget gate
-    // naming the fallback instead of a silent driver kill.
+    val cand =
+      prefixCandidates(prefixOfGated(gated, docLen, tn), docLen, tn)
+    // exact verification against per-doc sorted gated-shingle arrays with
+    // the native merge-count kernel. Two shapes (scaladoc above): the
+    // broadcast map-side form under a MEASURED byte budget, and the
+    // co-partitioned merge form with no broadcast anywhere. The r12
+    // ENOSPC death was the ROW fan-out verify (candidates × d1's shingle
+    // rows); the merge form ships one packed array per candidate-side
+    // instead, and only for candidates the positional filter kept.
     val arrays = gated.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("s"))).as("arr"))
       .localCheckpoint()
-    val nDocs = arrays.count()
-    require(nDocs <= maxBroadcastDocs,
-      s"ngramJaccardPrefix verifies against a BROADCAST per-doc shingle-" +
-        s"array table; $nDocs gated docs exceed maxBroadcastDocs=" +
-        s"$maxBroadcastDocs (~${maxBroadcastDocs / 5000}MB+). Use " +
-        "ngramJaccard (the shared co-occurrence stage) for corpora past " +
-        "the broadcast budget, or raise maxBroadcastDocs if the cluster " +
-        "can hold the table.")
-    val verified = cand
-      .join(broadcast(arrays.select(col("doc_id").as("d1"),
-        col("arr").as("a1"))), Seq("d1"))
-      .join(broadcast(arrays.select(col("doc_id").as("d2"),
-        col("arr").as("a2"))), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        graft.functions.TextFunctions
-          .sortedIntersectCount(col("a1"), col("a2")).as("i"),
-        col("c1"), col("c2"))
+    val mode =
+      if (verify == "merge") "merge"
+      else {
+        // one aggregate action prices the broadcast: measured cells, not
+        // assumed bytes-per-doc (ADVICE r12: maxDf caps a shingle's df,
+        // not a doc's length — doc counts misprice long-doc corpora by
+        // 20×), and BOTH relations (Spark plans one broadcast exchange
+        // per join side; ReusedExchange may dedup them, but the budget
+        // must hold when it doesn't).
+        val m = arrays.agg(count(lit(1)).as("n"),
+          sum(size(col("arr"))).as("cells")).head()
+        val nDocs = m.getLong(0)
+        val cells = if (m.isNullAt(1)) 0L else m.getLong(1)
+        val bytes = 2L * (cells * 8L + nDocs * 32L)
+        if (bytes <= maxBroadcastBytes) "broadcast"
+        else {
+          require(verify != "broadcast",
+            s"ngramJaccardPrefix(verify=broadcast): the per-doc shingle-" +
+              s"array table measures ~$bytes bytes across both broadcast " +
+              s"relations ($nDocs docs, $cells cells), over " +
+              s"maxBroadcastBytes=$maxBroadcastBytes. Use verify='merge' " +
+              "(the no-broadcast co-partitioned verify) or raise the " +
+              "budget if the cluster can hold the table.")
+          "merge"
+        }
+      }
+    val verified =
+      if (mode == "broadcast")
+        cand
+          .join(broadcast(arrays.select(col("doc_id").as("d1"),
+            col("arr").as("a1"))), Seq("d1"))
+          .join(broadcast(arrays.select(col("doc_id").as("d2"),
+            col("arr").as("a2"))), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            graft.functions.TextFunctions
+              .sortedIntersectCount(col("a1"), col("a2")).as("i"),
+            col("c1"), col("c2"))
+      else
+        cand
+          .join(arrays.select(col("doc_id").as("d1"), col("arr").as("a1"))
+            .hint("shuffle_hash"), Seq("d1"))
+          .join(arrays.select(col("doc_id").as("d2"), col("arr").as("a2"))
+            .hint("shuffle_hash"), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            graft.functions.TextFunctions
+              .sortedIntersectCount(col("a1"), col("a2")).as("i"),
+            col("c1"), col("c2"))
     jaccardOfInter(verified, threshold)
   }
 

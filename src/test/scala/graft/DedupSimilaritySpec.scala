@@ -247,6 +247,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val classic = rows(Dedup.ngramJaccard(spark, sfDir))
     val viaPrefix = rows(Dedup.ngramJaccardPrefix(spark, sfDir))
     assert(viaPrefix === classic && classic.nonEmpty)
+    // both verify shapes produce the same frame: the broadcast fast path
+    // (auto picks it at fixture scale) and the no-broadcast merge verify
+    // (q120 — the past-budget shape)
+    val viaMerge = rows(Dedup.ngramJaccardPrefixMerge(spark, sfDir))
+    assert(viaMerge === classic)
     // 2. the exact-boundary pair: 9 distinct shingles each, 8 shared
     //    (tokens 1..11 with the last differing) -> J = 8/(9+9-8) = 0.8
     //    EXACTLY; the α floor must not prune it. The third doc shares 7
@@ -297,13 +302,63 @@ class DedupSimilaritySpec extends SparkSpec {
     val builtin = rand.selectExpr("size(array_intersect(a, b))")
       .collect().map(_.getInt(0).toLong).toSeq
     assert(kernel === builtin)
-    // the budget gate refuses loudly past maxBroadcastDocs, naming the
-    // classic path
+    // past the measured byte budget: auto mode DEMOTES to the merge
+    // verify (same output, no broadcast), while an explicit
+    // verify='broadcast' refuses loudly, quoting measured bytes and
+    // naming the merge path — the caller demanded a shape that would
+    // OOM the driver
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val demoted = Dedup.ngramJaccardPrefixOfShingles(
+        Dedup.shinglesOf(docs), 0.8, 100, maxBroadcastBytes = 1L)
+      .orderBy($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val classic = Dedup.ngramJaccardOf(docs).orderBy($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(demoted === classic && classic.nonEmpty)
     val e = intercept[IllegalArgumentException](
       Dedup.ngramJaccardPrefixOfShingles(Dedup.shinglesOf(docs), 0.8, 100,
-        maxBroadcastDocs = 3))
-    assert(e.getMessage.contains("ngramJaccard"))
+        verify = "broadcast", maxBroadcastBytes = 1L))
+    assert(e.getMessage.contains("merge") && e.getMessage.contains("bytes"))
+    // and the verify parameter rejects typos instead of silently defaulting
+    val t = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixOfShingles(Dedup.shinglesOf(docs), 0.8, 100,
+        verify = "bcast"))
+    assert(t.getMessage.contains("verify"))
+  }
+
+  test("positional pair generator: PPJoin first-match bound, d1 < d2, " +
+      "rems carried; the bound never under-prunes a qualifying pair") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // emission semantics: pairs sorted by id with rems carried alongside,
+    // short/empty lists yield nothing, null elements rejected upstream by
+    // construction (collect_list drops nulls)
+    val lists = Seq(
+      (1L, Seq((5L, 7L), (3L, 9L), (9L, 2L))), // 3 ids -> 3 pairs
+      (2L, Seq((4L, 1L))), // singleton: no pairs
+      (3L, Seq.empty[(Long, Long)]))
+      .toDF("k", "raw")
+      .selectExpr("k",
+        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS rem)) AS ds")
+    val emitted = lists.select(TextFunctions.docIdRemPairs($"ds")
+        .as(Seq("d1", "d2", "rem1", "rem2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(emitted === Set(
+      (3L, 5L, 9L, 7L), (3L, 9L, 9L, 2L), (5L, 9L, 7L, 2L)))
+    // end-to-end soundness of max(least(rem1, rem2)) + 1 as the overlap
+    // bound: on a corpus where every true pair's exact intersection is
+    // known (the classic stage), the prefix path with the positional
+    // filter must lose nothing — across thresholds, including one where
+    // prefixes are long (low t) and one where they are short (high t)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    for (t <- Seq(0.5, 0.9)) {
+      val exact = Dedup.ngramJaccardOf(docs, threshold = t)
+        .orderBy($"d1", $"d2").collect().map(_.toSeq).toSeq
+      val pref = Dedup.ngramJaccardPrefixOf(docs, threshold = t)
+        .collect().map(_.toSeq).toSeq
+      assert(pref === exact, s"threshold $t")
+    }
   }
 
   test("persisted index refuses a shingle-currency mismatch loudly") {

@@ -239,15 +239,36 @@ class PlanSpec extends SparkSpec {
   test("q119 prefix path: broadcast array verify, no cartesian, gated gen") {
     StageMemo.clear()
     val p = plan(Dedup.ngramJaccardPrefix(spark, sfDir))
-    // the verify joins are the BROADCAST the operator's budget gate prices
+    // the verify joins are the BROADCAST the operator's byte budget prices
+    // (auto mode picks broadcast at fixture scale)
     assert(p.contains("BroadcastHashJoin"),
       s"array verify must be a broadcast hash join:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"no unkeyed join anywhere in the prefix path:\n$p")
-    // candidate generation still streams through the generator over the
-    // PREFIX postings, and the df gate survives to the physical plan
-    assert(p.contains("graft_doc_id_pairs"), s"generator expected:\n$p")
+    // candidate generation streams through the POSITIONAL generator over
+    // the prefix postings, and the df gate survives to the physical plan
+    assert(p.contains("graft_doc_id_rem_pairs"),
+      s"positional generator expected:\n$p")
+    assert(p.contains("graft_sorted_intersect_count"),
+      s"native merge-count kernel expected in the verify projection:\n$p")
+  }
+
+  test("q120 prefix merge verify: zero broadcast relations anywhere") {
+    StageMemo.clear()
+    val p = plan(Dedup.ngramJaccardPrefixMerge(spark, sfDir))
+    // the no-broadcast contract IS the operator: past the byte budget
+    // this is the shape that runs, and it must never smuggle a broadcast
+    // back in via AQE or join reordering
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"merge verify must plan NO broadcast relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"co-partitioned array joins must be shuffled hash joins:\n$p")
+    assert(p.contains("graft_doc_id_rem_pairs"),
+      s"positional generator expected:\n$p")
     assert(p.contains("graft_sorted_intersect_count"),
       s"native merge-count kernel expected in the verify projection:\n$p")
   }
