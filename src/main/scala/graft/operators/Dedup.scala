@@ -848,15 +848,49 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/hashes")
   }
 
-  /** Read a persisted index's shingle frame, REFUSING a currency
-    * mismatch: the session's [[shingleCurrency]] decides the type of the
-    * increment's freshly-hashed keys, and Spark's set-operation coercion
-    * would widen a bigint∪string union to STRING — the long keys print as
-    * decimal digits that can never equal the index's 16-hex keys, so
-    * every cross-index probe silently finds nothing and each incoming doc
-    * reads as novel. The internal fixture path keys its index dirs by
-    * currency; this guard covers the PUBLIC path where the caller hands
-    * an arbitrary index location. */
+  /** Highest COMMITTED increment version of a persisted index (0 = the
+    * [[writeDedupIndex]] base only). An increment version N ≥ 1 is
+    * committed iff its marker file `inc/vN/_graft_commit` exists — the
+    * marker is the LAST write of [[incrementalClustersAgainstIndex]]'s
+    * commit sequence, so a crash anywhere before it leaves every reader
+    * serving version N−1 (never a torn N) and a re-run overwrites the
+    * staged files idempotently. Versions are contiguous by protocol
+    * (commit N starts only after N−1's marker); a committed version above
+    * a gap is state the protocol cannot produce, refused loudly. */
+  private[graft] def committedVersion(path: String): Int = {
+    val incs = Option(new java.io.File(s"$path/inc").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt)
+      .filter(v => new java.io.File(s"$path/inc/v$v/_graft_commit").exists())
+      .sorted
+    var latest = 0
+    for (v <- incs) if (v == latest + 1) latest = v
+    require(incs.isEmpty || incs.last == latest,
+      s"dedup index at $path has a committed increment v${incs.last} above " +
+        s"a gap (contiguous committed max is v$latest) — the index is " +
+        "corrupt; rebuild it with writeDedupIndex")
+    latest
+  }
+
+  /** The committed increments' frames of one index component
+    * (`shingles` / `hashes`) — versions above [[committedVersion]] are
+    * invisible even when their files exist (staged by an in-flight or
+    * crashed commit). */
+  private def committedIncParts(spark: SparkSession, path: String,
+      what: String): Seq[DataFrame] =
+    (1 to committedVersion(path)).map(v =>
+      spark.read.parquet(s"$path/inc/v$v/$what"))
+
+  /** Read a persisted index's shingle frame (base + committed increments),
+    * REFUSING a currency mismatch: the session's [[shingleCurrency]]
+    * decides the type of the increment's freshly-hashed keys, and Spark's
+    * set-operation coercion would widen a bigint∪string union to STRING —
+    * the long keys print as decimal digits that can never equal the
+    * index's 16-hex keys, so every cross-index probe silently finds
+    * nothing and each incoming doc reads as novel. The internal fixture
+    * path keys its index dirs by currency; this guard covers the PUBLIC
+    * path where the caller hands an arbitrary index location. */
   private def readIndexShingles(spark: SparkSession,
       indexPath: String): DataFrame = {
     val idxSh = spark.read.parquet(s"$indexPath/shingles")
@@ -871,8 +905,16 @@ object Dedup {
         s"'${shingleCurrency(spark)}' hashes the increment to " +
         s"${want.simpleString} — set the conf to match the index or " +
         "rebuild it under the session currency")
-    idxSh
+    committedIncParts(spark, indexPath, "shingles")
+      .foldLeft(idxSh)(_ unionByName _)
   }
+
+  /** Read a persisted index's digest frame (base + committed
+    * increments). */
+  private def readIndexHashes(spark: SparkSession,
+      indexPath: String): DataFrame =
+    committedIncParts(spark, indexPath, "hashes")
+      .foldLeft(spark.read.parquet(s"$indexPath/hashes"))(_ unionByName _)
 
   /** Dedup an `incoming` increment against a [[writeDedupIndex]]-persisted
     * corpus plus itself — [[incrementalDedupOf]]'s verdict rules
@@ -884,7 +926,7 @@ object Dedup {
       incoming: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
     val idxSh = readIndexShingles(spark, indexPath)
-    val idxHashes = spark.read.parquet(s"$indexPath/hashes")
+    val idxHashes = readIndexHashes(spark, indexPath)
     val newSh = shinglesOf(incoming)
     val newHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
     val pairs = incrementalPairsOf(idxSh.unionByName(newSh), newSh,
@@ -958,13 +1000,14 @@ object Dedup {
         java.nio.file.Files.getLastModifiedTime(p).toMillis >= srcMtime
     }
     if (!freshAt(s"$path/hashes/_SUCCESS")) {
-      // a stale index invalidates every forest version committed on top of
-      // it — drop the whole forest dir so latestForestVersion can't pick a
-      // survivor from the previous corpus
+      // a stale index invalidates every forest version and committed
+      // increment on top of it — drop both dirs so latestForestVersion /
+      // committedVersion can't pick a survivor from the previous corpus
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(s"$path/forest"))
+      rm(new java.io.File(s"$path/inc"))
       writeDedupIndex(shipped, path)
     }
     if (withForest && !freshAt(s"$path/forest/v0/_SUCCESS"))
@@ -1014,15 +1057,16 @@ object Dedup {
 
   /** Highest committed forest version under `path/forest` (v0 = the
     * [[writeClusterForest]] seed; each [[incrementalClustersAgainstIndex]]
-    * commit adds one). */
+    * commit adds one). Visibility is gated on the increment's commit
+    * MARKER, not the forest directory: a forest `vN` written by a crashed
+    * commit (the first write of the sequence) is invisible until the
+    * marker lands, so readers never serve a forest whose edges the index
+    * can't re-derive. */
   private[graft] def latestForestVersion(path: String): Int = {
-    val vs = Option(new java.io.File(s"$path/forest").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-    require(vs.nonEmpty, s"no persisted cluster forest under $path/forest" +
-      " — seed one with writeClusterForest")
-    vs.max
+    require(new java.io.File(s"$path/forest/v0").isDirectory,
+      s"no persisted cluster forest under $path/forest" +
+        " — seed one with writeClusterForest")
+    committedVersion(path)
   }
 
   /** Incremental CLUSTER commit against a persisted index + star forest —
@@ -1038,11 +1082,19 @@ object Dedup {
     * across time; differential-spec'd against the pair-state
     * re-derivation in DedupSimilaritySpec).
     *
-    * With `commit = true` the call is a state transition: the new forest
-    * version is persisted and the increment's shingles/digests join the
-    * index, so the NEXT increment dedups against everything shipped so
-    * far. `commit = false` is the read-only fixture form (q118) — same
-    * output frame, no mutation, idempotent across verify/bench laps. */
+    * With `commit = true` the call is a CRASH-SAFE state transition: the
+    * new forest version and the increment's shingles/digests are staged
+    * under version-keyed paths (`forest/v(N+1)`, `inc/v(N+1)/shingles`,
+    * `inc/v(N+1)/hashes` — each an idempotent overwrite), and visibility
+    * flips with ONE marker file (`inc/v(N+1)/_graft_commit`) written
+    * last. A crash between any two writes leaves every reader
+    * ([[latestForestVersion]], [[readIndexShingles]], the df gate of the
+    * next increment) serving version N exactly; re-running the same
+    * commit overwrites the staged files and completes — never a torn
+    * index or a double-appended increment (the r12 blind-append form
+    * could do both). `commit = false` is the read-only fixture form
+    * (q118) — same output frame, no mutation, idempotent across
+    * verify/bench laps. */
   def incrementalClustersAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
       commit: Boolean = true): DataFrame = {
@@ -1062,22 +1114,30 @@ object Dedup {
       prev.unionByName(pairs).distinct())
     val assembled =
       if (commit) {
+        // the crash-safe write sequence (scaladoc above): three staged
+        // OVERWRITES under version-keyed paths, then the single marker
+        // that makes v+1 visible. Any prefix of this sequence is
+        // invisible to readers and harmlessly overwritten by a re-run.
+        val inc = s"$indexPath/inc/v${v + 1}"
         labels.filter(col("id") =!= col("label"))
           .select(col("id").as("d1"), col("label").as("d2"))
           .write.mode("overwrite").parquet(s"$indexPath/forest/v${v + 1}")
-        newSh.write.mode("append").parquet(s"$indexPath/shingles")
+        newSh.write.mode("overwrite").parquet(s"$inc/shingles")
         incoming.select(col("doc_id"), md5(col("text")).as("h"))
-          .write.mode("append").parquet(s"$indexPath/hashes")
+          .write.mode("overwrite").parquet(s"$inc/hashes")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(inc, "_graft_commit"),
+          Array.emptyByteArray)
         // assemble from the committed files: hashes now carry every seen
         // doc id, the forest file is this commit's contraction
-        spark.read.parquet(s"$indexPath/hashes").select(col("doc_id"))
+        readIndexHashes(spark, indexPath).select(col("doc_id"))
           .join(spark.read.parquet(s"$indexPath/forest/v${v + 1}")
             .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("d2"), col("doc_id")).as("cluster"))
       } else {
-        spark.read.parquet(s"$indexPath/hashes").select(col("doc_id"))
+        readIndexHashes(spark, indexPath).select(col("doc_id"))
           .unionByName(incoming.select(col("doc_id")))
           .join(labels.withColumnRenamed("id", "doc_id")
             .hint("shuffle_hash"), Seq("doc_id"), "left")

@@ -612,6 +612,70 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally rmrf(path)
   }
 
+  test("q118 commit is crash-safe: every torn write prefix serves the " +
+      "prior version and a re-run completes idempotently") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val part = pmod($"doc_id", lit(3))
+    val shipped = docs.filter(part === 0)
+    val inc1 = docs.filter(part === 1)
+    def freshIndex(): String = {
+      val p = s"target/testidx/crash${System.nanoTime()}"
+      Dedup.writeDedupIndex(shipped, p)
+      Dedup.writeClusterForest(shipped, p)
+      p
+    }
+    // golden run: the v0-world verdicts BEFORE any commit, then a clean
+    // commit's cluster frame and reader state
+    val goldPath = freshIndex()
+    try {
+      val v0Verdicts = Dedup.incrementalDedupAgainstIndex(spark, goldPath,
+        inc1).collect().map(_.toSeq).toSeq
+      val golden = Dedup.incrementalClustersAgainstIndex(spark, goldPath,
+        inc1).collect().map(_.toSeq).toSeq
+      assert(Dedup.latestForestVersion(goldPath) == 1)
+      // the commit writes, IN ORDER: (1) forest/v1, (2) inc/v1/shingles,
+      // (3) inc/v1/hashes, (4) the marker — so a crash between any two
+      // writes leaves exactly a prefix, and every torn state is a
+      // completed commit minus a suffix. Build each torn state and prove
+      // (a) all readers serve v0 exactly — the torn v1 is invisible to
+      // the forest version, the shingle index, AND the digest frame —
+      // and (b) re-running the same commit completes and reproduces the
+      // clean-run golden (idempotent overwrites, no double-append).
+      for (crashAfter <- Seq("hashes", "shingles", "forest")) {
+        val p = freshIndex()
+        try {
+          Dedup.incrementalClustersAgainstIndex(spark, p, inc1).collect()
+          rmrf(s"$p/inc/v1/_graft_commit")
+          if (crashAfter != "hashes") rmrf(s"$p/inc/v1/hashes")
+          if (crashAfter == "forest") rmrf(s"$p/inc/v1/shingles")
+          assert(Dedup.latestForestVersion(p) == 0,
+            s"crash after $crashAfter must leave readers on v0")
+          val torn = Dedup.incrementalDedupAgainstIndex(spark, p, inc1)
+            .collect().map(_.toSeq).toSeq
+          assert(torn === v0Verdicts,
+            s"crash after $crashAfter: index probes must see the v0 world")
+          val rerun = Dedup.incrementalClustersAgainstIndex(spark, p, inc1)
+            .collect().map(_.toSeq).toSeq
+          assert(rerun === golden,
+            s"re-run after a crash after $crashAfter must match the " +
+              "clean-run golden")
+          assert(Dedup.latestForestVersion(p) == 1)
+        } finally rmrf(p)
+      }
+      // a committed version above a gap is protocol-impossible state —
+      // refused loudly instead of silently serving a hole
+      val gapDir = new java.io.File(s"$goldPath/inc/v3")
+      gapDir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$goldPath/inc/v3/_graft_commit"),
+        Array.emptyByteArray)
+      val e = intercept[IllegalArgumentException](
+        Dedup.latestForestVersion(goldPath))
+      assert(e.getMessage.contains("gap"))
+    } finally rmrf(goldPath)
+  }
+
   test("near-dup hot buckets are gated before pairing") {
     import spark.implicits._
     // a degenerate corpus (one shared direction) collides into ONE bucket
