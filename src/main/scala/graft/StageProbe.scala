@@ -11,19 +11,25 @@ import org.apache.spark.sql.functions._
   * timing the stage in isolation, on one box, in one session.
   *
   * Usage:
-  *   sbt "runMain graft.StageProbe [stage] [dir] [maxDf] [laps] [currency...]"
-  * defaults: ngraminter target/scale/x30 3000 3 long hex
+  *   sbt "runMain graft.StageProbe [stage] [dir] [maxDf] [laps] [variant...]"
+  * defaults: ngraminter target/scale/x30 3000 3 default
   *
-  * Stages: `ngraminter` (the df-gated shingle-intersection chain — scan →
-  * shingle hash → df gate → posting-list pair explode → doc-length joins,
-  * the measured 85-95% term of the cluster family's 30× wall-time). Each
-  * lap clears [[StageMemo]] and sinks the stage to the noop writer with an
-  * observe row counter, exactly like ScaleSmoke's protocol; passing
-  * several variants A/Bs them in the SAME session (same JIT, same box
-  * load regime), one JSON row per variant. A variant is
-  * `currency[:emitter]` — e.g. `long`, `hex`, `long:hof` — selecting the
-  * shingle shuffle currency and the pair-emission form (default emitter =
-  * the session default, the streaming generator).
+  * Stages:
+  *  - `ngraminter` — the df-gated shingle-intersection chain (scan →
+  *    shingle hash → df gate → posting-list pair explode → doc-length
+  *    joins, the measured 85-95% term of the cluster family's 30×
+  *    wall-time). A variant is `default` or an integer
+  *    `initialPartitionNum` (A/Bs AQE's initial slicing of the fat pair
+  *    shuffle). The r12 currency/emitter variants were retired with the
+  *    differential twins themselves.
+  *  - `prefixcand` — candidate-volume anatomy of the prefix pair path.
+  *  - `spangram` — the q77 sliding-window gram stage, hex-string vs
+  *    native-long fingerprint currency A/B'd in one session (the r13
+  *    currency lever; the hex form lives only here, as the probe twin).
+  * Each lap clears [[StageMemo]] and sinks the stage to the noop writer
+  * with an observe row counter, exactly like ScaleSmoke's protocol;
+  * passing several variants A/Bs them in the SAME session (same JIT,
+  * same box load regime), one JSON row per variant.
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
@@ -31,9 +37,8 @@ object StageProbe {
     val dir = args.lift(1).getOrElse("target/scale/x30")
     val maxDf = args.lift(2).map(_.toInt).getOrElse(3000)
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
-    val currencies =
-      if (args.length > 4) args.drop(4).toSeq else Seq("long", "hex")
-    require(stage == "ngraminter" || stage == "prefixcand",
+    require(stage == "ngraminter" || stage == "prefixcand" ||
+      stage == "spangram",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -106,6 +111,54 @@ object StageProbe {
       spark.stop()
       return
     }
+    if (stage == "spangram") {
+      // q77 gram-currency A/B: the full span-audit pipeline
+      // (duplicatedSpansFrom) cold-lapped over (a) the operator's native
+      // 8-byte long fingerprints and (b) the retired 16-hex STRING form,
+      // reproduced here inline as the probe twin — the SAME within-session
+      // protocol the r12 shingle-currency probe used. The two gram frames
+      // are a bijection (parse the hex as unsigned 64-bit), so rows must
+      // agree exactly; the delta prices the narrower df-gate groupBy and
+      // hit semi-join shuffles.
+      val docs = Tables.documents(spark, dir)
+      val n = 8
+      def hexGrams = docs
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .select(col("doc_id"), operators.TextAnalysis.tokens(col("text"))
+          .as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(
+             |  slice(sequence(1, greatest(size(t) - ${n - 1}, 1)),
+             |        1, greatest(coalesce(size(t) - ${n - 1}, 0), 0)),
+             |  i -> struct(i AS pos,
+             |    substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 16) AS g))"""
+            .stripMargin)).as("w"))
+        .select(col("doc_id"), col("w.pos"), col("w.g"))
+      def longGrams = operators.Dedup.spanGramsOf(docs, n)
+      for ((label, grams) <- Seq("long" -> (() => longGrams),
+          "hex" -> (() => hexGrams))) {
+        var rows = -1L
+        val times = (1 to laps).map { _ =>
+          StageMemo.clear()
+          val obs = org.apache.spark.sql.Observation()
+          val t0 = System.nanoTime()
+          operators.Dedup.duplicatedSpansFrom(grams(), docs, n, minDocs = 2)
+            .observe(obs, count(lit(1)).as("rows"))
+            .write.mode("overwrite").format("noop").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          rows = obs.get("rows") match { case l: Long => l; case _ => -1L }
+          s
+        }
+        val lapsJson = times.map(t =>
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(t)))
+          .mkString("[", ",", "]")
+        println(s"""{"op":"spangram_probe","dir":"$dir","n":$n,""" +
+          s""""currency":"$label","rows_out":$rows,""" +
+          s""""cold_laps_sec":$lapsJson,"load_1m":${Bench.loadavg1}}""")
+      }
+      spark.stop()
+      return
+    }
     // JIT/codegen warm-up at the smallest fixture (the Bench protocol) so
     // the first timed lap doesn't absorb JVM start-up
     val warmDir = "/root/testdata/sf0.001"
@@ -114,24 +167,13 @@ object StageProbe {
       operators.Dedup.interCounts(spark, warmDir, 100)
         .write.mode("overwrite").format("noop").save()
     }
-    for (variant <- currencies) {
-      // currency[:emitter[:initN]] — empty segments take the session
-      // default; initN A/Bs AQE's initialPartitionNum (how finely the fat
-      // pair shuffle is sliced before coalescing) in the same session
-      val seg = variant.split(':')
-      val currency = seg(0)
-      val emitter = seg.lift(1).filter(_.nonEmpty)
-      val initN = seg.lift(2).filter(_.nonEmpty)
-      spark.conf.set("spark.graft.shingleCurrency", currency)
-      emitter match {
-        case Some(e) => spark.conf.set("spark.graft.pairEmitter", e)
-        case None => spark.conf.unset("spark.graft.pairEmitter")
-      }
+    val variants = if (args.length > 4) args.drop(4).toSeq else Seq("default")
+    for (variant <- variants) {
+      // "default" or an integer initialPartitionNum — A/Bs AQE's initial
+      // slicing of the fat pair shuffle in the same session
       val initNConf = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-      initN match {
-        case Some(n) => spark.conf.set(initNConf, n)
-        case None => spark.conf.unset(initNConf)
-      }
+      if (variant == "default") spark.conf.unset(initNConf)
+      else spark.conf.set(initNConf, variant)
       var rows = -1L
       val times = (1 to laps).map { _ =>
         StageMemo.clear() // cold: the lap pays scan + hash + gate + pairs
@@ -148,8 +190,7 @@ object StageProbe {
         String.format(java.util.Locale.ROOT, "%.1f", Double.box(t)))
         .mkString("[", ",", "]")
       println(s"""{"op":"${stage}_probe","dir":"$dir","maxDf":$maxDf,""" +
-        s""""currency":"$currency","emitter":"${emitter.getOrElse("gen")}",""" +
-        initN.map(n => s""""init_partitions":$n,""").getOrElse("") +
+        s""""variant":"$variant",""" +
         s""""pairs":$rows,"cold_laps_sec":$lapsJson,""" +
         s""""load_1m":${Bench.loadavg1}}""")
     }

@@ -84,60 +84,19 @@ case class Simhash(child: Expression) extends UnaryExpression {
 }
 
 /** Single-pass word-shingle hashing kernel shared by interpreted eval and
-  * generated code: for each window of `n` tokens, the 16-hex-char md5
-  * prefix of the space-joined shingle — bit-identical to the portable SQL
-  * `substring(md5(concat_ws(' ', t[i], …, t[i+n-1])), 1, 16)` the DuckDB
-  * oracle runs (space-joined UTF-8 bytes into md5; first 8 digest bytes
-  * hex-encoded), but with no intermediate shingle/hex/substring strings —
-  * the digest is fed token bytes directly and only the final 16-byte key
-  * allocates. */
-object ShingleKernel {
-  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
-
-  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
-    val m = arr.numElements()
-    val count = if (m >= n) m - n + 1 else 0
-    val out = new Array[AnyRef](count)
-    val md = MessageDigest.getInstance("MD5")
-    var i = 0
-    while (i < count) {
-      md.reset()
-      // null tokens vanish (separator included), exactly like concat_ws
-      var j = 0
-      var emitted = false
-      while (j < n) {
-        if (!arr.isNullAt(i + j)) {
-          if (emitted) md.update(' '.toByte)
-          md.update(arr.getUTF8String(i + j).getBytes)
-          emitted = true
-        }
-        j += 1
-      }
-      val d = md.digest()
-      val hex = new Array[Byte](16)
-      var b = 0
-      while (b < 8) {
-        hex(2 * b) = HEX((d(b) >> 4) & 0xf)
-        hex(2 * b + 1) = HEX(d(b) & 0xf)
-        b += 1
-      }
-      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-}
-
-/** [[ShingleKernel.shingleHashes]] with the hex encoding elided: the SAME
-  * first 8 md5 digest bytes, folded big-endian into one SIGNED 64-bit long
-  * (bit-for-bit the value obtained by parsing the 16-hex-char key as an
-  * unsigned 64-bit integer — a bijection, spec-pinned). This is the
-  * engine's default shingle currency since r12: the shingle frame, the df
+  * generated code: for each window of `n` tokens, the first 8 md5 digest
+  * bytes of the space-joined shingle, folded big-endian into one SIGNED
+  * 64-bit long — bit-for-bit the value obtained by parsing the portable
+  * SQL form's 16-hex-char key
+  * (`substring(md5(concat_ws(' ', t[i], …, t[i+n-1])), 1, 16)`, the form
+  * the DuckDB oracle runs) as an unsigned 64-bit integer. The bijection
+  * is spec-pinned against that SQL form as the regression fence. This is
+  * the engine's shingle currency since r12: the shingle frame, the df
   * keep-list semi-join, and the posting-list groupBy are the fattest
   * shuffles in the whole engine, and an 8-byte fixed-width key halves
   * their width versus the 16-byte variable-length UTF8 hex form (and
-  * compares/hashes as one word). The hex form survives behind
-  * `spark.graft.shingleCurrency=hex` as the differential twin. */
+  * compares/hashes as one word). The conf-selected hex STRING twin was
+  * retired in r13 after the r12 differential round. */
 object ShingleLongKernel {
   def shingleHashLongs(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
@@ -170,8 +129,7 @@ object ShingleLongKernel {
 }
 
 /** Signed-64-bit md5 shingle keys of a token array ([[ShingleLongKernel]])
-  * as a native expression — the long-currency twin of [[ShingleHashes]].
-  * Fewer than `n` tokens yield an empty array. */
+  * as a native expression. Fewer than `n` tokens yield an empty array. */
 case class ShingleHashLongs(child: Expression, n: Int)
     extends UnaryExpression {
 
@@ -202,37 +160,82 @@ case class ShingleHashLongs(child: Expression, n: Int)
     copy(child = c)
 }
 
-/** 16-hex-char md5 shingle keys of a token array as a native expression —
-  * the hot inner loop of every shingle-based pipeline (n-gram Jaccard,
-  * MinHash-LSH, decontamination, bloom dedup, duplicate clusters), one
-  * pass, codegen-friendly like [[Simhash]]. Fewer than `n` tokens yield an
-  * empty array (≙ the guarded SQL CASE). Since r12 this is the
-  * DIFFERENTIAL TWIN of [[ShingleHashLongs]] (the default currency). */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+/** Sliding n-token window fingerprint kernel for the exact-substring
+  * duplication audit (q77): for each 1-based window start position, the
+  * first 8 md5 digest bytes of the space-joined window folded big-endian
+  * into one SIGNED 64-bit long — the [[ShingleLongKernel]] fold applied
+  * to n-token windows, with the position carried in a
+  * `struct<pos: int, g: bigint>` (the coverage sweep downstream needs
+  * the start offsets). Bit-for-bit the value obtained by parsing the
+  * prior SQL form's key
+  * (`substring(md5(concat_ws(' ', slice(t, i, n))), 1, 16)`) as an
+  * unsigned 64-bit integer — the same 8-byte-vs-16-byte shuffle-width
+  * lever the 3-shingle family pulled in r12, applied to the gram df
+  * gate and the hit semi-join (spec-pinned against the SQL hex form). */
+object SpanGramLongKernel {
+  def spanGramLongs(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val count = if (m >= n) m - n + 1 else 0
+    val out = new Array[Any](count)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < count) {
+      md.reset()
+      // null tokens vanish (separator included), exactly like concat_ws
+      var j = 0
+      var emitted = false
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) {
+          if (emitted) md.update(' '.toByte)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          emitted = true
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](i + 1, h))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** (pos, g) window fingerprints of a token array ([[SpanGramLongKernel]])
+  * as a native expression. Fewer than `n` tokens yield an empty array. */
+case class SpanGramLongs(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StringType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hashes"
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("g", LongType,
+          nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "graft_span_gram_longs"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     import org.apache.spark.sql.types.{ArrayType, StringType}
     child.dataType match {
-      case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) if n >= 2 => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_shingle_hashes requires array<string> and n >= 1, got " +
+        s"graft_span_gram_longs requires array<string> and n >= 2, got " +
           s"${other.simpleString}, n=$n")
     }
   }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleKernel.shingleHashes(input.asInstanceOf[ArrayData], n)
+    SpanGramLongKernel.spanGramLongs(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleKernel.shingleHashes($c, $n);")
+      s"${ev.value} = graft.functions.SpanGramLongKernel.spanGramLongs($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -398,14 +401,15 @@ object TextFunctions {
   def simhash(tokens: Column): Column =
     Bridge.column(Simhash(Bridge.expression(tokens)))
 
-  /** md5-prefix hashes of all `n`-token shingles of a token array. */
-  def shingleHashes(tokens: Column, n: Int = 3): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
-
   /** Signed-64-bit md5-prefix hashes of all `n`-token shingles — the
-    * default (half-width) shuffle currency of the shingle family. */
+    * (half-width) shuffle currency of the shingle family. */
   def shingleHashLongs(tokens: Column, n: Int = 3): Column =
     Bridge.column(ShingleHashLongs(Bridge.expression(tokens), n))
+
+  /** (pos, g) signed-64-bit window fingerprints of all `n`-token sliding
+    * windows — the q77 span-audit gram currency. */
+  def spanGramLongs(tokens: Column, n: Int): Column =
+    Bridge.column(SpanGramLongs(Bridge.expression(tokens), n))
 
   /** Streaming C(n,2) pair generator over a bigint posting-list column —
     * yields `(d1, d2)` rows, `d1 < d2`; alias with `.as(Seq("d1", "d2"))`. */

@@ -44,62 +44,35 @@ object Dedup {
     * needed. */
   def clearStageCache(): Unit = graft.StageMemo.clear()
 
-  /** The shingle family's shuffle-key currency, read from the session conf
-    * `spark.graft.shingleCurrency`:
-    *  - `"long"` (default since r12) — the first 8 md5 digest bytes folded
-    *    big-endian into one SIGNED 64-bit long. Fixed 8-byte keys: the
-    *    shingle frame, the df keep-list, and the posting-list groupBy (the
-    *    fattest shuffles in the engine — the r11 isolated probes pinned
-    *    this stage at 85-95% of the cluster family's top-decade wall-time)
-    *    hash/compare one word instead of a 16-byte UTF8 string.
-    *  - `"hex"` — the r11 form (16-hex-char md5 prefix), kept for one
-    *    round as the differential twin: the two currencies are a BIJECTION
-    *    (parse the hex key as an unsigned 64-bit integer and reinterpret
-    *    signed — spec-pinned against both kernels), so every downstream
-    *    count, pair, Jaccard, and verdict is identical under either.
-    * No query output ever exposes `s` itself, and the one consumer of the
-    * key's VALUE (the minhash sigCol) reconstructs the exact hex form
-    * pre-shuffle, so the oracle SQL is untouched by the switch. */
-  private[graft] def shingleCurrency(spark: SparkSession): String = {
-    val c = spark.conf.get("spark.graft.shingleCurrency", "long")
-    require(c == "long" || c == "hex",
-      s"spark.graft.shingleCurrency must be 'long' or 'hex', got '$c'")
-    c
-  }
-
-  /** The intersection stage's pair-emission form, read from the session
-    * conf `spark.graft.pairEmitter`: `"gen"` (default since r12 — the
-    * streaming [[graft.functions.DocIdPairs]] generator) or `"hof"` (the
-    * prior explode-over-higher-order-functions form, kept as the
-    * differential twin; also the fallback for non-long doc ids). */
-  private[graft] def pairEmitter(spark: SparkSession): String = {
-    val e = spark.conf.get("spark.graft.pairEmitter", "gen")
-    require(e == "gen" || e == "hof",
-      s"spark.graft.pairEmitter must be 'gen' or 'hof', got '$e'")
-    e
-  }
-
   /** Distinct word 3-shingles of a `(doc_id, text)` frame: (doc_id, s)
-    * with `s` in the session's [[shingleCurrency]] (8-byte bigint by
-    * default; 16-hex md5 prefix under the `hex` twin). Hashing before the
-    * distinct/groupBy shuffles caps per-record shuffle width regardless of
-    * shingle text length — at corpus scale the shuffle volume is the cost
-    * that matters. 64-bit prefix collisions are ~n²/2⁶⁵ (negligible), and
-    * the oracle hashes the same md5 prefix so results stay bit-equal.
+    * with `s` the engine's shingle-key currency — the first 8 md5 digest
+    * bytes folded big-endian into one SIGNED 64-bit long (bit-for-bit
+    * the 16-hex-char md5 prefix parsed as an unsigned 64-bit integer; the
+    * bijection is spec-pinned against the portable SQL hex form as the
+    * regression fence). Fixed 8-byte keys: the shingle frame, the df
+    * keep-list, and the posting-list groupBy — the fattest shuffles in
+    * the engine (the r11 isolated probes pinned this stage at 85-95% of
+    * the cluster family's top-decade wall-time) — hash/compare one word
+    * instead of a 16-byte UTF8 string. (The conf-selected 16-hex STRING
+    * twin was retired in r13 after two rounds of differential validation;
+    * the one consumer of the key's VALUE, the minhash sigCol,
+    * reconstructs the exact hex form pre-shuffle, so the oracle SQL never
+    * sees the currency.) Hashing before the distinct/groupBy shuffles
+    * caps per-record shuffle width regardless of shingle text length —
+    * at corpus scale the shuffle volume is the cost that matters. 64-bit
+    * prefix collisions are ~n²/2⁶⁵ (negligible), and the oracle hashes
+    * the same md5 prefix so results stay bit-equal.
     *
     * The per-shingle hash runs in the native
-    * [[graft.functions.ShingleHashLongs]] / [[graft.functions.ShingleHashes]]
-    * expression — one digest pass per shingle, no intermediate concat/hex/
-    * substring strings — over exactly the bytes of the portable SQL
+    * [[graft.functions.ShingleHashLongs]] expression — one digest pass
+    * per shingle, no intermediate concat/hex/substring strings — over
+    * exactly the bytes of the portable SQL
     * `substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16)` the
     * DuckDB oracle runs (differential-tested in DedupSimilaritySpec).
     * Documents with fewer than 3 tokens yield NO shingles (empty array →
     * explode drops the row). */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    val hashArr =
-      if (shingleCurrency(docs.sparkSession) == "hex")
-        graft.functions.TextFunctions.shingleHashes(col("t"), 3)
-      else graft.functions.TextFunctions.shingleHashLongs(col("t"), 3)
+    val hashArr = graft.functions.TextFunctions.shingleHashLongs(col("t"), 3)
     docs
       // round-robin the RAW docs so the explode+hash stage fans out to full
       // parallelism even from a few-file scan, and doc-length skew spreads.
@@ -120,10 +93,9 @@ object Dedup {
   /** Memoized shingle stage over the fixture corpus — the input of BOTH the
     * ngram-pair pipeline (q21/q35) and the minhash signature build (q22), so
     * one verify/bench round scans + shuffles the shingle frame once, not
-    * once per consumer. Keyed by currency so the differential twin never
-    * reads the other currency's cached frame. */
+    * once per consumer. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, s"shingles:$dir:${shingleCurrency(spark)}")(
+    memo(spark, s"shingles:$dir:long")(
       shinglesOf(Tables.documents(spark, dir)))
 
   /** Exact dedup: group identical texts by digest, keep the smallest doc_id
@@ -233,20 +205,21 @@ object Dedup {
     * shingle (a pair sharing k shingles appears k times — the groupBy
     * count downstream IS the intersection count).
     *
-    * Pair emission: the streaming generator (default) hands each of the
-    * ≤ C(maxDf, 2) pairs of a posting list to GenerateExec lazily — the
-    * HOF twin (`spark.graft.pairEmitter=hof`) interprets ~df²
-    * CodegenFallback lambda calls and materializes the whole pair array
-    * per row first (see [[graft.functions.DocIdPairs]];
-    * multiset-identical, spec-pinned). The posting list carries DOC ids —
-    * longs under either shingle currency — so the generator applies to
-    * both; a non-long doc_id frame (library callers) takes the HOF form. */
+    * Pair emission: the streaming [[graft.functions.DocIdPairs]]
+    * generator hands each of the ≤ C(maxDf, 2) pairs of a posting list to
+    * GenerateExec lazily — O(df) peak per posting list. A non-long doc_id
+    * frame (library callers with string/int keys) takes the portable HOF
+    * form instead, which interprets ~df² CodegenFallback lambda calls and
+    * materializes the whole pair array per row (multiset-identical,
+    * spec-pinned as the generator's golden twin; the conf-selected HOF
+    * path for LONG ids was retired in r13 after the r12 differential
+    * round). */
   private def emitPostingPairs(idx: DataFrame): DataFrame = {
     val postings = idx.groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds"))
     val docIdIsLong = idx.schema("doc_id").dataType ==
       org.apache.spark.sql.types.LongType
-    if (pairEmitter(idx.sparkSession) == "gen" && docIdIsLong)
+    if (docIdIsLong)
       postings.select(graft.functions.TextFunctions
         .docIdPairs(col("ds")).as(Seq("d1", "d2")))
     else
@@ -883,28 +856,22 @@ object Dedup {
       spark.read.parquet(s"$path/inc/v$v/$what"))
 
   /** Read a persisted index's shingle frame (base + committed increments),
-    * REFUSING a currency mismatch: the session's [[shingleCurrency]]
-    * decides the type of the increment's freshly-hashed keys, and Spark's
-    * set-operation coercion would widen a bigint∪string union to STRING —
-    * the long keys print as decimal digits that can never equal the
-    * index's 16-hex keys, so every cross-index probe silently finds
-    * nothing and each incoming doc reads as novel. The internal fixture
-    * path keys its index dirs by currency; this guard covers the PUBLIC
-    * path where the caller hands an arbitrary index location. */
+    * REFUSING a key-type mismatch: the engine hashes an increment's
+    * shingles to 64-bit longs, and Spark's set-operation coercion would
+    * widen a bigint∪string union to STRING — the long keys print as
+    * decimal digits that can never equal a legacy index's 16-hex keys, so
+    * every cross-index probe silently finds nothing and each incoming doc
+    * reads as novel. This guard covers the PUBLIC path where the caller
+    * hands an arbitrary (possibly pre-r12, hex-keyed) index location. */
   private def readIndexShingles(spark: SparkSession,
       indexPath: String): DataFrame = {
     val idxSh = spark.read.parquet(s"$indexPath/shingles")
-    val want = shingleCurrency(spark) match {
-      case "long" => org.apache.spark.sql.types.LongType
-      case _ => org.apache.spark.sql.types.StringType
-    }
     val got = idxSh.schema("s").dataType
-    require(got == want,
+    require(got == org.apache.spark.sql.types.LongType,
       s"persisted dedup index at $indexPath stores ${got.simpleString} " +
-        s"shingle keys but spark.graft.shingleCurrency=" +
-        s"'${shingleCurrency(spark)}' hashes the increment to " +
-        s"${want.simpleString} — set the conf to match the index or " +
-        "rebuild it under the session currency")
+        "shingle keys but the engine hashes increments to bigint — " +
+        "rebuild the index with writeDedupIndex (legacy hex-keyed " +
+        "indexes predate the r12 key currency)")
     committedIncParts(spark, indexPath, "shingles")
       .foldLeft(idxSh)(_ unionByName _)
   }
@@ -978,13 +945,14 @@ object Dedup {
       shipped: DataFrame, tag: String, withForest: Boolean,
       threshold: Double = 0.8, maxDf: Int = 100): String = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-    // the currency is part of the key: a persisted hex-keyed index must
-    // never union with a long-keyed increment (and vice versa) after a
-    // session flips spark.graft.shingleCurrency. The split tag and gate
-    // parameters key the forest, which is a function of both.
+    // the "_long" segment names the shingle-key currency the index was
+    // written under — kept as a literal after the hex twin's r13
+    // retirement so indexes persisted by earlier rounds stay valid. The
+    // split tag and gate parameters key the forest, which is a function
+    // of both.
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_") +
       f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x" +
-      s"_${shingleCurrency(spark)}_$tag" +
+      s"_long_$tag" +
       (if (withForest) s"_t${threshold}_df$maxDf" else "")
     val path = s"target/dedupindex/$key"
     val walk = java.nio.file.Files.walk(
@@ -1199,14 +1167,15 @@ object Dedup {
     * micro-batch independently of everything already ingested.
     *
     * The signature hash is the ONE place that consumes the shingle key's
-    * VALUE (md5 of "i:" + key), so under the long currency the exact
-    * 16-hex form is reconstructed per row BEFORE the per-doc partial
-    * aggregation (`lower(lpad(hex(s), 16, '0'))` inverts the big-endian
-    * fold bit-for-bit) — signatures, band buckets, and every estimate
-    * built on them are identical under either currency and match the
-    * oracle's `md5('i:' || s)` over the hex CTE unchanged. The map-side
-    * partial agg collapses to K minima per doc before the shuffle, so the
-    * reconstruction never widens an exchange. */
+    * VALUE (md5 of "i:" + key), so the exact 16-hex form is reconstructed
+    * per row BEFORE the per-doc partial aggregation
+    * (`lower(lpad(hex(s), 16, '0'))` inverts the big-endian fold
+    * bit-for-bit; spec-pinned) — signatures, band buckets, and every
+    * estimate built on them match the oracle's `md5('i:' || s)` over the
+    * hex CTE unchanged. The map-side partial agg collapses to K minima
+    * per doc before the shuffle, so the reconstruction never widens an
+    * exchange. A library frame whose `s` is already a string signs as-is
+    * (the non-long branch). */
   private[graft] def signaturesOf(sh: DataFrame): DataFrame = {
     val sx = sh.schema("s").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -1486,7 +1455,7 @@ object Dedup {
     * window, counts and the ppm ratio are integer arithmetic (`div`) —
     * bit-equal on any engine. Scale shape: the gram frame is ≤ one row per
     * corpus token (linear); the df count and the semi-join back are
-    * shuffles keyed on the 16-hex digest; the coverage window partitions
+    * shuffles keyed on the 8-byte fingerprint; the coverage window partitions
     * by doc_id, bounded by document length — no corpus-sized partition,
     * no driver state. A boilerplate window in EVERY document costs one
     * df row and |docs| hit rows — fan-out bounded by the hit list itself
@@ -1498,29 +1467,30 @@ object Dedup {
   /** (doc_id, pos, g) token-window fingerprints — the expensive stage of
     * the span audit (one md5 per window position). Both the df gate and
     * the hit probe consume it, so the fixture form memoizes it per corpus
-    * ([[graft.StageMemo]]) the way q21 memoizes its shingle stage. */
-  private[graft] def spanGramsOf(docs: DataFrame, n: Int): DataFrame = {
-    val toks = docs
+    * ([[graft.StageMemo]]) the way q21 memoizes its shingle stage.
+    *
+    * `g` is an 8-byte bigint since r13 (the native
+    * [[graft.functions.SpanGramLongs]] kernel — the first 8 md5 digest
+    * bytes folded big-endian, bijective with the prior 16-hex STRING
+    * form, spec-pinned): the gram frame feeds a df-gate groupBy and a
+    * semi-join probe keyed on `g`, the same fattest-shuffle shape whose
+    * width the 3-shingle family halved in r12. The fingerprint never
+    * reaches any query output (q77 reports per-doc coverage), so the
+    * oracle SQL is untouched. A document under `n` tokens (or with NULL
+    * text) yields no windows — the kernel returns an empty array (or
+    * null), which explode drops, exactly like the prior guarded-sequence
+    * SQL. */
+  private[graft] def spanGramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-    // window-start positions 1..(len−n+1). Spark's sequence(a, b) infers a
-    // DESCENDING step when b < a — sequence(1, 0) is [1, 0], not empty — so
-    // a short document must never reach it with b < 1: build the ascending
-    // 1..max(b, 1) sequence and slice it down to max(b, 0) elements (empty
-    // for docs under n tokens, and for NULL text whose size is NULL).
-    toks.select(col("doc_id"),
-      explode(expr(
-        s"""transform(
-           |  slice(sequence(1, greatest(size(t) - ${n - 1}, 1)),
-           |        1, greatest(coalesce(size(t) - ${n - 1}, 0), 0)),
-           |  i -> struct(i AS pos,
-           |    substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 16) AS g))"""
-          .stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.pos"), col("w.g"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.spanGramLongs(col("t"), n))
+          .as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
 
-  private def duplicatedSpansFrom(grams: DataFrame, docs: DataFrame,
+  private[graft] def duplicatedSpansFrom(grams: DataFrame, docs: DataFrame,
       n: Int, minDocs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2 && minDocs >= 2,

@@ -131,84 +131,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e1.forall(_._1 == 1L), "2-token doc must produce no shingles")
   }
 
-  test("shingle currency: long and hex twins are a bijection with identical " +
-      "downstream pairs, signatures, and novelty") {
+  test("shingle key fold regression fence: hex reconstruction inverts the " +
+      "fold; signatures match a hand-built hex-keyed frame") {
+    // the conf-selected hex currency twin was retired in r13; this fence
+    // pins the two facts the retirement relies on — the long key IS the
+    // hex key (bijection, already pinned vs the SQL form in the kernel
+    // test above), and the minhash sigCol's pre-shuffle reconstruction
+    // inverts the fold bit-for-bit, so signatures (the one key-VALUE
+    // consumer) are what a hex-keyed pipeline would produce
     import spark.implicits._
-    def underCurrency[A](c: String)(body: => A): A = {
-      val prev = spark.conf.getOption("spark.graft.shingleCurrency")
-      spark.conf.set("spark.graft.shingleCurrency", c)
-      try body
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.graft.shingleCurrency", v)
-        case None => spark.conf.unset("spark.graft.shingleCurrency")
-      }
-    }
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
-    // 1. key bijection: the long kernel IS the hex kernel's value parsed
-    //    as an unsigned 64-bit integer, row for row
-    val hexSh = underCurrency("hex") {
-      Dedup.shinglesOf(docs).collect()
-        .map(r => (r.getLong(0),
-          java.lang.Long.parseUnsignedLong(r.getString(1), 16))).toSet
-    }
-    val longSh = Dedup.shinglesOf(docs).collect()
+    val longSh = Dedup.shinglesOf(docs)
+    val asLong = longSh.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(longSh === hexSh && longSh.nonEmpty)
-    // the reconstruction signaturesOf applies must invert the fold exactly
-    val recon = Dedup.shinglesOf(docs)
+    val recon = longSh
       .select($"doc_id", lower(lpad(hex($"s"), 16, "0")).as("s"))
       .collect()
       .map(r => (r.getLong(0),
         java.lang.Long.parseUnsignedLong(r.getString(1), 16))).toSet
-    assert(recon === longSh)
-    // 2. downstream identity: pair lists, minhash estimates (the one
-    //    key-VALUE consumer), and novelty counts agree bit for bit
-    def pairsUnder(c: String) = underCurrency(c) {
-      Dedup.ngramJaccardOf(docs).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    }
-    assert(pairsUnder("long") === pairsUnder("hex"))
-    def sigsUnder(c: String) = underCurrency(c) {
-      Dedup.signaturesOf(Dedup.shinglesOf(docs)).collect()
+    assert(recon === asLong && asLong.nonEmpty)
+    // signatures over the long frame == signatures over the equivalent
+    // STRING-keyed frame (signaturesOf's non-long branch signs as-is)
+    val hexFrame = longSh
+      .select($"doc_id", lower(lpad(hex($"s"), 16, "0")).as("s"))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.signaturesOf(df).collect()
         .map(r => (r.getLong(0), (1 to 8).map(r.getString).mkString("|")))
         .toSet
-    }
-    assert(sigsUnder("long") === sigsUnder("hex"))
-    // 3. the conf rejects typos instead of silently defaulting
-    underCurrency("base58") {
-      intercept[IllegalArgumentException](Dedup.shinglesOf(docs))
-    }
+    assert(sigs(longSh) === sigs(hexFrame))
   }
 
-  test("pair emitter: streaming generator and HOF twin are " +
-      "multiset-identical; generator streams sorted pairs") {
+  test("pair generator golden fence: streams sorted pairs, " +
+      "multiset-identical to the inline HOF formulation") {
     import spark.implicits._
-    def underEmitter[A](e: String)(body: => A): A = {
-      val prev = spark.conf.getOption("spark.graft.pairEmitter")
-      spark.conf.set("spark.graft.pairEmitter", e)
-      Dedup.clearStageCache() // the memo key carries no emitter tag
-      try body
-      finally {
-        prev match {
-          case Some(v) => spark.conf.set("spark.graft.pairEmitter", v)
-          case None => spark.conf.unset("spark.graft.pairEmitter")
-        }
-        Dedup.clearStageCache()
-      }
-    }
-    // 1. downstream identity on the fixture: the FULL intersection frame
-    //    (pair ids, intersection count, both doc lengths) agrees bit for
-    //    bit — the multiset-of-pairs invariance under the generator's sort
-    def interUnder(e: String) = underEmitter(e) {
-      Dedup.interCounts(spark, sfDir, 100).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4))).toSet
-    }
-    val gen = interUnder("gen")
-    assert(gen === interUnder("hof") && gen.nonEmpty)
-    // 2. generator semantics directly: pairs are emitted d1 < d2 whatever
-    //    the posting-list order, duplicates pair like the HOF twin's
-    //    positional pairs, and short lists yield nothing
+    // the conf-selected HOF emitter twin was retired in r13 (the HOF form
+    // survives only as emitPostingPairs' non-long-doc-id library branch);
+    // this fence pins the generator's semantics against the HOF
+    // FORMULATION inline: pairs are emitted d1 < d2 whatever the
+    // posting-list order, duplicates pair like positional pairs, and
+    // short lists yield nothing
     val lists = Seq(
       (1L, Array(5L, 3L, 9L, 1L)),
       (2L, Array(7L, 7L, 2L)), // duplicate id: C(3,2) pairs incl. (7,7)
@@ -229,12 +190,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(emitted === hofTwin)
     assert(emitted((1L, 9L)) == 1 && emitted((7L, 7L)) == 1)
     assert(emitted.keys.forall { case (a, b) => a <= b })
-    // 3. the conf rejects typos instead of silently defaulting
-    underEmitter("lazy") {
-      intercept[IllegalArgumentException](
-        Dedup.interCountsOfShingles(Dedup.shinglesOf(
-          Tables.documents(spark, sfDir)), 100))
-    }
+    // the library branch: a STRING-keyed doc-id frame still pairs through
+    // the portable HOF form with identical semantics (shingle 3 has df 1
+    // and dies at the gate; docLen still counts it)
+    val viaLib = Dedup.interCountsOfShingles(
+      Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 1L), ("y", 2L))
+        .toDF("doc_id", "s"), maxDf = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(viaLib === Set(("x", "y", 2L, 3L, 2L)))
   }
 
   test("prefix-filtered pairs reproduce the classic pair stage exactly, " +
@@ -361,12 +325,12 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("persisted index refuses a shingle-currency mismatch loudly") {
-    // a hex-keyed index read in a long-currency session would union
+  test("persisted index refuses legacy string-keyed shingles loudly") {
+    // a pre-r12 hex-keyed index read by a long-keyed session would union
     // bigint∪string — Spark coerces to STRING and the long keys print as
     // decimal digits that never equal the 16-hex index keys, so every
     // cross-index probe silently finds nothing. The guard turns that
-    // silent wrong-verdict mode into a refusal naming the conf.
+    // silent wrong-verdict mode into a refusal naming the rebuild path.
     import spark.implicits._
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
@@ -374,26 +338,26 @@ class DedupSimilaritySpec extends SparkSpec {
       (3L, "unrelated text entirely here")).toDF("doc_id", "text")
     val dir = java.nio.file.Files
       .createTempDirectory("graft_currency_guard").toString
-    val prev = spark.conf.getOption("spark.graft.shingleCurrency")
     try {
-      spark.conf.set("spark.graft.shingleCurrency", "hex")
-      Dedup.writeDedupIndex(docs.filter($"doc_id" <= 2), dir)
-      spark.conf.set("spark.graft.shingleCurrency", "long")
+      // a legacy index: the engine's long keys re-encoded as the 16-hex
+      // strings the retired hex currency persisted
+      Dedup.shinglesOf(docs.filter($"doc_id" <= 2))
+        .select($"doc_id", lower(lpad(hex($"s"), 16, "0")).as("s"))
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+      docs.filter($"doc_id" <= 2)
+        .select($"doc_id", md5($"text").as("h"))
+        .write.mode("overwrite").parquet(s"$dir/hashes")
       val e = intercept[IllegalArgumentException](
         Dedup.incrementalDedupAgainstIndex(spark, dir,
           docs.filter($"doc_id" === 3)))
-      assert(e.getMessage.contains("shingleCurrency"))
-      // matching currency works against the same files
-      spark.conf.set("spark.graft.shingleCurrency", "hex")
+      assert(e.getMessage.contains("writeDedupIndex") &&
+        e.getMessage.contains("string"))
+      // a rebuilt (long-keyed) index works against the same corpus
+      Dedup.writeDedupIndex(docs.filter($"doc_id" <= 2), dir)
       val ok = Dedup.incrementalDedupAgainstIndex(spark, dir,
         docs.filter($"doc_id" === 3)).collect()
       assert(ok.length == 1)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.graft.shingleCurrency", v)
-        case None => spark.conf.unset("spark.graft.shingleCurrency")
-      }
-    }
+    } finally rmrf(dir)
   }
 
   test("shingle and simhash kernels skip null tokens like concat_ws") {
@@ -412,11 +376,30 @@ class DedupSimilaritySpec extends SparkSpec {
       """CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t)-3),
         |  i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 16))
         |ELSE cast(array() as array<string>) END AS s""".stripMargin)
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)
+        .map(java.lang.Long.parseUnsignedLong(_, 16)))).toSet
     val native = df.select($"id",
-        TextFunctions.shingleHashes($"t", 3).as("s"))
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+        TextFunctions.shingleHashLongs($"t", 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     assert(native === sqlForm && native.nonEmpty)
+    // the span-gram kernel (q77's currency): same null handling, and
+    // positions/values match the prior guarded-sequence SQL form parsed
+    // through the hex→long bijection
+    val spanSql = df.selectExpr("id",
+      """transform(
+        |  slice(sequence(1, greatest(size(t) - 2, 1)),
+        |        1, greatest(coalesce(size(t) - 2, 0), 0)),
+        |  i -> struct(i AS pos,
+        |    substring(md5(concat_ws(' ', slice(t, i, 3))), 1, 16) AS g))
+        |AS w""".stripMargin)
+      .selectExpr("id", "inline(w)")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Long.parseUnsignedLong(r.getString(2), 16))).toSet
+    val spanNative = df.select($"id",
+        explode(TextFunctions.spanGramLongs($"t", 3)).as("w"))
+      .select($"id", $"w.pos", $"w.g")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(spanNative === spanSql && spanNative.nonEmpty)
     // simhash: null tokens contribute nothing, same as filtering them out
     val withNulls = df.select($"id", TextFunctions.simhash($"t").as("f"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
