@@ -128,6 +128,23 @@ object ScaleSmoke {
         }
     }
 
+    // production LSH bit sizing (the operator scaladoc's rule): bits ≈
+    // log2(corpus) + 4, with corpus = 5000 fixture docs/vectors per sf0.1
+    // unit × mult — holds expected bucket occupancy O(1) as the corpus
+    // grows
+    def sizedBits(m: Int): Int =
+      (math.log(5000.0 * m) / math.log(2)).ceil.toInt + 4
+    // per-op extra JSON fields: the LSH rows carry their bit sizing so a
+    // SCALE reader can tell the fixture-fixed rows (bits=10 at every
+    // decade — the what-if-you-don't-resize datapoint) from the sized rows
+    // without reverse-engineering the op lambda
+    def extraFields(name: String, mult: Int): String = name match {
+      case "neardup_lsh_sized" | "neardup_lsh_mp_sized" =>
+        s""""bits":${sizedBits(mult)},"""
+      case "neardup_lsh" | "neardup_lsh_mp" => """"bits":10,"""
+      case _ => ""
+    }
+
     // (name, per-dir frame): `mult` parameterizes corpus-relative knobs —
     // df caps scale with the corpus so the 1× rare-shingle structure
     // survives the N-fold df inflation of staged copies
@@ -151,12 +168,22 @@ object ScaleSmoke {
       // the fixed per-commit trigger overhead, never corpus pairs
       "stream_xmodal" -> ((d, _) =>
         streaming.Continuous.streamedCrossModalDedup(spark, d)),
-      "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
-        Tables.documents(spark, d), maxDf = 100 * m)),
       // prefix-filtered twin (q119): identical output to ngram_jaccard by
       // construction — this row prices what PPJoin-style candidate
-      // pruning is worth against the same gate at the same scale
+      // pruning is worth against the same gate at the same scale. Listed
+      // BEFORE the classic row so a top-decade lap records the prefix
+      // numbers even if the classic stage dies on disk (the r12 ENOSPC
+      // class); auto verify picks broadcast or merge off the measured
+      // byte budget
       "ngram_prefix" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
+        Tables.documents(spark, d), maxDf = 100 * m)),
+      // the FORCED no-broadcast verify (q120's shape): the same candidates
+      // co-partitioned against the array table — this row is the
+      // past-the-broadcast-budget contract measured deterministically,
+      // whatever the auto row picked
+      "ngram_prefix_merge" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
+        Tables.documents(spark, d), maxDf = 100 * m, verify = "merge")),
+      "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, d), maxDf = 100 * m)),
       // sliding-window substring audit: grams ≤ 1/token and hits ≤ tokens,
       // so output is corpus-LINEAR even over the staged N-clique corpus
@@ -192,12 +219,10 @@ object ScaleSmoke {
       // operator's real scale contract
       "neardup_lsh_sized" -> { (d, m) =>
         import org.apache.spark.sql.functions.{col, expr}
-        val corpus = 5000L * m // fixture docs/vectors per sf0.1 unit
-        val bits = (math.log(corpus.toDouble) / math.log(2)).ceil.toInt + 4
         operators.Similarity.cosineNearDupLshOf(
           spark.read.parquet(s"$d/embeddings.parquet").select(col("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v")),
-          bits = bits)
+          bits = sizedBits(m))
       },
       // multi-probe variant of the near-dup pair path (r12): radius-1
       // probing multiplies candidate generation by the fixed 11-mask
@@ -206,6 +231,19 @@ object ScaleSmoke {
       // corpus-shaped
       "neardup_lsh_mp" -> ((d, _) => operators.Similarity.cosineNearDupLsh(
         spark, d, probeDist = 1)),
+      // multi-probe at PRODUCTION bit sizing (bits ≈ log2(corpus)+4, the
+      // operator's own scaladoc rule): the r12 fixture-fixed mp row read
+      // exponent 1.54 at 30×, but bucket occupancy grows with the corpus
+      // when bits stay fixed — this row (with neardup_lsh_sized) separates
+      // that occupancy artifact from the operator's real growth. The
+      // `bits` field in each JSON row records the sizing.
+      "neardup_lsh_mp_sized" -> { (d, m) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        operators.Similarity.cosineNearDupLshOf(
+          spark.read.parquet(s"$d/embeddings.parquet").select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")),
+          bits = sizedBits(m), probeDist = 1)
+      },
       "tfidf" -> ((d, _) => operators.TextAnalysis.tfidfTopTerms(spark, d)),
       // training-layout tier: all four are contractually linear (per-row
       // map / explode + one partial-agg shuffle / per-source window) —
@@ -356,7 +394,8 @@ object ScaleSmoke {
     // on the pair-stage build alone (r11's variance probe), so a <1.3x
     // delta is only attributable with the split in the same lap. Ops that
     // ride no memoized stage report build_s 0 and consume_s = sec.
-    def time(op: String, label: String, df: => DataFrame): (Double, Long) = {
+    def time(op: String, label: String, df: => DataFrame,
+        extra: String = ""): (Double, Long) = {
       StageMemo.clear() // each op pays its own shared stages — honest scaling
       StageMemo.statsSnapshot(reset = true) // open this op's window
       val obs = org.apache.spark.sql.Observation()
@@ -381,6 +420,7 @@ object ScaleSmoke {
             "\":" + ms }
         .mkString("{", ",", "}")
       println(f"""{"op":"${op}_$label","sec":$s%.2f,"rows_out":$rows,""" +
+        extra +
         f""""build_s":$buildS%.2f,"consume_s":$consumeS%.2f,""" +
         s""""builds_ms":$topBuilds}""")
       (s, rows)
@@ -414,7 +454,8 @@ object ScaleSmoke {
     for ((label, dir, mult) <- laps) {
       println(s"== $label ($dir)")
       selected.foreach { case (name, fn) =>
-        val (s, rows) = time(name, label, fn(dir, mult))
+        val (s, rows) =
+          time(name, label, fn(dir, mult), extraFields(name, mult))
         timings(name) = timings.getOrElse(name, Nil) :+ ((mult, s, rows))
       }
     }
