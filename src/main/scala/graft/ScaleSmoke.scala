@@ -183,6 +183,16 @@ object ScaleSmoke {
       // whatever the auto row picked
       "ngram_prefix_merge" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
         Tables.documents(spark, d), maxDf = 100 * m, verify = "merge")),
+      // the FORCED broadcast verify with the budget opened: decomposes an
+      // auto-row delta into verify shape vs candidate stage within one
+      // session (auto silently picks a mode off the measured bytes)
+      "ngram_prefix_bcast" -> { (d, m) =>
+        operators.Dedup.ngramJaccardPrefixOfShingles(
+          operators.Dedup.shinglesOf(Tables.documents(spark, d)),
+          threshold = 0.8, maxDf = 100 * m, verify = "broadcast",
+          maxBroadcastBytes = Long.MaxValue)
+          .orderBy(col("d1"), col("d2"))
+      },
       "ngram_jaccard" -> ((d, m) => operators.Dedup.ngramJaccardOf(
         Tables.documents(spark, d), maxDf = 100 * m)),
       // sliding-window substring audit: grams ≤ 1/token and hits ≤ tokens,

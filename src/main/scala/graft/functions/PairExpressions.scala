@@ -79,24 +79,33 @@ case class DocIdPairs(child: Expression)
 }
 
 /** [[DocIdPairs]] with a PPJoin positional payload: streams the C(n,2)
-  * unordered doc pairs of one PREFIX posting list as `(d1, d2, rem1,
-  * rem2)` rows, where each input element is a `struct<doc_id: bigint,
-  * rem: bigint>` and `rem` is the doc's count of gated shingles ranked
-  * AFTER this posting under the global (df, s) order (`g − r`).
+  * unordered doc pairs of one PREFIX posting list as
+  * `(d1, d2, minrem, gsum)` rows, where each input element is a
+  * `struct<doc_id: bigint, rem: bigint, g: bigint>` — `rem` is the doc's
+  * count of gated shingles ranked AFTER this posting under the global
+  * (df, s) order (`g − r`), `g` its total gated count. `minrem =
+  * least(rem1, rem2)` and `gsum = g1 + g2` are folded IN the generator:
+  * the consumer only ever aggregates the min (and gsum is
+  * pair-constant), so two longs travel instead of four.
   *
   * The consumer (`Dedup.ngramJaccardPrefixOfShingles`) aggregates
-  * `max(least(rem1, rem2)) + 1` per pair — PPJoin's position-based
-  * overlap upper bound (Xiao et al., WWW'08 §3.2): at the pair's FIRST
-  * shared prefix shingle no earlier shingle can be shared (both docs'
-  * gated sets are ranked by the SAME global order, so a shared shingle
-  * ranked before the match in one doc ranks before it in the other —
-  * it would itself be an earlier prefix match), hence
+  * `max(minrem) + 1` per pair — PPJoin's position-based overlap upper
+  * bound (Xiao et al., WWW'08 §3.2): at the pair's FIRST shared prefix
+  * shingle no earlier shingle can be shared (both docs' gated sets are
+  * ranked by the SAME global order, so a shared shingle ranked before
+  * the match in one doc ranks before it in the other — it would itself
+  * be an earlier prefix match), hence
   * `overlap ≤ 1 + min(g1 − r1, g2 − r2)` there; both `rem`s are maximal
-  * at that first match, so the max-of-least aggregate equals the
-  * first-match bound exactly.
+  * at that first match, so the max-of-min aggregate equals the
+  * first-match bound exactly. `gsum` feeds the PRE-JOIN positional
+  * prune: gated counts never exceed full counts (g ≤ c), so
+  * `(1e6 + tn − 1)·ub < (tn − 1)·(g1 + g2)` already disqualifies a pair
+  * WITHOUT the doc-length join — at the 100× smoke this is the
+  * difference between the candidate frame fitting on local disk and
+  * ENOSPC (the exact c-based filters still apply after the join).
   *
   * Same contracts as [[DocIdPairs]]: sorts by doc id once (d1 < d2 with
-  * the rems carried alongside), O(df) peak per posting list, null
+  * the payload carried alongside), O(df) peak per posting list, null
   * elements rejected loudly. */
 case class DocIdRemPairs(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -104,18 +113,19 @@ case class DocIdRemPairs(child: Expression)
   override def elementSchema: StructType = StructType(Seq(
     StructField("d1", LongType, nullable = false),
     StructField("d2", LongType, nullable = false),
-    StructField("rem1", LongType, nullable = false),
-    StructField("rem2", LongType, nullable = false)))
+    StructField("minrem", LongType, nullable = false),
+    StructField("gsum", LongType, nullable = false)))
 
   override def prettyName: String = "graft_doc_id_rem_pairs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StructType(Array(
-        StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+        StructField(_, LongType, _, _), StructField(_, LongType, _, _),
+        StructField(_, LongType, _, _))), _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      "graft_doc_id_rem_pairs requires array<struct<bigint, bigint>>, got " +
-        other.simpleString)
+      "graft_doc_id_rem_pairs requires array<struct<bigint, bigint, " +
+        "bigint>>, got " + other.simpleString)
   }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
@@ -126,16 +136,18 @@ case class DocIdRemPairs(child: Expression)
     if (n < 2) return Iterator.empty
     val ids = new Array[Long](n)
     val rems = new Array[Long](n)
+    val gs = new Array[Long](n)
     val order = new Array[Integer](n)
     var i = 0
     while (i < n) {
       require(!arr.isNullAt(i),
         "graft_doc_id_rem_pairs: null element in posting list")
-      val s = arr.getStruct(i, 2)
-      require(!s.isNullAt(0) && !s.isNullAt(1),
-        "graft_doc_id_rem_pairs: null doc id or rem in posting list")
+      val s = arr.getStruct(i, 3)
+      require(!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2),
+        "graft_doc_id_rem_pairs: null doc id, rem or g in posting list")
       ids(i) = s.getLong(0)
       rems(i) = s.getLong(1)
+      gs(i) = s.getLong(2)
       order(i) = i
       i += 1
     }
@@ -147,8 +159,8 @@ case class DocIdRemPairs(child: Expression)
       override def hasNext: Boolean = y < n
       override def next(): InternalRow = {
         val (ox, oy) = (order(x), order(y))
-        val r = new GenericInternalRow(
-          Array[Any](ids(ox), ids(oy), rems(ox), rems(oy)))
+        val r = new GenericInternalRow(Array[Any](ids(ox), ids(oy),
+          math.min(rems(ox), rems(oy)), gs(ox) + gs(oy)))
         y += 1
         if (y == n) { x += 1; y = x + 1 }
         r

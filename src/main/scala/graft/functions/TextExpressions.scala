@@ -416,9 +416,10 @@ object TextFunctions {
   def docIdPairs(postings: Column): Column =
     Bridge.column(DocIdPairs(Bridge.expression(postings)))
 
-  /** Streaming C(n,2) pair generator over an array<struct<doc_id, rem>>
-    * prefix posting list — yields `(d1, d2, rem1, rem2)` rows, `d1 < d2`;
-    * alias with `.as(Seq("d1", "d2", "rem1", "rem2"))`. */
+  /** Streaming C(n,2) pair generator over an
+    * array<struct<doc_id, rem, g>> prefix posting list — yields
+    * `(d1, d2, minrem, gsum)` rows, `d1 < d2`; alias with
+    * `.as(Seq("d1", "d2", "minrem", "gsum"))`. */
   def docIdRemPairs(postings: Column): Column =
     Bridge.column(DocIdRemPairs(Bridge.expression(postings)))
 

@@ -306,14 +306,18 @@ object Dedup {
     * rank + gated count in the same exchange), prefix posting-list pair
     * generation carrying PPJoin's positional payload
     * ([[graft.functions.DocIdRemPairs]] — the same bounded-worst-key
-    * contract as the full stage, over far fewer rows), then THREE
-    * integer-exact candidate filters before any verification work:
-    * the PPJoin length filter (`(tn−1)·max(c1,c2) ≤ 1e6·min(c1,c2)`),
-    * and the PPJoin POSITIONAL filter — the pair's overlap upper bound
-    * from its first shared prefix shingle, `ub = 1 + min(g1−r1, g2−r2)`
-    * (computed as `max(least(rem1, rem2)) + 1` over the pair's shared
-    * prefix shingles; see [[graft.functions.DocIdRemPairs]] for why the
-    * max IS the first-match bound), kept only when
+    * contract as the full stage, over far fewer rows), then a ladder of
+    * integer-exact candidate filters before any verification work: a
+    * PRE-JOIN positional prune on gated counts (`(1e6+tn−1)·ub ≥
+    * (tn−1)·(g1+g2)`, valid because gated ≤ full — applied before the
+    * doc-length joins so the full candidate frame never shuffles
+    * through them), the PPJoin length filter
+    * (`(tn−1)·max(c1,c2) ≤ 1e6·min(c1,c2)`), and the exact PPJoin
+    * POSITIONAL filter — the pair's overlap upper bound from its first
+    * shared prefix shingle, `ub = 1 + min(g1−r1, g2−r2)` (computed as
+    * `max(minrem) + 1` over the pair's shared prefix shingles; see
+    * [[graft.functions.DocIdRemPairs]] for why the max IS the
+    * first-match bound), kept only when
     * `(1e6 + tn − 1)·ub ≥ (tn−1)·(c1 + c2)` — the exact integer form of
     * `ub ≥ t′·(c1+c2)/(1+t′)`, the overlap a qualifying pair MUST reach.
     * Survivors verify exactly against per-doc sorted gated-shingle
@@ -362,18 +366,25 @@ object Dedup {
         verify = "merge")
       .orderBy(col("d1"), col("d2"))
 
-  /** [[ngramJaccardPrefix]] over an arbitrary `(doc_id, text)` frame. */
+  /** [[ngramJaccardPrefix]] over an arbitrary `(doc_id, text)` frame.
+    * `maxBroadcastBytes` prices BOTH broadcast relations of the verify
+    * against the measured array-table size (the default is deliberately
+    * conservative — safe on an 8 GB driver; a cluster with executor/driver
+    * headroom should raise it, the broadcast verify is ~2× the merge
+    * verify at the 30× smoke). */
   def ngramJaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8,
-      maxDf: Int = 100, verify: String = "auto"): DataFrame =
-    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify)
+      maxDf: Int = 100, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20): DataFrame =
+    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify,
+        maxBroadcastBytes)
       .orderBy(col("d1"), col("d2"))
 
   /** The per-doc rarest-first PREFIX posting frame of
-    * [[ngramJaccardPrefix]] — `(doc_id, s, rem)` rows restricted to each
-    * doc's first `g − α + 1` gated shingles under the global (df, s)
-    * order, with `rem = g − r` (the gated shingles ranked after this one
-    * — PPJoin's positional payload). Exposed for the candidate-volume
-    * probe ([[graft.StageProbe]]). */
+    * [[ngramJaccardPrefix]] — `(doc_id, s, rem, g)` rows restricted to
+    * each doc's first `g − α + 1` gated shingles under the global (df, s)
+    * order, with `rem = g − r` (the gated shingles ranked after this one)
+    * and `g` the doc's gated count — PPJoin's positional payload.
+    * Exposed for the candidate-volume probe ([[graft.StageProbe]]). */
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double,
       maxDf: Int): DataFrame = {
     val tn = math.round(threshold * 1e6)
@@ -403,7 +414,8 @@ object Dedup {
       .withColumn("alpha",
         expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)"))
       .filter(col("r") <= col("g") - col("alpha") + lit(1))
-      .select(col("doc_id"), col("s"), (col("g") - col("r")).as("rem"))
+      .select(col("doc_id"), col("s"), (col("g") - col("r")).as("rem"),
+        col("g"))
   }
 
   /** Candidate pairs of a prefix posting frame, POSITION- and
@@ -411,16 +423,27 @@ object Dedup {
     * candidate stage of both verify shapes. One groupBy over the
     * streamed positional pairs computes pair-distinctness AND the
     * first-match overlap bound in the same shuffle the old `.distinct()`
-    * paid. */
+    * paid; the g-based PRE-JOIN prune then disqualifies most candidates
+    * before the doc-length joins ever shuffle them (at the 100× staged
+    * smoke the un-pruned candidate frame's two join exchanges alone
+    * exceed local disk). */
   private def prefixCandidates(prefix: DataFrame, docLen: DataFrame,
       tn: Long): DataFrame = {
     val postings = prefix.groupBy(col("s"))
-      .agg(collect_list(struct(col("doc_id"), col("rem"))).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("rem"), col("g")))
+        .as("ds"))
     postings
       .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
-        .as(Seq("d1", "d2", "rem1", "rem2")))
+        .as(Seq("d1", "d2", "minrem", "gsum")))
       .groupBy(col("d1"), col("d2"))
-      .agg((max(least(col("rem1"), col("rem2"))) + lit(1L)).as("ub"))
+      .agg((max(col("minrem")) + lit(1L)).as("ub"),
+        max(col("gsum")).as("gsum")) // pair-constant; max = the value
+      // PRE-JOIN positional prune on GATED counts: qualifying ⇒
+      // i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′) (gated ≤ full), and
+      // i ≤ ub — integer-exact, no join needed. The exact c-based
+      // filters below still apply; this one exists to keep the
+      // doc-length joins from shuffling the full candidate frame.
+      .filter(expr(s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * gsum"))
       .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
         .hint("shuffle_hash"), Seq("d1"))
       .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
@@ -429,10 +452,8 @@ object Dedup {
       // i ≤ min(c1,c2), so (tn−1)·max ≤ 1e6·min — integer-exact
       .filter(expr(
         s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
-      // PPJoin positional filter: J ≥ t′ ⟺ i ≥ t′·(c1+c2)/(1+t′), and
-      // i ≤ ub always — so a candidate whose bound can't reach the
-      // requirement is dead before any verify work. Exact integer form:
-      // (1e6 + tn − 1)·ub ≥ (tn−1)·(c1+c2).
+      // PPJoin positional filter, exact form over FULL counts:
+      // (1e6 + tn − 1)·ub ≥ (tn−1)·(c1+c2)
       .filter(expr(s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)"))
       .select(col("d1"), col("d2"), col("c1"), col("c2"))
   }

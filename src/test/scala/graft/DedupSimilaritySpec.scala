@@ -294,22 +294,24 @@ class DedupSimilaritySpec extends SparkSpec {
       "rems carried; the bound never under-prunes a qualifying pair") {
     import spark.implicits._
     import graft.functions.TextFunctions
-    // emission semantics: pairs sorted by id with rems carried alongside,
-    // short/empty lists yield nothing, null elements rejected upstream by
-    // construction (collect_list drops nulls)
+    // emission semantics: pairs sorted by id with the folded positional
+    // payload (minrem = least of the two rems, gsum = g1 + g2) carried
+    // alongside; short/empty lists yield nothing; null elements rejected
+    // upstream by construction (collect_list drops nulls)
     val lists = Seq(
-      (1L, Seq((5L, 7L), (3L, 9L), (9L, 2L))), // 3 ids -> 3 pairs
-      (2L, Seq((4L, 1L))), // singleton: no pairs
-      (3L, Seq.empty[(Long, Long)]))
+      (1L, Seq((5L, 7L, 10L), (3L, 9L, 12L), (9L, 2L, 4L))), // 3 ids
+      (2L, Seq((4L, 1L, 2L))), // singleton: no pairs
+      (3L, Seq.empty[(Long, Long, Long)]))
       .toDF("k", "raw")
       .selectExpr("k",
-        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS rem)) AS ds")
+        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS rem, " +
+          "x._3 AS g)) AS ds")
     val emitted = lists.select(TextFunctions.docIdRemPairs($"ds")
-        .as(Seq("d1", "d2", "rem1", "rem2")))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(2), r.getLong(3))).toSet
+        .as(Seq("d1", "d2", "minrem", "gsum")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
     assert(emitted === Set(
-      (3L, 5L, 9L, 7L), (3L, 9L, 9L, 2L), (5L, 9L, 7L, 2L)))
+      (3L, 5L, 7L, 22L), (3L, 9L, 2L, 16L), (5L, 9L, 2L, 14L)))
     // end-to-end soundness of max(least(rem1, rem2)) + 1 as the overlap
     // bound: on a corpus where every true pair's exact intersection is
     // known (the classic stage), the prefix path with the positional
