@@ -44,9 +44,17 @@ object ScaleSmoke {
       else ok
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle-partition override for top-decade laps: a 1B-key aggregation
+    // over cpus=32 reduce partitions spills ~30M keys per task to disk and
+    // the SPILL files (not the exchange itself) are what fill a single
+    // box — 256 partitions keep the per-task hash agg in memory, and AQE
+    // coalesces the small ones back down after the exchange. On a real
+    // cluster this is just "size your shuffle partitions" (the guide
+    // rule); the env knob exists so one box can run the decade.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -75,25 +75,26 @@ object StageProbe {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       // the candidate frame is the probe's expensive job — build it ONCE
       // (checkpoint) and take every count from it
-      val (candDistinct, candPre, candLen, candPos) =
-        if (rawPairs > 0 && rawPairs <= 2000000000L) {
-          val cand = prefix.groupBy(col("s"))
+      val (emisKept, candPre, candLen, candPos) =
+        if (rawPairs > 0 && rawPairs <= 20000000000L) {
+          // the EXACT filter predicates the operator applies — different
+          // inequalities here would misprice the operator's verify volume
+          val emissions = prefix.groupBy(col("s"))
             .agg(collect_list(struct(col("doc_id"), col("rem"), col("g")))
               .as("ds"))
             .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
               .as(Seq("d1", "d2", "minrem", "gsum")))
+            .filter(expr(
+              s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
+          val cand = emissions
             .groupBy(col("d1"), col("d2"))
-            .agg((max(col("minrem")) + lit(1L)).as("ub"),
-              max(col("gsum")).as("gsum"))
+            .agg((max(col("minrem")) + lit(1L)).as("ub"))
             .localCheckpoint()
-          // the EXACT filter predicates the operator applies — different
-          // inequalities here would misprice the operator's verify volume
-          val pre = cand.filter(expr(
-            s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * gsum"))
-            .localCheckpoint()
+          val kept = Option(emissions.groupBy().count().head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
             .localCheckpoint()
-          val withLen = pre
+          val withLen = cand
             .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
               .hint("shuffle_hash"), Seq("d1"))
             .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
@@ -103,7 +104,7 @@ object StageProbe {
             .localCheckpoint()
           val pos = withLen.filter(expr(
             s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)")).count()
-          (cand.count(), pre.count(), withLen.count(), pos)
+          (kept, cand.count(), withLen.count(), pos)
         } else (if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L,
@@ -111,7 +112,7 @@ object StageProbe {
       println(s"""{"op":"prefixcand_probe","dir":"$dir","maxDf":$maxDf,""" +
         s""""threshold":$threshold,""" +
         s""""prefix_rows":$prefixRows,"raw_prefix_pairs":$rawPairs,""" +
-        s""""cand_distinct":$candDistinct,"cand_g_pruned":$candPre,""" +
+        s""""emissions_kept":$emisKept,"cand_g_pruned":$candPre,""" +
         s""""cand_len_filtered":$candLen,""" +
         s""""cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")

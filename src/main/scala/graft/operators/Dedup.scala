@@ -307,11 +307,13 @@ object Dedup {
     * generation carrying PPJoin's positional payload
     * ([[graft.functions.DocIdRemPairs]] — the same bounded-worst-key
     * contract as the full stage, over far fewer rows), then a ladder of
-    * integer-exact candidate filters before any verification work: a
-    * PRE-JOIN positional prune on gated counts (`(1e6+tn−1)·ub ≥
-    * (tn−1)·(g1+g2)`, valid because gated ≤ full — applied before the
-    * doc-length joins so the full candidate frame never shuffles
-    * through them), the PPJoin length filter
+    * integer-exact candidate filters before any verification work: an
+    * EMISSION-LEVEL positional prune on gated counts
+    * (`(1e6+tn−1)·(minrem+1) ≥ (tn−1)·(g1+g2)`, valid because gated ≤
+    * full — applied inside the generator's stage, BEFORE the pair
+    * exchange, so neither the candidate shuffle nor the doc-length
+    * joins ever move a pair that cannot qualify), the PPJoin length
+    * filter
     * (`(tn−1)·max(c1,c2) ≤ 1e6·min(c1,c2)`), and the exact PPJoin
     * POSITIONAL filter — the pair's overlap upper bound from its first
     * shared prefix shingle, `ub = 1 + min(g1−r1, g2−r2)` (computed as
@@ -435,15 +437,26 @@ object Dedup {
     postings
       .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
         .as(Seq("d1", "d2", "minrem", "gsum")))
+      // EMISSION-LEVEL positional prune, BEFORE the pair exchange:
+      // qualifying ⇒ i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′)
+      // (gated ≤ full) and i ≤ ub = max(minrem)+1 — so an emission with
+      // (1e6+tn−1)·(minrem+1) < (tn−1)·gsum cannot witness a qualifying
+      // pair's max bound. Dropping it either leaves the pair's max
+      // intact (the max-witnessing emission passes the same test
+      // whenever the pair can qualify) or removes a pair whose ub falls
+      // short anyway — integer-exact, zero false dismissals, and it
+      // runs INSIDE the generator's stage (Generate → Filter, whole-
+      // stage codegen) so the pair exchange only ever carries
+      // qualifying-capable emissions. At the 100× staged smoke this is
+      // the difference between a ~50 GB emission-shaped exchange
+      // (measured ENOSPC on one box) and a few-GB one; ub computed from
+      // the survivors equals the true first-match bound for every
+      // surviving pair.
+      .filter(expr(
+        s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
       .groupBy(col("d1"), col("d2"))
       .agg((max(col("minrem")) + lit(1L)).as("ub"),
         max(col("gsum")).as("gsum")) // pair-constant; max = the value
-      // PRE-JOIN positional prune on GATED counts: qualifying ⇒
-      // i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′) (gated ≤ full), and
-      // i ≤ ub — integer-exact, no join needed. The exact c-based
-      // filters below still apply; this one exists to keep the
-      // doc-length joins from shuffling the full candidate frame.
-      .filter(expr(s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * gsum"))
       .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
         .hint("shuffle_hash"), Seq("d1"))
       .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
