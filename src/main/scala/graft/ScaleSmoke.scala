@@ -189,8 +189,12 @@ object ScaleSmoke {
       // co-partitioned against the array table — this row is the
       // past-the-broadcast-budget contract measured deterministically,
       // whatever the auto row picked
+      // verifyChunks bounds the verify's live shuffle footprint on ONE
+      // box (cands × array width; ~46 GB in one job at 100×) — chunked
+      // only at the decades where a single job exceeds local disk
       "ngram_prefix_merge" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
-        Tables.documents(spark, d), maxDf = 100 * m, verify = "merge")),
+        Tables.documents(spark, d), maxDf = 100 * m, verify = "merge",
+        verifyChunks = if (m >= 50) 8 else 1)),
       // the FORCED broadcast verify with the budget opened: decomposes an
       // auto-row delta into verify shape vs candidate stage within one
       // session (auto silently picks a mode off the measured bytes)

@@ -216,6 +216,11 @@ class DedupSimilaritySpec extends SparkSpec {
     // (q120 — the past-budget shape)
     val viaMerge = rows(Dedup.ngramJaccardPrefixMerge(spark, sfDir))
     assert(viaMerge === classic)
+    // and the CHUNKED merge verify (the disk-bounded single-box knob):
+    // hash-disjoint chunks, union of chunk outputs == the single job
+    val viaChunked = rows(Dedup.ngramJaccardPrefixOf(
+      Tables.documents(spark, sfDir), verify = "merge", verifyChunks = 3))
+    assert(viaChunked === classic)
     // 2. the exact-boundary pair: 9 distinct shingles each, 8 shared
     //    (tokens 1..11 with the last differing) -> J = 8/(9+9-8) = 0.8
     //    EXACTLY; the α floor must not prune it. The third doc shares 7
