@@ -342,16 +342,20 @@ object Dedup {
     * operator now demotes to the merge verify instead of falling back
     * to the 8×-slower classic stage.
     *
-    * Measured (SCALE_r12.jsonl, same-session A/B at the 30× staged
-    * clique corpus, pre-positional-filter): 32.7 s vs the classic
-    * stage's 239.6 s — 7.3× — with identical 2,387,400-row output;
-    * candidate anatomy 112.1M distinct prefix candidates, 42.6M after
-    * the length filter, 2.39M true (SCALE_r13 re-prices with the
-    * positional filter and the merge verify). Deliberately NOT
-    * memo-shared with [[interCounts]]: q78/q105/q111 read the full
-    * candidate frame at other thresholds; this is the fixed-threshold
-    * fast path a production dedup (which runs ONE threshold) would
-    * choose. */
+    * Measured (SCALE_r13.jsonl, same-session final-code A/B at the 30×
+    * staged clique corpus): merge verify 17.6 s / auto 15.0 s / forced
+    * broadcast 11.8 s vs the classic stage's 276.8 s — 15.8× with no
+    * broadcast anywhere — identical 2,387,400-row output, growth
+    * exponents 0.47–0.61 vs 1.38. Candidate anatomy (prefixcand probe):
+    * 137.5M raw prefix emissions → 21.9M past the emission-level prune →
+    * 11.25M verified candidates → 2.39M true pairs. At the 100× decade
+    * (500k docs) the merge path completes in 156 s (27.1M true pairs,
+    * exponent 0.68 over two decades) while the classic stage's ~11B
+    * pair emissions exceed a single box's disk entirely — measured
+    * ENOSPC, documented in SCALE_r13. Deliberately NOT memo-shared with
+    * [[interCounts]]: q78/q105/q111 read the full candidate frame at
+    * other thresholds; this is the fixed-threshold fast path a
+    * production dedup (which runs ONE threshold) would choose. */
   def ngramJaccardPrefix(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf)
