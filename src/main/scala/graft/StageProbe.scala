@@ -86,11 +86,15 @@ object StageProbe {
               .as(Seq("d1", "d2", "minrem", "gsum")))
             .filter(expr(
               s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
+          // the per-pair emission count rides the same agg, so the kept-
+          // emission total reads off the CHECKPOINTED frame instead of
+          // re-running the generator stage a second time
           val cand = emissions
             .groupBy(col("d1"), col("d2"))
-            .agg((max(col("minrem")) + lit(1L)).as("ub"))
+            .agg((max(col("minrem")) + lit(1L)).as("ub"),
+              count(lit(1)).as("nem"))
             .localCheckpoint()
-          val kept = Option(emissions.groupBy().count().head().get(0))
+          val kept = Option(cand.agg(sum(col("nem"))).head().get(0))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
           val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
             .localCheckpoint()

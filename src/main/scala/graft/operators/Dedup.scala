@@ -442,6 +442,10 @@ object Dedup {
     postings
       .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
         .as(Seq("d1", "d2", "minrem", "gsum")))
+      // gsum's job ends at the emission filter below — the post-join
+      // filters use true counts — so it is dropped before the pair
+      // exchange rather than aggregated and carried through the
+      // doc-length joins for nothing
       // EMISSION-LEVEL positional prune, BEFORE the pair exchange:
       // qualifying ⇒ i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′)
       // (gated ≤ full) and i ≤ ub = max(minrem)+1 — so an emission with
@@ -460,8 +464,7 @@ object Dedup {
       .filter(expr(
         s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
       .groupBy(col("d1"), col("d2"))
-      .agg((max(col("minrem")) + lit(1L)).as("ub"),
-        max(col("gsum")).as("gsum")) // pair-constant; max = the value
+      .agg((max(col("minrem")) + lit(1L)).as("ub"))
       .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
         .hint("shuffle_hash"), Seq("d1"))
       .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
@@ -483,6 +486,16 @@ object Dedup {
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
     require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    // the positional pair generator's currency is bigint doc ids; refuse
+    // other id types loudly (plan-time AnalysisException would otherwise
+    // surface from deep inside the generator) and name the id-agnostic
+    // path — the classic stage's HOF branch handles any key type
+    require(sh.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "ngramJaccardPrefix requires bigint doc ids (the positional pair " +
+        s"generator's currency); got ${sh.schema("doc_id").dataType
+          .simpleString} — use ngramJaccardOf (the shared co-occurrence " +
+        "stage) for other doc-id types")
     val tn = math.round(threshold * 1e6)
     require(tn >= 1 && tn <= 1000000,
       s"threshold must be in (0, 1], got $threshold")
@@ -1100,7 +1113,45 @@ object Dedup {
     require(new java.io.File(s"$path/forest/v0").isDirectory,
       s"no persisted cluster forest under $path/forest" +
         " — seed one with writeClusterForest")
-    committedVersion(path)
+    val committed = committedVersion(path)
+    // pre-r13 (blind-append) indexes persisted forest v1..vN with the
+    // increments appended into the BASE shingle/hash files and no inc/
+    // markers — serving them as v0 would silently mis-cluster every
+    // appended doc and a later commit would overwrite their edges. The
+    // staged protocol can leave at most ONE forest version above the
+    // committed trail (the torn-commit state, correctly served as
+    // `committed`); two or more is detectably legacy state, refused.
+    // (A legacy index with exactly one commit is indistinguishable from
+    // a torn r13 commit by construction — the scaladoc tells pre-r13
+    // operators to rebuild.)
+    val fmax = Option(new java.io.File(s"$path/forest").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toInt).max
+    require(fmax <= committed + 1,
+      s"dedup index at $path has forest versions up to v$fmax above its " +
+        s"committed increment trail (v$committed) — the staged commit " +
+        "protocol cannot produce this; it looks like a pre-r13 " +
+        "blind-append index. Rebuild it with writeDedupIndex + " +
+        "writeClusterForest")
+    committed
+  }
+
+  /** Order-insensitive content digest of an increment — the idempotency
+    * token [[incrementalClustersAgainstIndex]] writes into each commit
+    * marker, so a retry of an ALREADY-COMMITTED increment (crash landed
+    * after the marker, the caller never saw success) is detected and
+    * re-served instead of double-appended. One small aggregate action. */
+  private def incrementDigest(incoming: DataFrame): String = {
+    // the per-row hashes sum in DECIMAL(38,0): a long accumulator
+    // overflows under ANSI arithmetic after a few rows of full-range
+    // xxhash64 values
+    val r = incoming
+      .agg(count(lit(1)), sum(xxhash64(col("doc_id"), md5(col("text")))
+        .cast("decimal(38,0)")))
+      .head()
+    val h = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"v2:${r.getLong(0)}:$h"
   }
 
   /** Incremental CLUSTER commit against a persisted index + star forest —
@@ -1126,13 +1177,36 @@ object Dedup {
     * next increment) serving version N exactly; re-running the same
     * commit overwrites the staged files and completes — never a torn
     * index or a double-appended increment (the r12 blind-append form
-    * could do both). `commit = false` is the read-only fixture form
-    * (q118) — same output frame, no mutation, idempotent across
-    * verify/bench laps. */
+    * could do both). The marker carries the increment's content digest
+    * ([[incrementDigest]]), so the OTHER crash window — the caller dies
+    * AFTER the marker landed and retries a commit that actually
+    * succeeded — is detected and re-served from the committed state
+    * instead of shipping the same increment twice. `commit = false` is
+    * the read-only fixture form (q118) — same output frame, no
+    * mutation, idempotent across verify/bench laps. */
   def incrementalClustersAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
       commit: Boolean = true): DataFrame = {
     val v = latestForestVersion(indexPath)
+    if (commit && v >= 1) {
+      val marker = java.nio.file.Paths.get(
+        s"$indexPath/inc/v$v/_graft_commit")
+      val prevDigest = new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (prevDigest == incrementDigest(incoming))
+        // the latest committed increment IS this one (a retry after a
+        // crash that landed past the marker): serve the committed state,
+        // write nothing
+        return readIndexHashes(spark, indexPath).select(col("doc_id"))
+          .join(spark.read.parquet(s"$indexPath/forest/v$v")
+            .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("d2"), col("doc_id")).as("cluster"))
+          .withColumn("keep",
+            when(col("cluster") === col("doc_id"), 1).otherwise(0))
+          .orderBy(col("doc_id"))
+    }
     val idxSh = readIndexShingles(spark, indexPath)
     val newSh = shinglesOf(incoming)
     // materialize the pair probe once (checkpoint): the contraction and its
@@ -1161,7 +1235,8 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$inc/hashes")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(inc, "_graft_commit"),
-          Array.emptyByteArray)
+          incrementDigest(incoming)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // assemble from the committed files: hashes now carry every seen
         // doc id, the forest file is this commit's contraction
         readIndexHashes(spark, indexPath).select(col("doc_id"))

@@ -624,6 +624,17 @@ class DedupSimilaritySpec extends SparkSpec {
       val golden = Dedup.incrementalClustersAgainstIndex(spark, goldPath,
         inc1).collect().map(_.toSeq).toSeq
       assert(Dedup.latestForestVersion(goldPath) == 1)
+      // the post-marker crash window: the caller dies AFTER the marker
+      // landed and retries a commit that actually succeeded — the
+      // content digest in the marker detects it, the committed state is
+      // re-served, and the increment is NOT shipped twice (no v2)
+      val retried = Dedup.incrementalClustersAgainstIndex(spark, goldPath,
+        inc1).collect().map(_.toSeq).toSeq
+      assert(retried === golden,
+        "retrying an already-committed increment must re-serve it")
+      assert(Dedup.latestForestVersion(goldPath) == 1 &&
+        !new java.io.File(s"$goldPath/inc/v2").exists(),
+        "a retried commit must not double-append the increment")
       // the commit writes, IN ORDER: (1) forest/v1, (2) inc/v1/shingles,
       // (3) inc/v1/hashes, (4) the marker — so a crash between any two
       // writes leaves exactly a prefix, and every torn state is a
@@ -664,6 +675,29 @@ class DedupSimilaritySpec extends SparkSpec {
         Dedup.latestForestVersion(goldPath))
       assert(e.getMessage.contains("gap"))
     } finally rmrf(goldPath)
+    // a pre-r13 blind-append index (forest versions committed with no
+    // inc/ markers) must be refused, not silently served as v0: two or
+    // more forest versions above the committed trail cannot be produced
+    // by the staged protocol (exactly one IS the legitimate torn-commit
+    // state, served as the prior version — covered above)
+    val legacy = freshIndex()
+    try {
+      new java.io.File(s"$legacy/forest/v1").mkdirs()
+      new java.io.File(s"$legacy/forest/v2").mkdirs()
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.latestForestVersion(legacy))
+      assert(e2.getMessage.contains("blind-append") &&
+        e2.getMessage.contains("Rebuild"))
+    } finally rmrf(legacy)
+  }
+
+  test("prefix path refuses non-bigint doc ids, naming the classic stage") {
+    import spark.implicits._
+    val sh = Seq(("x", 1L), ("x", 2L), ("y", 1L)).toDF("doc_id", "s")
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixOfShingles(sh, 0.8, 100))
+    assert(e.getMessage.contains("bigint") &&
+      e.getMessage.contains("ngramJaccardOf"))
   }
 
   test("near-dup hot buckets are gated before pairing") {
