@@ -898,23 +898,116 @@ object Dedup {
     shinglesOf(docs).write.mode("overwrite").parquet(s"$path/shingles")
     docs.select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$path/hashes")
+    // protocol stamp, written LAST: [[latestForestVersion]] refuses any
+    // UNSTAMPED index carrying forest versions above v0. A pre-staged-
+    // protocol blind-append index with exactly ONE appended commit used
+    // to be indistinguishable from a legitimate torn commit (both show
+    // fmax = committed + 1) and was silently served as v0, mis-clustering
+    // its appended docs — the stamp makes the distinction persistent
+    // instead of leaving it to scaladoc (ADVICE r13).
+    val (pfs, _) = protocolFs(path)
+    val stamp = pfs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_protocol"), true)
+    try stamp.write(protocolStamp.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally stamp.close()
+  }
+
+  /** Stamp content naming the commit-protocol generation an index was
+    * written under (staged version-keyed overwrites + marker-last). */
+  private val protocolStamp = "graft-dedup-index-protocol:1\n"
+
+  /** Hadoop FileSystem of an index path, resolved from the ACTIVE
+    * session's Hadoop configuration — the protocol's marker/listing I/O
+    * goes through the same filesystem abstraction Spark's parquet
+    * writers use. The pre-r14 java.io.File form silently read
+    * `committedVersion = 0` for an index on hdfs:// or s3a:// (every
+    * increment invisible, the forest refused or served stale) instead of
+    * failing or working; resolving through `Path.getFileSystem` makes
+    * the protocol correct on any filesystem the data itself reaches
+    * (ADVICE r13). */
+  private def protocolFs(path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
+  }
+
+  /** The digest a committed increment's marker carries, or None when the
+    * marker is missing, EMPTY or unreadable. An empty marker is the
+    * torn-write state of a crash between marker creation and content
+    * flush and MUST read as uncommitted: gating visibility on bare
+    * existence made the torn marker flip vN visible while the digest
+    * retry guard mismatched, re-opening the exact double-append window
+    * the digest was added to close (ADVICE r13). Markers written by
+    * [[writeMarkerAtomic]] land via an atomic rename, so the torn state
+    * can only come from a pre-r14 writer or a truncated copy. */
+  private def markerDigest(path: String, v: Int): Option[String] = {
+    val (fs, _) = protocolFs(path)
+    val m = new org.apache.hadoop.fs.Path(s"$path/inc/v$v/_graft_commit")
+    try {
+      val len = fs.getFileStatus(m).getLen
+      if (len == 0L || len > (1L << 20)) None
+      else {
+        val in = fs.open(m)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Write an increment's commit marker ATOMICALLY: content lands in a
+    * same-directory temp file first, then renames onto `_graft_commit` —
+    * on every Hadoop filesystem rename is atomic (local FS delegates to
+    * File.renameTo; HDFS renames in the namenode), so readers observe
+    * either no marker or the complete digest, never a created-but-
+    * unflushed marker. The pre-r14 plain Files.write could crash between
+    * file creation and content flush, leaving an existing-but-empty
+    * marker (ADVICE r13); [[markerDigest]]'s empty-is-uncommitted rule
+    * covers markers that old writers already tore. */
+  private def writeMarkerAtomic(path: String, v: Int,
+      digest: String): Unit = {
+    val (fs, _) = protocolFs(path)
+    val dir = s"$path/inc/v$v"
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(digest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
+    // a retry over a pre-r14 torn marker must replace it; the delete
+    // window only ever widens "uncommitted", never exposes torn content
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"atomic commit-marker rename failed under $dir")
+  }
+
+  /** Version-numbered `vN` subdirectories of `base`, via the index's own
+    * filesystem. */
+  private def versionDirs(path: String, sub: String): Seq[Int] = {
+    val (fs, _) = protocolFs(path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
   }
 
   /** Highest COMMITTED increment version of a persisted index (0 = the
     * [[writeDedupIndex]] base only). An increment version N ≥ 1 is
-    * committed iff its marker file `inc/vN/_graft_commit` exists — the
-    * marker is the LAST write of [[incrementalClustersAgainstIndex]]'s
-    * commit sequence, so a crash anywhere before it leaves every reader
-    * serving version N−1 (never a torn N) and a re-run overwrites the
-    * staged files idempotently. Versions are contiguous by protocol
-    * (commit N starts only after N−1's marker); a committed version above
-    * a gap is state the protocol cannot produce, refused loudly. */
+    * committed iff its marker file `inc/vN/_graft_commit` exists AND is
+    * non-empty (an empty marker is a torn pre-r14 write — uncommitted,
+    * see [[markerDigest]]) — the marker is the LAST write of
+    * [[incrementalClustersAgainstIndex]]'s commit sequence, so a crash
+    * anywhere before it leaves every reader serving version N−1 (never a
+    * torn N) and a re-run overwrites the staged files idempotently.
+    * Versions are contiguous by protocol (commit N starts only after
+    * N−1's marker); a committed version above a gap is state the
+    * protocol cannot produce, refused loudly. */
   private[graft] def committedVersion(path: String): Int = {
-    val incs = Option(new java.io.File(s"$path/inc").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .filter(v => new java.io.File(s"$path/inc/v$v/_graft_commit").exists())
+    val incs = versionDirs(path, "inc")
+      .filter(v => markerDigest(path, v).isDefined)
       .sorted
     var latest = 0
     for (v <- incs) if (v == latest + 1) latest = v
@@ -1110,7 +1203,12 @@ object Dedup {
     * marker lands, so readers never serve a forest whose edges the index
     * can't re-derive. */
   private[graft] def latestForestVersion(path: String): Int = {
-    require(new java.io.File(s"$path/forest/v0").isDirectory,
+    val (fs, _) = protocolFs(path)
+    val v0IsDir =
+      try fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$path/forest/v0")).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    require(v0IsDir,
       s"no persisted cluster forest under $path/forest" +
         " — seed one with writeClusterForest")
     val committed = committedVersion(path)
@@ -1121,13 +1219,19 @@ object Dedup {
     // staged protocol can leave at most ONE forest version above the
     // committed trail (the torn-commit state, correctly served as
     // `committed`); two or more is detectably legacy state, refused.
-    // (A legacy index with exactly one commit is indistinguishable from
-    // a torn r13 commit by construction — the scaladoc tells pre-r13
-    // operators to rebuild.)
-    val fmax = Option(new java.io.File(s"$path/forest").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt).max
+    val fmax = versionDirs(path, "forest").max
+    // a blind-append legacy index with exactly ONE commit shows the same
+    // fmax = committed + 1 shape as a legitimate torn commit — the
+    // protocol STAMP ([[writeDedupIndex]]) is what tells them apart:
+    // every staged-protocol index is stamped at creation, so forest
+    // versions above v0 on an UNSTAMPED index can only be legacy
+    // appends, refused instead of served as v0 (ADVICE r13).
+    require(fmax == 0 || fs.exists(
+        new org.apache.hadoop.fs.Path(path, "_graft_protocol")),
+      s"dedup index at $path carries forest versions up to v$fmax but no " +
+        "protocol stamp — it predates the staged commit protocol (its " +
+        "increments were blind-appended) and its forest edges cannot be " +
+        "trusted. Rebuild it with writeDedupIndex + writeClusterForest")
     require(fmax <= committed + 1,
       s"dedup index at $path has forest versions up to v$fmax above its " +
         s"committed increment trail (v$committed) — the staged commit " +
@@ -1181,34 +1285,67 @@ object Dedup {
     * ([[incrementDigest]]), so the OTHER crash window — the caller dies
     * AFTER the marker landed and retries a commit that actually
     * succeeded — is detected and re-served from the committed state
-    * instead of shipping the same increment twice. `commit = false` is
+    * instead of shipping the same increment twice. The digest is checked
+    * against EVERY committed marker, not only the tail: an increment
+    * matching a mid-trail marker is a replayed upstream delivery (not a
+    * crash retry) and is refused loudly — appending it would inflate the
+    * df gate and silently drift every later increment's verdicts. The
+    * marker itself lands via an atomic same-directory rename
+    * ([[writeMarkerAtomic]]), and the incoming frame is checkpointed
+    * once at entry so the digest and both staged writes read one
+    * materialization. `commit = false` is
     * the read-only fixture form (q118) — same output frame, no
     * mutation, idempotent across verify/bench laps. */
   def incrementalClustersAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
       commit: Boolean = true): DataFrame = {
     val v = latestForestVersion(indexPath)
-    if (commit && v >= 1) {
-      val marker = java.nio.file.Paths.get(
-        s"$indexPath/inc/v$v/_graft_commit")
-      val prevDigest = new String(java.nio.file.Files.readAllBytes(marker),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (prevDigest == incrementDigest(incoming))
-        // the latest committed increment IS this one (a retry after a
-        // crash that landed past the marker): serve the committed state,
-        // write nothing
-        return readIndexHashes(spark, indexPath).select(col("doc_id"))
-          .join(spark.read.parquet(s"$indexPath/forest/v$v")
-            .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("d2"), col("doc_id")).as("cluster"))
-          .withColumn("keep",
-            when(col("cluster") === col("doc_id"), 1).otherwise(0))
-          .orderBy(col("doc_id"))
+    // in commit mode, ONE deterministic materialization of the incoming
+    // frame: the digest, the replay scan and both staged writes below all
+    // read this checkpoint. Without it the frame evaluates up to three
+    // times, and a non-deterministic source (a fresh sample, a
+    // re-evaluated clock) could stage inc files whose content differs
+    // from the digest recorded in their own marker (ADVICE r13). The
+    // read-only fixture form skips the checkpoint — nothing is written,
+    // so determinism across sub-reads is not load-bearing there.
+    val inc = if (!commit) incoming
+      else org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
+        incoming.select(col("doc_id"), col("text")).localCheckpoint())
+    val dig = if (commit) incrementDigest(inc) else ""
+    if (commit) {
+      // scan EVERY committed marker, not only the tail: a replayed
+      // upstream queue can re-ship increment N−1 after N committed, and
+      // the latest-only check would blind-append it — the df gate then
+      // shifts and every later increment's verdicts drift silently
+      // (ADVICE r13 / r13 verdict defect #1). The markers are tiny and
+      // already listed by committedVersion, so this is one directory
+      // listing + v small reads.
+      (1 to v).find(k => markerDigest(indexPath, k).contains(dig)) match {
+        case Some(k) if k == v =>
+          // the latest committed increment IS this one (a retry after a
+          // crash that landed past the marker): serve the committed
+          // state, write nothing
+          return readIndexHashes(spark, indexPath).select(col("doc_id"))
+            .join(spark.read.parquet(s"$indexPath/forest/v$v")
+              .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("d2"), col("doc_id")).as("cluster"))
+            .withColumn("keep",
+              when(col("cluster") === col("doc_id"), 1).otherwise(0))
+            .orderBy(col("doc_id"))
+        case Some(k) =>
+          throw new IllegalArgumentException(
+            s"increment was already committed as v$k below the current " +
+              s"tail v$v of the dedup index at $indexPath — re-shipping " +
+              "it would double-append (df inflation, silent verdict " +
+              "drift on every later increment). This is a replayed " +
+              "upstream delivery, not a crash retry; drop it upstream")
+        case None => ()
+      }
     }
     val idxSh = readIndexShingles(spark, indexPath)
-    val newSh = shinglesOf(incoming)
+    val newSh = shinglesOf(inc)
     // materialize the pair probe once (checkpoint): the contraction and its
     // vertex frame both consume it, and in commit mode nothing downstream
     // may lazily re-read index files the appends below are about to grow
@@ -1226,17 +1363,14 @@ object Dedup {
         // OVERWRITES under version-keyed paths, then the single marker
         // that makes v+1 visible. Any prefix of this sequence is
         // invisible to readers and harmlessly overwritten by a re-run.
-        val inc = s"$indexPath/inc/v${v + 1}"
+        val incDir = s"$indexPath/inc/v${v + 1}"
         labels.filter(col("id") =!= col("label"))
           .select(col("id").as("d1"), col("label").as("d2"))
           .write.mode("overwrite").parquet(s"$indexPath/forest/v${v + 1}")
-        newSh.write.mode("overwrite").parquet(s"$inc/shingles")
-        incoming.select(col("doc_id"), md5(col("text")).as("h"))
-          .write.mode("overwrite").parquet(s"$inc/hashes")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(inc, "_graft_commit"),
-          incrementDigest(incoming)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        newSh.write.mode("overwrite").parquet(s"$incDir/shingles")
+        inc.select(col("doc_id"), md5(col("text")).as("h"))
+          .write.mode("overwrite").parquet(s"$incDir/hashes")
+        writeMarkerAtomic(indexPath, v + 1, dig)
         // assemble from the committed files: hashes now carry every seen
         // doc id, the forest file is this commit's contraction
         readIndexHashes(spark, indexPath).select(col("doc_id"))
@@ -1247,7 +1381,7 @@ object Dedup {
             coalesce(col("d2"), col("doc_id")).as("cluster"))
       } else {
         readIndexHashes(spark, indexPath).select(col("doc_id"))
-          .unionByName(incoming.select(col("doc_id")))
+          .unionByName(inc.select(col("doc_id")))
           .join(labels.withColumnRenamed("id", "doc_id")
             .hint("shuffle_hash"), Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -664,13 +664,25 @@ class DedupSimilaritySpec extends SparkSpec {
           assert(Dedup.latestForestVersion(p) == 1)
         } finally rmrf(p)
       }
+      // an EMPTY marker is the torn state of a pre-r14 non-atomic
+      // writer (created but never flushed) — it must read as
+      // UNCOMMITTED, not flip its version visible with a digest the
+      // retry guard can never match (ADVICE r13)
+      val tornDir = new java.io.File(s"$goldPath/inc/v2")
+      tornDir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$goldPath/inc/v2/_graft_commit"),
+        Array.emptyByteArray)
+      assert(Dedup.latestForestVersion(goldPath) == 1,
+        "an empty (torn) marker must leave its version uncommitted")
+      rmrf(s"$goldPath/inc/v2")
       // a committed version above a gap is protocol-impossible state —
       // refused loudly instead of silently serving a hole
       val gapDir = new java.io.File(s"$goldPath/inc/v3")
       gapDir.mkdirs()
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$goldPath/inc/v3/_graft_commit"),
-        Array.emptyByteArray)
+        "v2:9:12345".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val e = intercept[IllegalArgumentException](
         Dedup.latestForestVersion(goldPath))
       assert(e.getMessage.contains("gap"))
@@ -689,6 +701,57 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(e2.getMessage.contains("blind-append") &&
         e2.getMessage.contains("Rebuild"))
     } finally rmrf(legacy)
+  }
+
+  test("a replayed mid-trail increment is refused, not double-appended") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val part = pmod($"doc_id", lit(3))
+    val path = s"target/testidx/replay${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(docs.filter(part === 0), path)
+      Dedup.writeClusterForest(docs.filter(part === 0), path)
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 1)).collect()
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 2)).collect()
+      assert(Dedup.latestForestVersion(path) == 2)
+      // the upstream queue re-delivers increment 1 AFTER increment 2
+      // committed: the digest matches a marker BELOW the tail, so this
+      // is a replay, not a crash retry — appending it would inflate the
+      // df gate and drift every later increment's verdicts silently
+      val e = intercept[IllegalArgumentException](
+        Dedup.incrementalClustersAgainstIndex(spark, path,
+          docs.filter(part === 1)).collect())
+      assert(e.getMessage.contains("already committed") &&
+        e.getMessage.contains("v1"),
+        s"replay must be refused naming the committed version: $e")
+      assert(Dedup.latestForestVersion(path) == 2 &&
+        !new java.io.File(s"$path/inc/v3").exists(),
+        "a refused replay must write nothing")
+    } finally rmrf(path)
+  }
+
+  test("forest versions above v0 on an unstamped index are refused") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val shipped = docs.filter(pmod($"doc_id", lit(3)) === 0)
+    val path = s"target/testidx/unstamped${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(shipped, path)
+      Dedup.writeClusterForest(shipped, path)
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(pmod($"doc_id", lit(3)) === 1)).collect()
+      // strip the protocol stamp: the index now looks like a pre-staged-
+      // protocol blind-append with one commit — the shape that used to
+      // be indistinguishable from a torn commit and silently served as
+      // v0, mis-clustering the appended docs (ADVICE r13)
+      rmrf(s"$path/_graft_protocol")
+      val e = intercept[IllegalArgumentException](
+        Dedup.latestForestVersion(path))
+      assert(e.getMessage.contains("protocol stamp") &&
+        e.getMessage.contains("Rebuild"))
+    } finally rmrf(path)
   }
 
   test("prefix path refuses non-bigint doc ids, naming the classic stage") {
