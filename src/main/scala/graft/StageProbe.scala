@@ -75,7 +75,7 @@ object StageProbe {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       // the candidate frame is the probe's expensive job — build it ONCE
       // (checkpoint) and take every count from it
-      val (emisKept, candPre, candLen, candPos) =
+      val (emisKept, candPre, candLen, candPos, candSfx) =
         if (rawPairs > 0 && rawPairs <= 20000000000L) {
           // the EXACT filter predicates the operator applies — different
           // inequalities here would misprice the operator's verify volume
@@ -106,10 +106,32 @@ object StageProbe {
             .filter(expr(
               s"${tn - 1}L * greatest(c1, c2) <= 1000000L * least(c1, c2)"))
             .localCheckpoint()
-          val pos = withLen.filter(expr(
-            s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)")).count()
-          (kept, cand.count(), withLen.count(), pos)
+          val posF = withLen.filter(expr(
+            s"${1000000L + tn - 1}L * ub >= ${tn - 1}L * (c1 + c2)"))
+            .localCheckpoint()
+          val pos = posF.count()
+          // the r14 PREFIX-ARRAY SUFFIX BOUND's survivors — what the
+          // merge verify actually ships a full array for (the operator's
+          // own helpers build the array table and the `needed` bound, so
+          // the probe can never disagree with the verify's inequality):
+          // i ≤ |a1 ∩ pfx2| + sfx2, killed when that cannot reach needed
+          val arrays = operators.Dedup
+            .prefixVerifyArrays(sh, threshold, maxDf).localCheckpoint()
+          val sfxKept = posF
+            .join(arrays.select(col("doc_id").as("d2"),
+              col("pfx").as("p2"), col("sfx").as("sfx2"))
+              .hint("shuffle_hash"), Seq("d2"))
+            .join(arrays.select(col("doc_id").as("d1"),
+              col("arr").as("a1")).hint("shuffle_hash"), Seq("d1"))
+            .withColumn("needed",
+              operators.Dedup.jaccardNeededExpr(tn))
+            .filter(graft.functions.TextFunctions.sortedIntersectAtLeast(
+                col("a1"), col("p2"), col("needed") - col("sfx2")) >=
+              col("needed") - col("sfx2"))
+            .count()
+          (kept, cand.count(), withLen.count(), pos, sfxKept)
         } else (if (rawPairs == 0) 0L else -1L,
+          if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L,
           if (rawPairs == 0) 0L else -1L)
@@ -119,6 +141,7 @@ object StageProbe {
         s""""emissions_kept":$emisKept,"cand_g_pruned":$candPre,""" +
         s""""cand_len_filtered":$candLen,""" +
         s""""cand_pos_filtered":$candPos,""" +
+        s""""cand_suffix_filtered":$candSfx,""" +
         s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return

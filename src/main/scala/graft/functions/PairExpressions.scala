@@ -196,6 +196,78 @@ object SortedIntersectKernel {
     }
     c
   }
+
+  /** [[count]] with PPJoin+'s suffix-filter idea folded in as an
+    * early-exit threshold (Xiao et al. §4's Hamming-bound role, merged
+    * into the verify itself): the merge aborts the moment the running
+    * count plus the SHORTER unconsumed remainder — the tightest overlap
+    * still reachable — falls below `needed`. The caller's contract:
+    * `needed` is a lower bound every QUALIFYING pair's intersection must
+    * reach, so an aborted merge returns its partial count, which is
+    * `< needed` by construction and therefore fails the caller's
+    * threshold filter exactly like the true count would have — outputs
+    * are bit-identical to [[count]] (spec-pinned property), only the
+    * wasted merge work on non-qualifying candidates is skipped. At the
+    * 100× smoke 78% of verified candidates are non-qualifying, and most
+    * fail early (one rare shared prefix shingle, little else). */
+  def countAtLeast(a: ArrayData, b: ArrayData, needed: Long): Long = {
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      // remaining-possible bound: every future match consumes one slot
+      // of each side, so c can grow by at most min(n - i, m - j)
+      if (c + math.min(n - i, m - j) < needed) return c
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** [[SortedIntersectKernel.countAtLeast]] as a native codegen
+  * expression: exact intersection count when it reaches `needed`,
+  * otherwise SOME value strictly below `needed` (the partial count at
+  * the abort point). Use only under a filter that discards every result
+  * below `needed` — there the output is indistinguishable from
+  * [[SortedIntersectCount]] and the non-qualifying merges cost O(abort
+  * point) instead of O(n + m). */
+case class SortedIntersectAtLeast(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_at_least"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_intersect_at_least requires (array<bigint>, " +
+          s"array<bigint>, bigint), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    SortedIntersectKernel.countAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      k.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, k) =>
+      s"${ev.value} = graft.functions.SortedIntersectKernel" +
+        s".countAtLeast($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** [[SortedIntersectKernel]] as a native codegen expression. */

@@ -428,6 +428,14 @@ object TextFunctions {
     Bridge.column(SortedIntersectCount(
       Bridge.expression(a), Bridge.expression(b)))
 
+  /** [[sortedIntersectCount]] with an early-exit threshold: exact when
+    * the count reaches `needed`, otherwise some value < `needed` — use
+    * only under a filter discarding results below `needed`. */
+  def sortedIntersectAtLeast(a: Column, b: Column, needed: Column): Column =
+    Bridge.column(SortedIntersectAtLeast(
+      Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(needed)))
+
   /** Blockhash fingerprint of a string payload column. */
   def blockhashFp(text: Column, blocks: Int = 60): Column =
     Bridge.column(BlockhashFp(Bridge.expression(text), blocks))

@@ -323,19 +323,32 @@ object Dedup {
     * `(1e6 + tn − 1)·ub ≥ (tn−1)·(c1 + c2)` — the exact integer form of
     * `ub ≥ t′·(c1+c2)/(1+t′)`, the overlap a qualifying pair MUST reach.
     * Survivors verify exactly against per-doc sorted gated-shingle
-    * arrays with the native [[graft.functions.SortedIntersectCount]]
-    * merge kernel, in one of two verify shapes (`verify` param):
+    * arrays with the native early-exit merge kernel
+    * ([[graft.functions.SortedIntersectAtLeast]]: the merge aborts the
+    * moment the running count plus the shorter unconsumed remainder
+    * cannot reach the qualifying overlap — non-qualifying candidates,
+    * 4.6× of the true pairs at the r13 100× smoke, cost O(abort point)
+    * instead of O(array length); the partial count an abort returns
+    * fails the threshold filter exactly like the true count would, so
+    * the output is bit-identical), in one of two verify shapes
+    * (`verify` param):
     *  - `broadcast` — arrays broadcast once, map-side intersect, no
     *    per-candidate shuffle. Budget-gated on MEASURED bytes (total
     *    gated cells × 8 + per-doc overhead, × 2 — Spark plans one
     *    broadcast exchange per join side), not doc counts: a corpus of
     *    long documents can't OOM the driver with the gate passed.
     *  - `merge` — NO broadcast anywhere: candidates co-partitioned with
-    *    the array table on d1 (shuffled hash join), then the
-    *    (candidate, a1) rows co-partitioned on d2 against the same
-    *    array table. Shuffle volume = surviving candidates × array
-    *    width — the positional filter is what makes this affordable
-    *    (it kills the ENOSPC row-fan-out class the r12 first cut hit).
+    *    the array table per side (shuffled hash joins). Shuffle volume =
+    *    surviving candidates × array width — the positional filter is
+    *    what makes this affordable (it kills the ENOSPC row-fan-out
+    *    class the r12 first cut hit). Since r14 the full-array shipment
+    *    is further gated by a PREFIX-ARRAY SUFFIX BOUND (PPJoin+'s
+    *    suffix filter re-priced for a shuffle engine): candidates first
+    *    pick up only d2's SHORT prefix array + suffix size, and
+    *    `i ≤ |a1 ∩ pfx2| + sfx2` kills every candidate that cannot
+    *    reach the qualifying overlap BEFORE d2's full array crosses an
+    *    exchange — the r13 100× anatomy showed that shipment (125.1M
+    *    candidates × ~370 B for 27.1M true pairs) WAS the wall time.
     *  - `auto` (default) — measure the array table once (one aggregate
     *    action), broadcast under `maxBroadcastBytes`, merge past it.
     * The r12 `maxBroadcastDocs` refusal is RETIRED: past the budget the
@@ -404,13 +417,24 @@ object Dedup {
     prefixOfGated(sh.join(keep, Seq("s")), docLen, tn)
   }
 
-  /** The window core of [[prefixPostings]] over an already-built gated
-    * `(doc_id, s, df)` index and full-count `docLen` — split out so the
-    * operator can hand in CHECKPOINTED frames (its budget-gate count and
-    * its candidate job are separate Spark actions, and without the
-    * checkpoint each would re-pay the shingle scan + df aggregation). */
-  private def prefixOfGated(gated: DataFrame, docLen: DataFrame,
-      tn: Long): DataFrame = {
+  /** Jaccard's pair-independent overlap lower bound α (the prefix
+    * length's complement): `max(1, (tn−1)·c div 1e6)` in exact integer
+    * arithmetic — a floor of a valid bound, so it can only lengthen the
+    * prefix, never drop a qualifying pair (scaladoc at
+    * [[ngramJaccardPrefix]]). */
+  private def jaccardAlpha(tn: Long): Column =
+    expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)")
+
+  /** The per-doc global-order rank core shared by the prefix posting
+    * frame and the verify's array table: each gated `(doc_id, s, df)`
+    * row with `rem` (gated shingles ranked after it in its doc under the
+    * global ascending-(df, s) order), `g` (the doc's gated count) and
+    * the doc's overlap bound `alpha` (an expression over the full count
+    * `c` — Jaccard's and containment's bounds differ). One window
+    * exchange produces both consumers' inputs; the caller checkpoints
+    * the result so they share it across Spark actions. */
+  private def rankedOfGated(gated: DataFrame, docLen: DataFrame,
+      alpha: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
     gated
@@ -418,12 +442,63 @@ object Dedup {
       .withColumn("r",
         row_number().over(byDoc.orderBy(col("df"), col("s"))))
       .withColumn("g", count(lit(1)).over(byDoc))
-      .withColumn("alpha",
-        expr(s"greatest(1L, (${tn - 1}L * c) div 1000000L)"))
-      .filter(col("r") <= col("g") - col("alpha") + lit(1))
+      .withColumn("alpha", alpha)
       .select(col("doc_id"), col("s"), (col("g") - col("r")).as("rem"),
-        col("g"))
+        col("g"), col("alpha"))
   }
+
+  /** A doc's prefix rows of a [[rankedOfGated]] frame: rank ≤ g − α + 1,
+    * i.e. `rem ≥ α − 1`. */
+  private def prefixOfRanked(ranked: DataFrame): DataFrame =
+    ranked.filter(col("rem") >= col("alpha") - lit(1))
+      .select(col("doc_id"), col("s"), col("rem"), col("g"))
+
+  /** The window core of [[prefixPostings]] over an already-built gated
+    * `(doc_id, s, df)` index and full-count `docLen` — split out so the
+    * operator can hand in CHECKPOINTED frames (its budget-gate count and
+    * its candidate job are separate Spark actions, and without the
+    * checkpoint each would re-pay the shingle scan + df aggregation). */
+  private def prefixOfGated(gated: DataFrame, docLen: DataFrame,
+      tn: Long): DataFrame =
+    prefixOfRanked(rankedOfGated(gated, docLen, jaccardAlpha(tn)))
+
+  /** The verify's per-doc array table off a [[rankedOfGated]] frame: the
+    * full sorted gated-shingle array, the doc's PREFIX as its own sorted
+    * array, and the suffix size — the pre-verify bound's inputs.
+    * collect_list drops the nulls `when` leaves on non-prefix rows, and
+    * sfx counts them exactly (= α − 1 whenever α ≤ g). */
+  private def arraysOfRanked(ranked: DataFrame): DataFrame = {
+    val isPfx = col("rem") >= col("alpha") - lit(1)
+    ranked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"),
+        sort_array(collect_list(when(isPfx, col("s")))).as("pfx"),
+        (count(lit(1)) - count(when(isPfx, lit(1)))).as("sfx"))
+  }
+
+  /** [[arraysOfRanked]] for a raw shingle frame at a Jaccard threshold —
+    * the operator's internal array-table build exposed for the
+    * candidate-anatomy probe ([[graft.StageProbe]]). */
+  private[graft] def prefixVerifyArrays(sh: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val tn = math.round(threshold * 1e6)
+    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    arraysOfRanked(rankedOfGated(sh.join(keep, Seq("s")), docLen,
+      jaccardAlpha(tn)))
+  }
+
+  /** The overlap every qualifying Jaccard pair MUST reach, per candidate
+    * row carrying full counts (c1, c2) — the exact integer ceiling of
+    * the positional filter's bound: qualifying ⇒ (1e6+tn−1)·i ≥
+    * (tn−1)·(c1+c2) ⇒ i ≥ this. Floored at 1 (any qualifying pair at
+    * t > 0 intersects at least once) so the verify kernel's early exit
+    * stays live at low thresholds. Shared by the operator's verify and
+    * the probe so the two can never disagree on the inequality. */
+  private[graft] def jaccardNeededExpr(tn: Long): Column =
+    expr(s"greatest(1L, (${tn - 1}L * (c1 + c2) + " +
+      s"${1000000L + tn - 2}L) div ${1000000L + tn - 1}L)")
 
   /** Candidate pairs of a prefix posting frame, POSITION- and
     * LENGTH-filtered, with both docs' full counts attached — the shared
@@ -513,10 +588,13 @@ object Dedup {
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
-    val gated = Bridge.dropOriginConstraints(
-      sh.join(keep, Seq("s")).localCheckpoint())
-    val cand =
-      prefixCandidates(prefixOfGated(gated, docLen, tn), docLen, tn)
+    // ONE window exchange ranks the gated frame for both consumers (the
+    // prefix posting frame and the verify's array table) — checkpointed
+    // so the budget-gate action and the candidate job share it
+    val ranked = Bridge.dropOriginConstraints(
+      rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn))
+        .localCheckpoint())
+    val cand = prefixCandidates(prefixOfRanked(ranked), docLen, tn)
     // exact verification against per-doc sorted gated-shingle arrays with
     // the native merge-count kernel. Two shapes (scaladoc above): the
     // broadcast map-side form under a MEASURED byte budget, and the
@@ -524,9 +602,17 @@ object Dedup {
     // ENOSPC death was the ROW fan-out verify (candidates × d1's shingle
     // rows); the merge form ships one packed array per candidate-side
     // instead, and only for candidates the positional filter kept.
-    val arrays = gated.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("s"))).as("arr"))
-      .localCheckpoint()
+    // Alongside each full array: the doc's PREFIX as its own sorted
+    // array plus the suffix size — the r14 pre-verify bound's inputs
+    // (see mergeVerify below).
+    val arrays = arraysOfRanked(ranked).localCheckpoint()
+    // the overlap every qualifying pair MUST reach, per candidate
+    // ([[jaccardNeededExpr]]). The verify kernel early-exits a merge the
+    // moment this bound is unreachable (PPJoin+'s suffix-filter role
+    // folded into the verify: a non-qualifying candidate costs O(abort
+    // point), and the partial count it returns is < needed, so the
+    // threshold filter drops it exactly as the true count would).
+    val needed = jaccardNeededExpr(tn)
     val mode =
       if (verify == "merge") "merge"
       else {
@@ -553,16 +639,45 @@ object Dedup {
           "merge"
         }
       }
+    // the merge shape's irreducible cost is shipping one full gated
+    // array per surviving candidate across an exchange — so before any
+    // full array moves, candidates pass a PREFIX-ARRAY SUFFIX BOUND
+    // (PPJoin+'s suffix-filter idea priced for a shuffle engine):
+    // i = |A∩B| ≤ |A ∩ pfx(B)| + |suffix(B)| for ANY split of B, and
+    // with B's own prefix split both terms are cheap — pfx(B) is the
+    // SHORT end of the array (~(1−t)·g cells) and sfx(B) = α_B − 1 is a
+    // counter. Join order is chosen so the wide arrays only ever cross
+    // an exchange once each per surviving candidate: (1) narrow
+    // candidate rows co-partition on d2 picking up (pfx2, sfx2);
+    // (2) co-partition on d1 picking up a1 (full) while carrying only
+    // the short pfx2; (3) the bound kills candidates that cannot reach
+    // `needed` — measured 125.1M → far fewer at the 100× smoke, where
+    // the d2 full-array shipment WAS the wall time; (4) survivors alone
+    // co-partition on d2 for a2 and the early-exit merge kernel.
     def mergeVerify(c: DataFrame): DataFrame = c
+      .join(arrays.select(col("doc_id").as("d2"), col("pfx").as("p2"),
+        col("sfx").as("sfx2")).hint("shuffle_hash"), Seq("d2"))
       .join(arrays.select(col("doc_id").as("d1"), col("arr").as("a1"))
         .hint("shuffle_hash"), Seq("d1"))
+      .withColumn("needed", needed)
+      // early-exit form of |a1 ∩ pfx2| ≥ needed − sfx2: the kernel
+      // aborts (returning < the bound) as soon as the bound is
+      // unreachable; a non-positive bound passes trivially
+      .filter(graft.functions.TextFunctions.sortedIntersectAtLeast(
+          col("a1"), col("p2"), col("needed") - col("sfx2")) >=
+        col("needed") - col("sfx2"))
+      .drop("p2", "sfx2")
       .join(arrays.select(col("doc_id").as("d2"), col("arr").as("a2"))
         .hint("shuffle_hash"), Seq("d2"))
       .select(col("d1"), col("d2"),
         graft.functions.TextFunctions
-          .sortedIntersectCount(col("a1"), col("a2")).as("i"),
+          .sortedIntersectAtLeast(col("a1"), col("a2"), col("needed"))
+          .as("i"),
         col("c1"), col("c2"))
     if (mode == "broadcast") {
+      // broadcast verify: nothing ships per candidate, so the prefix
+      // bound buys nothing — but the early-exit kernel still cuts the
+      // merge work on the ~4.6× non-qualifying candidates
       val verified = cand
         .join(broadcast(arrays.select(col("doc_id").as("d1"),
           col("arr").as("a1"))), Seq("d1"))
@@ -570,7 +685,7 @@ object Dedup {
           col("arr").as("a2"))), Seq("d2"))
         .select(col("d1"), col("d2"),
           graft.functions.TextFunctions
-            .sortedIntersectCount(col("a1"), col("a2")).as("i"),
+            .sortedIntersectAtLeast(col("a1"), col("a2"), needed).as("i"),
           col("c1"), col("c2"))
       jaccardOfInter(verified, threshold)
     } else if (verifyChunks <= 1)

@@ -295,6 +295,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(t.getMessage.contains("verify"))
   }
 
+  test("early-exit intersect kernel: exact at or above the bound, " +
+      "strictly below the bound when unreachable") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // the verify contract: under a filter that discards results below
+    // `needed`, countAtLeast is indistinguishable from the exact count —
+    // (a) full >= needed  ⇒ identical value; (b) full < needed ⇒ SOME
+    // value < needed (so the filter drops it exactly like the truth)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((1L to 60L).toList).take(rnd.nextInt(30)).sorted.toArray,
+      rnd.shuffle((1L to 60L).toList).take(rnd.nextInt(30)).sorted.toArray,
+      rnd.nextInt(25).toLong - 2L)) // needed in [-2, 22]: non-positive too
+    val df = rows.toDF("a", "b", "k")
+    val got = df.select(
+      TextFunctions.sortedIntersectCount($"a", $"b").as("full"),
+      TextFunctions.sortedIntersectAtLeast($"a", $"b", $"k").as("early"),
+      $"k").collect()
+    got.foreach { r =>
+      val (full, early, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (full >= k) assert(early === full,
+        s"reachable bound must return the exact count: $full/$early/$k")
+      else assert(early < k && early <= full,
+        s"unreachable bound must return below it: $full/$early/$k")
+    }
+    assert(got.exists(r => r.getLong(1) != r.getLong(0)),
+      "the fixture must exercise at least one actual early exit")
+  }
+
   test("positional pair generator: PPJoin first-match bound, d1 < d2, " +
       "rems carried; the bound never under-prunes a qualifying pair") {
     import spark.implicits._

@@ -250,8 +250,8 @@ class PlanSpec extends SparkSpec {
     // the prefix postings, and the df gate survives to the physical plan
     assert(p.contains("graft_doc_id_rem_pairs"),
       s"positional generator expected:\n$p")
-    assert(p.contains("graft_sorted_intersect_count"),
-      s"native merge-count kernel expected in the verify projection:\n$p")
+    assert(p.contains("graft_sorted_intersect_at_least"),
+      s"native early-exit merge kernel expected in the verify:\n$p")
   }
 
   test("q120 prefix merge verify: zero broadcast relations anywhere") {
@@ -269,8 +269,11 @@ class PlanSpec extends SparkSpec {
       s"co-partitioned array joins must be shuffled hash joins:\n$p")
     assert(p.contains("graft_doc_id_rem_pairs"),
       s"positional generator expected:\n$p")
-    assert(p.contains("graft_sorted_intersect_count"),
-      s"native merge-count kernel expected in the verify projection:\n$p")
+    // the early-exit kernel appears twice: the prefix-array suffix
+    // bound's filter (BEFORE the full-array d2 exchange) and the final
+    // merge verify — both are Filter/Project work inside codegen stages
+    assert(p.contains("graft_sorted_intersect_at_least"),
+      s"native early-exit merge kernel expected in the verify:\n$p")
   }
 
   private def exchanges(p: String): Seq[String] =
