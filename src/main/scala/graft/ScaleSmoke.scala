@@ -211,6 +211,18 @@ object ScaleSmoke {
       // so output is corpus-LINEAR even over the staged N-clique corpus
       // (unlike the pair family); the df gate shuffles at gram cardinality
       "dup_spans" -> ((d, _) => operators.Dedup.duplicatedSpans(spark, d)),
+      // containment's ONE-SIDED prefix path (q121): identical output to
+      // the classic row by construction — listed BEFORE it so a
+      // top-decade lap records the prefix numbers even when the classic
+      // co-occurrence stage dies on disk (measured at 100×, r13)
+      "containment_prefix" -> ((d, m) => operators.Dedup
+        .containmentPrefixOf(Tables.documents(spark, d), maxDf = 100 * m)),
+      // the FORCED no-broadcast merge verify (q122's shape), chunked at
+      // the decades where one verify job exceeds local disk — same knob
+      // as ngram_prefix_merge
+      "containment_prefix_merge" -> ((d, m) => operators.Dedup
+        .containmentPrefixOf(Tables.documents(spark, d), maxDf = 100 * m,
+          verify = "merge", verifyChunks = if (m >= 50) 8 else 1)),
       // asymmetric containment shares ngram's candidate machinery and its
       // C(N,2) output contract — df cap corpus-relative like ngram's
       "containment" -> ((d, m) => operators.Dedup.containmentOf(

@@ -324,7 +324,17 @@ object SparkEntry {
     // broadcast relations — oracle-pinned against q21's SQL so the
     // at-scale verify is correctness-proven, not just plan-proven.
     "q120_dedup_prefix_merge" ->
-      ((s, d) => Dedup.ngramJaccardPrefixMerge(s, d))
+      ((s, d) => Dedup.ngramJaccardPrefixMerge(s, d)),
+    // Prefix-filtered CONTAINMENT: q78's EXACT output (same oracle SQL)
+    // via the ONE-SIDED PPJoin bound — only the contained side gets a
+    // prefix (the container's size never lower-bounds the overlap), and
+    // candidates are prefix(contained) x full-gated(container). q78 was
+    // the last fixed-threshold pair operator riding the classic
+    // co-occurrence stage that the r13 100x smoke measured ENOSPC-dead.
+    "q121_containment_prefix" -> ((s, d) => Dedup.containmentPrefix(s, d)),
+    // Containment's no-broadcast merge verify, oracle-pinned like q120.
+    "q122_containment_prefix_merge" ->
+      ((s, d) => Dedup.containmentPrefixMerge(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -344,6 +354,33 @@ object SparkEntry {
       |JOIN docLen cb ON d2 = cb.doc_id
       |WHERE ROUND(i * 1.0 / (ca.c + cb.c - i), 6) >= 0.8
       |ORDER BY d1, d2""".stripMargin
+
+  /** q78's oracle, shared verbatim by q121/q122 (the one-sided
+    * prefix-filtered containment path must reproduce the classic
+    * df-gated stage bit for bit): q21's candidate chain scored
+    * asymmetrically in BOTH orientations, containment ppm =
+    * |A∩B|·1e6 div |A| (integer). */
+  private lazy val containmentSql: String =
+    s"""WITH $shinglesCte,
+      |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+      |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sel AS (
+      |  SELECT d1 AS contained, d2 AS container, i AS n_shared,
+      |    ca.c AS n_shingles
+      |  FROM inter JOIN docLen ca ON d1 = ca.doc_id
+      |  UNION ALL
+      |  SELECT d2, d1, i, cb.c
+      |  FROM inter JOIN docLen cb ON d2 = cb.doc_id)
+      |SELECT contained, container, n_shared, n_shingles,
+      |  n_shared * 1000000 // n_shingles AS cont_ppm
+      |FROM sel
+      |WHERE n_shared * 1000000 // n_shingles >= 500000
+      |ORDER BY contained, container""".stripMargin
 
   /** Shared oracle CTEs: tokenized documents + distinct 3-shingles. */
   private val shinglesCte =
@@ -1791,29 +1828,12 @@ object SparkEntry {
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
-    "q78_containment" ->
-      // q21's df-gated candidate chain, scored asymmetrically in BOTH
-      // orientations: containment ppm = |A∩B|·1e6 div |A| (integer).
-      (s"""WITH $shinglesCte,
-        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
-        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |sel AS (
-        |  SELECT d1 AS contained, d2 AS container, i AS n_shared,
-        |    ca.c AS n_shingles
-        |  FROM inter JOIN docLen ca ON d1 = ca.doc_id
-        |  UNION ALL
-        |  SELECT d2, d1, i, cb.c
-        |  FROM inter JOIN docLen cb ON d2 = cb.doc_id)
-        |SELECT contained, container, n_shared, n_shingles,
-        |  n_shared * 1000000 // n_shingles AS cont_ppm
-        |FROM sel
-        |WHERE n_shared * 1000000 // n_shingles >= 500000
-        |ORDER BY contained, container""".stripMargin),
+    "q78_containment" -> containmentSql,
+    // q121/q122 are q78's EXACT output via the one-sided prefix bound —
+    // one oracle text, three engine paths (classic shared stage, auto
+    // verify, forced no-broadcast merge verify)
+    "q121_containment_prefix" -> containmentSql,
+    "q122_containment_prefix_merge" -> containmentSql,
 
     "q79_hard_negatives" ->
       // q26's chain with the label-mismatch predicate; label read straight

@@ -172,6 +172,109 @@ case class DocIdRemPairs(child: Expression)
     copy(child = c)
 }
 
+/** [[DocIdRemPairs]]' ORIENTED twin for asymmetric containment
+  * (`Dedup.containmentPrefixOfShingles`): streams the ordered
+  * (contained → container) doc pairs of one posting list as
+  * `(dc, dt, minrem, gc)` rows, where each input element is a
+  * `struct<doc_id: bigint, rem: bigint, g: bigint, pfx: boolean>` —
+  * `pfx` marks postings inside the doc's CONTAINMENT prefix (the first
+  * `g − α + 1` gated shingles under the global (df, s) order, with
+  * `α = ⌈t′·c⌉` the overlap a contained doc must reach).
+  *
+  * Why orientation changes the emission rule: containment's prefix
+  * bound is ONE-SIDED. A qualifying ordered pair (x contained in y)
+  * needs `i ≥ α_x` — a bound on x alone — so its first shared gated
+  * shingle provably lies in x's prefix (were it deeper, fewer than α_x
+  * shingles of x could still match), but may sit ANYWHERE in y's gated
+  * list (y's size never bounds i from below). Candidates are therefore
+  * prefix(x) × full-gated(y): for each posting the generator emits one
+  * ordered row per (prefix member, other member) — a pair of prefix
+  * members yields both orientations, a (prefix, non-prefix) pair only
+  * the one where the prefix member is contained. `minrem =
+  * least(rem_c, rem_t)` feeds the same max-of-min first-match overlap
+  * bound as the Jaccard generator (the argument in [[DocIdRemPairs]]'
+  * scaladoc is orientation-blind: ranks live in ONE global order);
+  * `gc` — the CONTAINED side's gated count — feeds the pre-join
+  * emission prune `1e6·(minrem+1) ≥ t′ppm·gc` (valid since g ≤ c).
+  *
+  * Iteration cost per posting list is |prefix members| × df, not df²:
+  * non-prefix members never start a pair, so a high threshold shortens
+  * prefixes and cuts the emission fan-out at the source. Same contracts
+  * as [[DocIdPairs]]: O(df) peak memory, nulls rejected loudly. */
+case class DocIdRemContainPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("dc", LongType, nullable = false),
+    StructField("dt", LongType, nullable = false),
+    StructField("minrem", LongType, nullable = false),
+    StructField("gc", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_doc_id_rem_contain_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _), StructField(_, LongType, _, _),
+        StructField(_, LongType, _, _),
+        StructField(_, BooleanType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "graft_doc_id_rem_contain_pairs requires array<struct<bigint, " +
+        "bigint, bigint, boolean>>, got " + other.simpleString)
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val rems = new Array[Long](n)
+    val gs = new Array[Long](n)
+    val pfxIdx = new Array[Int](n)
+    var nPfx = 0
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i),
+        "graft_doc_id_rem_contain_pairs: null element in posting list")
+      val s = arr.getStruct(i, 4)
+      require(!s.isNullAt(0) && !s.isNullAt(1) && !s.isNullAt(2) &&
+          !s.isNullAt(3),
+        "graft_doc_id_rem_contain_pairs: null field in posting list")
+      ids(i) = s.getLong(0)
+      rems(i) = s.getLong(1)
+      gs(i) = s.getLong(2)
+      if (s.getBoolean(3)) { pfxIdx(nPfx) = i; nPfx += 1 }
+      i += 1
+    }
+    if (nPfx == 0) return Iterator.empty
+    new scala.collection.AbstractIterator[InternalRow] {
+      private var px = 0 // index into pfxIdx (the contained side)
+      private var y = 0 // index into the full list (the container side)
+      advance()
+      private def advance(): Unit =
+        while (px < nPfx && y == pfxIdx(px)) { // skip the self pair
+          y += 1
+          if (y == n) { px += 1; y = 0 }
+        }
+      override def hasNext: Boolean = px < nPfx
+      override def next(): InternalRow = {
+        val x = pfxIdx(px)
+        val r = new GenericInternalRow(Array[Any](ids(x), ids(y),
+          math.min(rems(x), rems(y)), gs(x)))
+        y += 1
+        if (y == n) { px += 1; y = 0 }
+        advance()
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Exact intersection size of two SORTED bigint arrays — one merge pass,
   * no allocation. The verify kernel of the prefix-filtered pair path
   * (q119): candidates stream map-side past broadcast per-doc sorted

@@ -423,6 +423,13 @@ object TextFunctions {
   def docIdRemPairs(postings: Column): Column =
     Bridge.column(DocIdRemPairs(Bridge.expression(postings)))
 
+  /** Streaming ORIENTED (contained → container) pair generator over an
+    * array<struct<doc_id, rem, g, pfx>> containment posting list —
+    * yields `(dc, dt, minrem, gc)` rows, one per (prefix member, other
+    * member); alias with `.as(Seq("dc", "dt", "minrem", "gc"))`. */
+  def docIdRemContainPairs(postings: Column): Column =
+    Bridge.column(DocIdRemContainPairs(Bridge.expression(postings)))
+
   /** Exact intersection size of two SORTED bigint array columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(

@@ -554,6 +554,61 @@ object Dedup {
       .select(col("d1"), col("d2"), col("c1"), col("c2"))
   }
 
+  /** Containment's pair-independent overlap lower bound α on the
+    * CONTAINED side: qualifying ⇔ `1e6·i ≥ t′ppm·c` (the exact integer
+    * form of the classic stage's `i·1e6 div c ≥ t′ppm` floor-division
+    * filter) ⇔ `i ≥ ⌈t′ppm·c / 1e6⌉` — computed exactly, ≥ 1
+    * automatically (t′ppm ≥ 1, c ≥ 1). One-sided: the container's size
+    * never lower-bounds the overlap, so only the contained side gets a
+    * prefix (scaladoc at [[containmentPrefix]]). */
+  private def containAlpha(tppm: Long): Column =
+    expr(s"((${tppm}L * c) + 999999L) div 1000000L")
+
+  /** [[containAlpha]] over a candidate row's contained-side full count
+    * `c1` — the `needed` bound of containment's verify (see
+    * [[verifyPrefixCandidates]]). */
+  private def containNeededExpr(tppm: Long): Column =
+    expr(s"((${tppm}L * c1) + 999999L) div 1000000L")
+
+  /** ORDERED (contained, container) candidate pairs of a containment
+    * [[rankedOfGated]] frame — [[prefixCandidates]]' one-sided twin.
+    * Postings carry the WHOLE gated list per shingle with a prefix flag
+    * (the one-sided bound needs prefix(contained) × full-gated
+    * (container) — see [[graft.functions.DocIdRemContainPairs]]); the
+    * generator starts pairs only from prefix members, so the emission
+    * fan-out is |prefix| × df per shingle, not df². The same
+    * integer-exact filter ladder follows, re-derived for the one-sided
+    * bound: an EMISSION-LEVEL prune on the contained side's gated count
+    * (`1e6·(minrem+1) ≥ t′ppm·gc`, valid since gated ≤ full — inside
+    * the generator's stage, before the pair exchange), the one-sided
+    * length filter (`t′ppm·c1 ≤ 1e6·c2`: the overlap needs i ≥
+    * ⌈t′ppm·c1/1e6⌉ yet i ≤ c2), and the positional filter
+    * (`t′ppm·c1 ≤ 1e6·ub`) — max-of-min over surviving emissions IS
+    * the first-match bound for qualifying pairs by [[DocIdRemPairs]]'
+    * orientation-blind argument. Output renames to the verify engine's
+    * (d1=contained, d2=container, c1, c2) currency. */
+  private def containPrefixCandidates(ranked: DataFrame,
+      docLen: DataFrame, tppm: Long): DataFrame = {
+    val postings = ranked
+      .select(col("s"), struct(col("doc_id"), col("rem"), col("g"),
+        (col("rem") >= col("alpha") - lit(1)).as("pfx")).as("p"))
+      .groupBy(col("s"))
+      .agg(collect_list(col("p")).as("ds"))
+    postings
+      .select(graft.functions.TextFunctions.docIdRemContainPairs(col("ds"))
+        .as(Seq("dc", "dt", "minrem", "gc")))
+      .filter(expr(s"1000000L * (minrem + 1L) >= ${tppm}L * gc"))
+      .groupBy(col("dc"), col("dt"))
+      .agg((max(col("minrem")) + lit(1L)).as("ub"))
+      .join(docLen.select(col("doc_id").as("dc"), col("c").as("c1"))
+        .hint("shuffle_hash"), Seq("dc"))
+      .join(docLen.select(col("doc_id").as("dt"), col("c").as("c2"))
+        .hint("shuffle_hash"), Seq("dt"))
+      .filter(expr(s"${tppm}L * c1 <= 1000000L * c2"))
+      .filter(expr(s"${tppm}L * c1 <= 1000000L * ub"))
+      .select(col("dc").as("d1"), col("dt").as("d2"), col("c1"), col("c2"))
+  }
+
   private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
       threshold: Double, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
@@ -612,7 +667,29 @@ object Dedup {
     // folded into the verify: a non-qualifying candidate costs O(abort
     // point), and the partial count it returns is < needed, so the
     // threshold filter drops it exactly as the true count would).
-    val needed = jaccardNeededExpr(tn)
+    verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn), verify,
+        maxBroadcastBytes, verifyChunks, "ngramJaccardPrefix")(
+      jaccardOfInter(_, threshold))
+  }
+
+  /** The shared verify engine of the prefix-filtered pair family
+    * (Jaccard q119/q120, containment q121/q122): exact verification of
+    * a `(d1, d2, c1, c2)` candidate frame against the per-doc
+    * sorted-array table ([[arraysOfRanked]]), in the broadcast or
+    * no-broadcast co-partitioned merge shape (scaladoc at
+    * [[ngramJaccardPrefix]]), with the prefix-array suffix bound ahead
+    * of the merge shape's full-array exchange and the early-exit merge
+    * kernel under `needed` — the exact overlap every qualifying
+    * candidate must reach, as an expression over (c1, c2) (Jaccard's
+    * and containment's bounds differ). `score` maps the verified
+    * `(d1, d2, i, c1, c2)` frame to the operator's output and MUST
+    * discard every row with `i < needed` — that filter is what makes
+    * the kernel's early-exit partial counts unobservable. */
+  private def verifyPrefixCandidates(cand: DataFrame, arrays: DataFrame,
+      needed: Column, verify: String, maxBroadcastBytes: Long,
+      verifyChunks: Int, opName: String)(
+      score: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val mode =
       if (verify == "merge") "merge"
       else {
@@ -630,7 +707,7 @@ object Dedup {
         if (bytes <= maxBroadcastBytes) "broadcast"
         else {
           require(verify != "broadcast",
-            s"ngramJaccardPrefix(verify=broadcast): the per-doc shingle-" +
+            s"$opName(verify=broadcast): the per-doc shingle-" +
               s"array table measures ~$bytes bytes across both broadcast " +
               s"relations ($nDocs docs, $cells cells), over " +
               s"maxBroadcastBytes=$maxBroadcastBytes. Use verify='merge' " +
@@ -687,9 +764,9 @@ object Dedup {
           graft.functions.TextFunctions
             .sortedIntersectAtLeast(col("a1"), col("a2"), needed).as("i"),
           col("c1"), col("c2"))
-      jaccardOfInter(verified, threshold)
+      score(verified)
     } else if (verifyChunks <= 1)
-      jaccardOfInter(mergeVerify(cand), threshold)
+      score(mergeVerify(cand))
     else {
       // CHUNKED merge verify: the merge shape's one irreducible cost is
       // shipping one gated-shingle array per surviving candidate across
@@ -710,7 +787,7 @@ object Dedup {
         val chunk = candCk.filter(
           pmod(xxhash64(col("d1"), col("d2")), lit(verifyChunks)) === i)
         val kept = Bridge.dropOriginConstraints(
-          jaccardOfInter(mergeVerify(chunk), threshold).localCheckpoint())
+          score(mergeVerify(chunk)).localCheckpoint())
         System.gc() // let the cleaner reclaim the finished chunk's shuffles
         kept
       }.reduce(_ unionByName _)
@@ -1977,4 +2054,102 @@ object Dedup {
   def containment(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
     containmentOfInter(interCounts(spark, dir, maxDf), thresholdPpm)
+
+  /** PREFIX-FILTERED shingle containment (q121) — [[containment]]'s
+    * exact output (same gate, same integer floor-division score — q121
+    * ships q78's oracle SQL verbatim) WITHOUT the full co-occurrence
+    * candidate frame. q78 was the last fixed-threshold pair operator
+    * riding the classic [[interCounts]] stage, which the r13 100×
+    * single-box smoke measured ENOSPC-dead (~11B pair emissions); this
+    * path drops containment onto the same prefix/postings/verify
+    * machinery that completed that decade in 156 s for Jaccard.
+    *
+    * The bound is ONE-SIDED (the structural difference from q119): a
+    * qualifying ordered pair (x contained in y) needs `1e6·i ≥
+    * t′ppm·c_x` — a bound on the contained side alone, the container's
+    * size never lower-bounds the overlap. So only the CONTAINED role
+    * gets a prefix (`g − ⌈t′ppm·c/1e6⌉ + 1` gated shingles under the
+    * global rarest-first order), and candidates are prefix(contained) ×
+    * FULL-gated(container) per shingle — the oriented generator
+    * ([[graft.functions.DocIdRemContainPairs]]) starts pairs only from
+    * prefix members, keeping the emission fan-out |prefix| × df per
+    * posting list. Both orientations of a doc pair are generated and
+    * scored independently, like the classic stage's fwd/rev union.
+    *
+    * The filter ladder and verify are the Jaccard path's, re-derived
+    * for the one-sided bound (exact integer forms at
+    * [[containPrefixCandidates]]); verification runs through the shared
+    * [[verifyPrefixCandidates]] engine — broadcast under a measured
+    * byte budget or the no-broadcast co-partitioned merge, prefix-array
+    * suffix bound before the full-array exchange, early-exit kernel
+    * under `needed = ⌈t′ppm·c1/1e6⌉`. One honest weakness vs Jaccard:
+    * at the default t′ = 0.5 the contained-side prefix is half the doc
+    * (vs a fifth at J ≥ 0.8), and the suffix bound is loose for
+    * short-into-long candidates (sfx₂ ≈ t′·c₂ can exceed `needed`
+    * alone) — the ladder's work is done mostly by the emission prune
+    * and the positional filter here. */
+  def containmentPrefix(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
+    containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf)
+      .orderBy(col("contained"), col("container"))
+
+  /** [[containmentPrefix]] with the verify FORCED to the no-broadcast
+    * co-partitioned merge shape (q122) — the at-scale verify
+    * oracle-pinned against q78's SQL, mirroring q120's role for q119. */
+  def containmentPrefixMerge(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
+    containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
+        verify = "merge")
+      .orderBy(col("contained"), col("container"))
+
+  /** [[containmentPrefix]] over an arbitrary `(doc_id, text)` frame —
+    * knobs as in [[ngramJaccardPrefixOf]]. */
+  def containmentPrefixOf(docs: DataFrame, thresholdPpm: Long = 500000L,
+      maxDf: Int = 100, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20,
+      verifyChunks: Int = 1): DataFrame =
+    containmentPrefixOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
+        verify, maxBroadcastBytes, verifyChunks)
+      .orderBy(col("contained"), col("container"))
+
+  private[graft] def containmentPrefixOfShingles(sh: DataFrame,
+      thresholdPpm: Long, maxDf: Int, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20,
+      verifyChunks: Int = 1): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    require(verify == "auto" || verify == "broadcast" || verify == "merge",
+      s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
+    require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    require(sh.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "containmentPrefix requires bigint doc ids (the oriented pair " +
+        s"generator's currency); got ${sh.schema("doc_id").dataType
+          .simpleString} — use containmentOf (the shared co-occurrence " +
+        "stage) for other doc-id types")
+    // same checkpoint discipline as the Jaccard path (scaladoc there):
+    // the budget-gate action and the candidate job share one ranked
+    // window exchange and one docs-sized length frame
+    import org.apache.spark.sql.graft.Bridge
+    val docLen = Bridge.dropOriginConstraints(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    val ranked = Bridge.dropOriginConstraints(
+      rankedOfGated(sh.join(keep, Seq("s")), docLen,
+        containAlpha(thresholdPpm)).localCheckpoint())
+    val cand = containPrefixCandidates(ranked, docLen, thresholdPpm)
+    val arrays = arraysOfRanked(ranked).localCheckpoint()
+    verifyPrefixCandidates(cand, arrays, containNeededExpr(thresholdPpm),
+        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix") { v =>
+      // the classic stage's exact integer score: floor ppm ≥ threshold
+      // ⇔ i ≥ needed, so the kernel's early-exit partials never pass
+      v.select(col("d1").as("contained"), col("d2").as("container"),
+          col("i").as("n_shared"), col("c1").as("n_shingles"))
+        .withColumn("cont_ppm",
+          expr("n_shared * 1000000 div n_shingles"))
+        .filter(col("cont_ppm") >= thresholdPpm)
+    }
+  }
 }

@@ -361,6 +361,91 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered containment reproduces the classic stage exactly " +
+      "in both orientations, all verify shapes") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // 1. fixture differential: q121's frame == q78's frame, row for row
+    //    (both orderBy(contained, container)), across auto / forced
+    //    merge / chunked verify shapes
+    val classic = rows(Dedup.containment(spark, sfDir))
+    assert(classic.nonEmpty)
+    assert(rows(Dedup.containmentPrefix(spark, sfDir)) === classic)
+    assert(rows(Dedup.containmentPrefixMerge(spark, sfDir)) === classic)
+    assert(rows(Dedup.containmentPrefixOf(Tables.documents(spark, sfDir),
+      verify = "merge", verifyChunks = 3)) === classic)
+    // 2. the asymmetric shape the one-sided bound exists for: a short
+    //    doc quoted verbatim inside a much longer one — containment
+    //    flags (quoted → container) at 1e6 ppm while the reverse stays
+    //    below threshold, and the prefix path must agree exactly
+    val quoted = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, s"pre1 pre2 pre3 $quoted post1 post2 post3 post4 post5 post6"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("doc_id", "text")
+    val exact = rows(Dedup.containmentOf(Dedup.shinglesOf(docs)))
+    val pref = rows(Dedup.containmentPrefixOf(docs))
+    assert(pref === exact)
+    assert(pref.map(r => (r._1, r._2)) === Seq((1L, 2L)),
+      s"only the quoted->container orientation qualifies at 0.5: $pref")
+    // 3. threshold sweep, including the ppm boundaries: the reverse
+    //    orientation (8/17 ≈ 470588 ppm) enters EXACTLY at its floor
+    //    ppm and not one above — floor-division parity with the oracle
+    for (t <- Seq(300000L, 470588L, 470589L, 800000L, 1000000L)) {
+      val e = rows(Dedup.containmentOf(Dedup.shinglesOf(docs),
+        thresholdPpm = t))
+      val p = rows(Dedup.containmentPrefixOf(docs, thresholdPpm = t))
+      assert(p === e, s"thresholdPpm $t")
+    }
+    // 4. non-bigint doc ids refuse loudly, naming the classic stage
+    val s = intercept[IllegalArgumentException](Dedup.containmentPrefixOf(
+      docs.select($"doc_id".cast("string").as("doc_id"), $"text")))
+    assert(s.getMessage.contains("containmentOf"))
+  }
+
+  test("oriented containment pair generator: prefix members start pairs, " +
+      "both orientations, contained-side payload carried") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // emission semantics: one ordered (contained, container) row per
+    // (prefix member, other member) with minrem = least of the two rems
+    // and gc = the CONTAINED side's gated count; non-prefix members
+    // never start a pair; self pairs skipped; short lists yield nothing
+    val lists = Seq(
+      (1L, Seq((5L, 7L, 10L, true), (3L, 9L, 12L, false),
+        (9L, 2L, 4L, true))),
+      (2L, Seq((4L, 1L, 2L, true))), // singleton: no pairs
+      (3L, Seq((6L, 1L, 3L, false), (7L, 2L, 5L, false))), // no prefixes
+      (4L, Seq.empty[(Long, Long, Long, Boolean)]))
+      .toDF("k", "raw")
+      .selectExpr("k",
+        "transform(raw, x -> struct(x._1 AS doc_id, x._2 AS rem, " +
+          "x._3 AS g, x._4 AS pfx)) AS ds")
+    val emitted = lists.select(TextFunctions.docIdRemContainPairs($"ds")
+        .as(Seq("dc", "dt", "minrem", "gc")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(emitted === Set(
+      (5L, 3L, 7L, 10L), (5L, 9L, 2L, 10L),
+      (9L, 5L, 2L, 4L), (9L, 3L, 2L, 4L)))
+    // end-to-end soundness of the one-sided ladder (emission prune,
+    // length filter, positional filter, suffix bound, early-exit
+    // verify): against the classic stage's known-exact output the
+    // prefix path must lose nothing, at a low threshold (long
+    // prefixes) and a high one (short prefixes)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    for (t <- Seq(250000L, 900000L)) {
+      val exact = Dedup.containmentOf(Dedup.shinglesOf(docs),
+        thresholdPpm = t).collect().map(_.toSeq).toSeq
+      val pref = Dedup.containmentPrefixOf(docs, thresholdPpm = t)
+        .collect().map(_.toSeq).toSeq
+      assert(pref === exact, s"thresholdPpm $t")
+    }
+  }
+
   test("persisted index refuses legacy string-keyed shingles loudly") {
     // a pre-r12 hex-keyed index read by a long-keyed session would union
     // bigint∪string — Spark coerces to STRING and the long keys print as

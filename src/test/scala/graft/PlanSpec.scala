@@ -276,6 +276,25 @@ class PlanSpec extends SparkSpec {
       s"native early-exit merge kernel expected in the verify:\n$p")
   }
 
+  test("q122 containment merge verify: zero broadcast, oriented generator") {
+    StageMemo.clear()
+    val p = plan(Dedup.containmentPrefixMerge(spark, sfDir))
+    // same at-scale contract as q120, on the one-sided containment path
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment merge verify must plan NO broadcast relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"co-partitioned array joins must be shuffled hash joins:\n$p")
+    // candidates stream through the ORIENTED generator (prefix members
+    // start pairs against the full gated posting list)
+    assert(p.contains("graft_doc_id_rem_contain_pairs"),
+      s"oriented containment generator expected:\n$p")
+    assert(p.contains("graft_sorted_intersect_at_least"),
+      s"native early-exit merge kernel expected in the verify:\n$p")
+  }
+
   private def exchanges(p: String): Seq[String] =
     p.linesIterator.filter(_.contains("Exchange")).toSeq
 
