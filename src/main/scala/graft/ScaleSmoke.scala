@@ -278,6 +278,17 @@ object ScaleSmoke {
             expr("transform(embedding, x -> cast(x as double))").as("v")),
           bits = sizedBits(m), probeDist = 1)
       },
+      // the r14 AUTO default (bits = AutoBits: one count action, then
+      // ⌈log2 n⌉+4 with the radius-2 fanout cap): this row must land in
+      // the hand-sized row's bracket — the operator now applies its own
+      // sizing rule instead of documenting it for the caller
+      "neardup_lsh_mp_auto" -> { (d, m) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        operators.Similarity.cosineNearDupLshOf(
+          spark.read.parquet(s"$d/embeddings.parquet").select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")),
+          probeDist = 1)
+      },
       "tfidf" -> ((d, _) => operators.TextAnalysis.tfidfTopTerms(spark, d)),
       // training-layout tier: all four are contractually linear (per-row
       // map / explode + one partial-agg shuffle / per-source window) —

@@ -190,19 +190,59 @@ object Similarity {
       else Nil)
   }
 
+  /** `bits` sentinel for [[lshTopKOf]]/[[cosineNearDupLshOf]] (their
+    * DEFAULT since r14): size the signature width from a one-action
+    * corpus count instead of a fixture constant. The r13 measurement
+    * that forced this: the scaladoc's ⌈log2 n⌉+4 rule was a note the
+    * caller had to read, and the fixture-fixed bits=10 default read
+    * 480.2 s at the 30× staged corpus where hand-sizing read 73.5 s
+    * (multi-probe; exponent 1.59 vs 1.15) — bucket occupancy n/2^bits
+    * grows linearly with a corpus the default knows nothing about.
+    * Passing an explicit width still pins it (the oracle-checked fixture
+    * entries pin 10: the DuckDB oracle rebuilds the same signatures). */
+  val AutoBits: Int = 0
+
+  /** The corpus-sized signature width: `⌈log2 n⌉ + 4` — +4 holds
+    * expected bucket occupancy at n/2^bits ≤ 1/16, so buckets stay O(1)
+    * as the corpus grows — floored at the fixture default 10 (corpora
+    * ≤ 64 vectors keep their current buckets), and with the occupancy
+    * slack halved at probe radius 2, where the C(bits,2) mask fanout
+    * makes each extra bit cost quadratically more probe rows (the r13
+    * counter-measurement: oversizing is a mild LOSS when occupancy
+    * isn't yet the bottleneck — sized 53.6 s vs fixed 47.3 s at the 30×
+    * single-probe smoke — so the slack is spent only where the fanout
+    * price is linear). */
+  private[graft] def autoBitsFor(n: Long, probeDist: Int): Int = {
+    val ceilLog2 = // ⌈log2 n⌉ for n ≥ 2; 0 and 1 fall into the floor
+      if (n <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(10, ceilLog2 + 4 - (if (probeDist >= 2) 2 else 0))
+  }
+
+  /** Resolves the caller's `bits` against [[AutoBits]]: explicit widths
+    * pass through validated; the sentinel pays ONE count action on the
+    * corpus and applies [[autoBitsFor]]. */
+  private def resolveBits(bits: Int, vecsDf: DataFrame,
+      probeDist: Int): Int = {
+    require(bits == AutoBits || (bits >= 4 && bits <= 48),
+      s"bits must be AutoBits (corpus-sized) or in [4, 48], got $bits")
+    if (bits == AutoBits) autoBitsFor(vecsDf.count(), probeDist) else bits
+  }
+
   def lshTopKOf(vecsDf: DataFrame, isQuery: Column, k: Int = 5,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
+      bits: Int = AutoBits, tables: Int = 8, maxBucket: Int = 2048,
       probeDist: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sizedBits = resolveBits(bits, vecsDf, probeDist)
     // multi-probe radius: every bucket within Hamming `probeDist` of the
     // query's signature, in every table
-    val flips = probeFlips(bits, probeDist)
+    val flips = probeFlips(sizedBits, probeDist)
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val sigs = sigFrame(e, bits, tables)
+    val sigs = sigFrame(e, sizedBits, tables)
     val idx = sigs.join(smallBucketsOf(sigs, maxBucket),
       Seq("tbl", "sig"), "left_semi")
-    val probes = sigFrame(e.filter(isQuery), bits, tables)
+    val probes = sigFrame(e.filter(isQuery), sizedBits, tables)
       .select(col("vec_id").as("q_id"), col("tbl"),
         explode(array(flips.map(lit): _*)).as("flip"),
         col("sig").as("qsig"))
@@ -234,7 +274,10 @@ object Similarity {
     * pipeline (planes → sign bits → bucket gate → Hamming-1 probes)
     * bit-for-bit; the recall contract is additionally spec-asserted. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    lshTopKOf(vecs(spark, dir), col("vec_id") % 100 === 0, k)
+    // bits PINNED at 10, not AutoBits: the DuckDB oracle rebuilds these
+    // exact signatures (planes → sign bits → buckets) from a static SQL
+    // text, so the fixture entry must not re-bucket with the corpus
+    lshTopKOf(vecs(spark, dir), col("vec_id") % 100 === 0, k, bits = 10)
 
   /** LSH-bucketed cosine near-dup pairs — the PRODUCTION-SCALE path for
     * [[cosineNearDup]]'s semantics (the operator its budget gate names).
@@ -260,11 +303,12 @@ object Similarity {
     *  - exact verification is linear in candidates, which the planted-dup
     *    regime keeps near-linear in corpus size. */
   def cosineNearDupLshOf(vecsDf: DataFrame, threshold: Double = 0.4,
-      bits: Int = 10, tables: Int = 8, maxBucket: Int = 2048,
+      bits: Int = AutoBits, tables: Int = 8, maxBucket: Int = 2048,
       probeDist: Int = 0): DataFrame = {
+    val sizedBits = resolveBits(bits, vecsDf, probeDist)
     val e = vecsDf.select(col("vec_id"), col("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val sigs = sigFrame(e, bits, tables)
+    val sigs = sigFrame(e, sizedBits, tables)
     val idx = sigs.join(smallBucketsOf(sigs, maxBucket),
       Seq("tbl", "sig"), "left_semi")
     // multi-probe (probeDist > 0): one side additionally probes every
@@ -276,7 +320,7 @@ object Similarity {
     // gate, never corpus-shaped; the gate applies BEFORE probing, so a hot
     // bucket is dropped from both the probe and index sides. probeDist = 0
     // is the single-bucket r11 path, bit-identical (flip mask 0 only).
-    val flips = probeFlips(bits, probeDist)
+    val flips = probeFlips(sizedBits, probeDist)
     val probe =
       if (probeDist == 0) idx
       else idx
@@ -309,7 +353,9 @@ object Similarity {
     // memoized like Dedup.ngramPairs: the verified pair frame is shared by
     // the pair query (q56) and the cluster form (q68) in one session
     graft.StageMemo(spark, s"lshpairs:$dir:$threshold:$probeDist") {
-      cosineNearDupLshOf(vecs(spark, dir), threshold, probeDist = probeDist)
+      // bits PINNED at 10 for the static oracle SQL, like lshTopK
+      cosineNearDupLshOf(vecs(spark, dir), threshold, bits = 10,
+        probeDist = probeDist)
     }
 
   /** Per-(label, dimension) centroid coordinate of a (label, v) frame —
@@ -832,7 +878,7 @@ object Similarity {
     // neighbors rarely have; candidates(H2) ⊇ candidates(H1), so this
     // recall dominates recall_lsh pointwise — spec-asserted)
     val mp = lshTopKOf(vecs(spark, dir), $"vec_id" % 100 === 0,
-      probeDist = 2)
+      bits = 10, probeDist = 2) // pinned for the static oracle, like q27
     bruteForceTopK(spark, dir).select($"q_id", $"neighbor")
       .join(marked(lshTopK(spark, dir), "h_lsh"),
         Seq("q_id", "neighbor"), "left")

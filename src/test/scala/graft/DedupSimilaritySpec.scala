@@ -996,6 +996,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalled >= 18, s"default-params recall $recalled/20 too low")
   }
 
+  test("LSH bit width sizes itself from the corpus count by default") {
+    import spark.implicits._
+    // the sizing rule, exact: ⌈log2 n⌉ + 4 (expected occupancy ≤ 1/16),
+    // floored at the fixture default 10 (corpora ≤ 64 vectors keep
+    // their buckets), occupancy slack halved at probe radius 2 where
+    // the C(bits,2) mask fanout prices each extra bit quadratically
+    assert(Similarity.autoBitsFor(0, 0) === 10)
+    assert(Similarity.autoBitsFor(64, 0) === 10)
+    assert(Similarity.autoBitsFor(65, 0) === 11)
+    assert(Similarity.autoBitsFor(500, 1) === 13)
+    assert(Similarity.autoBitsFor(150000, 1) === 22)
+    assert(Similarity.autoBitsFor(150000, 2) === 20)
+    assert(Similarity.autoBitsFor(1L << 30, 0) === 34)
+    // the AutoBits default IS the formula: bit-identical to passing the
+    // formula's value explicitly, for both operators
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 100)
+      .map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val sized = Similarity.autoBitsFor(100, 0)
+    assert(sized === 11, "the fixture must exercise a non-floor width")
+    assert(Similarity.cosineNearDupLshOf(docs, threshold = 0.0)
+        .collect().toSeq ===
+      Similarity.cosineNearDupLshOf(docs, threshold = 0.0, bits = sized)
+        .collect().toSeq)
+    val sizedTopK = Similarity.autoBitsFor(100, 1)
+    assert(Similarity.lshTopKOf(docs, col("vec_id") < 10, k = 3)
+        .collect().toSeq ===
+      Similarity.lshTopKOf(docs, col("vec_id") < 10, k = 3,
+        bits = sizedTopK).collect().toSeq)
+    // out-of-range explicit widths refuse loudly (0 is the sentinel)
+    val e = intercept[IllegalArgumentException](
+      Similarity.cosineNearDupLshOf(docs, bits = 2))
+    assert(e.getMessage.contains("bits"))
+  }
+
   test("vectors carrying a null element are excluded from the LSH index") {
     import spark.implicits._
     // A null element would score 0 in the native kernel but propagate NULL
