@@ -220,9 +220,14 @@ object ScaleSmoke {
       // the FORCED no-broadcast merge verify (q122's shape), chunked at
       // the decades where one verify job exceeds local disk — same knob
       // as ngram_prefix_merge
+      // chunking starts a decade earlier than ngram's: at the default
+      // t' = 0.5 the contained-side prefix is HALF the doc, so both the
+      // candidate count and the per-candidate array width run bigger
+      // than Jaccard-0.8's at the same decade
       "containment_prefix_merge" -> ((d, m) => operators.Dedup
         .containmentPrefixOf(Tables.documents(spark, d), maxDf = 100 * m,
-          verify = "merge", verifyChunks = if (m >= 50) 8 else 1)),
+          verify = "merge",
+          verifyChunks = if (m >= 50) 8 else if (m >= 30) 4 else 1)),
       // asymmetric containment shares ngram's candidate machinery and its
       // C(N,2) output contract — df cap corpus-relative like ngram's
       "containment" -> ((d, m) => operators.Dedup.containmentOf(
@@ -399,6 +404,14 @@ object ScaleSmoke {
       "minhash_accuracy" -> ((d, _) => operators.Dedup.minhashAccuracy(spark, d)),
       "threshold_sweep" -> ((d, m) => operators.Dedup.thresholdSweep(
         spark, d, maxDf = 100 * m)),
+      // the sampled calibration form (q123): the same curve from a 10%
+      // doc sample — candidate volume shrinks ~f², so this is the
+      // calibration row that still runs at decades where the full
+      // intersection frame cannot; compare its n_pairs_est per rung
+      // against threshold_sweep's n_pairs within the stated rel_err
+      "threshold_sweep_sampled" -> ((d, m) => operators.Dedup
+        .thresholdSweepSampled(spark, d, maxDf = 100 * m,
+          sampleFraction = 0.1)),
       "cluster_sizes" -> ((d, m) => operators.Curation.clusterSizes(
         spark, d, maxDf = 100 * m)),
       // q110: one per-row canonicalize + digest groupBy — must be

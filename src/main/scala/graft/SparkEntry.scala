@@ -334,7 +334,12 @@ object SparkEntry {
     "q121_containment_prefix" -> ((s, d) => Dedup.containmentPrefix(s, d)),
     // Containment's no-broadcast merge verify, oracle-pinned like q120.
     "q122_containment_prefix_merge" ->
-      ((s, d) => Dedup.containmentPrefixMerge(s, d))
+      ((s, d) => Dedup.containmentPrefixMerge(s, d)),
+    // Sampled calibration sweep: q105's curve from a deterministic
+    // md5-bucket DOC sample (pairs survive at f², unbiased per rung) —
+    // the 100-TB contract for the full-candidate-frame calibration
+    // family, with the estimate and its stated error bar as columns.
+    "q123_sweep_sampled" -> ((s, d) => Dedup.thresholdSweepSampled(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -2444,6 +2449,50 @@ object SparkEntry {
         |    UNION ALL SELECT threshold, d2 FROM tagged)
         |  GROUP BY threshold)
         |SELECT pa.threshold, n_pairs, n_docs, n_losers
+        |FROM pa JOIN da USING (threshold)
+        |ORDER BY threshold""".stripMargin),
+
+    "q123_sweep_sampled" ->
+      // q105's chain over the md5-bucket doc sample (f = 0.5: bucket <
+      // 500000 of 1e6, the q112 hex-cast idiom), df cap scaled to
+      // round(f*100) = 50, plus the 1/f^2 pair estimate and its 1/sqrt(n)
+      // relative standard error.
+      (s"""WITH $shinglesCte,
+        |shS AS (
+        |  SELECT doc_id, s FROM sh
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000000 < 500000),
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM shS GROUP BY doc_id),
+        |rare AS (SELECT s FROM shS GROUP BY s HAVING COUNT(*) <= 50),
+        |idx AS (SELECT shS.doc_id, shS.s FROM shS JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT d1, d2, ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS jaccard
+        |  FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id),
+        |th AS (
+        |  SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |    AS threshold),
+        |tagged AS (
+        |  SELECT threshold, d1, d2 FROM jd, th WHERE jaccard >= threshold),
+        |pa AS (
+        |  SELECT threshold, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT d2) AS n_losers
+        |  FROM tagged GROUP BY threshold),
+        |da AS (
+        |  SELECT threshold, COUNT(DISTINCT doc) AS n_docs FROM (
+        |    SELECT threshold, d1 AS doc FROM tagged
+        |    UNION ALL SELECT threshold, d2 FROM tagged)
+        |  GROUP BY threshold)
+        |SELECT pa.threshold, n_pairs, n_docs, n_losers,
+        |  CAST(ROUND(n_pairs * 1e12 / (500000e0 * 500000e0)) AS BIGINT)
+        |    AS n_pairs_est,
+        |  CASE WHEN n_pairs > 0
+        |       THEN ROUND(1.0 / SQRT(n_pairs), 6) END AS rel_err
         |FROM pa JOIN da USING (threshold)
         |ORDER BY threshold""".stripMargin),
 

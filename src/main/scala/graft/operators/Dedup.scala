@@ -852,6 +852,15 @@ object Dedup {
     // the whole shingle family — one definition (jaccardOfInter), not
     // per-caller copies
     val jd = jaccardOfInter(interCounts(spark, dir, maxDf), thresholds.min)
+    sweepOfPairs(jd, thresholds).orderBy(col("threshold"))
+  }
+
+  /** The ladder-tagging tail of [[thresholdSweep]] over an already-built
+    * thresholded pair frame — shared with the sampled form (q123), which
+    * feeds it a doc-sampled pair frame instead of the memoized full one.
+    * Unsorted; callers order. */
+  private def sweepOfPairs(jd: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
     val arr = thresholds.sorted.map(t => s"${t}D").mkString(",")
     val tagged = jd.select(col("d1"), col("d2"),
       explode(expr(s"filter(array($arr), t -> jaccard >= t)"))
@@ -866,6 +875,65 @@ object Dedup {
     pairsAgg.join(docsAgg, Seq("threshold"))
       .select(col("threshold"), col("n_pairs"), col("n_docs"),
         col("n_losers"))
+  }
+
+  /** SAMPLED calibration sweep (q123) — [[thresholdSweep]] over a
+    * deterministic hash-sample of DOCUMENTS, the 100-TB contract for the
+    * full-candidate-frame calibration family (q105/q108/q111): those
+    * operators read every candidate pair at every threshold, which is
+    * the right contract at fixture scale but rides the classic
+    * co-occurrence stage the r13 100× smoke measured ENOSPC-dead. A
+    * calibration answer does not need every pair — it needs the CURVE,
+    * and a doc-sample preserves it.
+    *
+    * Why docs, not pairs: sampling pairs from the full candidate frame
+    * would still have to BUILD the full frame. Hash-sampling documents
+    * (md5-bucket, the engine-independent q112 idiom — reproducible on
+    * any cluster layout, any rerun) shrinks the stage's INPUT, and the
+    * similarity structure inside the sample is the true structure: a
+    * pair survives iff both endpoints do (p = f²), independent of its
+    * Jaccard, so `n_pairs_est = n_pairs / f²` is unbiased per rung.
+    *
+    * Error bars, stated honestly:
+    *  - `rel_err` ≈ 1/√n_pairs is the binomial-ish relative standard
+    *    error of `n_pairs_est`. A rung NO sampled pair clears is ABSENT
+    *    (q105's own contract): absence estimates 0 without proving the
+    *    full rung empty. Size the fraction so the rungs you care about
+    *    keep n_pairs ≳ 100 (rel_err ≲ 10%).
+    *  - the df gate is emulated, not exact: a shingle's sampled df is
+    *    ~f·df, so the gate cap scales to round(f·maxDf) (floor 2). Gate
+    *    noise near the cap adds error the 1/√n term does not price.
+    *  - `n_docs`/`n_losers` are reported RAW (sampled counts, no `_est`
+    *    column): doc-level survival in the pair graph thins by
+    *    f·(1 − (1−f)^degree), which has no unbiased per-row scaling —
+    *    scaling them 1/f² would overstate, 1/f would understate.
+    * Scale shape: identical to [[thresholdSweep]]'s but over an f-sized
+    * corpus — candidate volume shrinks ~f² (the quadratic term is the
+    * one that kills the full frame at the decade). */
+  def thresholdSweepSampled(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+      maxDf: Int = 100, sampleFraction: Double = 0.5): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      s"duplicate thresholds double-count the ladder: $thresholds")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sppm = math.round(sampleFraction * 1e6)
+    val capS = math.max(2L, math.round(sampleFraction * maxDf)).toInt
+    val shS = shingles(spark, dir).filter(expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+        s"as bigint) % 1000000 < ${sppm}L"))
+    val jd = jaccardOfInter(interCountsOfShingles(shS, capS),
+      thresholds.min)
+    // 1/f² as the exact double n_pairs·1e12/sppm² — at the default
+    // f = 0.5 the factor is exactly 4.0; round() half-up cases need a
+    // non-terminating factor AND a half-integer product, which no ppm
+    // fraction of a bigint count produces
+    sweepOfPairs(jd, thresholds)
+      .withColumn("n_pairs_est", expr(
+        s"cast(round(n_pairs * 1e12 / (${sppm}e0 * ${sppm}e0)) as bigint)"))
+      .withColumn("rel_err",
+        when(col("n_pairs") > 0, round(lit(1.0) / sqrt(col("n_pairs")), 6)))
       .orderBy(col("threshold"))
   }
 

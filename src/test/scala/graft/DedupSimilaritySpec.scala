@@ -1464,6 +1464,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sweep.exists(_._1 == 0.8), "default ladder must include 0.8")
   }
 
+  test("sampled threshold sweep estimates the full sweep within its " +
+      "stated error") {
+    val full = Dedup.thresholdSweep(spark, sfDir).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // f = 1 IS the full sweep: same raw rows, estimate == count,
+    // error bar defined on every (necessarily non-empty) rung
+    val f1 = Dedup.thresholdSweepSampled(spark, sfDir,
+      sampleFraction = 1.0).collect()
+    assert(f1.map(r => r.getDouble(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap === full)
+    f1.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1))
+      assert(!r.isNullAt(5) && r.getDouble(5) > 0)
+    }
+    // f = 0.5 (deterministic md5 doc sample): the 1/f² estimate is the
+    // exact integer arithmetic (×4 here), and per present rung it must
+    // sit within 4 stated standard errors of the full count (±4 pairs
+    // absolute floor for near-empty rungs — the estimator's own
+    // granularity at this fraction)
+    val s = Dedup.thresholdSweepSampled(spark, sfDir,
+      sampleFraction = 0.5).collect()
+    assert(s.nonEmpty, "the half-sample must keep some planted pairs")
+    s.foreach { r =>
+      val (t, n, est) = (r.getDouble(0), r.getLong(1), r.getLong(4))
+      assert(est === math.round(n * 4.0))
+      val fullN = full.get(t).map(_._1).getOrElse(0L)
+      val slack = math.max(4.0 * r.getDouble(5) * est, 16.0)
+      assert(math.abs(est - fullN) <= slack,
+        s"rung $t: est $est vs full $fullN exceeds slack $slack")
+    }
+    // fraction domain is validated loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.thresholdSweepSampled(spark, sfDir, sampleFraction = 0.0))
+    assert(e.getMessage.contains("sampleFraction"))
+  }
+
   test("normalized dedup merges reformatted copies raw dedup keeps apart") {
     import spark.implicits._
     val docs = Seq(
