@@ -228,6 +228,18 @@ object ScaleSmoke {
         .containmentPrefixOf(Tables.documents(spark, d), maxDf = 100 * m,
           verify = "merge",
           verifyChunks = if (m >= 50) 8 else if (m >= 30) 4 else 1)),
+      // the same A/B at t' = 0.8, where the one-sided prefix is a fifth
+      // of the doc instead of half: the threshold-dependence of the
+      // prefix path's advantage, measured in one session (the classic
+      // stage's cost is threshold-INdependent — it builds every
+      // co-occurring pair first and thresholds last)
+      "containment_prefix_merge_t8" -> ((d, m) => operators.Dedup
+        .containmentPrefixOf(Tables.documents(spark, d),
+          thresholdPpm = 800000L, maxDf = 100 * m, verify = "merge",
+          verifyChunks = if (m >= 50) 8 else 1)),
+      "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
+        operators.Dedup.shinglesOf(Tables.documents(spark, d)),
+        thresholdPpm = 800000L, maxDf = 100 * m)),
       // asymmetric containment shares ngram's candidate machinery and its
       // C(N,2) output contract — df cap corpus-relative like ngram's
       "containment" -> ((d, m) => operators.Dedup.containmentOf(

@@ -38,7 +38,7 @@ object StageProbe {
     val maxDf = args.lift(2).map(_.toInt).getOrElse(3000)
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
     require(stage == "ngraminter" || stage == "prefixcand" ||
-      stage == "spangram",
+      stage == "spangram" || stage == "containcand",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -142,6 +142,66 @@ object StageProbe {
         s""""cand_len_filtered":$candLen,""" +
         s""""cand_pos_filtered":$candPos,""" +
         s""""cand_suffix_filtered":$candSfx,""" +
+        s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "containcand") {
+      // candidate-volume anatomy of the ONE-SIDED containment prefix
+      // path (q121/q122) — the probe that priced the 0.5-threshold
+      // merge-verify ENOSPC (SCALE_r14 sessions A/B) and decides decade
+      // feasibility BEFORE paying for a lap. Counts, through the
+      // operator's own private[graft] helpers: contained-side prefix
+      // rows, the RAW oriented emission volume Σ|P_s|·(|F_s|−1)
+      // (computed from posting stats — nothing materializes), emissions
+      // surviving the in-stage prune (Generate→Filter→count: CPU only,
+      // no exchange), then — when the raw volume permits — the distinct
+      // ordered candidates and each post-join filter's survivors.
+      // thresholdPpm rides argv position 4 (default 500000), echoed.
+      val tppm = args.lift(4).map(_.toLong).getOrElse(500000L)
+      val sh = operators.Dedup.shinglesOf(Tables.documents(spark, dir))
+      val (rankedRaw, docLenRaw) =
+        operators.Dedup.containRanked(sh, tppm, maxDf)
+      val ranked = rankedRaw.localCheckpoint()
+      val docLen = docLenRaw.localCheckpoint()
+      val prefixRows =
+        ranked.filter(col("rem") >= col("alpha") - lit(1)).count()
+      val rawPairs = Option(ranked
+        .select(col("s"), (col("rem") >= col("alpha") - lit(1)).as("pfx"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n"),
+          count(org.apache.spark.sql.functions.when(col("pfx"), lit(1)))
+            .as("np"))
+        .agg(sum(expr("np * (n - 1)"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val emisKept =
+        if (rawPairs > 0 && rawPairs <= 40000000000L)
+          operators.Dedup.containKeptEmissions(ranked, tppm).count()
+        else if (rawPairs == 0) 0L else -1L
+      val (candCnt, candLen, candPos) =
+        if (emisKept > 0 && emisKept <= 4000000000L) {
+          val cand = operators.Dedup.containKeptEmissions(ranked, tppm)
+            .groupBy(col("dc"), col("dt"))
+            .agg((max(col("minrem")) + lit(1L)).as("ub"))
+            .join(docLen.select(col("doc_id").as("dc"), col("c").as("c1"))
+              .hint("shuffle_hash"), Seq("dc"))
+            .join(docLen.select(col("doc_id").as("dt"), col("c").as("c2"))
+              .hint("shuffle_hash"), Seq("dt"))
+            .localCheckpoint()
+          val len = cand
+            .filter(expr(s"${tppm}L * c1 <= 1000000L * c2"))
+            .localCheckpoint()
+          val pos = len
+            .filter(expr(s"${tppm}L * c1 <= 1000000L * ub")).count()
+          (cand.count(), len.count(), pos)
+        } else (if (emisKept == 0) 0L else -1L,
+          if (emisKept == 0) 0L else -1L,
+          if (emisKept == 0) 0L else -1L)
+      println(s"""{"op":"containcand_probe","dir":"$dir",""" +
+        s""""maxDf":$maxDf,"thresholdPpm":$tppm,""" +
+        s""""prefix_rows":$prefixRows,"raw_oriented_pairs":$rawPairs,""" +
+        s""""emissions_kept":$emisKept,"cand":$candCnt,""" +
+        s""""cand_len_filtered":$candLen,"cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return

@@ -587,8 +587,12 @@ object Dedup {
     * the first-match bound for qualifying pairs by [[DocIdRemPairs]]'
     * orientation-blind argument. Output renames to the verify engine's
     * (d1=contained, d2=container, c1, c2) currency. */
-  private def containPrefixCandidates(ranked: DataFrame,
-      docLen: DataFrame, tppm: Long): DataFrame = {
+  /** The generator + emission-prune stage of [[containPrefixCandidates]]
+    * — split out (private[graft]) so the candidate-anatomy probe
+    * ([[graft.StageProbe]] `containcand`) counts EXACTLY the frame the
+    * operator shuffles, never a reimplementation that could drift. */
+  private[graft] def containKeptEmissions(ranked: DataFrame,
+      tppm: Long): DataFrame = {
     val postings = ranked
       .select(col("s"), struct(col("doc_id"), col("rem"), col("g"),
         (col("rem") >= col("alpha") - lit(1)).as("pfx")).as("p"))
@@ -598,6 +602,23 @@ object Dedup {
       .select(graft.functions.TextFunctions.docIdRemContainPairs(col("ds"))
         .as(Seq("dc", "dt", "minrem", "gc")))
       .filter(expr(s"1000000L * (minrem + 1L) >= ${tppm}L * gc"))
+  }
+
+  /** Containment's [[rankedOfGated]] frame plus the docs-sized length
+    * frame, for the probe ([[graft.StageProbe]] `containcand`). */
+  private[graft] def containRanked(sh: DataFrame, thresholdPpm: Long,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val docLen = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    (rankedOfGated(sh.join(keep, Seq("s")), docLen,
+      containAlpha(thresholdPpm)), docLen)
+  }
+
+  private def containPrefixCandidates(ranked: DataFrame,
+      docLen: DataFrame, tppm: Long): DataFrame = {
+    containKeptEmissions(ranked, tppm)
       .groupBy(col("dc"), col("dt"))
       .agg((max(col("minrem")) + lit(1L)).as("ub"))
       .join(docLen.select(col("doc_id").as("dc"), col("c").as("c1"))
@@ -668,7 +689,8 @@ object Dedup {
     // point), and the partial count it returns is < needed, so the
     // threshold filter drops it exactly as the true count would).
     verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn), verify,
-        maxBroadcastBytes, verifyChunks, "ngramJaccardPrefix")(
+        maxBroadcastBytes, verifyChunks, "ngramJaccardPrefix",
+        suffixBound = true)(
       jaccardOfInter(_, threshold))
   }
 
@@ -684,10 +706,23 @@ object Dedup {
     * and containment's bounds differ). `score` maps the verified
     * `(d1, d2, i, c1, c2)` frame to the operator's output and MUST
     * discard every row with `i < needed` — that filter is what makes
-    * the kernel's early-exit partial counts unobservable. */
+    * the kernel's early-exit partial counts unobservable.
+    *
+    * `suffixBound` gates the pre-verify prefix-array stage, because its
+    * LEVERAGE is operator-specific: the bound prunes only when
+    * `needed − sfx2 > 0`. For Jaccard that slack is
+    * ≈ c·t′(1−t′)/(1+t′) — strictly positive at every threshold, teeth
+    * everywhere. For containment it is `⌈t′c1⌉ − ⌈t′c2⌉ + 1 ≤ 0`
+    * whenever the container is at least as long as the contained — the
+    * operator's PRIMARY regime (a short doc quoted in a long one) — so
+    * the stage would ship a half-width prefix array per candidate at
+    * the default t′ = 0.5 and prune almost nothing. Measured, 30×
+    * staged corpus: containment's merge verify WITH the bound fills all
+    * 78 GB of local disk and dies (SCALE_r14 session A); Jaccard's
+    * keeps it — containment passes false, Jaccard true. */
   private def verifyPrefixCandidates(cand: DataFrame, arrays: DataFrame,
       needed: Column, verify: String, maxBroadcastBytes: Long,
-      verifyChunks: Int, opName: String)(
+      verifyChunks: Int, opName: String, suffixBound: Boolean)(
       score: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     val mode =
@@ -731,26 +766,34 @@ object Dedup {
     // `needed` — measured 125.1M → far fewer at the 100× smoke, where
     // the d2 full-array shipment WAS the wall time; (4) survivors alone
     // co-partition on d2 for a2 and the early-exit merge kernel.
-    def mergeVerify(c: DataFrame): DataFrame = c
-      .join(arrays.select(col("doc_id").as("d2"), col("pfx").as("p2"),
-        col("sfx").as("sfx2")).hint("shuffle_hash"), Seq("d2"))
-      .join(arrays.select(col("doc_id").as("d1"), col("arr").as("a1"))
-        .hint("shuffle_hash"), Seq("d1"))
-      .withColumn("needed", needed)
-      // early-exit form of |a1 ∩ pfx2| ≥ needed − sfx2: the kernel
-      // aborts (returning < the bound) as soon as the bound is
-      // unreachable; a non-positive bound passes trivially
-      .filter(graft.functions.TextFunctions.sortedIntersectAtLeast(
-          col("a1"), col("p2"), col("needed") - col("sfx2")) >=
-        col("needed") - col("sfx2"))
-      .drop("p2", "sfx2")
-      .join(arrays.select(col("doc_id").as("d2"), col("arr").as("a2"))
-        .hint("shuffle_hash"), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        graft.functions.TextFunctions
-          .sortedIntersectAtLeast(col("a1"), col("a2"), col("needed"))
-          .as("i"),
-        col("c1"), col("c2"))
+    def mergeVerify(c: DataFrame): DataFrame = {
+      val withA1 =
+        if (suffixBound) c
+          .join(arrays.select(col("doc_id").as("d2"), col("pfx").as("p2"),
+            col("sfx").as("sfx2")).hint("shuffle_hash"), Seq("d2"))
+          .join(arrays.select(col("doc_id").as("d1"), col("arr").as("a1"))
+            .hint("shuffle_hash"), Seq("d1"))
+          .withColumn("needed", needed)
+          // early-exit form of |a1 ∩ pfx2| ≥ needed − sfx2: the kernel
+          // aborts (returning < the bound) as soon as the bound is
+          // unreachable; a non-positive bound passes trivially
+          .filter(graft.functions.TextFunctions.sortedIntersectAtLeast(
+              col("a1"), col("p2"), col("needed") - col("sfx2")) >=
+            col("needed") - col("sfx2"))
+          .drop("p2", "sfx2")
+        else c
+          .join(arrays.select(col("doc_id").as("d1"), col("arr").as("a1"))
+            .hint("shuffle_hash"), Seq("d1"))
+          .withColumn("needed", needed)
+      withA1
+        .join(arrays.select(col("doc_id").as("d2"), col("arr").as("a2"))
+          .hint("shuffle_hash"), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          graft.functions.TextFunctions
+            .sortedIntersectAtLeast(col("a1"), col("a2"), col("needed"))
+            .as("i"),
+          col("c1"), col("c2"))
+    }
     if (mode == "broadcast") {
       // broadcast verify: nothing ships per candidate, so the prefix
       // bound buys nothing — but the early-exit kernel still cuts the
@@ -2148,14 +2191,20 @@ object Dedup {
     * for the one-sided bound (exact integer forms at
     * [[containPrefixCandidates]]); verification runs through the shared
     * [[verifyPrefixCandidates]] engine — broadcast under a measured
-    * byte budget or the no-broadcast co-partitioned merge, prefix-array
-    * suffix bound before the full-array exchange, early-exit kernel
-    * under `needed = ⌈t′ppm·c1/1e6⌉`. One honest weakness vs Jaccard:
-    * at the default t′ = 0.5 the contained-side prefix is half the doc
-    * (vs a fifth at J ≥ 0.8), and the suffix bound is loose for
-    * short-into-long candidates (sfx₂ ≈ t′·c₂ can exceed `needed`
-    * alone) — the ladder's work is done mostly by the emission prune
-    * and the positional filter here. */
+    * byte budget or the no-broadcast co-partitioned merge, early-exit
+    * kernel under `needed = ⌈t′ppm·c1/1e6⌉`, and NO prefix-array suffix
+    * bound: at containment's bounds its slack `⌈t′c1⌉ − ⌈t′c2⌉ + 1` is
+    * non-positive for every short-into-long candidate (the operator's
+    * primary regime), and the 30× smoke measured the stage's half-width
+    * prefix shipment ENOSPC-ing the merge verify for zero pruning
+    * (SCALE_r14 session A; details at the engine's scaladoc). Honest
+    * weakness vs Jaccard: at the default t′ = 0.5 the contained-side
+    * prefix is half the doc (vs a fifth at J ≥ 0.8) — the ladder's work
+    * here is done mostly by the emission prune and the positional
+    * filter, and the candidate stage, not the verify, dominates
+    * (measured ≈ the classic stage's wall-time at 30×/t′0.5; the
+    * prefix path's decade claim is COMPLETION where classic cannot
+    * run, and speed where t′ is high). */
   def containmentPrefix(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
     containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf)
@@ -2210,7 +2259,8 @@ object Dedup {
     val cand = containPrefixCandidates(ranked, docLen, thresholdPpm)
     val arrays = arraysOfRanked(ranked).localCheckpoint()
     verifyPrefixCandidates(cand, arrays, containNeededExpr(thresholdPpm),
-        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix") { v =>
+        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix",
+        suffixBound = false) { v =>
       // the classic stage's exact integer score: floor ppm ≥ threshold
       // ⇔ i ≥ needed, so the kernel's early-exit partials never pass
       v.select(col("d1").as("contained"), col("d2").as("container"),
