@@ -237,6 +237,14 @@ object ScaleSmoke {
         .containmentPrefixOf(Tables.documents(spark, d),
           thresholdPpm = 800000L, maxDf = 100 * m, verify = "merge",
           verifyChunks = if (m >= 50) 8 else 1)),
+      // the t' = 0.8 AUTO shape (broadcast verify under the measured byte
+      // budget, merge past it): the session-D 30× reading had classic
+      // (247 s) BEAT the forced merge (343 s) at t8 — this row records
+      // what the operator actually picks when not forced, the number a
+      // user gets by default
+      "containment_prefix_t8" -> ((d, m) => operators.Dedup
+        .containmentPrefixOf(Tables.documents(spark, d),
+          thresholdPpm = 800000L, maxDf = 100 * m)),
       "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
         operators.Dedup.shinglesOf(Tables.documents(spark, d)),
         thresholdPpm = 800000L, maxDf = 100 * m)),

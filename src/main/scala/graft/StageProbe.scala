@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   *  - `spangram` — the q77 sliding-window gram stage, hex-string vs
   *    native-long fingerprint currency A/B'd in one session (the r13
   *    currency lever; the hex form lives only here, as the probe twin).
+  *  - `sweepcompare` — the full threshold sweep (q105) vs the sampled
+  *    form (q123) in ONE session at the same dir/maxDf: per-rung rows
+  *    carrying the full n_pairs, the sampled n_pairs_est, the stated
+  *    rel_err, and whether the estimate lands within 3 standard errors —
+  *    the measured is-the-calibration-contract-honest check at a decade
+  *    where both still run. sampleFraction rides argv position 4
+  *    (default 0.1), echoed in every row.
   * Each lap clears [[StageMemo]] and sinks the stage to the noop writer
   * with an observe row counter, exactly like ScaleSmoke's protocol;
   * passing several variants A/Bs them in the SAME session (same JIT,
@@ -38,12 +45,18 @@ object StageProbe {
     val maxDf = args.lift(2).map(_.toInt).getOrElse(3000)
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
     require(stage == "ngraminter" || stage == "prefixcand" ||
-      stage == "spangram" || stage == "containcand",
+      stage == "spangram" || stage == "containcand" ||
+      stage == "sweepcompare",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
+    // pair shuffle spill-starve the per-task hash agg (measured: the
+    // sweepcompare full lap died UNABLE_TO_ACQUIRE_MEMORY at 32 parts
+    // where session D's identical sweep ran at 128)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -202,6 +215,57 @@ object StageProbe {
         s""""prefix_rows":$prefixRows,"raw_oriented_pairs":$rawPairs,""" +
         s""""emissions_kept":$emisKept,"cand":$candCnt,""" +
         s""""cand_len_filtered":$candLen,"cand_pos_filtered":$candPos,""" +
+        s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "sweepcompare") {
+      // full-vs-sampled calibration A/B (q105 vs q123), same session: the
+      // r13 verdict's ask #6 needs the 30× claim "the sampled sweep lands
+      // within its own stated error at a fraction of the cost" MEASURED,
+      // not asserted from the 1× fixture spec. Both sweeps run cold
+      // (StageMemo cleared — each pays its own intersection stage, the
+      // honest cost the fraction is supposed to shrink); the result
+      // frames are |ladder|-row tiny, so collecting them for the per-rung
+      // join costs nothing. Agreement contract per rung: the unbiased
+      // estimator's stated ~1/√n standard error should cover the true
+      // rung at ~3σ (n_pairs ≳ 100 per the operator scaladoc's sizing
+      // rule at the rungs that matter); a rung the sample misses entirely
+      // reports est 0 with null rel_err and within3se false — absence is
+      // an estimate of zero, not proof (the scaladoc's own caveat).
+      val f = args.lift(4).map(_.toDouble).getOrElse(0.1)
+      def lap(df: => org.apache.spark.sql.DataFrame)
+          : (Double, Array[org.apache.spark.sql.Row]) = {
+        StageMemo.clear()
+        val t0 = System.nanoTime()
+        val rows = df.collect()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (fullS, full) = lap(operators.Dedup.thresholdSweep(
+        spark, dir, maxDf = maxDf))
+      val (sampS, samp) = lap(operators.Dedup.thresholdSweepSampled(
+        spark, dir, maxDf = maxDf, sampleFraction = f))
+      val sampByT = samp.map(r => r.getDouble(0) -> r).toMap
+      for (r <- full) {
+        val t = r.getDouble(0)
+        val nFull = r.getLong(1)
+        val (est, relErr) = sampByT.get(t)
+          .map(s => (s.getLong(4),
+            if (s.isNullAt(5)) Double.NaN else s.getDouble(5)))
+          .getOrElse((0L, Double.NaN))
+        val relDelta =
+          if (nFull > 0) math.abs(est.toDouble / nFull - 1.0) else 0.0
+        val within = !relErr.isNaN && relDelta <= 3.0 * relErr
+        // a missed rung has no stated error — JSON null, never a bare NaN
+        val relErrJson = if (relErr.isNaN) "null"
+          else f"$relErr%.6f"
+        println(f"""{"op":"sweepcompare","dir":"$dir","maxDf":$maxDf,""" +
+          f""""fraction":$f,"threshold":$t,"n_pairs_full":$nFull,""" +
+          f""""n_pairs_est":$est,"rel_err":$relErrJson,""" +
+          f""""rel_delta":$relDelta%.6f,"within3se":$within}""")
+      }
+      println(f"""{"op":"sweepcompare_cost","dir":"$dir","maxDf":$maxDf,""" +
+        f""""fraction":$f,"full_sec":$fullS%.2f,"sampled_sec":$sampS%.2f,""" +
         s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return
