@@ -195,6 +195,14 @@ object ScaleSmoke {
       "ngram_prefix_merge" -> ((d, m) => operators.Dedup.ngramJaccardPrefixOf(
         Tables.documents(spark, d), maxDf = 100 * m, verify = "merge",
         verifyChunks = if (m >= 50) 8 else 1)),
+      // the suffix bound OFF, same shape otherwise: the same-session A/B
+      // that attributes a merge-verify delta to the r14 pre-verify bound
+      // itself rather than the box regime (cross-session 100× readings
+      // swing ±60% here)
+      "ngram_prefix_merge_nosfx" -> ((d, m) => operators.Dedup
+        .ngramJaccardPrefixOf(
+          Tables.documents(spark, d), maxDf = 100 * m, verify = "merge",
+          verifyChunks = if (m >= 50) 8 else 1, suffixBound = false)),
       // the FORCED broadcast verify with the budget opened: decomposes an
       // auto-row delta into verify shape vs candidate stage within one
       // session (auto silently picks a mode off the measured bytes)
@@ -233,10 +241,15 @@ object ScaleSmoke {
       // prefix path's advantage, measured in one session (the classic
       // stage's cost is threshold-INdependent — it builds every
       // co-occurring pair first and thresholds last)
+      // candChunks at the top decade: the 100× kept-emission pair
+      // EXCHANGE alone exceeded one box's disk in both verify shapes
+      // (measured ENOSPC, session F) — contained-doc hash slices bound
+      // the exchange per job
       "containment_prefix_merge_t8" -> ((d, m) => operators.Dedup
         .containmentPrefixOf(Tables.documents(spark, d),
           thresholdPpm = 800000L, maxDf = 100 * m, verify = "merge",
-          verifyChunks = if (m >= 50) 8 else 1)),
+          verifyChunks = if (m >= 100) 2 else if (m >= 50) 8 else 1,
+          candChunks = if (m >= 100) 32 else 1)),
       // the t' = 0.8 AUTO shape (broadcast verify under the measured byte
       // budget, merge past it): the session-D 30× reading had classic
       // (247 s) BEAT the forced merge (343 s) at t8 — this row records
@@ -244,7 +257,8 @@ object ScaleSmoke {
       // user gets by default
       "containment_prefix_t8" -> ((d, m) => operators.Dedup
         .containmentPrefixOf(Tables.documents(spark, d),
-          thresholdPpm = 800000L, maxDf = 100 * m)),
+          thresholdPpm = 800000L, maxDf = 100 * m,
+          candChunks = if (m >= 100) 32 else 1)),
       "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
         operators.Dedup.shinglesOf(Tables.documents(spark, d)),
         thresholdPpm = 800000L, maxDf = 100 * m)),

@@ -341,14 +341,23 @@ object Dedup {
     *    the array table per side (shuffled hash joins). Shuffle volume =
     *    surviving candidates × array width — the positional filter is
     *    what makes this affordable (it kills the ENOSPC row-fan-out
-    *    class the r12 first cut hit). Since r14 the full-array shipment
-    *    is further gated by a PREFIX-ARRAY SUFFIX BOUND (PPJoin+'s
-    *    suffix filter re-priced for a shuffle engine): candidates first
-    *    pick up only d2's SHORT prefix array + suffix size, and
+    *    class the r12 first cut hit). A PREFIX-ARRAY SUFFIX BOUND
+    *    (PPJoin+'s suffix filter re-priced for a shuffle engine) is
+    *    available behind `suffixBound`: candidates first pick up only
+    *    d2's SHORT prefix array + suffix size, and
     *    `i ≤ |a1 ∩ pfx2| + sfx2` kills every candidate that cannot
     *    reach the qualifying overlap BEFORE d2's full array crosses an
-    *    exchange — the r13 100× anatomy showed that shipment (125.1M
-    *    candidates × ~370 B for 27.1M true pairs) WAS the wall time.
+    *    exchange. The cut is nearly exact — 11.25M positional survivors
+    *    → 2,387,955 vs 2,387,400 true pairs at the 30× anatomy (slack
+    *    4.7× → 1.0002×) — but it costs one EXTRA exchange of the whole
+    *    candidate frame (the d2 prefix join precedes the d1 array join),
+    *    and on this corpus's NARROW arrays (~46 gated shingles/doc,
+    *    ~370 B) the saved full-array shipment is smaller than that
+    *    exchange: same-session 100× A/B read 331.7 s (bound on) vs
+    *    276.9 s (off), identical 27.11M rows — so the bound defaults
+    *    OFF and is a knob for wide-array corpora (long documents),
+    *    where per-candidate array bytes ≫ candidate-row bytes flip the
+    *    trade.
     *  - `auto` (default) — measure the array table once (one aggregate
     *    action), broadcast under `maxBroadcastBytes`, merge past it.
     * The r12 `maxBroadcastDocs` refusal is RETIRED: past the budget the
@@ -394,9 +403,9 @@ object Dedup {
   def ngramJaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 100, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame =
+      verifyChunks: Int = 1, suffixBound: Boolean = false): DataFrame =
     ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify,
-        maxBroadcastBytes, verifyChunks)
+        maxBroadcastBytes, verifyChunks, suffixBound)
       .orderBy(col("d1"), col("d2"))
 
   /** The per-doc rarest-first PREFIX posting frame of
@@ -590,19 +599,52 @@ object Dedup {
   /** The generator + emission-prune stage of [[containPrefixCandidates]]
     * — split out (private[graft]) so the candidate-anatomy probe
     * ([[graft.StageProbe]] `containcand`) counts EXACTLY the frame the
-    * operator shuffles, never a reimplementation that could drift. */
+    * operator shuffles, never a reimplementation that could drift.
+    *
+    * `slice` restricts which CONTAINED docs may start pairs (the `pfx`
+    * flag is ANDed with it before the generator runs): a disjoint
+    * doc-hash partition of the contained side therefore partitions the
+    * EMISSION (and hence candidate) volume disjointly, without touching
+    * the container side each slice still probes in full — the
+    * candidate-stage chunking the 100× t′=0.8 decade forced (the pair
+    * exchange alone exceeded one box's disk in BOTH verify shapes,
+    * SCALE_r14 session F). */
   private[graft] def containKeptEmissions(ranked: DataFrame,
-      tppm: Long): DataFrame = {
-    val postings = ranked
-      .select(col("s"), struct(col("doc_id"), col("rem"), col("g"),
-        (col("rem") >= col("alpha") - lit(1)).as("pfx")).as("p"))
-      .groupBy(col("s"))
-      .agg(collect_list(col("p")).as("ds"))
-    postings
-      .select(graft.functions.TextFunctions.docIdRemContainPairs(col("ds"))
-        .as(Seq("dc", "dt", "minrem", "gc")))
-      .filter(expr(s"1000000L * (minrem + 1L) >= ${tppm}L * gc"))
-  }
+      tppm: Long, slice: Column = lit(true)): DataFrame =
+    containKeptEmissionsOfPostings(containPostings(ranked, slice), tppm)
+
+  /** The per-shingle posting frame of the oriented generator: the WHOLE
+    * gated list per shingle, each member carrying its prefix flag
+    * (optionally ANDed with `slice` — see [[containKeptEmissions]]). */
+  private[graft] def containPostings(ranked: DataFrame,
+      slice: Column = lit(true)): DataFrame = ranked
+    .select(col("s"), struct(col("doc_id"), col("rem"), col("g"),
+      (col("rem") >= col("alpha") - lit(1) && slice).as("pfx")).as("p"))
+    .groupBy(col("s"))
+    .agg(collect_list(col("p")).as("ds"))
+
+  /** Generator + emission prune over an already-built posting frame —
+    * split from [[containPostings]] so the candidate-stage chunk loop
+    * builds the posting shuffle ONCE (disk-checkpointed) and re-slices
+    * it per chunk with a cheap per-row array transform, instead of
+    * paying the groupBy(s) exchange once per slice. */
+  private[graft] def containKeptEmissionsOfPostings(postings: DataFrame,
+      tppm: Long): DataFrame = postings
+    .select(graft.functions.TextFunctions.docIdRemContainPairs(col("ds"))
+      .as(Seq("dc", "dt", "minrem", "gc")))
+    .filter(expr(s"1000000L * (minrem + 1L) >= ${tppm}L * gc"))
+
+  /** `postings` with each member's prefix flag masked to contained-doc
+    * hash slice `i` of `k` — the generator then starts pairs only from
+    * slice members, partitioning the emission volume disjointly while
+    * every slice still probes the full container side. A per-row array
+    * map, no exchange. */
+  private def slicePostings(postings: DataFrame, i: Int, k: Int): DataFrame =
+    postings.select(col("s"), expr(
+      s"""transform(ds, p -> struct(p.doc_id AS doc_id, p.rem AS rem,
+         |  p.g AS g,
+         |  (p.pfx AND pmod(xxhash64(p.doc_id), $k) = $i) AS pfx))"""
+        .stripMargin).as("ds"))
 
   /** Containment's [[rankedOfGated]] frame plus the docs-sized length
     * frame, for the probe ([[graft.StageProbe]] `containcand`). */
@@ -616,9 +658,9 @@ object Dedup {
       containAlpha(thresholdPpm)), docLen)
   }
 
-  private def containPrefixCandidates(ranked: DataFrame,
+  private def containPrefixCandidates(postings: DataFrame,
       docLen: DataFrame, tppm: Long): DataFrame = {
-    containKeptEmissions(ranked, tppm)
+    containKeptEmissionsOfPostings(postings, tppm)
       .groupBy(col("dc"), col("dt"))
       .agg((max(col("minrem")) + lit(1L)).as("ub"))
       .join(docLen.select(col("doc_id").as("dc"), col("c").as("c1"))
@@ -633,7 +675,7 @@ object Dedup {
   private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
       threshold: Double, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame = {
+      verifyChunks: Int = 1, suffixBound: Boolean = false): DataFrame = {
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
     require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
@@ -666,10 +708,16 @@ object Dedup {
       .hint("shuffle_hash")
     // ONE window exchange ranks the gated frame for both consumers (the
     // prefix posting frame and the verify's array table) — checkpointed
-    // so the budget-gate action and the candidate job share it
+    // so the budget-gate action and the candidate job share it.
+    // DISK_ONLY (diskCheckpoint): this frame is corpus-×-shingles sized,
+    // and the default MEMORY_AND_DISK checkpoint UNROLLS each partition
+    // in memory first — at the 100× staged decade, 32 concurrent
+    // ~230 MiB unrolls plus the verify's execution memory OOM'd a 24 GB
+    // heap (SCALE_r14 session E). Streaming the blocks straight to disk
+    // keeps the heap for the joins; the re-reads are sequential.
     val ranked = Bridge.dropOriginConstraints(
-      rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn))
-        .localCheckpoint())
+      diskCheckpoint(
+        rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn))))
     val cand = prefixCandidates(prefixOfRanked(ranked), docLen, tn)
     // exact verification against per-doc sorted gated-shingle arrays with
     // the native merge-count kernel. Two shapes (scaladoc above): the
@@ -681,7 +729,7 @@ object Dedup {
     // Alongside each full array: the doc's PREFIX as its own sorted
     // array plus the suffix size — the r14 pre-verify bound's inputs
     // (see mergeVerify below).
-    val arrays = arraysOfRanked(ranked).localCheckpoint()
+    val arrays = diskCheckpoint(arraysOfRanked(ranked))
     // the overlap every qualifying pair MUST reach, per candidate
     // ([[jaccardNeededExpr]]). The verify kernel early-exits a merge the
     // moment this bound is unreachable (PPJoin+'s suffix-filter role
@@ -690,7 +738,7 @@ object Dedup {
     // threshold filter drops it exactly as the true count would).
     verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn), verify,
         maxBroadcastBytes, verifyChunks, "ngramJaccardPrefix",
-        suffixBound = true)(
+        suffixBound = suffixBound)(
       jaccardOfInter(_, threshold))
   }
 
@@ -709,17 +757,39 @@ object Dedup {
     * the kernel's early-exit partial counts unobservable.
     *
     * `suffixBound` gates the pre-verify prefix-array stage, because its
-    * LEVERAGE is operator-specific: the bound prunes only when
-    * `needed − sfx2 > 0`. For Jaccard that slack is
-    * ≈ c·t′(1−t′)/(1+t′) — strictly positive at every threshold, teeth
-    * everywhere. For containment it is `⌈t′c1⌉ − ⌈t′c2⌉ + 1 ≤ 0`
-    * whenever the container is at least as long as the contained — the
-    * operator's PRIMARY regime (a short doc quoted in a long one) — so
-    * the stage would ship a half-width prefix array per candidate at
-    * the default t′ = 0.5 and prune almost nothing. Measured, 30×
-    * staged corpus: containment's merge verify WITH the bound fills all
-    * 78 GB of local disk and dies (SCALE_r14 session A); Jaccard's
-    * keeps it — containment passes false, Jaccard true. */
+    * LEVERAGE is operator- and corpus-specific. The bound prunes only
+    * when `needed − sfx2 > 0`: for Jaccard that slack is
+    * ≈ c·t′(1−t′)/(1+t′) — strictly positive at every threshold — and
+    * the 30× anatomy measured the cut nearly exact (11.25M positional
+    * survivors → 2,387,955 vs 2,387,400 true). For containment it is
+    * `⌈t′c1⌉ − ⌈t′c2⌉ + 1 ≤ 0` whenever the container is at least as
+    * long as the contained — the operator's PRIMARY regime — so the
+    * stage would ship a half-width prefix array per candidate at the
+    * default t′ = 0.5 and prune almost nothing (measured: containment's
+    * merge verify WITH the bound fills all 78 GB of local disk and dies,
+    * SCALE_r14 session A). But pruning well is not the same as PAYING:
+    * the bound's stage is one extra exchange of the entire candidate
+    * frame (the d2 prefix join precedes the d1 array join), and on
+    * narrow-array corpora (~370 B/doc here) the same-session 100× A/B
+    * read the bound as a net LOSS for Jaccard too (331.7 s on vs
+    * 276.9 s off, identical output) — so every caller currently defaults
+    * it OFF, and the knob exists for wide-array corpora where
+    * per-candidate array bytes dominate candidate-row bytes. */
+  /** Eager local checkpoint at StorageLevel.DISK_ONLY — for frames whose
+    * size scales with the corpus (gated/ranked shingles, the candidate
+    * frame, the array table). The default MEMORY_AND_DISK level unrolls
+    * every partition IN MEMORY before (maybe) spilling its bytes: at the
+    * 100× staged decade that unroll — 32 concurrent tasks × ~230 MiB
+    * partitions — plus the verify's execution memory OOM'd the 24 GB
+    * single-box heap (SCALE_r14 session E, reproduced solo). DISK_ONLY
+    * streams blocks through the serializer to disk with no unroll; the
+    * handful of sequential re-reads these frames get is the cheap side
+    * of that trade at every scale (fixture-sized frames live in page
+    * cache anyway). */
+  private def diskCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   private def verifyPrefixCandidates(cand: DataFrame, arrays: DataFrame,
       needed: Column, verify: String, maxBroadcastBytes: Long,
       verifyChunks: Int, opName: String, suffixBound: Boolean)(
@@ -825,7 +895,10 @@ object Dedup {
       // every candidate lands in exactly one chunk; the union of chunk
       // outputs IS the single-job output (spec-pinned). On a cluster
       // with aggregate disk this knob stays at 1.
-      val candCk = Bridge.dropOriginConstraints(cand.localCheckpoint())
+      // DISK_ONLY: at the decades where chunking is on at all, the
+      // candidate frame is the ~100M-row one whose in-memory unroll
+      // competes with the verify joins for heap (the session-E OOM)
+      val candCk = Bridge.dropOriginConstraints(diskCheckpoint(cand))
       (0 until verifyChunks).map { i =>
         val chunk = candCk.filter(
           pmod(xxhash64(col("d1"), col("d2")), lit(verifyChunks)) === i)
@@ -2220,24 +2293,36 @@ object Dedup {
       .orderBy(col("contained"), col("container"))
 
   /** [[containmentPrefix]] over an arbitrary `(doc_id, text)` frame —
-    * knobs as in [[ngramJaccardPrefixOf]]. */
+    * knobs as in [[ngramJaccardPrefixOf]], plus `candChunks`: disjoint
+    * contained-doc hash slices of the CANDIDATE stage itself. The
+    * oriented generator's fan-out is |prefix| × df per shingle — an
+    * order bigger than Jaccard's prefix×prefix — and at the 100×
+    * staged decade the kept-emission pair EXCHANGE alone exceeded one
+    * box's disk in both verify shapes, at t′ = 0.8 as well as 0.5
+    * (measured ENOSPC, SCALE_r14 sessions B/F). Slicing which contained
+    * docs may START pairs partitions that exchange disjointly (each
+    * slice still probes every container), each slice is verified in its
+    * own job whose ≥-threshold survivors alone outlive it, and the
+    * union is exactly the unchunked output (spec-pinned). On a cluster
+    * with aggregate disk both chunk knobs stay 1. */
   def containmentPrefixOf(docs: DataFrame, thresholdPpm: Long = 500000L,
       maxDf: Int = 100, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame =
+      verifyChunks: Int = 1, candChunks: Int = 1): DataFrame =
     containmentPrefixOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
-        verify, maxBroadcastBytes, verifyChunks)
+        verify, maxBroadcastBytes, verifyChunks, candChunks)
       .orderBy(col("contained"), col("container"))
 
   private[graft] def containmentPrefixOfShingles(sh: DataFrame,
       thresholdPpm: Long, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame = {
+      verifyChunks: Int = 1, candChunks: Int = 1): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
     require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    require(candChunks >= 1, s"candChunks must be >= 1: $candChunks")
     require(sh.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType,
       "containmentPrefix requires bigint doc ids (the oriented pair " +
@@ -2253,14 +2338,13 @@ object Dedup {
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
+    // DISK_ONLY for the corpus-sized frames, as on the Jaccard path (the
+    // measured 100× unroll OOM — scaladoc there)
     val ranked = Bridge.dropOriginConstraints(
-      rankedOfGated(sh.join(keep, Seq("s")), docLen,
-        containAlpha(thresholdPpm)).localCheckpoint())
-    val cand = containPrefixCandidates(ranked, docLen, thresholdPpm)
-    val arrays = arraysOfRanked(ranked).localCheckpoint()
-    verifyPrefixCandidates(cand, arrays, containNeededExpr(thresholdPpm),
-        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix",
-        suffixBound = false) { v =>
+      diskCheckpoint(rankedOfGated(sh.join(keep, Seq("s")), docLen,
+        containAlpha(thresholdPpm))))
+    val arrays = diskCheckpoint(arraysOfRanked(ranked))
+    def score(v: DataFrame): DataFrame =
       // the classic stage's exact integer score: floor ppm ≥ threshold
       // ⇔ i ≥ needed, so the kernel's early-exit partials never pass
       v.select(col("d1").as("contained"), col("d2").as("container"),
@@ -2268,6 +2352,30 @@ object Dedup {
         .withColumn("cont_ppm",
           expr("n_shared * 1000000 div n_shingles"))
         .filter(col("cont_ppm") >= thresholdPpm)
+    def outOf(postings: DataFrame): DataFrame =
+      verifyPrefixCandidates(
+        containPrefixCandidates(postings, docLen, thresholdPpm),
+        arrays, containNeededExpr(thresholdPpm),
+        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix",
+        suffixBound = false)(score)
+    if (candChunks <= 1) outOf(containPostings(ranked))
+    else {
+      // candidate-stage chunking (scaladoc at [[containmentPrefixOf]]):
+      // the posting shuffle is built ONCE (disk-checkpointed), each
+      // contained-doc hash slice masks it with a per-row array map and
+      // runs generator → filters → verify in its OWN jobs; the slice's
+      // ≥-threshold survivors are checkpointed eagerly, and the finished
+      // slice's pair-exchange shuffle files lose their last reference
+      // before the next slice peaks — the same eager-release discipline
+      // as the verifyChunks loop
+      val postings = Bridge.dropOriginConstraints(
+        diskCheckpoint(containPostings(ranked)))
+      (0 until candChunks).map { i =>
+        val kept = Bridge.dropOriginConstraints(
+          outOf(slicePostings(postings, i, candChunks)).localCheckpoint())
+        System.gc()
+        kept
+      }.reduce(_ unionByName _)
     }
   }
 }

@@ -221,6 +221,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val viaChunked = rows(Dedup.ngramJaccardPrefixOf(
       Tables.documents(spark, sfDir), verify = "merge", verifyChunks = 3))
     assert(viaChunked === classic)
+    // and the wide-array-corpus knob: the prefix-array suffix bound ON
+    // (default OFF after the 100× narrow-array A/B) must stay lossless —
+    // i ≤ |a1 ∩ pfx2| + sfx2 holds for every qualifying pair, so the
+    // pre-verify kill changes nothing but the shipment volume
+    val viaSuffix = rows(Dedup.ngramJaccardPrefixOf(
+      Tables.documents(spark, sfDir), verify = "merge", suffixBound = true))
+    assert(viaSuffix === classic)
     // 2. the exact-boundary pair: 9 distinct shingles each, 8 shared
     //    (tokens 1..11 with the last differing) -> J = 8/(9+9-8) = 0.8
     //    EXACTLY; the α floor must not prune it. The third doc shares 7
@@ -444,6 +451,19 @@ class DedupSimilaritySpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(pref === exact, s"thresholdPpm $t")
     }
+    // candidate-stage chunking (the 100× decade's disk bound): disjoint
+    // contained-doc hash slices, each generated + verified in its own
+    // jobs — the union must be EXACTLY the unchunked frame (slices
+    // partition the contained side; every slice probes all containers)
+    val exact5 = Dedup.containmentOf(Dedup.shinglesOf(docs))
+      .collect().map(_.toSeq).toSeq
+    val sliced = Dedup.containmentPrefixOf(docs, candChunks = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(sliced === exact5)
+    // and composed with the verify's own chunking (the two knobs nest)
+    val sliced2 = Dedup.containmentPrefixOf(docs, verify = "merge",
+      verifyChunks = 2, candChunks = 2).collect().map(_.toSeq).toSeq
+    assert(sliced2 === exact5)
   }
 
   test("persisted index refuses legacy string-keyed shingles loudly") {

@@ -269,9 +269,9 @@ class PlanSpec extends SparkSpec {
       s"co-partitioned array joins must be shuffled hash joins:\n$p")
     assert(p.contains("graft_doc_id_rem_pairs"),
       s"positional generator expected:\n$p")
-    // the early-exit kernel appears twice: the prefix-array suffix
-    // bound's filter (BEFORE the full-array d2 exchange) and the final
-    // merge verify — both are Filter/Project work inside codegen stages
+    // the early-exit kernel runs the final merge verify (the optional
+    // prefix-array suffix bound — default OFF since the 100× A/B read
+    // it as a net loss on narrow arrays — would add a second site)
     assert(p.contains("graft_sorted_intersect_at_least"),
       s"native early-exit merge kernel expected in the verify:\n$p")
   }
