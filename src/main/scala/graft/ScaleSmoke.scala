@@ -412,7 +412,8 @@ object ScaleSmoke {
         val docs = Tables.documents(spark, d)
         val path = operators.Dedup.ensureFixtureIndex(spark, d,
           docs.filter(col("doc_id") >= 2500), "lt2500",
-          withForest = true, maxDf = 100 * m)
+          withForest = true, maxDf = 100 * m,
+          forestVerifyChunks = if (m >= 50) 8 else 1)
         operators.Dedup.incrementalClustersAgainstIndex(spark, path,
           docs.filter(col("doc_id") < 2500), maxDf = 100 * m,
           commit = false)
@@ -531,7 +532,8 @@ object ScaleSmoke {
         val docs = Tables.documents(spark, dir)
         operators.Dedup.ensureFixtureIndex(spark, dir,
           docs.filter(col("doc_id") >= 2500), "lt2500",
-          withForest = true, maxDf = 100 * m)
+          withForest = true, maxDf = 100 * m,
+          forestVerifyChunks = if (m >= 50) 8 else 1)
         ()
       }
     // warm-up lap at the smallest sf (JIT + codegen + catalog caches, same

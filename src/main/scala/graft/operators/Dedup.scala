@@ -1491,7 +1491,8 @@ object Dedup {
     * tier's staged chunks. Returns the index path. */
   private[graft] def ensureFixtureIndex(spark: SparkSession, dir: String,
       shipped: DataFrame, tag: String, withForest: Boolean,
-      threshold: Double = 0.8, maxDf: Int = 100): String = {
+      threshold: Double = 0.8, maxDf: Int = 100,
+      forestVerifyChunks: Int = 1): String = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
     // the "_long" segment names the shingle-key currency the index was
     // written under — kept as a literal after the hex twin's r13
@@ -1527,7 +1528,8 @@ object Dedup {
       writeDedupIndex(shipped, path)
     }
     if (withForest && !freshAt(s"$path/forest/v0/_SUCCESS"))
-      writeClusterForest(shipped, path, threshold, maxDf)
+      writeClusterForest(shipped, path, threshold, maxDf,
+        verifyChunks = forestVerifyChunks)
     path
   }
 
@@ -1563,9 +1565,24 @@ object Dedup {
     * per clustered doc (~16 bytes) — far under the pair list it stands in
     * for on clique-heavy corpora. */
   def writeClusterForest(docs: DataFrame, path: String,
-      threshold: Double = 0.8, maxDf: Int = 100): Unit = {
+      threshold: Double = 0.8, maxDf: Int = 100,
+      verifyChunks: Int = 1): Unit = {
+    // the seed's pair stage rides the PREFIX path whenever the doc-id
+    // currency allows: identical pairs to the classic stage (q119 ≡ q21,
+    // oracle-proven row for row) and the only shape that completes the
+    // 100× decade on one box — the classic stage's ~11B emissions
+    // ENOSPC'd there (SCALE_r13 session G), re-measured as THIS seed's
+    // own failure when the 100× forest pre-stage died through it
+    // (SCALE_r14 session G). Non-long doc ids keep the id-agnostic
+    // classic stage, as everywhere else in the prefix family.
+    val pairs =
+      if (docs.schema("doc_id").dataType ==
+          org.apache.spark.sql.types.LongType)
+        ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf,
+          verifyChunks = verifyChunks)
+      else ngramJaccardOf(docs, threshold, maxDf)
     val labels = Curation.connectedComponentsStar(
-      ngramJaccardOf(docs, threshold, maxDf).select(col("d1"), col("d2")))
+      pairs.select(col("d1"), col("d2")))
     labels.filter(col("id") =!= col("label"))
       .select(col("id").as("d1"), col("label").as("d2"))
       .write.mode("overwrite").parquet(s"$path/forest/v0")
