@@ -53,6 +53,29 @@ object Bench {
     def contended: Boolean = Seq(warm, cold).exists(_.loadMax > 1.5 * cores)
   }
 
+  /** The run's MEMORY REGIME, recorded in the artifact: r14's name-aligned
+    * warm bench regressed +12.9% with no attributable cause because the
+    * harness never recorded its heap — build.sbt sizes the forked JVM from
+    * `SPARK_DRIVER_MEM` (default 8g), and an `-J-Xmx` flag on sbt itself
+    * silently sizes only sbt's JVM (SCALE_r14 sessions D/E ran at 8 GB
+    * believing 24 GB). `heap_mb` is the live JVM's `Runtime.maxMemory`;
+    * `heap_pinned` says whether it sits within ±15% of the DECLARED bench
+    * regime (`SPARK_GRAFT_BENCH_HEAP_MB`, default 8192 — the historical
+    * driver default every prior round's artifact implicitly ran at), so a
+    * cross-round diff can separate code drift from a regime shift. */
+  private[graft] def heapMb: Long = Runtime.getRuntime.maxMemory() >> 20
+
+  private[graft] def heapPinMb: Long =
+    sys.env.get("SPARK_GRAFT_BENCH_HEAP_MB")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(8192L)
+
+  private[graft] def regimeFields: String = {
+    val h = heapMb
+    val pin = heapPinMb
+    val pinned = math.abs(h - pin) <= pin * 0.15
+    s""""heap_mb":$h,"heap_pinned":$pinned"""
+  }
+
   private[graft] def loadavg1: Double =
     try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")),
@@ -112,6 +135,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // regime check up front, loudly: a mis-sized heap should be visible at
+    // launch, not discovered in a cross-round diff (the r14 lesson)
+    if (math.abs(heapMb - heapPinMb) > heapPinMb * 0.15)
+      System.err.println(s"[bench] HEAP OFF PIN: JVM max heap ${heapMb} MB " +
+        s"vs declared regime ${heapPinMb} MB — SPARK_DRIVER_MEM sizes the " +
+        "forked JVM (sbt -J-Xmx does NOT); set SPARK_GRAFT_BENCH_HEAP_MB " +
+        "if this regime is intentional. The artifact records heap_pinned=false.")
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
@@ -267,7 +297,8 @@ object Bench {
     def short(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val sentinel =
-      s""""cores":${load.cores},"contended":${load.contended}"""
+      s""""cores":${load.cores},"contended":${load.contended},""" +
+        regimeFields
     Seq(
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${json(results, 3)},""" +
         s""""queries_cold":${json(cold, 3)},"value":${fmt(total, 3)},"cold_total":${fmt(coldTotal, 3)}}""") ++
@@ -344,7 +375,7 @@ object Bench {
     // totals and read the gap as missing work.
     s"""{"metric":"memo_rollup","unit":"sec","sf":"$sfDir",""" +
       s""""value":${fmt(total, 2)},"cold_total":${fmt(coldTotal, 2)},""" +
-      s""""attribution":"warm+cold_lap1",""" +
+      s"""$regimeFields,"attribution":"warm+cold_lap1",""" +
       s""""hits":${all.map(_.hits).sum},"misses":${all.map(_.misses).sum},""" +
       s""""evictions":${all.map(_.evictions).sum},""" +
       s""""build_ms_total":${all.map(_.buildMsTotal).sum},""" +

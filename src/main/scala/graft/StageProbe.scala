@@ -245,11 +245,16 @@ object StageProbe {
         spark, dir, maxDf = maxDf))
       val (sampS, samp) = lap(operators.Dedup.thresholdSweepSampled(
         spark, dir, maxDf = maxDf, sampleFraction = f))
-      val sampByT = samp.map(r => r.getDouble(0) -> r).toMap
+      // rungs join on an integer ppm key, not raw Double equality: today
+      // both sweeps share the same literal ladder so doubles happen to
+      // match bit-for-bit, but a computed threshold would silently miss
+      // every rung (est 0, within3se false) under == on Double (ADVICE r14)
+      def ppm(t: Double): Long = math.round(t * 1e6)
+      val sampByT = samp.map(r => ppm(r.getDouble(0)) -> r).toMap
       for (r <- full) {
         val t = r.getDouble(0)
         val nFull = r.getLong(1)
-        val (est, relErr) = sampByT.get(t)
+        val (est, relErr) = sampByT.get(ppm(t))
           .map(s => (s.getLong(4),
             if (s.isNullAt(5)) Double.NaN else s.getDouble(5)))
           .getOrElse((0L, Double.NaN))

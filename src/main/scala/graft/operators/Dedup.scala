@@ -708,16 +708,20 @@ object Dedup {
       .hint("shuffle_hash")
     // ONE window exchange ranks the gated frame for both consumers (the
     // prefix posting frame and the verify's array table) — checkpointed
-    // so the budget-gate action and the candidate job share it.
-    // DISK_ONLY (diskCheckpoint): this frame is corpus-×-shingles sized,
-    // and the default MEMORY_AND_DISK checkpoint UNROLLS each partition
-    // in memory first — at the 100× staged decade, 32 concurrent
-    // ~230 MiB unrolls plus the verify's execution memory OOM'd a 24 GB
-    // heap (SCALE_r14 session E). Streaming the blocks straight to disk
-    // keeps the heap for the joins; the re-reads are sequential.
+    // so the budget-gate action and the candidate job share it. Storage
+    // level is SIZE-ADAPTIVE (scaleCheckpoint): this frame is
+    // corpus-×-shingles sized, and the default MEMORY_AND_DISK checkpoint
+    // UNROLLS each partition in memory first — at the 100× staged decade,
+    // 32 concurrent ~230 MiB unrolls plus the verify's execution memory
+    // OOM'd the heap (SCALE_r14 session E), so past a quarter-heap
+    // estimate the blocks stream straight to disk; at fixture scale the
+    // frame stays in memory (r14's unconditional DISK_ONLY taxed
+    // q119/q120 +19-24% warm for an OOM that only exists at decades).
+    val estBytes = estUnrollBytes(docLen)
     val ranked = Bridge.dropOriginConstraints(
-      diskCheckpoint(
-        rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn))))
+      scaleCheckpoint(
+        rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn)),
+        estBytes))
     val cand = prefixCandidates(prefixOfRanked(ranked), docLen, tn)
     // exact verification against per-doc sorted gated-shingle arrays with
     // the native merge-count kernel. Two shapes (scaladoc above): the
@@ -729,17 +733,71 @@ object Dedup {
     // Alongside each full array: the doc's PREFIX as its own sorted
     // array plus the suffix size — the r14 pre-verify bound's inputs
     // (see mergeVerify below).
-    val arrays = diskCheckpoint(arraysOfRanked(ranked))
+    val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
     // the overlap every qualifying pair MUST reach, per candidate
     // ([[jaccardNeededExpr]]). The verify kernel early-exits a merge the
     // moment this bound is unreachable (PPJoin+'s suffix-filter role
     // folded into the verify: a non-qualifying candidate costs O(abort
     // point), and the partial count it returns is < needed, so the
     // threshold filter drops it exactly as the true count would).
-    verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn), verify,
-        maxBroadcastBytes, verifyChunks, "ngramJaccardPrefix",
+    verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn),
+        resolveVerifyMode(arrays, verify, maxBroadcastBytes,
+          "ngramJaccardPrefix"),
+        verifyChunks, "ngramJaccardPrefix",
         suffixBound = suffixBound)(
       jaccardOfInter(_, threshold))
+  }
+
+  /** Eager local checkpoint at StorageLevel.DISK_ONLY — for the CHUNK
+    * LOOPS' frames (the sliced candidate frame, the shared posting
+    * frame), which exist only in decade regimes where chunking is on at
+    * all. The default MEMORY_AND_DISK level unrolls every partition IN
+    * MEMORY before (maybe) spilling its bytes: at the 100× staged decade
+    * that unroll — 32 concurrent tasks × ~230 MiB partitions — plus the
+    * verify's execution memory OOM'd the single-box heap (SCALE_r14
+    * session E, reproduced solo). DISK_ONLY streams blocks through the
+    * serializer to disk with no unroll; the sequential re-reads are the
+    * cheap side of that trade at chunking scale. Fixture-scale frames
+    * take [[scaleCheckpoint]] instead, which picks the level from a
+    * measured size estimate. */
+  private def diskCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** Deserialized bytes per ranked-shingle row for the unroll estimate:
+    * MEMORY_AND_DISK caches RDD partitions as JAVA OBJECT rows, not
+    * UnsafeRow bytes — the r14 session-E OOM measured ~230 MiB partitions
+    * for a frame whose serialized row is ~48 B, i.e. ~150-200 B per row
+    * live. The constant prices the UNROLL (the thing that OOMs), so it
+    * deliberately reads high vs on-disk size. */
+  private val unrollRowBytes = 150L
+
+  /** Size-adaptive eager checkpoint for the prefix paths' corpus-scale
+    * frame set (ranked shingles + the per-doc array table): DISK_ONLY
+    * exists to kill a 100×-scale unroll OOM (see [[diskCheckpoint]]), but
+    * r14 applied it UNCONDITIONALLY and taxed q119–q122 with disk streams
+    * at fixture scale — the bench's largest attributable warm regressions
+    * (+19-24%, VERDICT r14 defect #2). The level now follows the frame's
+    * measured size: `estBytes` (gated-shingle row count × the unroll
+    * constant, from one cheap agg over the already-checkpointed docs-sized
+    * length frame) against a quarter of the live heap — past it, partitions
+    * stream straight to disk with no unroll; under it, the frame stays in
+    * memory and the fixture pays no disk round-trip. */
+  private def scaleCheckpoint(df: DataFrame, estBytes: Long): DataFrame = {
+    val level =
+      if (estBytes > Runtime.getRuntime.maxMemory() / 4)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    df.localCheckpoint(true, level)
+  }
+
+  /** The unroll estimate feeding [[scaleCheckpoint]]: total shingle rows
+    * (an upper bound on the gated/ranked frame and on the array table's
+    * cells) from the docs-sized length frame — one cheap agg on an
+    * already-materialized checkpoint, never a new pass over the corpus. */
+  private def estUnrollBytes(docLen: DataFrame): Long = {
+    val m = docLen.agg(sum(col("c"))).head()
+    (if (m.isNullAt(0)) 0L else m.getLong(0)) * unrollRowBytes
   }
 
   /** The shared verify engine of the prefix-filtered pair family
@@ -775,52 +833,44 @@ object Dedup {
     * 276.9 s off, identical output) — so every caller currently defaults
     * it OFF, and the knob exists for wide-array corpora where
     * per-candidate array bytes dominate candidate-row bytes. */
-  /** Eager local checkpoint at StorageLevel.DISK_ONLY — for frames whose
-    * size scales with the corpus (gated/ranked shingles, the candidate
-    * frame, the array table). The default MEMORY_AND_DISK level unrolls
-    * every partition IN MEMORY before (maybe) spilling its bytes: at the
-    * 100× staged decade that unroll — 32 concurrent tasks × ~230 MiB
-    * partitions — plus the verify's execution memory OOM'd the 24 GB
-    * single-box heap (SCALE_r14 session E, reproduced solo). DISK_ONLY
-    * streams blocks through the serializer to disk with no unroll; the
-    * handful of sequential re-reads these frames get is the cheap side
-    * of that trade at every scale (fixture-sized frames live in page
-    * cache anyway). */
-  private def diskCheckpoint(df: DataFrame): DataFrame =
-    df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  /** Resolves the verify SHAPE once per operator run: 'merge' passes
+    * through; 'auto'/'broadcast' price the broadcast with ONE aggregate
+    * action — measured cells, not assumed bytes-per-doc (ADVICE r12:
+    * maxDf caps a shingle's df, not a doc's length — doc counts misprice
+    * long-doc corpora by 20×), and BOTH relations (Spark plans one
+    * broadcast exchange per join side; ReusedExchange may dedup them, but
+    * the budget must hold when it doesn't). Hoisted out of the verify
+    * engine so chunked callers (the candChunks loop) pay the pricing
+    * action once, not once per slice (ADVICE r14). */
+  private def resolveVerifyMode(arrays: DataFrame, verify: String,
+      maxBroadcastBytes: Long, opName: String): String =
+    if (verify == "merge") "merge"
+    else {
+      val m = arrays.agg(count(lit(1)).as("n"),
+        sum(size(col("arr"))).as("cells")).head()
+      val nDocs = m.getLong(0)
+      val cells = if (m.isNullAt(1)) 0L else m.getLong(1)
+      val bytes = 2L * (cells * 8L + nDocs * 32L)
+      if (bytes <= maxBroadcastBytes) "broadcast"
+      else {
+        require(verify != "broadcast",
+          s"$opName(verify=broadcast): the per-doc shingle-" +
+            s"array table measures ~$bytes bytes across both broadcast " +
+            s"relations ($nDocs docs, $cells cells), over " +
+            s"maxBroadcastBytes=$maxBroadcastBytes. Use verify='merge' " +
+            "(the no-broadcast co-partitioned verify) or raise the " +
+            "budget if the cluster can hold the table.")
+        "merge"
+      }
+    }
 
   private def verifyPrefixCandidates(cand: DataFrame, arrays: DataFrame,
-      needed: Column, verify: String, maxBroadcastBytes: Long,
+      needed: Column, mode: String,
       verifyChunks: Int, opName: String, suffixBound: Boolean)(
       score: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val mode =
-      if (verify == "merge") "merge"
-      else {
-        // one aggregate action prices the broadcast: measured cells, not
-        // assumed bytes-per-doc (ADVICE r12: maxDf caps a shingle's df,
-        // not a doc's length — doc counts misprice long-doc corpora by
-        // 20×), and BOTH relations (Spark plans one broadcast exchange
-        // per join side; ReusedExchange may dedup them, but the budget
-        // must hold when it doesn't).
-        val m = arrays.agg(count(lit(1)).as("n"),
-          sum(size(col("arr"))).as("cells")).head()
-        val nDocs = m.getLong(0)
-        val cells = if (m.isNullAt(1)) 0L else m.getLong(1)
-        val bytes = 2L * (cells * 8L + nDocs * 32L)
-        if (bytes <= maxBroadcastBytes) "broadcast"
-        else {
-          require(verify != "broadcast",
-            s"$opName(verify=broadcast): the per-doc shingle-" +
-              s"array table measures ~$bytes bytes across both broadcast " +
-              s"relations ($nDocs docs, $cells cells), over " +
-              s"maxBroadcastBytes=$maxBroadcastBytes. Use verify='merge' " +
-              "(the no-broadcast co-partitioned verify) or raise the " +
-              "budget if the cluster can hold the table.")
-          "merge"
-        }
-      }
+    require(mode == "broadcast" || mode == "merge",
+      s"resolved verify mode must be 'broadcast' or 'merge', got '$mode'")
     // the merge shape's irreducible cost is shipping one full gated
     // array per surviving candidate across an exchange — so before any
     // full array moves, candidates pass a PREFIX-ARRAY SUFFIX BOUND
@@ -2355,12 +2405,14 @@ object Dedup {
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
-    // DISK_ONLY for the corpus-sized frames, as on the Jaccard path (the
-    // measured 100× unroll OOM — scaladoc there)
+    // size-adaptive level for the corpus-sized frames, as on the Jaccard
+    // path (the measured 100× unroll OOM vs the fixture-scale disk tax —
+    // scaladoc at scaleCheckpoint)
+    val estBytes = estUnrollBytes(docLen)
     val ranked = Bridge.dropOriginConstraints(
-      diskCheckpoint(rankedOfGated(sh.join(keep, Seq("s")), docLen,
-        containAlpha(thresholdPpm))))
-    val arrays = diskCheckpoint(arraysOfRanked(ranked))
+      scaleCheckpoint(rankedOfGated(sh.join(keep, Seq("s")), docLen,
+        containAlpha(thresholdPpm)), estBytes))
+    val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
     def score(v: DataFrame): DataFrame =
       // the classic stage's exact integer score: floor ppm ≥ threshold
       // ⇔ i ≥ needed, so the kernel's early-exit partials never pass
@@ -2369,11 +2421,17 @@ object Dedup {
         .withColumn("cont_ppm",
           expr("n_shared * 1000000 div n_shingles"))
         .filter(col("cont_ppm") >= thresholdPpm)
+    // broadcast/merge resolved ONCE — the candChunks loop below calls the
+    // verify engine once per slice, and the pricing aggregate (plus the
+    // broadcast decision it feeds) is slice-invariant: `arrays` is fixed
+    // across slices (ADVICE r14: 32 slices re-priced it 32×)
+    val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
+      "containmentPrefix")
     def outOf(postings: DataFrame): DataFrame =
       verifyPrefixCandidates(
         containPrefixCandidates(postings, docLen, thresholdPpm),
         arrays, containNeededExpr(thresholdPpm),
-        verify, maxBroadcastBytes, verifyChunks, "containmentPrefix",
+        mode, verifyChunks, "containmentPrefix",
         suffixBound = false)(score)
     if (candChunks <= 1) outOf(containPostings(ranked))
     else {

@@ -254,6 +254,26 @@ class BenchReportSpec extends AnyFunSuite {
     assert(allKeys.size === 30 && allKeys.distinct.size === 30)
   }
 
+  test("the memory-regime fields ride every tail-surviving line") {
+    // r14's +12.9% warm drift could not be attributed to code vs box
+    // because the artifact carried no heap field — the regime must be on
+    // the compact total lines AND the rollup (any bounded tail capture
+    // retains at least the rollup + perq_tail pair)
+    val parsed = lines.map(mapper.readTree)
+    parsed.filter(p => Set("total_warm", "memo_rollup")
+        .contains(p.get("metric").asText)).foreach { p =>
+      assert(p.has("heap_mb"), p.toString.take(80))
+      assert(p.has("heap_pinned"), p.toString.take(80))
+      // the test JVM really runs at build.sbt's SPARK_DRIVER_MEM fork
+      // size; maxMemory is within the same ±15% band the pin check uses
+      assert(p.get("heap_mb").asLong > 0)
+    }
+    assert(totalLine(lines).has("heap_mb"))
+    // the rollup still fits the tail budget with the new fields
+    val rollup = parsed.find(_.get("metric").asText == "memo_rollup").get
+    assert(rollup.toString.length < 1024)
+  }
+
   test("a lap whose 1-min load exceeds 1.5x cores flags contended") {
     // r8's signature: load far above the configured cores while warm reads
     // inflate uniformly — the artifact must say so by itself
