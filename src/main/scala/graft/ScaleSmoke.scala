@@ -259,6 +259,19 @@ object ScaleSmoke {
         .containmentPrefixOf(Tables.documents(spark, d),
           thresholdPpm = 800000L, maxDf = 100 * m,
           candChunks = if (m >= 100) 32 else 1)),
+      // the r15 contract row: NO hand-set chunk knobs anywhere — the
+      // operator prices its own exchanges (posting-stats agg → kept-
+      // emission count → candChunks/verifyChunks from the per-slice
+      // budget) and must complete the same decades the hand-tuned rows
+      // needed candChunks=32/verifyChunks=2 for (SCALE_r14 session F)
+      "containment_prefix_t8_auto" -> ((d, m) => operators.Dedup
+        .containmentPrefixOf(Tables.documents(spark, d),
+          thresholdPpm = 800000L, maxDf = 100 * m)),
+      // ngram's auto twin: merge verify forced (the broadcast shape
+      // prices out at the decades anyway), chunk count auto-priced
+      "ngram_prefix_merge_auto" -> ((d, m) => operators.Dedup
+        .ngramJaccardPrefixOf(Tables.documents(spark, d),
+          maxDf = 100 * m, verify = "merge")),
       "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
         operators.Dedup.shinglesOf(Tables.documents(spark, d)),
         thresholdPpm = 800000L, maxDf = 100 * m)),

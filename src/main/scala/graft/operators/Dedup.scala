@@ -399,13 +399,20 @@ object Dedup {
     * against the measured array-table size (the default is deliberately
     * conservative — safe on an 8 GB driver; a cluster with executor/driver
     * headroom should raise it, the broadcast verify is ~2× the merge
-    * verify at the 30× smoke). */
+    * verify at the 30× smoke). `verifyChunks` = 0 (the default)
+    * AUTO-PRICES the merge verify's exchange against `diskBudgetBytes`
+    * (the per-slice local-disk share, scaladoc at the pricing constants)
+    * and slices it to fit — or refuses loudly naming the bytes — so a
+    * disk-bounded box never discovers the volume by ENOSPC; explicit
+    * values ≥ 1 are honored verbatim (on a cluster with aggregate
+    * shuffle disk, pass 1). */
   def ngramJaccardPrefixOf(docs: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 100, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1, suffixBound: Boolean = false): DataFrame =
+      verifyChunks: Int = 0, suffixBound: Boolean = false,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
     ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify,
-        maxBroadcastBytes, verifyChunks, suffixBound)
+        maxBroadcastBytes, verifyChunks, suffixBound, diskBudgetBytes)
       .orderBy(col("d1"), col("d2"))
 
   /** The per-doc rarest-first PREFIX posting frame of
@@ -519,34 +526,56 @@ object Dedup {
     * smoke the un-pruned candidate frame's two join exchanges alone
     * exceed local disk). */
   private def prefixCandidates(prefix: DataFrame, docLen: DataFrame,
-      tn: Long): DataFrame = {
-    val postings = prefix.groupBy(col("s"))
+      tn: Long): DataFrame =
+    candidatesOfKeptEmissions(
+      jaccardKeptEmissionsOfPostings(jaccardPostingsOf(prefix), tn),
+      docLen, tn)
+
+  /** The per-shingle posting frame of the Jaccard pair generator — split
+    * out so the exchange-pricing path can build this groupBy ONCE
+    * (disk-checkpointed), count the kept emissions off it, and then run
+    * the candidate stage over the same frame. */
+  private[graft] def jaccardPostingsOf(prefix: DataFrame): DataFrame =
+    prefix.groupBy(col("s"))
       .agg(collect_list(struct(col("doc_id"), col("rem"), col("g")))
         .as("ds"))
-    postings
-      .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
-        .as(Seq("d1", "d2", "minrem", "gsum")))
-      // gsum's job ends at the emission filter below — the post-join
-      // filters use true counts — so it is dropped before the pair
-      // exchange rather than aggregated and carried through the
-      // doc-length joins for nothing
-      // EMISSION-LEVEL positional prune, BEFORE the pair exchange:
-      // qualifying ⇒ i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′)
-      // (gated ≤ full) and i ≤ ub = max(minrem)+1 — so an emission with
-      // (1e6+tn−1)·(minrem+1) < (tn−1)·gsum cannot witness a qualifying
-      // pair's max bound. Dropping it either leaves the pair's max
-      // intact (the max-witnessing emission passes the same test
-      // whenever the pair can qualify) or removes a pair whose ub falls
-      // short anyway — integer-exact, zero false dismissals, and it
-      // runs INSIDE the generator's stage (Generate → Filter, whole-
-      // stage codegen) so the pair exchange only ever carries
-      // qualifying-capable emissions. At the 100× staged smoke this is
-      // the difference between a ~50 GB emission-shaped exchange
-      // (measured ENOSPC on one box) and a few-GB one; ub computed from
-      // the survivors equals the true first-match bound for every
-      // surviving pair.
-      .filter(expr(
-        s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
+
+  /** Generator + emission-level prune over a posting frame — the rows
+    * that actually enter the pair exchange ([[prefixCandidates]]' first
+    * stage, and exactly what the exchange price counts).
+    *
+    * gsum's job ends at the emission filter below — the post-join
+    * filters use true counts — so it is dropped before the pair
+    * exchange rather than aggregated and carried through the
+    * doc-length joins for nothing.
+    * EMISSION-LEVEL positional prune, BEFORE the pair exchange:
+    * qualifying ⇒ i ≥ t′·(c1+c2)/(1+t′) ≥ t′·(g1+g2)/(1+t′)
+    * (gated ≤ full) and i ≤ ub = max(minrem)+1 — so an emission with
+    * (1e6+tn−1)·(minrem+1) < (tn−1)·gsum cannot witness a qualifying
+    * pair's max bound. Dropping it either leaves the pair's max
+    * intact (the max-witnessing emission passes the same test
+    * whenever the pair can qualify) or removes a pair whose ub falls
+    * short anyway — integer-exact, zero false dismissals, and it
+    * runs INSIDE the generator's stage (Generate → Filter, whole-
+    * stage codegen) so the pair exchange only ever carries
+    * qualifying-capable emissions. At the 100× staged smoke this is
+    * the difference between a ~50 GB emission-shaped exchange
+    * (measured ENOSPC on one box) and a few-GB one; ub computed from
+    * the survivors equals the true first-match bound for every
+    * surviving pair. */
+  private[graft] def jaccardKeptEmissionsOfPostings(postings: DataFrame,
+      tn: Long): DataFrame = postings
+    .select(graft.functions.TextFunctions.docIdRemPairs(col("ds"))
+      .as(Seq("d1", "d2", "minrem", "gsum")))
+    .filter(expr(
+      s"${1000000L + tn - 1}L * (minrem + 1L) >= ${tn - 1}L * gsum"))
+
+  /** The post-exchange tail of [[prefixCandidates]]: pair-distinct
+    * groupBy (which also computes the first-match overlap bound),
+    * doc-length joins, and the integer-exact PPJoin filters. */
+  private def candidatesOfKeptEmissions(emissions: DataFrame,
+      docLen: DataFrame, tn: Long): DataFrame = {
+    emissions
       .groupBy(col("d1"), col("d2"))
       .agg((max(col("minrem")) + lit(1L)).as("ub"))
       .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
@@ -675,10 +704,14 @@ object Dedup {
   private[graft] def ngramJaccardPrefixOfShingles(sh: DataFrame,
       threshold: Double, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1, suffixBound: Boolean = false): DataFrame = {
+      verifyChunks: Int = 0, suffixBound: Boolean = false,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
-    require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    require(verifyChunks >= 0,
+      s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
+    require(diskBudgetBytes > 0,
+      s"diskBudgetBytes must be positive: $diskBudgetBytes")
     // the positional pair generator's currency is bigint doc ids; refuse
     // other id types loudly (plan-time AnalysisException would otherwise
     // surface from deep inside the generator) and name the id-agnostic
@@ -722,7 +755,6 @@ object Dedup {
       scaleCheckpoint(
         rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn)),
         estBytes))
-    val cand = prefixCandidates(prefixOfRanked(ranked), docLen, tn)
     // exact verification against per-doc sorted gated-shingle arrays with
     // the native merge-count kernel. Two shapes (scaladoc above): the
     // broadcast map-side form under a MEASURED byte budget, and the
@@ -734,6 +766,49 @@ object Dedup {
     // array plus the suffix size — the r14 pre-verify bound's inputs
     // (see mergeVerify below).
     val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
+    val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
+      "ngramJaccardPrefix")
+    // verifyChunks = 0 → PRICE the merge verify's exchange before
+    // launching it (scaladoc at the pricing constants): the broadcast
+    // shape ships nothing per candidate (chunks stay 1), and the cheap
+    // rail rows×maxDf bounds the raw emission volume without any extra
+    // job at fixture scale. Past the rail, the posting groupBy is built
+    // once (disk-checkpointed), the kept emissions are counted (a
+    // Generate→Filter→count pass — CPU, no exchange), and the chunk
+    // count follows kept × the per-candidate verify shipment (both
+    // arrays + the candidate row) against the per-slice budget, with a
+    // loud refusal past the total-jobs rail.
+    val (cand, chunks) =
+      if (verifyChunks >= 1 || mode == "broadcast")
+        (prefixCandidates(prefixOfRanked(ranked), docLen, tn),
+          math.max(1, verifyChunks))
+      else if (estBytes / unrollRowBytes * maxDf * emissionRowBytes / 2
+          <= diskBudgetBytes)
+        (prefixCandidates(prefixOfRanked(ranked), docLen, tn), 1)
+      else {
+        val (raw, gatedRows) = postingStats(ranked, oriented = false)
+        if (raw * emissionRowBytes <= diskBudgetBytes)
+          (prefixCandidates(prefixOfRanked(ranked), docLen, tn), 1)
+        else {
+          val postings = Bridge.dropOriginConstraints(
+            diskCheckpoint(jaccardPostingsOf(prefixOfRanked(ranked))))
+          val kept = jaccardKeptEmissionsOfPostings(postings, tn).count()
+          val nDocs = math.max(1L, docLen.count())
+          val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
+          val k = math.max(1L,
+            ceilDiv(kept * perCand, 2L * diskBudgetBytes))
+          require(k <= maxAutoJobs,
+            s"ngramJaccardPrefix: the merge verify prices at ~" +
+              s"${kept * perCand} exchange bytes ($kept kept emissions × " +
+              s"~$perCand B/candidate) — $k slices of the " +
+              s"$diskBudgetBytes-byte budget, past the $maxAutoJobs-job " +
+              "rail. Raise diskBudgetBytes (cluster aggregate disk), " +
+              "raise the threshold, or lower maxDf.")
+          (candidatesOfKeptEmissions(
+            jaccardKeptEmissionsOfPostings(postings, tn), docLen, tn),
+            k.toInt)
+        }
+      }
     // the overlap every qualifying pair MUST reach, per candidate
     // ([[jaccardNeededExpr]]). The verify kernel early-exits a merge the
     // moment this bound is unreachable (PPJoin+'s suffix-filter role
@@ -741,9 +816,7 @@ object Dedup {
     // point), and the partial count it returns is < needed, so the
     // threshold filter drops it exactly as the true count would).
     verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn),
-        resolveVerifyMode(arrays, verify, maxBroadcastBytes,
-          "ngramJaccardPrefix"),
-        verifyChunks, "ngramJaccardPrefix",
+        mode, chunks, "ngramJaccardPrefix",
         suffixBound = suffixBound)(
       jaccardOfInter(_, threshold))
   }
@@ -799,6 +872,83 @@ object Dedup {
     val m = docLen.agg(sum(col("c"))).head()
     (if (m.isNullAt(0)) 0L else m.getLong(0)) * unrollRowBytes
   }
+
+  // ---------------------------------------------------------------------
+  // Up-front exchange pricing (VERDICT r14 #2: five mid-job ENOSPC/OOM
+  // deaths were diagnosed AFTER the fact by the containcand probe, whose
+  // counting aggs are one cheap job the operator itself can run — ENOSPC
+  // hours into a job is the one failure mode a 100-TB operator must not
+  // have. The prefix paths now price their two big exchanges BEFORE
+  // launching them and auto-set the chunk knobs, or refuse loudly naming
+  // the bytes and the knobs.)
+  // ---------------------------------------------------------------------
+
+  /** Serialized shuffle bytes per generator-emission row (a handful of
+    * longs + record framing). Calibrated against SCALE_r14 session F: the
+    * containment t8/100× kept-emission exchange filled ~78 GB of disk at
+    * an estimated ~1.6-2B emissions (~40-48 B/row live on disk including
+    * the groupBy's spill files). Prices the EXCHANGE footprint, so it
+    * reads the shuffle-file side, not the in-memory side. */
+  private val emissionRowBytes = 48L
+
+  /** Per-candidate fixed bytes in the merge verify's exchanges (the
+    * narrow (d1, d2, c1, c2, needed) row shipped alongside each array). */
+  private val candRowBytes = 48L
+
+  /** The per-JOB live-exchange budget the auto-chunking slices against:
+    * one slice's shuffle files live on local disk at once (a finished
+    * slice's files are reclaimed before the next peaks — the chunk loops'
+    * eager-release discipline), so this is the per-box disk share ONE
+    * slice may claim, not the job's total volume. Configurable via
+    * `SPARK_GRAFT_DISK_BUDGET_GB`; the 8 GiB default leaves a 78 GB box
+    * room for the checkpointed posting/ranked/array frames plus one
+    * slice's exchange at ~2× safety (SCALE_r14 session F's working
+    * containment decade ran ~2.5 GB/slice live; its failed 8-slice
+    * attempt ~10 GB/slice PLUS per-slice postings rebuilds that no
+    * longer exist). On a cluster, aggregate shuffle disk takes this
+    * budget's place — raise it (or pass explicit chunks = 1). */
+  private[graft] def defaultDiskBudgetBytes: Long =
+    sys.env.get("SPARK_GRAFT_DISK_BUDGET_GB")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map(_ << 30).getOrElse(8L << 30)
+
+  /** Auto-chunk refusal rails: more candidate slices than this means the
+    * candidate exchange is >64× the per-slice budget — re-plan (raise
+    * the threshold, lower maxDf, use a cluster), don't grind. */
+  private val maxAutoCandChunks = 64L
+
+  /** Total-jobs rail: candChunks × verifyChunks bounds the number of
+    * verify jobs an auto-priced run may launch. 256 jobs ≈ the measured
+    * t8/100× decade's work envelope with an order of headroom; past it
+    * the run is the t′=0.5/100× regime SCALE_r14 session C priced as
+    * structurally infeasible for one box (580M candidates for 4.8M true
+    * pairs), and the operator should say so up front instead of running
+    * for days. */
+  private val maxAutoJobs = 256L
+
+  /** ONE aggregate over the checkpointed ranked frame pricing the
+    * generator's RAW emission volume (before the emission-level prune —
+    * an upper bound on what enters the pair exchange) plus the gated row
+    * count (the array table's cell count, for the verify-shipment
+    * estimate). `oriented`: containment emits |prefix|×(df−1) per posting
+    * list (prefix members start pairs against every other member);
+    * Jaccard emits C(|prefix|, 2) (pairs within the prefix slice). These
+    * are exactly the containcand/prefixcand probes' counting rules —
+    * kept in the operator so the price and the probe can never drift. */
+  private def postingStats(ranked: DataFrame,
+      oriented: Boolean): (Long, Long) = {
+    val volExpr =
+      if (oriented) expr("np * (n - 1)") else expr("np * (np - 1) div 2")
+    val m = ranked
+      .select(col("s"), (col("rem") >= col("alpha") - lit(1)).as("pfx"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), count(when(col("pfx"), lit(1))).as("np"))
+      .agg(sum(volExpr), sum(col("n"))).head()
+    (if (m.isNullAt(0)) 0L else m.getLong(0),
+      if (m.isNullAt(1)) 0L else m.getLong(1))
+  }
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   /** The shared verify engine of the prefix-filtered pair family
     * (Jaccard q119/q120, containment q121/q122): exact verification of
@@ -1616,7 +1766,7 @@ object Dedup {
     * for on clique-heavy corpora. */
   def writeClusterForest(docs: DataFrame, path: String,
       threshold: Double = 0.8, maxDf: Int = 100,
-      verifyChunks: Int = 1): Unit = {
+      verifyChunks: Int = 0): Unit = {
     // the seed's pair stage rides the PREFIX path whenever the doc-id
     // currency allows: identical pairs to the classic stage (q119 ≡ q21,
     // oracle-proven row for row) and the only shape that completes the
@@ -2375,21 +2525,28 @@ object Dedup {
   def containmentPrefixOf(docs: DataFrame, thresholdPpm: Long = 500000L,
       maxDf: Int = 100, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1, candChunks: Int = 1): DataFrame =
+      verifyChunks: Int = 0, candChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
     containmentPrefixOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
-        verify, maxBroadcastBytes, verifyChunks, candChunks)
+        verify, maxBroadcastBytes, verifyChunks, candChunks,
+        diskBudgetBytes)
       .orderBy(col("contained"), col("container"))
 
   private[graft] def containmentPrefixOfShingles(sh: DataFrame,
       thresholdPpm: Long, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1, candChunks: Int = 1): DataFrame = {
+      verifyChunks: Int = 0, candChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
-    require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
-    require(candChunks >= 1, s"candChunks must be >= 1: $candChunks")
+    require(verifyChunks >= 0,
+      s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
+    require(candChunks >= 0,
+      s"candChunks must be >= 1, or 0 for auto-priced: $candChunks")
+    require(diskBudgetBytes > 0,
+      s"diskBudgetBytes must be positive: $diskBudgetBytes")
     require(sh.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType,
       "containmentPrefix requires bigint doc ids (the oriented pair " +
@@ -2427,13 +2584,83 @@ object Dedup {
     // across slices (ADVICE r14: 32 slices re-priced it 32×)
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "containmentPrefix")
-    def outOf(postings: DataFrame): DataFrame =
+    def outOf(postings: DataFrame, vChunks: Int): DataFrame =
       verifyPrefixCandidates(
         containPrefixCandidates(postings, docLen, thresholdPpm),
         arrays, containNeededExpr(thresholdPpm),
-        mode, verifyChunks, "containmentPrefix",
+        mode, vChunks, "containmentPrefix",
         suffixBound = false)(score)
-    if (candChunks <= 1) outOf(containPostings(ranked))
+    // EXCHANGE PRICING (scaladoc at the pricing constants): a 0 chunk
+    // knob is resolved from measured volume BEFORE the exchange launches
+    // — never discovered by ENOSPC (the r14 sessions A/B/F4/F5/F6
+    // failure mode). The ladder, cheapest first:
+    //  (1) rows × maxDf bounds the raw oriented emission volume with NO
+    //      extra job — fixture-scale runs resolve here for free;
+    //  (2) one posting-stats agg prices the exact raw volume
+    //      Σ |prefix_s|·(|full_s|−1) — still nothing materializes;
+    //  (3) past that, the posting groupBy is built once
+    //      (disk-checkpointed), the kept emissions are counted (a
+    //      Generate→Filter→count pass, CPU only), and the knobs follow:
+    //      candChunks from kept × emission bytes against a QUARTER of
+    //      the budget (the emission exchange re-expands inside every
+    //      downstream stage of its slice — groupBy spill, length joins,
+    //      verify exchanges — so its own share is kept small; the
+    //      factors reproduce SCALE_r14 session F's measured-good
+    //      32-slice/2-verify-chunk decade from its kept volume), and
+    //      verifyChunks from per-slice candidates × the two-array
+    //      shipment against 2× the budget (one short-lived
+    //      co-partitioned exchange, reclaimed per chunk; broadcast mode
+    //      ships nothing per candidate and stays at 1).
+    val autoCand = candChunks == 0
+    val autoVerify = verifyChunks == 0
+    val cheapRail = estBytes / unrollRowBytes * maxDf *
+      emissionRowBytes <= diskBudgetBytes
+    val (k, vc, postingsOpt) =
+      if (!autoCand && !autoVerify)
+        (candChunks, verifyChunks, None)
+      else if (cheapRail)
+        (math.max(1, candChunks), math.max(1, verifyChunks), None)
+      else {
+        val (raw, gatedRows) = postingStats(ranked, oriented = true)
+        if (raw * emissionRowBytes <= diskBudgetBytes)
+          (math.max(1, candChunks), math.max(1, verifyChunks), None)
+        else {
+          val postings = Bridge.dropOriginConstraints(
+            diskCheckpoint(containPostings(ranked)))
+          val kept =
+            containKeptEmissionsOfPostings(postings, thresholdPpm).count()
+          val k =
+            if (!autoCand) candChunks.toLong
+            else ceilDiv(kept * emissionRowBytes,
+              math.max(1L, diskBudgetBytes / 4)).max(1L)
+          require(!autoCand || k <= maxAutoCandChunks,
+            s"containmentPrefix: the candidate stage prices at ~" +
+              s"${kept * emissionRowBytes} exchange bytes ($kept kept " +
+              s"oriented emissions) — $k slices of the per-slice " +
+              s"budget (diskBudgetBytes=$diskBudgetBytes / 4), past the " +
+              s"$maxAutoCandChunks-slice rail. This is the pair-dense " +
+              "regime (low threshold × big corpus) no pair-enumerating " +
+              "one-box plan fits: raise thresholdPpm, lower maxDf, raise " +
+              "diskBudgetBytes (cluster aggregate disk), or pass " +
+              "explicit candChunks to override.")
+          val nDocs = math.max(1L, docLen.count())
+          val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
+          val vc =
+            if (!autoVerify) verifyChunks.toLong
+            else if (mode == "broadcast") 1L
+            else ceilDiv(ceilDiv(kept, k) * perCand,
+              2L * diskBudgetBytes).max(1L)
+          require(!(autoCand && autoVerify) || k * vc <= maxAutoJobs,
+            s"containmentPrefix: auto-pricing resolves $k candidate " +
+              s"slices × $vc verify chunks = ${k * vc} jobs (kept " +
+              s"emissions $kept, ~$perCand B/candidate verify shipment), " +
+              s"past the $maxAutoJobs-job rail — the run would grind for " +
+              "days. Raise thresholdPpm, lower maxDf, raise " +
+              "diskBudgetBytes, or pass explicit chunk knobs to override.")
+          (k.toInt, vc.toInt, Some(postings))
+        }
+      }
+    if (k <= 1) outOf(postingsOpt.getOrElse(containPostings(ranked)), vc)
     else {
       // candidate-stage chunking (scaladoc at [[containmentPrefixOf]]):
       // the posting shuffle is built ONCE (disk-checkpointed), each
@@ -2443,11 +2670,11 @@ object Dedup {
       // slice's pair-exchange shuffle files lose their last reference
       // before the next slice peaks — the same eager-release discipline
       // as the verifyChunks loop
-      val postings = Bridge.dropOriginConstraints(
-        diskCheckpoint(containPostings(ranked)))
-      (0 until candChunks).map { i =>
+      val postings = postingsOpt.getOrElse(Bridge.dropOriginConstraints(
+        diskCheckpoint(containPostings(ranked))))
+      (0 until k).map { i =>
         val kept = Bridge.dropOriginConstraints(
-          outOf(slicePostings(postings, i, candChunks)).localCheckpoint())
+          outOf(slicePostings(postings, i, k), vc).localCheckpoint())
         System.gc()
         kept
       }.reduce(_ unionByName _)

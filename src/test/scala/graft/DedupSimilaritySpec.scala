@@ -466,6 +466,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sliced2 === exact5)
   }
 
+  test("exchange pricing: auto knobs slice to a tiny budget exactly, " +
+      "and refuse past the rails naming the bytes and the knobs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // 1. AUTO-PRICED chunking under a budget small enough to force
+    //    multi-slice resolution at fixture scale: the output must be
+    //    EXACTLY the classic stage's (the r15 contract — the operator
+    //    sets its own knobs from measured volume, the driver never
+    //    hand-sets candChunks/verifyChunks)
+    val exact = Dedup.containmentOf(Dedup.shinglesOf(docs))
+      .collect().map(_.toSeq).toSeq
+    val auto = Dedup.containmentPrefixOf(docs, verify = "merge",
+      diskBudgetBytes = 128L << 10).collect().map(_.toSeq).toSeq
+    assert(auto === exact && exact.nonEmpty)
+    val exactJ = Dedup.ngramJaccardOf(docs).orderBy($"d1", $"d2")
+      .collect().map(_.toSeq).toSeq
+    val autoJ = Dedup.ngramJaccardPrefixOf(docs, verify = "merge",
+      diskBudgetBytes = 64L << 10).collect().map(_.toSeq).toSeq
+    assert(autoJ === exactJ && exactJ.nonEmpty)
+    // 2. a budget no slicing can satisfy REFUSES BEFORE any pair
+    //    exchange launches (the r14 failure mode was ENOSPC hours in),
+    //    naming the measured bytes, the budget, and the override knobs
+    val ec = intercept[IllegalArgumentException](
+      Dedup.containmentPrefixOf(docs, diskBudgetBytes = 64L))
+    assert(ec.getMessage.contains("exchange bytes") &&
+      ec.getMessage.contains("diskBudgetBytes") &&
+      ec.getMessage.contains("candChunks"))
+    val ej = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPrefixOf(docs, verify = "merge",
+        diskBudgetBytes = 64L))
+    assert(ej.getMessage.contains("exchange bytes") &&
+      ej.getMessage.contains("diskBudgetBytes"))
+    // 3. explicit chunk knobs bypass the pricing entirely (a cluster
+    //    with aggregate disk passes 1 and pays zero pricing actions)
+    val explicit = Dedup.containmentPrefixOf(docs, verify = "merge",
+      verifyChunks = 1, candChunks = 1, diskBudgetBytes = 64L)
+      .collect().map(_.toSeq).toSeq
+    assert(explicit === exact)
+  }
+
   test("persisted index refuses legacy string-keyed shingles loudly") {
     // a pre-r12 hex-keyed index read by a long-keyed session would union
     // bigint∪string — Spark coerces to STRING and the long keys print as
