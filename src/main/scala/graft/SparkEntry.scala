@@ -339,7 +339,15 @@ object SparkEntry {
     // md5-bucket DOC sample (pairs survive at f², unbiased per rung) —
     // the 100-TB contract for the full-candidate-frame calibration
     // family, with the estimate and its stated error bar as columns.
-    "q123_sweep_sampled" -> ((s, d) => Dedup.thresholdSweepSampled(s, d))
+    "q123_sweep_sampled" -> ((s, d) => Dedup.thresholdSweepSampled(s, d)),
+    // Sampled MinHash accuracy audit: q108 over the md5-bucket doc
+    // sample — every surviving row bit-identical to the full audit's
+    // (per-doc signatures/bands/shingles), candidate volume down f².
+    "q124_minhash_accuracy_sampled" ->
+      ((s, d) => Dedup.minhashAccuracySampled(s, d)),
+    // Sampled LSH banding planner: q111's S-curve trade table from the
+    // doc sample, with 1/f² estimates and the stated error bar.
+    "q125_lsh_planner_sampled" -> ((s, d) => Dedup.lshPlannerSampled(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -2495,6 +2503,123 @@ object SparkEntry {
         |       THEN ROUND(1.0 / SQRT(n_pairs), 6) END AS rel_err
         |FROM pa JOIN da USING (threshold)
         |ORDER BY threshold""".stripMargin),
+
+    "q124_minhash_accuracy_sampled" ->
+      // q108's chain over the md5-bucket doc sample (f = 0.5, the q123
+      // idiom): signatures/bands/shingles are all per-doc, so the
+      // sample filter composes with each identically to Spark's.
+      (s"""WITH $shinglesCte,
+        |shS AS (
+        |  SELECT doc_id, s FROM sh
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000000 < 500000),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0:' || s)) AS s0, MIN(md5('1:' || s)) AS s1,
+        |    MIN(md5('2:' || s)) AS s2, MIN(md5('3:' || s)) AS s3,
+        |    MIN(md5('4:' || s)) AS s4, MIN(md5('5:' || s)) AS s5,
+        |    MIN(md5('6:' || s)) AS s6, MIN(md5('7:' || s)) AS s7
+        |  FROM shS GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM shS GROUP BY doc_id),
+        |inter AS (
+        |  SELECT cand.d1, cand.d2, COUNT(*) AS i
+        |  FROM cand
+        |  JOIN shS x ON cand.d1 = x.doc_id
+        |  JOIN shS y ON cand.d2 = y.doc_id AND x.s = y.s
+        |  GROUP BY cand.d1, cand.d2),
+        |est AS (
+        |  SELECT cand.d1, cand.d2,
+        |    ((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT
+        |     + (sa.s2 = sb.s2)::INT + (sa.s3 = sb.s3)::INT
+        |     + (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT
+        |     + (sa.s6 = sb.s6)::INT + (sa.s7 = sb.s7)::INT) / 8.0
+        |      AS est_jaccard
+        |  FROM cand
+        |  JOIN sig sa ON cand.d1 = sa.doc_id
+        |  JOIN sig sb ON cand.d2 = sb.doc_id)
+        |SELECT est.d1, est.d2, est_jaccard,
+        |  ROUND(COALESCE(i, 0) * 1.0
+        |        / (ca.c + cb.c - COALESCE(i, 0)), 6) AS jaccard,
+        |  ROUND(abs(est_jaccard
+        |    - ROUND(COALESCE(i, 0) * 1.0
+        |            / (ca.c + cb.c - COALESCE(i, 0)), 6)), 6) AS abs_err
+        |FROM est
+        |LEFT JOIN inter ON est.d1 = inter.d1 AND est.d2 = inter.d2
+        |JOIN docLen ca ON est.d1 = ca.doc_id
+        |JOIN docLen cb ON est.d2 = cb.doc_id
+        |ORDER BY est.d1, est.d2""".stripMargin),
+
+    "q125_lsh_planner_sampled" ->
+      // q111's S-curve chain over the sampled sub-corpus (df gate scaled
+      // to round(f*100) = 50), plus the 1/f² estimates applied to the
+      // already-rounded planner columns with the same double ops.
+      (s"""WITH $shinglesCte,
+        |shS AS (
+        |  SELECT doc_id, s FROM sh
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000000 < 500000),
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM shS GROUP BY doc_id),
+        |rare AS (SELECT s FROM shS GROUP BY s HAVING COUNT(*) <= 50),
+        |idx AS (SELECT shS.doc_id, shS.s FROM shS JOIN rare USING (s)),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jd AS (
+        |  SELECT ROUND(i * 1.0 / (ca.c + cb.c - i), 6) AS j
+        |  FROM inter
+        |  JOIN docLen ca ON d1 = ca.doc_id
+        |  JOIN docLen cb ON d2 = cb.doc_id),
+        |jf AS (SELECT j FROM jd WHERE j >= 0.1),
+        |probs AS (
+        |  SELECT 1 AS bands, 8 AS rows_per_band, j,
+        |    1.0 - (1.0 - j*j*j*j*j*j*j*j) AS p FROM jf
+        |  UNION ALL SELECT 2, 4, j,
+        |    1.0 - (1.0 - j*j*j*j) * (1.0 - j*j*j*j) FROM jf
+        |  UNION ALL SELECT 4, 2, j,
+        |    1.0 - (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j) * (1.0 - j*j)
+        |    FROM jf
+        |  UNION ALL SELECT 8, 1, j,
+        |    1.0 - (1.0 - j) * (1.0 - j) * (1.0 - j) * (1.0 - j) * (1.0 - j)
+        |      * (1.0 - j) * (1.0 - j) * (1.0 - j) FROM jf),
+        |pd AS (
+        |  SELECT bands, rows_per_band, j,
+        |    CAST(ROUND(p, 9) AS DECIMAL(28,9)) AS p FROM probs),
+        |base AS (
+        |SELECT bands, rows_per_band,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_target,
+        |  ROUND(CAST(SUM(p) AS DOUBLE), 6) AS exp_candidates,
+        |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
+        |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE), 6)
+        |    AS exp_caught,
+        |  CASE WHEN SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) > 0 THEN
+        |  ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN p
+        |                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+        |        / CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT),
+        |        6) END AS recall
+        |FROM pd GROUP BY bands, rows_per_band)
+        |SELECT bands, rows_per_band, n_pairs, n_target, exp_candidates,
+        |  exp_caught, recall,
+        |  CAST(ROUND(n_pairs * 1e12 / (500000e0 * 500000e0)) AS BIGINT)
+        |    AS n_pairs_est,
+        |  ROUND(exp_candidates * 1e12 / (500000e0 * 500000e0), 6)
+        |    AS exp_candidates_est,
+        |  ROUND(exp_caught * 1e12 / (500000e0 * 500000e0), 6)
+        |    AS exp_caught_est,
+        |  CASE WHEN n_pairs > 0
+        |       THEN ROUND(1.0 / SQRT(n_pairs), 6) END AS rel_err
+        |FROM base ORDER BY bands""".stripMargin),
 
     "q106_cluster_sizes" ->
       // the q50 component chain rolled up twice: cluster -> size,

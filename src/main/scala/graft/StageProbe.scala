@@ -46,7 +46,7 @@ object StageProbe {
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
     require(stage == "ngraminter" || stage == "prefixcand" ||
       stage == "spangram" || stage == "containcand" ||
-      stage == "sweepcompare",
+      stage == "sweepcompare" || stage == "plancompare",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
@@ -271,6 +271,76 @@ object StageProbe {
       }
       println(f"""{"op":"sweepcompare_cost","dir":"$dir","maxDf":$maxDf,""" +
         f""""fraction":$f,"full_sec":$fullS%.2f,"sampled_sec":$sampS%.2f,""" +
+        s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "plancompare") {
+      // full-vs-sampled calibration A/B for the REMAINING full-frame
+      // consumers (q111 planner, q108 accuracy audit — the r14 verdict's
+      // ask #3 named them after the sweep got its twin): both run cold in
+      // one session at the same dir/maxDf. Planner agreement per banding:
+      // the 1/f² estimate of exp_candidates/exp_caught vs the full run's
+      // sums, within 3 stated standard errors (the same contract
+      // sweepcompare pinned for the sweep). Audit agreement: the sampled
+      // audit is an exact SUBSET by construction (per-doc signatures), so
+      // the measured quantity is its error-PROFILE fidelity — mean
+      // abs_err sampled vs full — plus the pair coverage f² would
+      // predict. fraction rides argv position 4 (default 0.1).
+      val f = args.lift(4).map(_.toDouble).getOrElse(0.1)
+      def lap[A](body: => A): (Double, A) = {
+        StageMemo.clear()
+        val t0 = System.nanoTime()
+        val r = body
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (fullPlanS, fullPlan) = lap(operators.Dedup.lshPlanner(
+        spark, dir, maxDf = maxDf).collect())
+      val (sampPlanS, sampPlan) = lap(operators.Dedup.lshPlannerSampled(
+        spark, dir, maxDf = maxDf, sampleFraction = f).collect())
+      val sampByBand = sampPlan.map(r => r.getInt(0) -> r).toMap
+      for (r <- fullPlan) {
+        val b = r.getInt(0)
+        val (nFull, candFull) = (r.getLong(2), r.getDouble(4))
+        val s = sampByBand.get(b)
+        val est = s.map(_.getDouble(8)).getOrElse(0.0)
+        val relErr = s.filter(!_.isNullAt(10)).map(_.getDouble(10))
+          .getOrElse(Double.NaN)
+        val relDelta =
+          if (candFull > 0) math.abs(est / candFull - 1.0) else 0.0
+        val within = !relErr.isNaN && relDelta <= 3.0 * relErr
+        val relErrJson = if (relErr.isNaN) "null" else f"$relErr%.6f"
+        println(f"""{"op":"plancompare","dir":"$dir","maxDf":$maxDf,""" +
+          f""""fraction":$f,"bands":$b,"n_pairs_full":$nFull,""" +
+          f""""exp_candidates_full":$candFull%.2f,""" +
+          f""""exp_candidates_est":$est%.2f,"rel_err":$relErrJson,""" +
+          f""""rel_delta":$relDelta%.6f,"within3se":$within}""")
+      }
+      // the audit A/B: profile fidelity + coverage. The audit's rows are
+      // banded-candidate pairs; coverage should read ~f² of the full.
+      def auditStats(rows: Array[org.apache.spark.sql.Row]) = {
+        val n = rows.length
+        val mean = if (n == 0) 0.0
+          else rows.map(_.getDouble(4)).sum / n
+        (n, mean)
+      }
+      val (fullAudS, (nFull, errFull)) = lap(auditStats(
+        operators.Dedup.minhashAccuracy(spark, dir).collect()))
+      val (sampAudS, (nSamp, errSamp)) = lap(auditStats(
+        operators.Dedup.minhashAccuracySampled(spark, dir,
+          sampleFraction = f).collect()))
+      val covExp = f * f
+      val cov = if (nFull > 0) nSamp.toDouble / nFull else 0.0
+      println(f"""{"op":"plancompare_audit","dir":"$dir",""" +
+        f""""fraction":$f,"n_pairs_full":$nFull,"n_pairs_sampled":$nSamp,""" +
+        f""""coverage":$cov%.6f,"coverage_expected":$covExp%.6f,""" +
+        f""""mean_abs_err_full":$errFull%.6f,""" +
+        f""""mean_abs_err_sampled":$errSamp%.6f}""")
+      println(f"""{"op":"plancompare_cost","dir":"$dir","maxDf":$maxDf,""" +
+        f""""fraction":$f,"planner_full_sec":$fullPlanS%.2f,""" +
+        f""""planner_sampled_sec":$sampPlanS%.2f,""" +
+        f""""audit_full_sec":$fullAudS%.2f,""" +
+        f""""audit_sampled_sec":$sampAudS%.2f,""" +
         s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return

@@ -1236,9 +1236,7 @@ object Dedup {
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val sppm = math.round(sampleFraction * 1e6)
     val capS = math.max(2L, math.round(sampleFraction * maxDf)).toInt
-    val shS = shingles(spark, dir).filter(expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
-        s"as bigint) % 1000000 < ${sppm}L"))
+    val shS = shingles(spark, dir).filter(docSamplePred(sppm))
     val jd = jaccardOfInter(interCountsOfShingles(shS, capS),
       thresholds.min)
     // 1/f² as the exact double n_pairs·1e12/sppm² — at the default
@@ -1252,6 +1250,15 @@ object Dedup {
         when(col("n_pairs") > 0, round(lit(1.0) / sqrt(col("n_pairs")), 6)))
       .orderBy(col("threshold"))
   }
+
+  /** The md5-bucket document-sample predicate shared by the sampled
+    * calibration family (q123/q124/q125) — engine-independent (md5 of the
+    * decimal doc id, first 15 hex digits as a bigint, ppm bucket), so the
+    * SAME documents survive on any cluster layout, any rerun, and in the
+    * DuckDB oracle. */
+  private def docSamplePred(sppm: Long): Column = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+      s"as bigint) % 1000000 < ${sppm}L")
 
   /** MinHash-LSH parameter planner (q111) — the (bands, rows-per-band)
     * calibration curve for a K-permutation signature, computed ANALYTICALLY
@@ -1289,10 +1296,50 @@ object Dedup {
   def lshPlanner(spark: SparkSession, dir: String, threshold: Double = 0.8,
       floor: Double = 0.1, maxDf: Int = 100): DataFrame = {
     require(floor <= threshold, s"floor $floor above threshold $threshold")
+    lshPlannerOfJd(jaccardOfInter(interCounts(spark, dir, maxDf), floor),
+      threshold)
+  }
+
+  /** SAMPLED LSH parameter planner (q125) — [[lshPlanner]] over the
+    * md5-bucket doc sample (the q123 idiom: candidate volume shrinks
+    * ~f², the quadratic term that kills the full frame at the decade),
+    * with the 1/f² estimates attached. Every planner column is a SUM
+    * over pairs, and a pair survives the doc sample at p = f²
+    * independent of its Jaccard — so `n_pairs_est = n_pairs/f²`,
+    * `exp_candidates_est` and `exp_caught_est` are unbiased per banding.
+    * `recall` is a RATIO of two such sums (a ratio estimator): reported
+    * raw, consistent but not exactly unbiased at small n — read it with
+    * the stated `rel_err` ≈ 1/√n_pairs. The df gate is emulated at
+    * round(f·maxDf) (floor 2), q123's caveat applies. */
+  def lshPlannerSampled(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, floor: Double = 0.1, maxDf: Int = 100,
+      sampleFraction: Double = 0.5): DataFrame = {
+    require(floor <= threshold, s"floor $floor above threshold $threshold")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sppm = math.round(sampleFraction * 1e6)
+    val capS = math.max(2L, math.round(sampleFraction * maxDf)).toInt
+    val shS = shingles(spark, dir).filter(docSamplePred(sppm))
+    // 1/f² as the exact double 1e12/sppm² (exactly 4.0 at the default
+    // f = 0.5), applied to the ALREADY-ROUNDED planner columns with the
+    // same double ops the oracle runs — deterministic, hash-checkable
+    lshPlannerOfJd(
+        jaccardOfInter(interCountsOfShingles(shS, capS), floor), threshold)
+      .withColumn("n_pairs_est", expr(
+        s"cast(round(n_pairs * 1e12 / (${sppm}e0 * ${sppm}e0)) as bigint)"))
+      .withColumn("exp_candidates_est", round(expr(
+        s"exp_candidates * 1e12 / (${sppm}e0 * ${sppm}e0)"), 6))
+      .withColumn("exp_caught_est", round(expr(
+        s"exp_caught * 1e12 / (${sppm}e0 * ${sppm}e0)"), 6))
+      .withColumn("rel_err",
+        when(col("n_pairs") > 0, round(lit(1.0) / sqrt(col("n_pairs")), 6)))
+      .orderBy(col("bands"))
+  }
+
+  private def lshPlannerOfJd(jd: DataFrame, threshold: Double): DataFrame = {
     // left-associated integer power: bit-identical to the SQL chain
     // x*x*...*x (SQL `*` is left-associative too)
     def ipow(x: Column, n: Int): Column = Seq.fill(n)(x).reduce(_ * _)
-    val jd = jaccardOfInter(interCounts(spark, dir, maxDf), floor)
     val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
     val perConfig = configs.map { case (b, r) =>
       val p = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), r), b)
@@ -2116,16 +2163,41 @@ object Dedup {
     * shingles ONLY for candidate docs (two shuffled joins bounded by
     * candidate count × doc shingles, the q84-verify pattern); corpus-sized
     * sides are pinned shuffle_hash throughout. */
-  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame =
+    minhashAccuracyOf(spark, signatures(spark, dir), bands(spark, dir),
+      shingles(spark, dir))
+
+  /** SAMPLED MinHash accuracy audit (q124) — [[minhashAccuracy]] over the
+    * md5-bucket DOC sample (the q112/q123 idiom), the 100-TB contract for
+    * the audit: the full audit reads every banded candidate pair plus two
+    * shingle joins per pair, and candidate volume is the quadratic term.
+    * Sampling documents shrinks it by f² while leaving every surviving
+    * row EXACT — a doc's signature, bands, and shingle set depend on that
+    * doc alone, so the sampled audit's rows are bit-identical to the full
+    * audit's rows for pairs whose BOTH endpoints survive the sample
+    * (spec-pinned). A pair survives at p = f² independent of its
+    * similarity, so the sample is an unbiased subsample of the error
+    * PROFILE — the thing the audit exists to show; profile statistics
+    * read off it carry ~1/√n_pairs relative standard error, and rows are
+    * deliberately NOT scaled (each is exact per-pair evidence, not a
+    * count). */
+  def minhashAccuracySampled(spark: SparkSession, dir: String,
+      sampleFraction: Double = 0.5): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val p = docSamplePred(math.round(sampleFraction * 1e6))
+    minhashAccuracyOf(spark, signatures(spark, dir).filter(p),
+      bands(spark, dir).filter(p), shingles(spark, dir).filter(p))
+  }
+
+  private def minhashAccuracyOf(spark: SparkSession, sig: DataFrame,
+      bandsF: DataFrame, sh: DataFrame): DataFrame = {
     import spark.implicits._
-    val sig = signatures(spark, dir)
-    val bandsF = bands(spark, dir)
     val cand = bandsF.as("a").join(bandsF.as("b"),
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
       .distinct()
-    val sh = shingles(spark, dir)
     val docLen = sh.groupBy($"doc_id").agg(count(lit(1)).as("c"))
     val inter = cand
       .join(sh.as("x").hint("shuffle_hash"), $"d1" === $"x.doc_id")

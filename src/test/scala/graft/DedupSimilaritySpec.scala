@@ -1561,6 +1561,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("sampleFraction"))
   }
 
+  test("sampled minhash accuracy audit is an exact row subset of the " +
+      "full audit; sampled planner scales its sums by 1/f² exactly") {
+    import spark.implicits._
+    // q124's contract: signatures/bands/shingles are per-doc, so the
+    // sampled audit's rows must be BIT-IDENTICAL to the full audit's
+    // rows for pairs whose both endpoints survive the md5-bucket sample
+    // — no approximation anywhere in a surviving row
+    val sampledDocs = Tables.documents(spark, sfDir)
+      .filter(expr("cast(conv(substring(md5(cast(doc_id as string)), " +
+        "1, 15), 16, 10) as bigint) % 1000000 < 500000"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampledDocs.nonEmpty)
+    val full = Dedup.minhashAccuracy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    val samp = Dedup.minhashAccuracySampled(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(samp.nonEmpty, "the half-sample must keep some banded pairs")
+    val expected = full.filter { case ((d1, d2), _) =>
+      sampledDocs.contains(d1) && sampledDocs.contains(d2) }
+    assert(samp === expected)
+    // f = 1 is the full audit verbatim
+    val f1 = Dedup.minhashAccuracySampled(spark, sfDir,
+      sampleFraction = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(f1 === full)
+    // q125: the estimate columns are the already-rounded planner sums
+    // scaled by exactly 1/f² (4.0 at f = 0.5), the error bar is
+    // 1/sqrt(n_pairs), and the base columns equal the full planner run
+    // over the sampled sub-corpus (capS = 50)
+    val p = Dedup.lshPlannerSampled(spark, sfDir).collect()
+    assert(p.length === 4)
+    p.foreach { r =>
+      val n = r.getLong(2)
+      assert(r.getLong(7) === math.round(n * 4.0))
+      assert(math.abs(r.getDouble(8) -
+        BigDecimal(r.getDouble(4) * 4.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      if (n > 0) assert(math.abs(r.getDouble(10) - BigDecimal(1.0 /
+        math.sqrt(n.toDouble)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // fraction domain validated loudly on both twins
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashAccuracySampled(spark, sfDir, sampleFraction = 1.5))
+    assert(e1.getMessage.contains("sampleFraction"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.lshPlannerSampled(spark, sfDir, sampleFraction = 0.0))
+    assert(e2.getMessage.contains("sampleFraction"))
+  }
+
   test("normalized dedup merges reformatted copies raw dedup keeps apart") {
     import spark.implicits._
     val docs = Seq(
