@@ -411,9 +411,33 @@ object Dedup {
       maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0, suffixBound: Boolean = false,
       diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
-    ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf, verify,
-        maxBroadcastBytes, verifyChunks, suffixBound, diskBudgetBytes)
-      .orderBy(col("d1"), col("d2"))
+    if (docs.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf,
+          verify, maxBroadcastBytes, verifyChunks, suffixBound,
+          diskBudgetBytes)
+        .orderBy(col("d1"), col("d2"))
+    else {
+      // string/UUID-keyed corpora ride the SAME scale path through the
+      // fingerprint dictionary ([[docIdFingerprints]]): pairs are
+      // generated in fingerprint currency, then joined back (pinned
+      // shuffled — the dictionary is corpus-sized at 100 TB) and
+      // re-ordered by the ORIGINAL ids, so the output is bit-identical
+      // to the classic stage's (d1 = the smaller original id)
+      val dict = docIdFingerprints(docs, "ngramJaccardPrefix")
+      val fp = docs.select(xxhash64(col("doc_id")).as("doc_id"),
+        col("text"))
+      ngramJaccardPrefixOfShingles(shinglesOf(fp), threshold, maxDf,
+          verify, maxBroadcastBytes, verifyChunks, suffixBound,
+          diskBudgetBytes)
+        .join(dict.select(col("doc_id").as("d1"),
+          col("orig_id").as("o1")).hint("shuffle_hash"), Seq("d1"))
+        .join(dict.select(col("doc_id").as("d2"),
+          col("orig_id").as("o2")).hint("shuffle_hash"), Seq("d2"))
+        .select(least(col("o1"), col("o2")).as("d1"),
+          greatest(col("o1"), col("o2")).as("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }
 
   /** The per-doc rarest-first PREFIX posting frame of
     * [[ngramJaccardPrefix]] — `(doc_id, s, rem, g)` rows restricted to
@@ -949,6 +973,38 @@ object Dedup {
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  // ---------------------------------------------------------------------
+  // Doc-id fingerprint dictionary (VERDICT r14 #4: the prefix paths'
+  // generators deal in bigint doc ids, but real corpora key by URL/UUID
+  // strings — and the id-agnostic classic stage is exactly the stage
+  // that cannot run the decades. A stable 64-bit fingerprint lets
+  // string-keyed corpora onto the scale path.)
+  // ---------------------------------------------------------------------
+
+  /** Maps an arbitrary-typed doc id onto the positional generators'
+    * bigint currency: `xxhash64(doc_id)` — STABLE (the same id maps to
+    * the same fingerprint on any cluster layout, any rerun, unlike
+    * zipWithIndex) — with a collision COUNT action up front: one agg
+    * comparing distinct ids to distinct fingerprints, refusing loudly on
+    * any collision (at 64 bits the birthday bound keeps corpora under
+    * ~10⁸ docs collision-free with probability ~1 − 3·10⁻⁴; a collision
+    * would silently MERGE two documents' shingle sets, so it must never
+    * pass). Returns the (orig_id, doc_id) dictionary for the join back;
+    * pair outputs re-derive their order/orientation from the ORIGINAL
+    * ids so the result is bit-identical to the classic stage's. */
+  private[graft] def docIdFingerprints(docs: DataFrame,
+      opName: String): DataFrame = {
+    val m = docs.agg(countDistinct(col("doc_id")),
+      countDistinct(xxhash64(col("doc_id")))).head()
+    require(m.getLong(0) == m.getLong(1),
+      s"$opName: the 64-bit doc-id fingerprint dictionary collided " +
+        s"(${m.getLong(0)} distinct ids -> ${m.getLong(1)} distinct " +
+        "fingerprints). Two documents would silently merge; use the " +
+        "classic co-occurrence stage for this corpus.")
+    docs.select(col("doc_id").as("orig_id"),
+      xxhash64(col("doc_id")).as("doc_id"))
+  }
 
   /** The shared verify engine of the prefix-filtered pair family
     * (Jaccard q119/q120, containment q121/q122): exact verification of
@@ -2599,10 +2655,31 @@ object Dedup {
       maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0, candChunks: Int = 0,
       diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
-    containmentPrefixOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
-        verify, maxBroadcastBytes, verifyChunks, candChunks,
-        diskBudgetBytes)
-      .orderBy(col("contained"), col("container"))
+    if (docs.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      containmentPrefixOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
+          verify, maxBroadcastBytes, verifyChunks, candChunks,
+          diskBudgetBytes)
+        .orderBy(col("contained"), col("container"))
+    else {
+      // the fingerprint-dictionary route for string/UUID-keyed corpora
+      // (scaladoc at [[docIdFingerprints]] and the Jaccard twin):
+      // containment pairs are ORIENTED, so the join back just restores
+      // the original ids — no re-ordering step
+      val dict = docIdFingerprints(docs, "containmentPrefix")
+      val fp = docs.select(xxhash64(col("doc_id")).as("doc_id"),
+        col("text"))
+      containmentPrefixOfShingles(shinglesOf(fp), thresholdPpm, maxDf,
+          verify, maxBroadcastBytes, verifyChunks, candChunks,
+          diskBudgetBytes)
+        .join(dict.select(col("doc_id").as("contained"),
+          col("orig_id").as("oc")).hint("shuffle_hash"), Seq("contained"))
+        .join(dict.select(col("doc_id").as("container"),
+          col("orig_id").as("ot")).hint("shuffle_hash"), Seq("container"))
+        .select(col("oc").as("contained"), col("ot").as("container"),
+          col("n_shared"), col("n_shingles"), col("cont_ppm"))
+        .orderBy(col("contained"), col("container"))
+    }
 
   private[graft] def containmentPrefixOfShingles(sh: DataFrame,
       thresholdPpm: Long, maxDf: Int, verify: String = "auto",
