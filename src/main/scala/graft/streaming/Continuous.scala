@@ -172,7 +172,7 @@ object Continuous {
     * below) must live on a shared filesystem (HDFS/S3) visible to all
     * executors — pass-through of the usual Structured Streaming deployment
     * rule, not a new constraint. */
-  private def stageChunks(spark: SparkSession, dir: String, table: String,
+  private[graft] def stageChunks(spark: SparkSession, dir: String, table: String,
       files: Int = 8): String = {
     // readable slug + a path hash: distinct fixture dirs that slug to the
     // same string (/data/sf0.1 vs /data_sf0.1) must not share a staged copy
@@ -270,7 +270,7 @@ object Continuous {
         "idempotent; key state versions off batchId before making this " +
         "stream restartable")
 
-  private def deleteRecursively(path: String): Unit = {
+  private[graft] def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
@@ -579,9 +579,17 @@ object Continuous {
             try {
               val newSh = index.join(docs.select(col("doc_id")),
                 Seq("doc_id"), "left_semi")
+              // the loser frame leaves incrementalPairsOf at shuffle
+              // width (8 mostly-empty files per commit that every later
+              // emit re-lists); state-append width should track the
+              // INCREMENT size — 2 input files per trigger here — not
+              // the shuffle setting. Measured (r15 q88 anatomy, same-
+              // session interleaved A/B at sf0.1): ~6% off the whole op
+              val losersCoalesce = 2
               graft.operators.Dedup
                 .incrementalPairsOf(index, newSh, threshold, maxDf)
                 .select(col("d2").as("doc_id"))
+                .coalesce(losersCoalesce)
                 .write.mode("append").parquet(losersDir)
             } finally { index.unpersist(); () }
             // emit the cumulative funnel over the flag store
