@@ -272,6 +272,14 @@ object ScaleSmoke {
       "ngram_prefix_merge_auto" -> ((d, m) => operators.Dedup
         .ngramJaccardPrefixOf(Tables.documents(spark, d),
           maxDf = 100 * m, verify = "merge")),
+      // the sketch-gated LOW-threshold path (q126): candidates start
+      // only from each contained doc's bottom-8-by-hash gated shingles
+      // (miss prob <= (1-t')^k per qualifying pair; verify exact) — the
+      // scale shape for the t'=0.5 regime where the EXACT prefix is half
+      // the doc and session-C r14 priced the decade pair-dense-infeasible
+      "containment_sketch" -> ((d, m) => operators.Dedup
+        .containmentSketchOfShingles(operators.Dedup.shinglesOf(
+          Tables.documents(spark, d)), 500000L, 100 * m, k = 8)),
       "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
         operators.Dedup.shinglesOf(Tables.documents(spark, d)),
         thresholdPpm = 800000L, maxDf = 100 * m)),

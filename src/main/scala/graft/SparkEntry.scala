@@ -347,7 +347,12 @@ object SparkEntry {
       ((s, d) => Dedup.minhashAccuracySampled(s, d)),
     // Sampled LSH banding planner: q111's S-curve trade table from the
     // doc sample, with 1/f² estimates and the stated error bar.
-    "q125_lsh_planner_sampled" -> ((s, d) => Dedup.lshPlannerSampled(s, d))
+    "q125_lsh_planner_sampled" -> ((s, d) => Dedup.lshPlannerSampled(s, d)),
+    // Sketch-gated containment: the contained side's bottom-k-by-hash
+    // gated shingles start candidates (miss prob ≤ (1-t')^k per
+    // qualifying pair, verify exact) — the low-threshold scale path.
+    // Deterministic md5 sample, so the oracle replays it bit-for-bit.
+    "q126_containment_sketch" -> ((s, d) => Dedup.containmentSketch(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -2620,6 +2625,39 @@ object SparkEntry {
         |  CASE WHEN n_pairs > 0
         |       THEN ROUND(1.0 / SQRT(n_pairs), 6) END AS rel_err
         |FROM base ORDER BY bands""".stripMargin),
+
+    "q126_containment_sketch" ->
+      // the q78 verify chain gated by the bottom-8-by-md5 sample of each
+      // contained doc's df-gated shingles: rank over md5(s) (s IS the
+      // 16-hex shingle string here, = Spark's md5(lower-hex(s)) exactly),
+      // candidates = bottom-k probing the full gated index, exact
+      // integer score. The length filter is omitted — it never drops a
+      // qualifying pair, and the exact score subsumes it.
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s
+        |         HAVING COUNT(*) BETWEEN 2 AND 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |rk AS (
+        |  SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(s), s)
+        |      AS r
+        |  FROM idx),
+        |bk AS (SELECT doc_id, s FROM rk WHERE r <= 8),
+        |cand AS (
+        |  SELECT DISTINCT bk.doc_id AS contained, idx.doc_id AS container
+        |  FROM bk JOIN idx ON bk.s = idx.s AND bk.doc_id <> idx.doc_id),
+        |inter AS (
+        |  SELECT cand.contained, cand.container, COUNT(*) AS i
+        |  FROM cand
+        |  JOIN idx a ON cand.contained = a.doc_id
+        |  JOIN idx b ON cand.container = b.doc_id AND a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT contained, container, i AS n_shared, ca.c AS n_shingles,
+        |  i * 1000000 // ca.c AS cont_ppm
+        |FROM inter JOIN docLen ca ON contained = ca.doc_id
+        |WHERE i * 1000000 // ca.c >= 500000
+        |ORDER BY contained, container""".stripMargin),
 
     "q106_cluster_sizes" ->
       // the q50 component chain rolled up twice: cluster -> size,

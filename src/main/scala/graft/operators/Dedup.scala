@@ -2577,6 +2577,121 @@ object Dedup {
       .orderBy(col("contained"), col("container"))
   }
 
+  /** The classic stage's exact integer containment score over a verified
+    * `(d1, d2, i, c1, c2)` frame — floor ppm ≥ threshold ⇔ i ≥ needed,
+    * so the verify kernel's early-exit partials never pass. Shared by
+    * the exact prefix path (q121/q122) and the sketch-gated path
+    * (q126). */
+  private def containmentScoreOf(v: DataFrame,
+      thresholdPpm: Long): DataFrame =
+    v.select(col("d1").as("contained"), col("d2").as("container"),
+        col("i").as("n_shared"), col("c1").as("n_shingles"))
+      .withColumn("cont_ppm",
+        expr("n_shared * 1000000 div n_shingles"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+
+  /** SKETCH-GATED shingle containment (q126) — the LOW-THRESHOLD scale
+    * path the exact prefix path cannot offer. At containment's default
+    * t′ = 0.5 the exact one-sided prefix is HALF of every document, and
+    * SCALE_r14 session C priced the consequence: 580M candidates for
+    * 4.8M true pairs at 30× — no pair-enumerating one-box design fits
+    * the 100× decade, because the filters are structurally powerless
+    * (one early rare shared shingle satisfies ub ≥ c1/2).
+    *
+    * The sketch caps the contained side's candidate-starting set at its
+    * `k` BOTTOM-BY-HASH gated shingles instead (bottom-k sketch in the
+    * Broder/Cohen lineage, deterministic md5 order so the DuckDB oracle
+    * replays it bit-for-bit): a uniform random sample of the doc's
+    * gated shingles, independent of what any container holds. A
+    * qualifying pair (containment ≥ t′) is enumerated unless ALL k
+    * sampled shingles fall in the non-shared fraction — miss
+    * probability ≤ (1 − t′)^k per pair (t′ = 0.5, k = 8 → ≤ 0.4%;
+    * k = 16 → ≤ 1.5·10⁻⁵), and every enumerated candidate is verified
+    * EXACTLY through the shared engine, so precision is 1 and recall
+    * ≥ 1 − (1−t′)^k. k ≥ the max gated doc length degenerates to the
+    * full co-occurrence candidate set — the spec pins that identity.
+    * THE trade vs q121: candidate volume is k·df per posting list —
+    * independent of the threshold and of doc length — instead of
+    * |prefix|·df with a half-doc prefix; the false-negative budget is
+    * stated, bounded, and chosen by k.
+    *
+    * Scale shape: one window exchange ranks each doc's gated shingles
+    * by hash (the rankedOfGated pattern), the bottom-k rows join the
+    * full gated index on the shingle key (posting lists df-capped), one
+    * distinct-pair shuffle, then the shared broadcast/merge verify with
+    * `needed = ⌈t′ppm·c1/1e6⌉`. */
+  def containmentSketch(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100, k: Int = 8,
+      verify: String = "auto", maxBroadcastBytes: Long = 256L << 20,
+      verifyChunks: Int = 1): DataFrame =
+    containmentSketchOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
+        k, verify, maxBroadcastBytes, verifyChunks)
+      .orderBy(col("contained"), col("container"))
+
+  private[graft] def containmentSketchOfShingles(sh: DataFrame,
+      thresholdPpm: Long, maxDf: Int, k: Int, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20,
+      verifyChunks: Int = 1): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    require(k >= 1, s"sketch size k must be >= 1: $k")
+    require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    require(sh.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "containmentSketch requires bigint doc ids (the shared verify " +
+        s"engine's currency); got ${sh.schema("doc_id").dataType
+          .simpleString} — use containmentOf for other doc-id types")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.expressions.Window
+    val docLen = Bridge.dropOriginConstraints(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
+    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .hint("shuffle_hash")
+    // per-doc HASH rank (not the df-rarest prefix rank): md5 of the
+    // 16-lowercase-hex shingle form — the exact string the oracle's
+    // shingle CTE carries, so DuckDB replays the same sample. Ties
+    // break on the shingle key; md5 collisions are the only way two
+    // rows tie, so the order is total in practice.
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val estBytes = estUnrollBytes(docLen)
+    val ranked = Bridge.dropOriginConstraints(scaleCheckpoint(
+      sh.join(keep, Seq("s"))
+        .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("hx", md5(lower(lpad(hex(col("s")), 16, "0"))))
+        .withColumn("r",
+          row_number().over(byDoc.orderBy(col("hx"), col("s"))))
+        .withColumn("g", count(lit(1)).over(byDoc))
+        .withColumn("alpha", containAlpha(thresholdPpm))
+        .select(col("doc_id"), col("s"), (col("g") - col("r")).as("rem"),
+          col("g"), col("alpha")),
+      estBytes))
+    // the verify's array table rides the same ranked frame (arr is
+    // sort_array — rank-order-independent; pfx/sfx are unused here,
+    // suffixBound is hard-off on the sketch path)
+    val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
+    // candidates: the contained side's bottom-k rows (r ≤ k ⇔
+    // rem ≥ g − k) probe the FULL gated index on the shingle key; one
+    // distinct-pair shuffle; the one-sided length filter (a qualifying
+    // pair needs i ≥ ⌈t′c1⌉ yet i ≤ c2) prunes before the verify
+    val cand = ranked.filter(col("rem") >= col("g") - lit(k))
+      .select(col("doc_id").as("d1"), col("s"))
+      .join(ranked.select(col("doc_id").as("d2"), col("s"))
+        .hint("shuffle_hash"), Seq("s"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
+        .hint("shuffle_hash"), Seq("d2"))
+      .filter(expr(s"${thresholdPpm}L * c1 <= 1000000L * c2"))
+    val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
+      "containmentSketch")
+    verifyPrefixCandidates(cand, arrays, containNeededExpr(thresholdPpm),
+      mode, verifyChunks, "containmentSketch", suffixBound = false)(
+      containmentScoreOf(_, thresholdPpm))
+  }
+
   /** Fixture form (q78): containment over the memoized intersection stage
     * — the SAME persisted frame q21/q35/q50's pair chain rides, so a warm
     * session scores containment as two projections over cached pairs. */
@@ -2720,13 +2835,7 @@ object Dedup {
         containAlpha(thresholdPpm)), estBytes))
     val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
     def score(v: DataFrame): DataFrame =
-      // the classic stage's exact integer score: floor ppm ≥ threshold
-      // ⇔ i ≥ needed, so the kernel's early-exit partials never pass
-      v.select(col("d1").as("contained"), col("d2").as("container"),
-          col("i").as("n_shared"), col("c1").as("n_shingles"))
-        .withColumn("cont_ppm",
-          expr("n_shared * 1000000 div n_shingles"))
-        .filter(col("cont_ppm") >= thresholdPpm)
+      containmentScoreOf(v, thresholdPpm)
     // broadcast/merge resolved ONCE — the candChunks loop below calls the
     // verify engine once per slice, and the pricing aggregate (plus the
     // broadcast decision it feeds) is slice-invariant: `arrays` is fixed

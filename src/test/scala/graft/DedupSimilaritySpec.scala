@@ -501,6 +501,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sliced2 === exact5)
   }
 
+  test("sketch-gated containment: exact-verified subset with bounded " +
+      "misses; degenerates to the full candidate set at large k") {
+    import spark.implicits._
+    val sh = Dedup.shinglesOf(Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text"))
+    val exact = Dedup.containmentOf(sh).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    // 1. PRECISION 1: every sketch row is verified exactly, so the
+    //    sketch output is a SUBSET of the exact output, row-identical
+    val sk8 = Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = 8)
+      .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+    assert(sk8.toSet.subsetOf(exact.toSet))
+    // 2. RECALL: miss prob <= (1-t')^k per qualifying pair (0.4% at
+    //    t'=0.5, k=8) — and most fixture pairs sit far above t', where
+    //    the bound collapses toward 0; allow a generous margin
+    assert(sk8.size >= (exact.size * 0.95).toInt,
+      s"sketch recall ${sk8.size}/${exact.size} below the fixture floor")
+    // 3. k >= every doc's gated size ⇒ bottom-k IS the whole doc ⇒ the
+    //    candidate set equals the full co-occurrence set ⇒ output
+    //    IDENTICAL to the exact stage (the determinism anchor)
+    val skAll = Dedup.containmentSketchOfShingles(sh, 500000L, 100,
+        k = 1000000)
+      .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+    assert(skAll === exact)
+    // 4. verify-shape independence: forced merge == auto, like q121/q122
+    val skM = Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = 8,
+        verify = "merge", verifyChunks = 2)
+      .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+    assert(skM === sk8)
+    // 5. domain refusals
+    val e = intercept[IllegalArgumentException](
+      Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = 0))
+    assert(e.getMessage.contains("k"))
+  }
+
   test("exchange pricing: auto knobs slice to a tiny budget exactly, " +
       "and refuse past the rails naming the bytes and the knobs") {
     import spark.implicits._
