@@ -2623,19 +2623,24 @@ object Dedup {
   def containmentSketch(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100, k: Int = 8,
       verify: String = "auto", maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame =
+      verifyChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
     containmentSketchOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
-        k, verify, maxBroadcastBytes, verifyChunks)
+        k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes)
       .orderBy(col("contained"), col("container"))
 
   private[graft] def containmentSketchOfShingles(sh: DataFrame,
       thresholdPpm: Long, maxDf: Int, k: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 1): DataFrame = {
+      verifyChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
     require(k >= 1, s"sketch size k must be >= 1: $k")
-    require(verifyChunks >= 1, s"verifyChunks must be >= 1: $verifyChunks")
+    require(verifyChunks >= 0,
+      s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
+    require(diskBudgetBytes > 0,
+      s"diskBudgetBytes must be positive: $diskBudgetBytes")
     require(sh.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType,
       "containmentSketch requires bigint doc ids (the shared verify " +
@@ -2673,8 +2678,12 @@ object Dedup {
     // candidates: the contained side's bottom-k rows (r ≤ k ⇔
     // rem ≥ g − k) probe the FULL gated index on the shingle key; one
     // distinct-pair shuffle; the one-sided length filter (a qualifying
-    // pair needs i ≥ ⌈t′c1⌉ yet i ≤ c2) prunes before the verify
-    val cand = ranked.filter(col("rem") >= col("g") - lit(k))
+    // pair needs i ≥ ⌈t′c1⌉ yet i ≤ c2) prunes before the verify.
+    // `slice` restricts which CONTAINED docs start candidates — the
+    // candidate-stage chunking lever (disjoint emission partitions,
+    // union == unsliced, exactly the exact path's candChunks argument)
+    def candOf(slice: Column): DataFrame = ranked
+      .filter(col("rem") >= col("g") - lit(k) && slice)
       .select(col("doc_id").as("d1"), col("s"))
       .join(ranked.select(col("doc_id").as("d2"), col("s"))
         .hint("shuffle_hash"), Seq("s"))
@@ -2687,9 +2696,74 @@ object Dedup {
       .filter(expr(s"${thresholdPpm}L * c1 <= 1000000L * c2"))
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "containmentSketch")
-    verifyPrefixCandidates(cand, arrays, containNeededExpr(thresholdPpm),
-      mode, verifyChunks, "containmentSketch", suffixBound = false)(
-      containmentScoreOf(_, thresholdPpm))
+    def outOf(slice: Column, vChunks: Int): DataFrame =
+      verifyPrefixCandidates(candOf(slice), arrays,
+        containNeededExpr(thresholdPpm), mode, vChunks,
+        "containmentSketch", suffixBound = false)(
+        containmentScoreOf(_, thresholdPpm))
+    // EXCHANGE PRICING, the prefix paths' ladder with the sketch's own
+    // raw-volume rule Σ|bottom-k ∩ s|·(|full_s|−1): the cheap
+    // rows·min(k,maxDf)·bytes rail costs nothing at fixture scale; past
+    // it one posting-stats agg prices the raw sketch emissions. Over
+    // budget, the CANDIDATE distinct exchange slices by contained-doc
+    // hash against a quarter of the budget (measured: at 100×/t′=0.5
+    // the unsliced distinct exchange alone filled the box — SCALE_r15
+    // session F — the same failure class the exact path's candChunks
+    // closed in r14), and the verify chunks follow per-slice candidates
+    // × the two-array shipment against 2× the budget. Both exchanges
+    // are priced in EVERY verify shape: the candidate distinct runs
+    // before any array ships.
+    val (kc, vc) =
+      if (verifyChunks >= 1) (1, verifyChunks)
+      else if (estBytes / unrollRowBytes * math.min(k.toLong, maxDf.toLong)
+          * emissionRowBytes <= diskBudgetBytes) (1, 1)
+      else {
+        val m = ranked
+          .select(col("s"), (col("rem") >= col("g") - lit(k)).as("bk"))
+          .groupBy(col("s"))
+          .agg(count(lit(1)).as("n"), count(when(col("bk"), lit(1))).as("nb"))
+          .agg(sum(expr("nb * (n - 1)")), sum(col("n"))).head()
+        val raw = if (m.isNullAt(0)) 0L else m.getLong(0)
+        val gatedRows = if (m.isNullAt(1)) 0L else m.getLong(1)
+        if (raw * emissionRowBytes <= diskBudgetBytes) (1, 1)
+        else {
+          val kc = math.max(1L, ceilDiv(raw * emissionRowBytes,
+            math.max(1L, diskBudgetBytes / 4)))
+          require(kc <= maxAutoCandChunks,
+            s"containmentSketch: the candidate distinct exchange prices " +
+              s"at ~${raw * emissionRowBytes} bytes ($raw raw sketch " +
+              s"emissions) — $kc slices of the per-slice budget " +
+              s"(diskBudgetBytes=$diskBudgetBytes / 4), past the " +
+              s"$maxAutoCandChunks-slice rail. Lower k, raise " +
+              "diskBudgetBytes (cluster aggregate disk), or pass " +
+              "explicit verifyChunks to bypass pricing.")
+          val nDocs = math.max(1L, docLen.count())
+          val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
+          val vc =
+            if (mode == "broadcast") 1L
+            else math.max(1L, ceilDiv(ceilDiv(raw, kc) * perCand,
+              2L * diskBudgetBytes))
+          require(kc * vc <= maxAutoJobs,
+            s"containmentSketch: auto-pricing resolves $kc candidate " +
+              s"slices × $vc verify chunks = ${kc * vc} jobs ($raw raw " +
+              s"sketch emissions, ~$perCand B/candidate) — past the " +
+              s"$maxAutoJobs-job rail. Lower k, raise diskBudgetBytes, " +
+              "or pass explicit verifyChunks to bypass pricing.")
+          (kc.toInt, vc.toInt)
+        }
+      }
+    if (kc <= 1) outOf(lit(true), vc)
+    else (0 until kc).map { i =>
+      // the exact path's eager-release discipline: each slice's
+      // ≥-threshold survivors alone outlive its jobs
+      // the predicate evaluates on the bottom-k frame BEFORE the d1
+      // rename, so it keys on doc_id (the contained side)
+      val kept = Bridge.dropOriginConstraints(
+        outOf(pmod(xxhash64(col("doc_id")), lit(kc)) === i, vc)
+          .localCheckpoint())
+      System.gc()
+      kept
+    }.reduce(_ unionByName _)
   }
 
   /** Fixture form (q78): containment over the memoized intersection stage

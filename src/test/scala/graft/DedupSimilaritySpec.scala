@@ -568,6 +568,21 @@ class DedupSimilaritySpec extends SparkSpec {
         diskBudgetBytes = 64L))
     assert(ej.getMessage.contains("exchange bytes") &&
       ej.getMessage.contains("diskBudgetBytes"))
+    val es = intercept[IllegalArgumentException](
+      Dedup.containmentSketchOfShingles(Dedup.shinglesOf(docs), 500000L,
+        100, k = 8, verify = "merge", diskBudgetBytes = 64L))
+    assert(es.getMessage.contains("candidate distinct exchange") &&
+      es.getMessage.contains("diskBudgetBytes"))
+    // and the sketch's auto chunks stay output-identical under a small
+    // budget that forces multi-chunk resolution
+    val skAuto = Dedup.containmentSketchOfShingles(Dedup.shinglesOf(docs),
+      500000L, 100, k = 8, verify = "merge",
+      diskBudgetBytes = 128L << 10)
+      .collect().map(_.toSeq.mkString(",")).sorted.toSeq
+    val skOne = Dedup.containmentSketchOfShingles(Dedup.shinglesOf(docs),
+      500000L, 100, k = 8, verify = "merge", verifyChunks = 1)
+      .collect().map(_.toSeq.mkString(",")).sorted.toSeq
+    assert(skAuto === skOne && skAuto.nonEmpty)
     // 3. explicit chunk knobs bypass the pricing entirely (a cluster
     //    with aggregate disk passes 1 and pays zero pricing actions)
     val explicit = Dedup.containmentPrefixOf(docs, verify = "merge",
