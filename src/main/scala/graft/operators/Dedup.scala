@@ -828,6 +828,7 @@ object Dedup {
               s"$diskBudgetBytes-byte budget, past the $maxAutoJobs-job " +
               "rail. Raise diskBudgetBytes (cluster aggregate disk), " +
               "raise the threshold, or lower maxDf.")
+          logResolvedChunks("ngramJaccardPrefix", kept, 1L, k)
           (candidatesOfKeptEmissions(
             jaccardKeptEmissionsOfPostings(postings, tn), docLen, tn),
             k.toInt)
@@ -973,6 +974,20 @@ object Dedup {
   }
 
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** One WARN line when auto-pricing RESOLVES chunking (scale sessions
+    * run at log level WARN, and a SCALE_r15 decade completed with an
+    * unrecorded chunk count because nothing surfaced the resolution) —
+    * the measured volumes and the knobs the operator chose, in the same
+    * currency the refusal messages use. Silent when nothing slices. */
+  private lazy val priceLog =
+    org.slf4j.LoggerFactory.getLogger("graft.ExchangePricing")
+  private def logResolvedChunks(opName: String, kept: Long,
+      candChunks: Long, verifyChunks: Long): Unit =
+    if (candChunks > 1 || verifyChunks > 1)
+      priceLog.warn(s"$opName: priced $kept kept emissions " +
+        s"(~${kept * emissionRowBytes} exchange bytes) -> " +
+        s"candChunks=$candChunks verifyChunks=$verifyChunks")
 
   // ---------------------------------------------------------------------
   // Doc-id fingerprint dictionary (VERDICT r14 #4: the prefix paths'
@@ -2749,6 +2764,7 @@ object Dedup {
               s"sketch emissions, ~$perCand B/candidate) — past the " +
               s"$maxAutoJobs-job rail. Lower k, raise diskBudgetBytes, " +
               "or pass explicit verifyChunks to bypass pricing.")
+          logResolvedChunks("containmentSketch", raw, kc, vc)
           (kc.toInt, vc.toInt)
         }
       }
@@ -2989,6 +3005,7 @@ object Dedup {
               s"past the $maxAutoJobs-job rail — the run would grind for " +
               "days. Raise thresholdPpm, lower maxDf, raise " +
               "diskBudgetBytes, or pass explicit chunk knobs to override.")
+          logResolvedChunks("containmentPrefix", kept, k, vc)
           (k.toInt, vc.toInt, Some(postings))
         }
       }
