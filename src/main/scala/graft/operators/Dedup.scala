@@ -2827,7 +2827,12 @@ object Dedup {
     * filter, and the candidate stage, not the verify, dominates
     * (measured ≈ the classic stage's wall-time at 30×/t′0.5; the
     * prefix path's decade claim is COMPLETION where classic cannot
-    * run, and speed where t′ is high). */
+    * run, and speed where t′ is high). For the low-threshold regime
+    * itself, [[containmentSketch]] (q126) is the designed scale path:
+    * bottom-k sketch candidates with stated recall ≥ 1 − (1−t′)^k and
+    * the same exact verify — 2× under this path at 30×/t′=0.5, with
+    * both paths now refusing up front (bytes and knobs named) where a
+    * decade exceeds the disk budget instead of ENOSPCing into it. */
   def containmentPrefix(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
     containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf)
