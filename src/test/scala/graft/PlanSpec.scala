@@ -295,6 +295,28 @@ class PlanSpec extends SparkSpec {
       s"native early-exit merge kernel expected in the verify:\n$p")
   }
 
+  test("q126 sketch containment merge verify: zero broadcast, " +
+      "early-exit kernel, no unkeyed join") {
+    StageMemo.clear()
+    val p = plan(operators.Dedup.containmentSketchOfShingles(
+      operators.Dedup.shinglesOf(Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))),
+      500000L, 100, k = 8, verify = "merge", verifyChunks = 1))
+    // the sketch path's at-scale contract mirrors q122's: candidates
+    // from the bottom-k join (keyed, shuffled), no broadcast anywhere in
+    // the forced-merge shape, exact verify through the native kernel
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch merge verify must plan NO broadcast relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"co-partitioned joins must be shuffled hash joins:\n$p")
+    assert(p.contains("graft_sorted_intersect_at_least"),
+      s"native early-exit merge kernel expected in the verify:\n$p")
+  }
+
   private def exchanges(p: String): Seq[String] =
     p.linesIterator.filter(_.contains("Exchange")).toSeq
 
