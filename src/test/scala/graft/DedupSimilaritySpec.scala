@@ -536,6 +536,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("k"))
   }
 
+  test("randomized corpora: prefix paths equal the classic stages and " +
+      "the sketch stays an exact-verified subset, across seeds") {
+    import spark.implicits._
+    // generated corpora with PLANTED pair structure (mutated copies +
+    // verbatim quotes — random-token corpora alone rarely pair), so the
+    // differential exercises qualifying pairs, near-misses at the
+    // threshold, and asymmetric containment on shapes no fixture chose
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      def text(n: Int) =
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val base = (0L until 20L).map(i => (i, text(8 + rnd.nextInt(20))))
+      val mutated = base.take(8).map { case (i, t) =>
+        val toks = t.split(" ").toVector
+        val j = rnd.nextInt(toks.size)
+        (100L + i, toks.updated(j, vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val quotes = base.slice(8, 12).map { case (i, t) =>
+        (200L + i, s"${text(3)} $t ${text(2 + rnd.nextInt(6))}")
+      }
+      val docs = (base ++ mutated ++ quotes).toDF("doc_id", "text")
+      val sh = Dedup.shinglesOf(docs)
+      val classicJ = Dedup.ngramJaccardOf(docs, threshold = 0.5)
+        .orderBy($"d1", $"d2").collect().map(_.toSeq).toSeq
+      val prefJ = Dedup.ngramJaccardPrefixOf(docs, threshold = 0.5)
+        .collect().map(_.toSeq).toSeq
+      assert(prefJ === classicJ, s"jaccard prefix != classic at seed $seed")
+      assert(classicJ.nonEmpty, s"seed $seed planted no jaccard pairs")
+      val classicC = Dedup.containmentOf(sh).collect().map(_.toSeq).toSeq
+      val prefC = Dedup.containmentPrefixOf(docs)
+        .collect().map(_.toSeq).toSeq
+      assert(prefC === classicC,
+        s"containment prefix != classic at seed $seed")
+      assert(classicC.nonEmpty, s"seed $seed planted no containment pairs")
+      val sk = Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = 6)
+        .collect().map(_.toSeq).toSet
+      assert(sk.subsetOf(classicC.toSet),
+        s"sketch produced a non-exact row at seed $seed")
+      val skFull = Dedup.containmentSketchOfShingles(sh, 500000L, 100,
+          k = 1 << 20)
+        .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+      assert(skFull === classicC, s"large-k sketch != classic at seed $seed")
+    }
+  }
+
   test("exchange pricing: auto knobs slice to a tiny budget exactly, " +
       "and refuse past the rails naming the bytes and the knobs") {
     import spark.implicits._
