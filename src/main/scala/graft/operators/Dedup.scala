@@ -792,58 +792,98 @@ object Dedup {
     val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "ngramJaccardPrefix")
-    // verifyChunks = 0 → PRICE the merge verify's exchange before
-    // launching it (scaladoc at the pricing constants): the broadcast
-    // shape ships nothing per candidate (chunks stay 1), and the cheap
-    // rail rows×maxDf bounds the raw emission volume without any extra
-    // job at fixture scale. Past the rail, the posting groupBy is built
-    // once (disk-checkpointed), the kept emissions are counted (a
-    // Generate→Filter→count pass — CPU, no exchange), and the chunk
-    // count follows kept × the per-candidate verify shipment (both
-    // arrays + the candidate row) against the per-slice budget, with a
-    // loud refusal past the total-jobs rail.
-    val (cand, chunks) =
-      if (verifyChunks >= 1 || mode == "broadcast")
-        (prefixCandidates(prefixOfRanked(ranked), docLen, tn),
-          math.max(1, verifyChunks))
-      else if (estBytes / unrollRowBytes * maxDf * emissionRowBytes / 2
-          <= diskBudgetBytes)
-        (prefixCandidates(prefixOfRanked(ranked), docLen, tn), 1)
-      else {
-        val (raw, gatedRows) = postingStats(ranked, oriented = false)
-        if (raw * emissionRowBytes <= diskBudgetBytes)
-          (prefixCandidates(prefixOfRanked(ranked), docLen, tn), 1)
-        else {
-          val postings = Bridge.dropOriginConstraints(
-            diskCheckpoint(jaccardPostingsOf(prefixOfRanked(ranked))))
-          val kept = jaccardKeptEmissionsOfPostings(postings, tn).count()
-          val nDocs = math.max(1L, docLen.count())
-          val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
-          val k = math.max(1L,
-            ceilDiv(kept * perCand, 2L * diskBudgetBytes))
-          require(k <= maxAutoJobs,
-            s"ngramJaccardPrefix: the merge verify prices at ~" +
-              s"${kept * perCand} exchange bytes ($kept kept emissions × " +
-              s"~$perCand B/candidate) — $k slices of the " +
-              s"$diskBudgetBytes-byte budget, past the $maxAutoJobs-job " +
-              "rail. Raise diskBudgetBytes (cluster aggregate disk), " +
-              "raise the threshold, or lower maxDf.")
-          logResolvedChunks("ngramJaccardPrefix", kept, 1L, k)
-          (candidatesOfKeptEmissions(
-            jaccardKeptEmissionsOfPostings(postings, tn), docLen, tn),
-            k.toInt)
-        }
-      }
     // the overlap every qualifying pair MUST reach, per candidate
     // ([[jaccardNeededExpr]]). The verify kernel early-exits a merge the
     // moment this bound is unreachable (PPJoin+'s suffix-filter role
     // folded into the verify: a non-qualifying candidate costs O(abort
     // point), and the partial count it returns is < needed, so the
     // threshold filter drops it exactly as the true count would).
-    verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn),
-        mode, chunks, "ngramJaccardPrefix",
-        suffixBound = suffixBound)(
-      jaccardOfInter(_, threshold))
+    def outOf(cand: DataFrame, vChunks: Int): DataFrame =
+      verifyPrefixCandidates(cand, arrays, jaccardNeededExpr(tn),
+          mode, vChunks, "ngramJaccardPrefix",
+          suffixBound = suffixBound)(
+        jaccardOfInter(_, threshold))
+    // verifyChunks = 0 → PRICE both big exchanges before launching them
+    // (scaladoc at the pricing constants), in EVERY verify shape — the
+    // kept-emission pair exchange (the groupBy(d1,d2) distinct) launches
+    // before any array ships, broadcast mode included. The cheap rail
+    // rows×maxDf/2 bounds the raw emission volume without any extra job
+    // at fixture scale; past it, the posting groupBy is built once
+    // (disk-checkpointed), the kept emissions are counted (a
+    // Generate→Filter→count pass — CPU, no exchange), candChunks follows
+    // kept × emission bytes against a QUARTER of the budget (the r15
+    // form priced only the verify shipment, leaving the pair exchange
+    // itself unsliced — tens of GB inside the 256-job rail on a short-
+    // doc corpus, ADVICE r15), and verifyChunks follows the PER-SLICE
+    // candidates × the two-array shipment against 2× the budget, with a
+    // loud refusal past the slice/job rails.
+    val (kc, vc, postingsOpt) =
+      if (verifyChunks >= 1) (1, math.max(1, verifyChunks), None)
+      else if (estBytes / unrollRowBytes * maxDf * emissionRowBytes / 2
+          <= diskBudgetBytes) (1, 1, None)
+      else {
+        val (raw, gatedRows) = postingStats(ranked, oriented = false)
+        if (raw * emissionRowBytes <= diskBudgetBytes) (1, 1, None)
+        else {
+          val postings = Bridge.dropOriginConstraints(
+            diskCheckpoint(jaccardPostingsOf(prefixOfRanked(ranked))))
+          val kept = jaccardKeptEmissionsOfPostings(postings, tn).count()
+          val kc = ceilDiv(kept * emissionRowBytes,
+            math.max(1L, diskBudgetBytes / 4)).max(1L)
+          require(kc <= maxAutoCandChunks,
+            s"ngramJaccardPrefix: the candidate pair stage prices at ~" +
+              s"${kept * emissionRowBytes} exchange bytes ($kept kept " +
+              s"emissions) — $kc slices of the per-slice budget " +
+              s"(diskBudgetBytes=$diskBudgetBytes / 4), past the " +
+              s"$maxAutoCandChunks-slice rail. Raise the threshold, " +
+              "lower maxDf, raise diskBudgetBytes (cluster aggregate " +
+              "disk), or pass explicit verifyChunks to bypass pricing.")
+          val nDocs = math.max(1L, docLen.count())
+          val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
+          val vc =
+            if (mode == "broadcast") 1L
+            else math.max(1L,
+              ceilDiv(ceilDiv(kept, kc) * perCand, 2L * diskBudgetBytes))
+          require(kc * vc <= maxAutoJobs,
+            s"ngramJaccardPrefix: auto-pricing resolves $kc candidate " +
+              s"slices × $vc verify chunks = ${kc * vc} jobs ($kept kept " +
+              s"emissions, ~$perCand B/candidate verify shipment) — past " +
+              s"the $maxAutoJobs-job rail. Raise diskBudgetBytes " +
+              "(cluster aggregate disk), raise the threshold, or lower " +
+              "maxDf.")
+          logResolvedChunks("ngramJaccardPrefix", kept, kc, vc)
+          (kc.toInt, vc.toInt, Some(postings))
+        }
+      }
+    if (kc <= 1)
+      outOf(postingsOpt
+        .map(p => candidatesOfKeptEmissions(
+          jaccardKeptEmissionsOfPostings(p, tn), docLen, tn))
+        .getOrElse(prefixCandidates(prefixOfRanked(ranked), docLen, tn)),
+        vc)
+    else {
+      // candidate-stage chunking, the containment path's discipline
+      // applied at the EMISSION level: every emission of a pair carries
+      // the same (d1, d2), so a pair-hash filter BEFORE the groupBy
+      // partitions the pair exchange disjointly (ub is still the max
+      // over ALL of the pair's emissions — they share a slice), the
+      // union of slice outputs is exactly the unsliced output, and the
+      // generator re-runs per slice over the checkpointed postings (CPU
+      // only — the filter sits in the Generate stage, so non-slice
+      // emissions never reach an exchange). Each slice's ≥-threshold
+      // survivors alone outlive its jobs.
+      val postings = postingsOpt.get
+      (0 until kc).map { i =>
+        val slice = candidatesOfKeptEmissions(
+          jaccardKeptEmissionsOfPostings(postings, tn)
+            .filter(pmod(xxhash64(col("d1"), col("d2")), lit(kc)) === i),
+          docLen, tn)
+        val kept = Bridge.dropOriginConstraints(
+          outOf(slice, vc).localCheckpoint())
+        System.gc()
+        kept
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Eager local checkpoint at StorageLevel.DISK_ONLY — for the CHUNK
@@ -1021,39 +1061,6 @@ object Dedup {
       xxhash64(col("doc_id")).as("doc_id"))
   }
 
-  /** The shared verify engine of the prefix-filtered pair family
-    * (Jaccard q119/q120, containment q121/q122): exact verification of
-    * a `(d1, d2, c1, c2)` candidate frame against the per-doc
-    * sorted-array table ([[arraysOfRanked]]), in the broadcast or
-    * no-broadcast co-partitioned merge shape (scaladoc at
-    * [[ngramJaccardPrefix]]), with the prefix-array suffix bound ahead
-    * of the merge shape's full-array exchange and the early-exit merge
-    * kernel under `needed` — the exact overlap every qualifying
-    * candidate must reach, as an expression over (c1, c2) (Jaccard's
-    * and containment's bounds differ). `score` maps the verified
-    * `(d1, d2, i, c1, c2)` frame to the operator's output and MUST
-    * discard every row with `i < needed` — that filter is what makes
-    * the kernel's early-exit partial counts unobservable.
-    *
-    * `suffixBound` gates the pre-verify prefix-array stage, because its
-    * LEVERAGE is operator- and corpus-specific. The bound prunes only
-    * when `needed − sfx2 > 0`: for Jaccard that slack is
-    * ≈ c·t′(1−t′)/(1+t′) — strictly positive at every threshold — and
-    * the 30× anatomy measured the cut nearly exact (11.25M positional
-    * survivors → 2,387,955 vs 2,387,400 true). For containment it is
-    * `⌈t′c1⌉ − ⌈t′c2⌉ + 1 ≤ 0` whenever the container is at least as
-    * long as the contained — the operator's PRIMARY regime — so the
-    * stage would ship a half-width prefix array per candidate at the
-    * default t′ = 0.5 and prune almost nothing (measured: containment's
-    * merge verify WITH the bound fills all 78 GB of local disk and dies,
-    * SCALE_r14 session A). But pruning well is not the same as PAYING:
-    * the bound's stage is one extra exchange of the entire candidate
-    * frame (the d2 prefix join precedes the d1 array join), and on
-    * narrow-array corpora (~370 B/doc here) the same-session 100× A/B
-    * read the bound as a net LOSS for Jaccard too (331.7 s on vs
-    * 276.9 s off, identical output) — so every caller currently defaults
-    * it OFF, and the knob exists for wide-array corpora where
-    * per-candidate array bytes dominate candidate-row bytes. */
   /** Resolves the verify SHAPE once per operator run: 'merge' passes
     * through; 'auto'/'broadcast' price the broadcast with ONE aggregate
     * action — measured cells, not assumed bytes-per-doc (ADVICE r12:
@@ -1085,6 +1092,39 @@ object Dedup {
       }
     }
 
+  /** The shared verify engine of the prefix-filtered pair family
+    * (Jaccard q119/q120, containment q121/q122, sketch q126): exact
+    * verification of a `(d1, d2, c1, c2)` candidate frame against the
+    * per-doc sorted-array table ([[arraysOfRanked]]), in the broadcast
+    * or no-broadcast co-partitioned merge shape (scaladoc at
+    * [[ngramJaccardPrefix]]), with the prefix-array suffix bound ahead
+    * of the merge shape's full-array exchange and the early-exit merge
+    * kernel under `needed` — the exact overlap every qualifying
+    * candidate must reach, as an expression over (c1, c2) (Jaccard's
+    * and containment's bounds differ). `score` maps the verified
+    * `(d1, d2, i, c1, c2)` frame to the operator's output and MUST
+    * discard every row with `i < needed` — that filter is what makes
+    * the kernel's early-exit partial counts unobservable.
+    *
+    * `suffixBound` gates the pre-verify prefix-array stage, because its
+    * LEVERAGE is operator- and corpus-specific. The bound prunes only
+    * when `needed − sfx2 > 0`: for Jaccard that slack is
+    * ≈ c·t′(1−t′)/(1+t′) — strictly positive at every threshold — and
+    * the 30× anatomy measured the cut nearly exact (11.25M positional
+    * survivors → 2,387,955 vs 2,387,400 true). For containment it is
+    * `⌈t′c1⌉ − ⌈t′c2⌉ + 1 ≤ 0` whenever the container is at least as
+    * long as the contained — the operator's PRIMARY regime — so the
+    * stage would ship a half-width prefix array per candidate at the
+    * default t′ = 0.5 and prune almost nothing (measured: containment's
+    * merge verify WITH the bound fills all 78 GB of local disk and dies,
+    * SCALE_r14 session A). But pruning well is not the same as PAYING:
+    * the bound's stage is one extra exchange of the entire candidate
+    * frame (the d2 prefix join precedes the d1 array join), and on
+    * narrow-array corpora (~370 B/doc here) the same-session 100× A/B
+    * read the bound as a net LOSS for Jaccard too (331.7 s on vs
+    * 276.9 s off, identical output) — so every caller currently defaults
+    * it OFF, and the knob exists for wide-array corpora where
+    * per-candidate array bytes dominate candidate-row bytes. */
   private def verifyPrefixCandidates(cand: DataFrame, arrays: DataFrame,
       needed: Column, mode: String,
       verifyChunks: Int, opName: String, suffixBound: Boolean)(
@@ -2628,30 +2668,120 @@ object Dedup {
     * THE trade vs q121: candidate volume is k·df per posting list —
     * independent of the threshold and of doc length — instead of
     * |prefix|·df with a half-doc prefix; the false-negative budget is
-    * stated, bounded, and chosen by k.
+    * stated, bounded, and chosen by k. k defaults to [[AutoK]]: sized
+    * from the threshold and `recallTargetPpm` (the stated per-pair
+    * recall floor) by [[autoKFor]] — 8 at the default 0.995 × t′ = 0.5.
     *
     * Scale shape: one window exchange ranks each doc's gated shingles
     * by hash (the rankedOfGated pattern), the bottom-k rows join the
     * full gated index on the shingle key (posting lists df-capped), one
     * distinct-pair shuffle, then the shared broadcast/merge verify with
     * `needed = ⌈t′ppm·c1/1e6⌉`. */
+  /** `k` sentinel for [[containmentSketch]] (its DEFAULT since r16):
+    * size the bottom-k sketch from the threshold and a stated per-pair
+    * recall floor instead of a hand constant (the [[Similarity.AutoBits]]
+    * pattern — explicit k still pins it verbatim). */
+  val AutoK: Int = 0
+
+  /** The recall-sized sketch width: the smallest k with
+    * 1 − (1−t′)^k ≥ target, i.e. k = ⌈ln(1−target) / ln(1−t′)⌉.
+    * Unlike [[Similarity.autoBitsFor]] this pays ZERO pricing actions —
+    * the sketch's miss bound is PER-PAIR (a qualifying pair is missed
+    * only when all k uniformly-sampled shingles fall in its non-shared
+    * fraction, probability ≤ (1−t′)^k regardless of corpus size or doc
+    * length), so no corpus count enters the sizing; the corpus-size
+    * lever is the exchange budget the pricing ladder below already
+    * holds. At the default target 0.995 × t′ = 0.5 this resolves to
+    * k = 8 — the hand constant every r15 measurement ran, so q126 is
+    * unchanged — and the measured 30× ladder (SCALE_r16) anchors what
+    * the floor buys: k=8 found the FULL true pair set (recall 1.0 vs
+    * its ≥ 0.996 floor) because real containment overlaps sit far above
+    * t′. t′ = 1 needs k = 1 (any sampled shingle of a fully-contained
+    * doc is shared). */
+  private[graft] def autoKFor(thresholdPpm: Long,
+      recallTargetPpm: Long): Int = {
+    require(recallTargetPpm >= 1 && recallTargetPpm < 1000000L,
+      "recallTargetPpm must be in [1, 1e6) — a 1.0 floor needs the " +
+        s"exact path (containmentPrefix), got $recallTargetPpm")
+    val missPpm = 1000000L - thresholdPpm
+    if (missPpm == 0L) 1
+    else {
+      val target = recallTargetPpm / 1e6
+      def recallAt(n: Int) = 1.0 - math.pow(missPpm / 1e6, n)
+      // the log ratio's fp noise can overshoot by one on exact-boundary
+      // targets ((1−t′)^(k−1) = 1−target lands the ratio a few ulps
+      // above an integer); step down while the floor still holds — the
+      // returned k is the MINIMAL width clearing the stated floor
+      var k = math.max(1, math.ceil(
+        math.log(1.0 - target) / math.log(missPpm / 1e6)).toInt)
+      while (k > 1 && recallAt(k - 1) >= target) k -= 1
+      k
+    }
+  }
+
   def containmentSketch(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 500000L, maxDf: Int = 100, k: Int = 8,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100, k: Int = AutoK,
       verify: String = "auto", maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0,
-      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame =
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      recallTargetPpm: Long = 995000L): DataFrame =
     containmentSketchOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
-        k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes)
+        k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
+        recallTargetPpm)
       .orderBy(col("contained"), col("container"))
 
+  /** [[containmentSketch]] over an arbitrary `(doc_id, text)` frame —
+    * knobs as in [[containmentSketchOfShingles]]. String/UUID-keyed
+    * corpora ride the SAME scale path through the fingerprint
+    * dictionary ([[docIdFingerprints]], the [[containmentPrefixOf]]
+    * route): the bottom-k sample is a hash rank over the SHINGLE
+    * values — doc-id-independent — so fingerprinting the ids changes
+    * neither the sample nor any candidate, and the oriented pairs just
+    * join back (pinned shuffled — the dictionary is corpus-sized at
+    * 100 TB) to the original ids; orientation is role-based, so no
+    * re-ordering step. The r15 form refused string ids and pointed
+    * callers at the classic stage that cannot run decades — yet
+    * URL-keyed web corpora at low thresholds are exactly the sketch's
+    * home regime (VERDICT r15 #1). */
+  def containmentSketchOf(docs: DataFrame, thresholdPpm: Long = 500000L,
+      maxDf: Int = 100, k: Int = AutoK, verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20, verifyChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      recallTargetPpm: Long = 995000L): DataFrame =
+    if (docs.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      containmentSketchOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
+          k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
+          recallTargetPpm)
+        .orderBy(col("contained"), col("container"))
+    else {
+      val dict = docIdFingerprints(docs, "containmentSketch")
+      val fp = docs.select(xxhash64(col("doc_id")).as("doc_id"),
+        col("text"))
+      containmentSketchOfShingles(shinglesOf(fp), thresholdPpm, maxDf,
+          k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
+          recallTargetPpm)
+        .join(dict.select(col("doc_id").as("contained"),
+          col("orig_id").as("oc")).hint("shuffle_hash"), Seq("contained"))
+        .join(dict.select(col("doc_id").as("container"),
+          col("orig_id").as("ot")).hint("shuffle_hash"), Seq("container"))
+        .select(col("oc").as("contained"), col("ot").as("container"),
+          col("n_shared"), col("n_shingles"), col("cont_ppm"))
+        .orderBy(col("contained"), col("container"))
+    }
+
   private[graft] def containmentSketchOfShingles(sh: DataFrame,
-      thresholdPpm: Long, maxDf: Int, k: Int, verify: String = "auto",
+      thresholdPpm: Long, maxDf: Int, k: Int = AutoK,
+      verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0,
-      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      recallTargetPpm: Long = 995000L): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
-    require(k >= 1, s"sketch size k must be >= 1: $k")
+    require(k >= 0,
+      s"sketch size k must be >= 1, or AutoK (0) for recall-sized: $k")
+    val sk = if (k >= 1) k else autoKFor(thresholdPpm, recallTargetPpm)
     require(verifyChunks >= 0,
       s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
     require(diskBudgetBytes > 0,
@@ -2660,7 +2790,8 @@ object Dedup {
         org.apache.spark.sql.types.LongType,
       "containmentSketch requires bigint doc ids (the shared verify " +
         s"engine's currency); got ${sh.schema("doc_id").dataType
-          .simpleString} — use containmentOf for other doc-id types")
+          .simpleString} — use containmentSketchOf (the fingerprint-" +
+        "dictionary route) for other doc-id types")
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.expressions.Window
     val docLen = Bridge.dropOriginConstraints(
@@ -2674,7 +2805,13 @@ object Dedup {
     // break on the shingle key; md5 collisions are the only way two
     // rows tie, so the order is total in practice.
     val byDoc = Window.partitionBy(col("doc_id"))
-    val estBytes = estUnrollBytes(docLen)
+    // ONE head() over the checkpointed docs-sized length frame feeds both
+    // the unroll estimate (scaleCheckpoint's input) and the doc count the
+    // cheap emission rail below needs
+    val lenStats = docLen.agg(sum(col("c")), count(lit(1))).head()
+    val totalShingleRows = if (lenStats.isNullAt(0)) 0L else lenStats.getLong(0)
+    val nDocs = math.max(1L, lenStats.getLong(1))
+    val estBytes = totalShingleRows * unrollRowBytes
     val ranked = Bridge.dropOriginConstraints(scaleCheckpoint(
       sh.join(keep, Seq("s"))
         .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
@@ -2698,7 +2835,7 @@ object Dedup {
     // candidate-stage chunking lever (disjoint emission partitions,
     // union == unsliced, exactly the exact path's candChunks argument)
     def candOf(slice: Column): DataFrame = ranked
-      .filter(col("rem") >= col("g") - lit(k) && slice)
+      .filter(col("rem") >= col("g") - lit(sk) && slice)
       .select(col("doc_id").as("d1"), col("s"))
       .join(ranked.select(col("doc_id").as("d2"), col("s"))
         .hint("shuffle_hash"), Seq("s"))
@@ -2718,8 +2855,8 @@ object Dedup {
         containmentScoreOf(_, thresholdPpm))
     // EXCHANGE PRICING, the prefix paths' ladder with the sketch's own
     // raw-volume rule Σ|bottom-k ∩ s|·(|full_s|−1): the cheap
-    // rows·min(k,maxDf)·bytes rail costs nothing at fixture scale; past
-    // it one posting-stats agg prices the raw sketch emissions. Over
+    // min(rows, k·nDocs)·maxDf·bytes rail costs nothing at fixture
+    // scale; past it one posting-stats agg prices the raw emissions. Over
     // budget, the CANDIDATE distinct exchange slices by contained-doc
     // hash against a quarter of the budget (measured: at 100×/t′=0.5
     // the unsliced distinct exchange alone filled the box — SCALE_r15
@@ -2730,11 +2867,17 @@ object Dedup {
     // before any array ships.
     val (kc, vc) =
       if (verifyChunks >= 1) (1, verifyChunks)
-      else if (estBytes / unrollRowBytes * math.min(k.toLong, maxDf.toLong)
+      // cheap zero-job rail: the candidate-starting set is the bottom-k
+      // rows — at most min(total gated rows, k·nDocs) of them — and EACH
+      // emits up to (df−1) < maxDf candidates regardless of k (the r15
+      // form multiplied rows by min(k, maxDf), which under-prices
+      // short-doc/high-df corpora where avg gated length < maxDf — the
+      // exact ENOSPC class the pricing exists to refuse, ADVICE r15)
+      else if (math.min(totalShingleRows, sk.toLong * nDocs) * maxDf.toLong
           * emissionRowBytes <= diskBudgetBytes) (1, 1)
       else {
         val m = ranked
-          .select(col("s"), (col("rem") >= col("g") - lit(k)).as("bk"))
+          .select(col("s"), (col("rem") >= col("g") - lit(sk)).as("bk"))
           .groupBy(col("s"))
           .agg(count(lit(1)).as("n"), count(when(col("bk"), lit(1))).as("nb"))
           .agg(sum(expr("nb * (n - 1)")), sum(col("n"))).head()
@@ -2752,7 +2895,6 @@ object Dedup {
               s"$maxAutoCandChunks-slice rail. Lower k, raise " +
               "diskBudgetBytes (cluster aggregate disk), or pass " +
               "explicit verifyChunks to bypass pricing.")
-          val nDocs = math.max(1L, docLen.count())
           val perCand = 2L * (gatedRows * 8L / nDocs) + candRowBytes
           val vc =
             if (mode == "broadcast") 1L
@@ -3003,13 +3145,20 @@ object Dedup {
             else if (mode == "broadcast") 1L
             else ceilDiv(ceilDiv(kept, k) * perCand,
               2L * diskBudgetBytes).max(1L)
-          require(!(autoCand && autoVerify) || k * vc <= maxAutoJobs,
-            s"containmentPrefix: auto-pricing resolves $k candidate " +
+          // the rail fires whenever ANY knob was auto-resolved: with one
+          // knob explicit and the other auto, the auto side is still
+          // unbounded (explicit candChunks=1 + auto verifyChunks could
+          // silently resolve thousands of verify jobs — the grind-for-
+          // days mode the rail exists to refuse, ADVICE r15). Only
+          // explicitly setting BOTH knobs bypasses it.
+          require((!autoCand && !autoVerify) || k * vc <= maxAutoJobs,
+            s"containmentPrefix: pricing resolves $k candidate " +
               s"slices × $vc verify chunks = ${k * vc} jobs (kept " +
               s"emissions $kept, ~$perCand B/candidate verify shipment), " +
               s"past the $maxAutoJobs-job rail — the run would grind for " +
               "days. Raise thresholdPpm, lower maxDf, raise " +
-              "diskBudgetBytes, or pass explicit chunk knobs to override.")
+              "diskBudgetBytes, or pass BOTH chunk knobs explicitly to " +
+              "override.")
           logResolvedChunks("containmentPrefix", kept, k, vc)
           (k.toInt, vc.toInt, Some(postings))
         }

@@ -530,9 +530,13 @@ object Continuous {
     val flagsDir = s"$stateRoot/flags"
     val indexDir = s"$stateRoot/index"
     val losersDir = s"$stateRoot/losers"
+    // per-trigger increment width, the one knob the loser-state append
+    // width below must track (ADVICE r15: a literal 2 would serialize
+    // the incrementalPairsOf write on deployments with wider triggers)
+    val filesPerTrigger = 2
     val files = new java.io.File(staged).listFiles()
       .count(_.getName.endsWith(".parquet"))
-    val totalChunks = math.ceil(files / 2.0)
+    val totalChunks = math.ceil(files.toDouble / filesPerTrigger)
     val snapshots = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     @volatile var outSchema: StructType = null
     // withStreamShuffle serves a DIFFERENT purpose here than in the
@@ -547,7 +551,8 @@ object Continuous {
     try withStreamShuffle(spark, 8) {
       val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(staged)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(staged)
         .writeStream
         .outputMode("append")
         .queryName(s"q88_funnel_$run") // listener-visible (StreamingSpec
@@ -582,10 +587,10 @@ object Continuous {
               // the loser frame leaves incrementalPairsOf at shuffle
               // width (8 mostly-empty files per commit that every later
               // emit re-lists); state-append width should track the
-              // INCREMENT size — 2 input files per trigger here — not
+              // INCREMENT size — the trigger's input file count — not
               // the shuffle setting. Measured (r15 q88 anatomy, same-
               // session interleaved A/B at sf0.1): ~6% off the whole op
-              val losersCoalesce = 2
+              val losersCoalesce = filesPerTrigger
               graft.operators.Dedup
                 .incrementalPairsOf(index, newSh, threshold, maxDf)
                 .select(col("d2").as("doc_id"))

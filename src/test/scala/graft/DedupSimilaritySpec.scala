@@ -436,6 +436,26 @@ class DedupSimilaritySpec extends SparkSpec {
     val prefC = Dedup.containmentPrefixOf(docs)
       .collect().map(_.toSeq).toSeq
     assert(prefC === classicC && classicC.nonEmpty)
+    // the SKETCH path rides the same dictionary route (r16 — the r15
+    // form refused string ids and routed callers to the classic stage
+    // that cannot run decades): degenerate k equals the classic stage
+    // on the STRING corpus, the sized default is an exact-verified
+    // subset, and the string twin's rows are the long corpus's rows
+    // with ids mapped — the bottom-k sample is shingle-hash-ranked,
+    // doc-id-independent
+    val skFullS = Dedup.containmentSketchOf(docs, k = 1 << 20)
+      .collect().map(_.toSeq).toSeq
+    assert(skFullS === classicC)
+    val skS = Dedup.containmentSketchOf(docs)
+      .collect().map(_.toSeq).toSet
+    assert(skS.subsetOf(classicC.toSet) && skS.nonEmpty)
+    val skLongMapped = Dedup.containmentSketchOf(
+        Tables.documents(spark, sfDir).select($"doc_id", $"text"))
+      .collect().map(r => Seq[Any](
+        s"https://example.com/doc/${r.get(0)}",
+        s"https://example.com/doc/${r.get(1)}",
+        r.get(2), r.get(3), r.get(4))).toSet
+    assert(skS === skLongMapped)
     // the dictionary itself: one stable row per doc (an engineered
     // xxhash64 collision is not constructible, so the refusal's require
     // is covered by the count action running on every dictionary build)
@@ -530,10 +550,39 @@ class DedupSimilaritySpec extends SparkSpec {
         verify = "merge", verifyChunks = 2)
       .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
     assert(skM === sk8)
-    // 5. domain refusals
+    // 5. domain refusals — and the AutoK sentinel (k = 0, the r16
+    //    default) resolves the recall-sized width: 8 at t′ = 0.5 ×
+    //    target 0.995, so q126's output is unchanged by the default flip
     val e = intercept[IllegalArgumentException](
-      Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = 0))
+      Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = -1))
     assert(e.getMessage.contains("k"))
+    val skAuto = Dedup.containmentSketchOfShingles(sh, 500000L, 100)
+      .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+    assert(skAuto === sk8)
+  }
+
+  test("AutoK sizes the sketch from the threshold and the stated " +
+      "per-pair recall floor, minimally") {
+    assert(Dedup.autoKFor(500000L, 995000L) === 8) // q126's regime
+    assert(Dedup.autoKFor(800000L, 995000L) === 4)
+    assert(Dedup.autoKFor(500000L, 750000L) === 2)
+    // t′ = 1: one sampled shingle of a fully-contained doc is shared
+    assert(Dedup.autoKFor(1000000L, 995000L) === 1)
+    // the floor 1 − (1−t′)^k ≥ target holds at the resolved k, and k−1
+    // would not clear it (minimality), across a threshold × target grid
+    for (tp <- Seq(100000L, 300000L, 500000L, 800000L, 990000L);
+         rt <- Seq(500000L, 900000L, 995000L, 999900L)) {
+      val k = Dedup.autoKFor(tp, rt)
+      val recallAt = (n: Int) => 1.0 - math.pow(1.0 - tp / 1e6, n)
+      assert(recallAt(k) >= rt / 1e6 - 1e-12,
+        s"floor fails at t'=$tp target=$rt k=$k")
+      if (k > 1) assert(recallAt(k - 1) < rt / 1e6,
+        s"k not minimal at t'=$tp target=$rt k=$k")
+    }
+    // a 1.0 floor is the exact path's contract, refused by name
+    val e = intercept[IllegalArgumentException](
+      Dedup.autoKFor(500000L, 1000000L))
+    assert(e.getMessage.contains("exact path"))
   }
 
   test("randomized corpora: prefix paths equal the classic stages and " +
@@ -636,6 +685,15 @@ class DedupSimilaritySpec extends SparkSpec {
       verifyChunks = 1, candChunks = 1, diskBudgetBytes = 64L)
       .collect().map(_.toSeq).toSeq
     assert(explicit === exact)
+    // 4. the total-jobs rail fires when ANY knob was auto-resolved: an
+    //    explicit candChunks=1 with an AUTO verifyChunks at an impossible
+    //    budget must refuse, not silently resolve thousands of verify
+    //    jobs (ADVICE r15 — the r15 rail required both knobs auto)
+    val eo = intercept[IllegalArgumentException](
+      Dedup.containmentPrefixOf(docs, verify = "merge",
+        candChunks = 1, diskBudgetBytes = 64L))
+    assert(eo.getMessage.contains("job rail") &&
+      eo.getMessage.contains("BOTH chunk knobs"))
   }
 
   test("persisted index refuses legacy string-keyed shingles loudly") {
