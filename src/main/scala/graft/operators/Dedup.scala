@@ -1629,8 +1629,26 @@ object Dedup {
     * bytes per (doc, shingle) plus one digest row per doc — never the
     * corpus text. */
   def writeDedupIndex(docs: DataFrame, path: String): Unit = {
-    shinglesOf(docs).write.mode("overwrite").parquet(s"$path/shingles")
-    docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // string/UUID-keyed corpora persist in FINGERPRINT currency: the
+    // positional generators' bigint currency AND the index's ~16-byte
+    // posting contract (a URL key would widen every (doc, shingle) row
+    // ~5×), with the (orig_id, doc_id) dictionary persisted NEXT TO the
+    // state it translates. Increments and the base agree with no
+    // coordination — xxhash64 is layout- and rerun-stable — and the
+    // collision guard re-runs over dictionary ∪ increment at every
+    // commit ([[resolveIncomingCurrency]]). The dict lands FIRST: a
+    // dict-less index reads as bigint-keyed, so the dict must exist
+    // before hashes/_SUCCESS makes the index look complete.
+    val d =
+      if (docs.schema("doc_id").dataType ==
+          org.apache.spark.sql.types.LongType) docs
+      else {
+        docIdFingerprints(docs, "writeDedupIndex")
+          .write.mode("overwrite").parquet(s"$path/dict")
+        docs.select(xxhash64(col("doc_id")).as("doc_id"), col("text"))
+      }
+    shinglesOf(d).write.mode("overwrite").parquet(s"$path/shingles")
+    d.select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$path/hashes")
     // protocol stamp, written LAST: [[latestForestVersion]] refuses any
     // UNSTAMPED index carrying forest versions above v0. A pre-staged-
@@ -1789,6 +1807,85 @@ object Dedup {
     committedIncParts(spark, indexPath, "hashes")
       .foldLeft(spark.read.parquet(s"$indexPath/hashes"))(_ unionByName _)
 
+  /** Whether a persisted index carries the doc-id fingerprint dictionary
+    * — i.e. was written from a string/UUID-keyed corpus and stores its
+    * shingles/hashes/forest in fingerprint currency. */
+  private def indexHasDict(path: String): Boolean = {
+    val (fs, _) = protocolFs(path)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/dict"))
+  }
+
+  /** Read a dict-backed index's dictionary (base + committed increments)
+    * — one `(orig_id, doc_id)` row per doc ever committed, the exact id
+    * set of [[readIndexHashes]] in both currencies. */
+  private def readIndexDict(spark: SparkSession, path: String): DataFrame =
+    committedIncParts(spark, path, "dict")
+      .foldLeft(spark.read.parquet(s"$path/dict"))(_ unionByName _)
+
+  /** Resolve an increment's id currency against a persisted index's:
+    * a dict-backed index fingerprints the incoming ids and RE-RUNS the
+    * collision guard over dictionary ∪ increment — a collision would
+    * silently merge two documents' state, and the increment's ids were
+    * not visible when the seed's guard ran, so the guard is per-commit,
+    * never only at seed time (VERDICT r15 #1) — while a dict-less index
+    * requires bigint increments. Returns the increment in the index's
+    * WORKING currency plus, on the dict path, (dictionary ∪ increment
+    * for translating outputs back to original ids, the increment's own
+    * dictionary rows for version-keyed staging). */
+  private def resolveIncomingCurrency(spark: SparkSession,
+      indexPath: String, incoming: DataFrame, opName: String)
+      : (DataFrame, Option[(DataFrame, DataFrame)]) = {
+    val incIsLong = incoming.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (!indexHasDict(indexPath)) {
+      require(incIsLong,
+        s"$opName: the dedup index at $indexPath is bigint-keyed but " +
+          s"the increment's doc ids are ${incoming.schema("doc_id")
+            .dataType.simpleString} — fingerprint-dictionary indexes " +
+          "are created by writeDedupIndex over the string-keyed corpus " +
+          "itself; rebuild the index from the original corpus")
+      (incoming, None)
+    } else {
+      require(!incIsLong,
+        s"$opName: the dedup index at $indexPath is fingerprint-keyed " +
+          "(built from a string/UUID-keyed corpus) but the increment's " +
+          "doc ids are bigint — a raw bigint is indistinguishable from " +
+          "a fingerprint; ship the increment in the corpus's original " +
+          "id currency")
+      val incDict = docIdFingerprints(incoming, opName)
+      val dictU = readIndexDict(spark, indexPath)
+        .unionByName(incDict).distinct()
+      val m = dictU.agg(countDistinct(col("orig_id")),
+        countDistinct(col("doc_id"))).head()
+      require(m.getLong(0) == m.getLong(1),
+        s"$opName: the doc-id fingerprint dictionary collided across " +
+          s"index ∪ increment (${m.getLong(0)} distinct ids -> " +
+          s"${m.getLong(1)} distinct fingerprints) — two documents " +
+          "would silently merge; this increment cannot be committed " +
+          "to this index")
+      (incoming.select(xxhash64(col("doc_id")).as("doc_id"),
+        col("text")), Some((dictU, incDict)))
+    }
+  }
+
+  /** Translate a fingerprint-currency unordered pair frame back to
+    * original ids, RE-CANONICALIZED so d1 = the smaller ORIGINAL id:
+    * fingerprint order is arbitrary in original-id order, and every
+    * min-id verdict rule downstream compares original ids. Dictionary
+    * joins pinned shuffled — the dictionary is corpus-sized at 100 TB.
+    * Columns beyond (d1, d2) pass through. */
+  private def pairsToOriginal(pairs: DataFrame,
+      dict: DataFrame): DataFrame = {
+    val rest = pairs.columns.filterNot(Set("d1", "d2")).map(col).toSeq
+    pairs
+      .join(dict.select(col("doc_id").as("d1"), col("orig_id").as("o1"))
+        .hint("shuffle_hash"), Seq("d1"))
+      .join(dict.select(col("doc_id").as("d2"), col("orig_id").as("o2"))
+        .hint("shuffle_hash"), Seq("d2"))
+      .select(least(col("o1"), col("o2")).as("d1") +:
+        greatest(col("o1"), col("o2")).as("d2") +: rest: _*)
+  }
+
   /** Dedup an `incoming` increment against a [[writeDedupIndex]]-persisted
     * corpus plus itself — [[incrementalDedupOf]]'s verdict rules
     * (shipped-corpus-wins; min-id within the increment) with the shipped
@@ -1798,12 +1895,24 @@ object Dedup {
   def incrementalDedupAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
+    // string/UUID-keyed corpora run the POSTING machinery in fingerprint
+    // currency (the index's stored currency — resolveIncomingCurrency
+    // fingerprints the increment and re-runs the collision guard), while
+    // the digests and every min-id tiebreak below stay in ORIGINAL
+    // currency, the only currency "smaller id wins" is defined in: the
+    // digest probes key on `h` alone, and the near-dup pairs join back
+    // through the dictionary re-canonicalized by original id before the
+    // loser rule reads them
+    val (incW, dictOpt) = resolveIncomingCurrency(spark, indexPath,
+      incoming, "incrementalDedupAgainstIndex")
     val idxSh = readIndexShingles(spark, indexPath)
     val idxHashes = readIndexHashes(spark, indexPath)
-    val newSh = shinglesOf(incoming)
+    val newSh = shinglesOf(incW)
     val newHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-    val pairs = incrementalPairsOf(idxSh.unionByName(newSh), newSh,
+    val pairsW = incrementalPairsOf(idxSh.unionByName(newSh), newSh,
       threshold, maxDf)
+    val pairs = dictOpt.map { case (dictU, _) =>
+      pairsToOriginal(pairsW, dictU) }.getOrElse(pairsW)
     val incIds = incoming.select(col("doc_id"))
     // exact: digest in the shipped index (any id) or a smaller-id
     // incoming doc — both probes digest-keyed, pinned shuffled
@@ -1925,20 +2034,29 @@ object Dedup {
   def writeClusterForest(docs: DataFrame, path: String,
       threshold: Double = 0.8, maxDf: Int = 100,
       verifyChunks: Int = 0): Unit = {
-    // the seed's pair stage rides the PREFIX path whenever the doc-id
-    // currency allows: identical pairs to the classic stage (q119 ≡ q21,
-    // oracle-proven row for row) and the only shape that completes the
-    // 100× decade on one box — the classic stage's ~11B emissions
-    // ENOSPC'd there (SCALE_r13 session G), re-measured as THIS seed's
-    // own failure when the 100× forest pre-stage died through it
-    // (SCALE_r14 session G). Non-long doc ids keep the id-agnostic
-    // classic stage, as everywhere else in the prefix family.
+    // the seed's pair stage rides the PREFIX path in EVERY currency:
+    // identical pairs to the classic stage (q119 ≡ q21, oracle-proven
+    // row for row) and the only shape that completes the 100× decade on
+    // one box — the classic stage's ~11B emissions ENOSPC'd there
+    // (SCALE_r13 session G), re-measured as THIS seed's own failure when
+    // the 100× forest pre-stage died through it (SCALE_r14 session G).
+    // String/UUID-keyed corpora seed in FINGERPRINT currency — matching
+    // the state writeDedupIndex persists for them, so the forest's edges
+    // and the later increments' pair frames share one currency (the r15
+    // fallback to the classic stage was the one seed shape that cannot
+    // run decades, VERDICT r15 #2). The collision guard re-runs here:
+    // the forest may be seeded later than the index.
     val pairs =
       if (docs.schema("doc_id").dataType ==
           org.apache.spark.sql.types.LongType)
         ngramJaccardPrefixOfShingles(shinglesOf(docs), threshold, maxDf,
           verifyChunks = verifyChunks)
-      else ngramJaccardOf(docs, threshold, maxDf)
+      else {
+        val _ = docIdFingerprints(docs, "writeClusterForest")
+        ngramJaccardPrefixOfShingles(shinglesOf(docs.select(
+            xxhash64(col("doc_id")).as("doc_id"), col("text"))),
+          threshold, maxDf, verifyChunks = verifyChunks)
+      }
     val labels = Curation.connectedComponentsStar(
       pairs.select(col("d1"), col("d2")))
     labels.filter(col("id") =!= col("label"))
@@ -2009,6 +2127,43 @@ object Dedup {
     s"v2:${r.getLong(0)}:$h"
   }
 
+  /** Relabel a `(orig_id, root)` membership frame by each component's
+    * min ORIGINAL id: fingerprint-currency forest roots are arbitrary in
+    * original-id order, and the cluster contract (q50/q118) is
+    * representative = component min-id — in the corpus's OWN currency.
+    * Deterministic across commits: membership is a pure function of the
+    * edge union, so the relabel never flips except when components
+    * merge (which legitimately revises verdicts, the q117 contract). */
+  private def relabelByMinOriginal(memb: DataFrame): DataFrame = {
+    val reps = memb.groupBy(col("root"))
+      .agg(min(col("orig_id")).as("cluster"))
+    memb.join(reps.hint("shuffle_hash"), Seq("root"))
+      .select(col("orig_id").as("doc_id"), col("cluster"))
+  }
+
+  /** The cluster frame of a COMMITTED index state (forest version `v`):
+    * every seen doc with its component representative — min original id
+    * through the dictionary on dict-backed indexes (the forest's
+    * fingerprint roots never surface), the forest's min-id roots (= min
+    * original, same currency) on bigint ones. */
+  private def assembleClusters(spark: SparkSession, indexPath: String,
+      v: Int, dictOpt: Option[DataFrame]): DataFrame = {
+    val forest = spark.read.parquet(s"$indexPath/forest/v$v")
+      .withColumnRenamed("d1", "doc_id")
+    dictOpt match {
+      case None =>
+        readIndexHashes(spark, indexPath).select(col("doc_id"))
+          .join(forest.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("d2"), col("doc_id")).as("cluster"))
+      case Some(dict) =>
+        relabelByMinOriginal(dict
+          .join(forest.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("orig_id"),
+            coalesce(col("d2"), col("doc_id")).as("root")))
+    }
+  }
+
   /** Incremental CLUSTER commit against a persisted index + star forest —
     * the q87/q94 daily-increment pattern upgraded from pairwise verdicts
     * to the cluster form real pipelines ship (q50's): one row per doc
@@ -2063,6 +2218,14 @@ object Dedup {
       else org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
         incoming.select(col("doc_id"), col("text")).localCheckpoint())
     val dig = if (commit) incrementDigest(inc) else ""
+    // currency resolution sits AFTER the digest (the digest hashes the
+    // ORIGINAL ids — a crash retry must reproduce it) and BEFORE the
+    // replay scan, whose early return assembles committed state through
+    // the dictionary. On dict-backed indexes this fingerprints the
+    // increment and re-runs the collision guard — per commit, the
+    // increment's ids were invisible to the seed's guard.
+    val (incW, dictOpt) = resolveIncomingCurrency(spark, indexPath, inc,
+      "incrementalClustersAgainstIndex")
     if (commit) {
       // scan EVERY committed marker, not only the tail: a replayed
       // upstream queue can re-ship increment N−1 after N committed, and
@@ -2075,13 +2238,10 @@ object Dedup {
         case Some(k) if k == v =>
           // the latest committed increment IS this one (a retry after a
           // crash that landed past the marker): serve the committed
-          // state, write nothing
-          return readIndexHashes(spark, indexPath).select(col("doc_id"))
-            .join(spark.read.parquet(s"$indexPath/forest/v$v")
-              .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("d2"), col("doc_id")).as("cluster"))
+          // state, write nothing. dictOpt's union dict equals the
+          // committed dictionary here — the increment's rows are already
+          // in it.
+          return assembleClusters(spark, indexPath, v, dictOpt.map(_._1))
             .withColumn("keep",
               when(col("cluster") === col("doc_id"), 1).otherwise(0))
             .orderBy(col("doc_id"))
@@ -2096,11 +2256,14 @@ object Dedup {
       }
     }
     val idxSh = readIndexShingles(spark, indexPath)
-    val newSh = shinglesOf(inc)
+    val newSh = shinglesOf(incW)
     // materialize the pair probe once (checkpoint): the contraction and its
     // vertex frame both consume it, and in commit mode nothing downstream
     // may lazily re-read index files the appends below are about to grow
-    // (the df gate would silently shift under the plan)
+    // (the df gate would silently shift under the plan). On dict-backed
+    // indexes this frame — like the forest it contracts into — is
+    // fingerprint currency throughout; original ids surface only in the
+    // assembled output.
     val pairs = org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
       incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold, maxDf)
         .select(col("d1"), col("d2"))
@@ -2110,33 +2273,41 @@ object Dedup {
       prev.unionByName(pairs).distinct())
     val assembled =
       if (commit) {
-        // the crash-safe write sequence (scaladoc above): three staged
-        // OVERWRITES under version-keyed paths, then the single marker
-        // that makes v+1 visible. Any prefix of this sequence is
+        // the crash-safe write sequence (scaladoc above): the staged
+        // OVERWRITES under version-keyed paths (plus the increment's
+        // dictionary rows on dict-backed indexes), then the single
+        // marker that makes v+1 visible. Any prefix of this sequence is
         // invisible to readers and harmlessly overwritten by a re-run.
         val incDir = s"$indexPath/inc/v${v + 1}"
         labels.filter(col("id") =!= col("label"))
           .select(col("id").as("d1"), col("label").as("d2"))
           .write.mode("overwrite").parquet(s"$indexPath/forest/v${v + 1}")
         newSh.write.mode("overwrite").parquet(s"$incDir/shingles")
-        inc.select(col("doc_id"), md5(col("text")).as("h"))
+        incW.select(col("doc_id"), md5(col("text")).as("h"))
           .write.mode("overwrite").parquet(s"$incDir/hashes")
+        dictOpt.foreach { case (_, incDict) =>
+          incDict.write.mode("overwrite").parquet(s"$incDir/dict") }
         writeMarkerAtomic(indexPath, v + 1, dig)
-        // assemble from the committed files: hashes now carry every seen
-        // doc id, the forest file is this commit's contraction
-        readIndexHashes(spark, indexPath).select(col("doc_id"))
-          .join(spark.read.parquet(s"$indexPath/forest/v${v + 1}")
-            .withColumnRenamed("d1", "doc_id").hint("shuffle_hash"),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("d2"), col("doc_id")).as("cluster"))
+        // assemble from the committed files: hashes/dict now carry every
+        // seen doc id, the forest file is this commit's contraction
+        assembleClusters(spark, indexPath, v + 1, dictOpt.map(_._1))
       } else {
-        readIndexHashes(spark, indexPath).select(col("doc_id"))
-          .unionByName(inc.select(col("doc_id")))
-          .join(labels.withColumnRenamed("id", "doc_id")
-            .hint("shuffle_hash"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("label"), col("doc_id")).as("cluster"))
+        val labeled = labels.withColumnRenamed("id", "doc_id")
+        dictOpt match {
+          case None =>
+            readIndexHashes(spark, indexPath).select(col("doc_id"))
+              .unionByName(incW.select(col("doc_id")))
+              .join(labeled.hint("shuffle_hash"), Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("label"), col("doc_id")).as("cluster"))
+          case Some((dictU, _)) =>
+            // dictU = committed dictionary ∪ increment — exactly the
+            // read-only world's seen-doc set, in both currencies
+            relabelByMinOriginal(dictU
+              .join(labeled.hint("shuffle_hash"), Seq("doc_id"), "left")
+              .select(col("orig_id"),
+                coalesce(col("label"), col("doc_id")).as("root")))
+        }
       }
     assembled
       .withColumn("keep",

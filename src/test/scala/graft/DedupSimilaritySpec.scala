@@ -966,6 +966,91 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally rmrf(path)
   }
 
+  test("string-keyed corpora ride the persisted index/forest family in " +
+      "fingerprint currency, long-twin-identical under the id bijection") {
+    import spark.implicits._
+    // ORDER-PRESERVING string twin (zero-padded): the min-id tiebreaks
+    // and cluster representatives must map under the bijection, so the
+    // long fixture's results translate row for row — the differential
+    // that pins verdicts AND cluster labels in original-id currency
+    def mapped(id: Long) = f"doc-$id%09d"
+    val docsL = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val docsS = docsL.select(
+      concat(lit("doc-"), lpad($"doc_id".cast("string"), 9, "0"))
+        .as("doc_id"), $"text")
+    val isIncL = pmod($"doc_id", lit(10)) === 0
+    val isIncS = substring($"doc_id", -1, 1) === "0"
+    val base = s"target/testidx/fp${System.nanoTime()}"
+    val pathS = s"$base/s"
+    val pathL = s"$base/l"
+    try {
+      // 1. verdict family: index the shipped 90%, dedup the mod-10
+      //    increment — string verdicts == long verdicts with ids mapped
+      Dedup.writeDedupIndex(docsS.filter(!isIncS), pathS)
+      Dedup.writeDedupIndex(docsL.filter(!isIncL), pathL)
+      val vS = Dedup.incrementalDedupAgainstIndex(spark, pathS,
+        docsS.filter(isIncS)).collect().map(_.toSeq).toSeq
+      val vL = Dedup.incrementalDedupAgainstIndex(spark, pathL,
+        docsL.filter(isIncL)).collect()
+        .map(r => Seq[Any](mapped(r.getLong(0)), r.get(1), r.get(2),
+          r.get(3))).toSeq
+      assert(vS === vL && vS.nonEmpty)
+      assert(vS.exists(_(3) == 0), "planted dups must drop something")
+      // the persisted state is FINGERPRINT currency (the 16-byte posting
+      // contract — a URL key would widen every posting row) + the dict
+      val lt = org.apache.spark.sql.types.LongType
+      assert(spark.read.parquet(s"$pathS/shingles")
+        .schema("doc_id").dataType === lt)
+      assert(spark.read.parquet(s"$pathS/hashes")
+        .schema("doc_id").dataType === lt)
+      assert(spark.read.parquet(s"$pathS/dict").count() ===
+        docsS.filter(!isIncS).count())
+      // 2. cluster family: forest seed (prefix path, fingerprint
+      //    currency) + one COMMIT — long-twin-identical, and the staged
+      //    inc/v1 carries the dict rows and fingerprint shingles/hashes
+      Dedup.writeClusterForest(docsS.filter(!isIncS), pathS)
+      Dedup.writeClusterForest(docsL.filter(!isIncL), pathL)
+      // the read-only form first (q118's shape — must run BEFORE the
+      // commit: a committed increment joins the df gate's world)
+      val roS = Dedup.incrementalClustersAgainstIndex(spark, pathS,
+        docsS.filter(isIncS), commit = false)
+        .collect().map(_.toSeq).toSeq
+      val roL = Dedup.incrementalClustersAgainstIndex(spark, pathL,
+        docsL.filter(isIncL), commit = false).collect()
+        .map(r => Seq[Any](mapped(r.getLong(0)), mapped(r.getLong(1)),
+          r.get(2))).toSeq
+      assert(roS === roL && roS.nonEmpty)
+      val cS = Dedup.incrementalClustersAgainstIndex(spark, pathS,
+        docsS.filter(isIncS)).collect().map(_.toSeq).toSeq
+      val cL = Dedup.incrementalClustersAgainstIndex(spark, pathL,
+        docsL.filter(isIncL)).collect()
+        .map(r => Seq[Any](mapped(r.getLong(0)), mapped(r.getLong(1)),
+          r.get(2))).toSeq
+      assert(cS === cL && cS.nonEmpty)
+      assert(cS === roS,
+        "the read-only form must equal the commit it previews")
+      assert(spark.read.parquet(s"$pathS/inc/v1/dict").count() ===
+        docsS.filter(isIncS).count())
+      assert(spark.read.parquet(s"$pathS/inc/v1/shingles")
+        .schema("doc_id").dataType === lt)
+      // 3. retry idempotency through the dictionary path: re-committing
+      //    the same increment re-serves the committed state unchanged
+      val cS2 = Dedup.incrementalClustersAgainstIndex(spark, pathS,
+        docsS.filter(isIncS)).collect().map(_.toSeq).toSeq
+      assert(cS2 === cS)
+      assert(Dedup.committedVersion(pathS) === 1)
+      // 4. currency mismatches refuse loudly in both directions
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.incrementalDedupAgainstIndex(spark, pathS,
+          docsL.filter(isIncL)))
+      assert(e1.getMessage.contains("fingerprint-keyed"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.incrementalDedupAgainstIndex(spark, pathL,
+          docsS.filter(isIncS)))
+      assert(e2.getMessage.contains("bigint-keyed"))
+    } finally rmrf(base)
+  }
+
   test("q118 commit is crash-safe: every torn write prefix serves the " +
       "prior version and a re-run completes idempotently") {
     import spark.implicits._
