@@ -1517,14 +1517,26 @@ object Dedup {
     * bit-identical to what the all-pairs batch pipeline (q21) emits for
     * that pair. Emits (d1 = min id, d2 = max id, jaccard ≥ threshold). */
   private[graft] def incrementalPairsOf(index: DataFrame, newSh: DataFrame,
-      threshold: Double, maxDf: Int): DataFrame = {
+      threshold: Double, maxDf: Int,
+      docLenOpt: Option[DataFrame] = None,
+      dfOpt: Option[DataFrame] = None): DataFrame = {
     // full-set sizes: Jaccard's denominator counts every shingle, gated or
-    // not, exactly like interCountsOfShingles' docLen
-    val docLen = index.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    // not, exactly like interCountsOfShingles' docLen. A caller that
+    // MAINTAINS these frames as state (df counts and per-doc lengths are
+    // additive under the append-only commit protocol — the q88 funnel
+    // appends per-increment deltas instead of re-aggregating the full
+    // posting index every commit, measured at 52% of the commit body in
+    // the r15 anatomy) passes them in; the defaults recompute from the
+    // index, and the two are spec-pinned identical (the convergence
+    // contract). `dfOpt` is the UNGATED (s, df) frame — the gate cap
+    // still applies here so maintained and recomputed calls share it.
+    val docLen = docLenOpt.getOrElse(
+      index.groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
     // df over the FULL index — the same gate the batch pipeline applies, so
     // candidate generation and intersection counts agree with it exactly.
     // O(distinct shingles) — pinned shuffled like interCountsOfShingles
-    val gate = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val gate = dfOpt.getOrElse(
+        index.groupBy(col("s")).agg(count(lit(1)).as("df")))
       .filter(col("df").between(2, maxDf))
       .select(col("s"))
       .hint("shuffle_hash")

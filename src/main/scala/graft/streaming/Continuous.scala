@@ -530,6 +530,17 @@ object Continuous {
     val flagsDir = s"$stateRoot/flags"
     val indexDir = s"$stateRoot/index"
     val losersDir = s"$stateRoot/losers"
+    // MAINTAINED df/docLen state (r16, VERDICT r15 #3): the r15 anatomy
+    // measured the per-commit full-index df aggregation at 52% of q88's
+    // commit body — yet df counts and per-doc shingle lengths are
+    // ADDITIVE under the append-only protocol, so each commit appends
+    // the increment's per-shingle delta (s, dc) and per-doc lengths
+    // (doc_id, c) and the gate reads a sum over deltas (state rows ~
+    // distinct shingles per increment) instead of re-shuffling the full
+    // (doc, shingle) posting index. Spec-pinned equal to the recomputed
+    // gate (DedupSimilaritySpec's convergence differential).
+    val dfDir = s"$stateRoot/df"
+    val lenDir = s"$stateRoot/len"
     // per-trigger increment width, the one knob the loser-state append
     // width below must track (ADVICE r15: a literal 2 would serialize
     // the incrementalPairsOf write on deployments with wider triggers)
@@ -572,31 +583,45 @@ object Continuous {
                 when(col("quality") >= qualityMin, 1).otherwise(0).as("f_q"),
                 when(col("lang") === lang, 1).otherwise(0).as("f_lang"))
               .write.mode("append").parquet(flagsDir)
-            // candidate index += the increment's shingles
-            graft.operators.Dedup
+            // candidate index += the increment's shingles; the SAME
+            // materialized frame feeds the df/docLen delta appends below
+            // (persist pins one evaluation across the three writes)
+            val incSh = graft.operators.Dedup
               .shinglesOf(docs.select(col("doc_id"), col("text")))
-              .write.mode("append").parquet(indexDir)
-            // near-dup losers involving the increment vs the whole index;
-            // the index frame feeds the df gate, both intersection sides
-            // and docLen — cache it for the commit instead of re-reading
-            // the state dir four times
-            val index = spark.read.parquet(indexDir).persist()
+              .persist()
             try {
-              val newSh = index.join(docs.select(col("doc_id")),
-                Seq("doc_id"), "left_semi")
               // the loser frame leaves incrementalPairsOf at shuffle
               // width (8 mostly-empty files per commit that every later
               // emit re-lists); state-append width should track the
               // INCREMENT size — the trigger's input file count — not
               // the shuffle setting. Measured (r15 q88 anatomy, same-
-              // session interleaved A/B at sf0.1): ~6% off the whole op
+              // session interleaved A/B at sf0.1): ~6% off the whole op.
+              // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
+              incSh.write.mode("append").parquet(indexDir)
+              incSh.groupBy(col("s")).agg(count(lit(1)).as("dc"))
+                .coalesce(losersCoalesce)
+                .write.mode("append").parquet(dfDir)
+              incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+                .coalesce(losersCoalesce)
+                .write.mode("append").parquet(lenDir)
+              // near-dup losers involving the increment vs the whole
+              // index: the posting join still reads the full index (the
+              // intersection evidence lives there), but the df gate and
+              // docLen come from the MAINTAINED sums — per-commit
+              // aggregation input shrinks from every (doc, shingle) row
+              // ever shipped to the delta state
+              val index = spark.read.parquet(indexDir)
+              val docLen = spark.read.parquet(lenDir)
+              val dfm = spark.read.parquet(dfDir)
+                .groupBy(col("s")).agg(sum(col("dc")).as("df"))
               graft.operators.Dedup
-                .incrementalPairsOf(index, newSh, threshold, maxDf)
+                .incrementalPairsOf(index, incSh, threshold, maxDf,
+                  docLenOpt = Some(docLen), dfOpt = Some(dfm))
                 .select(col("d2").as("doc_id"))
                 .coalesce(losersCoalesce)
                 .write.mode("append").parquet(losersDir)
-            } finally { index.unpersist(); () }
+            } finally { incSh.unpersist(); () }
             // emit the cumulative funnel over the flag store
             val flags = spark.read.parquet(flagsDir)
             val keepers = flags.groupBy(col("h"))
