@@ -1889,6 +1889,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val expected = full.filter { case ((d1, d2), _) =>
       sampledDocs.contains(d1) && sampledDocs.contains(d2) }
     assert(samp === expected)
+    // coverage ≈ f² — the probe contract the 30× sessions measured
+    // (1.0025% vs 1.0000% predicted at f = 0.1, SCALE_r15), pinned at
+    // fixture scale as the regression net: a pair survives iff both
+    // endpoints do, p = f² = 0.25 at the default f, within 4 binomial
+    // standard errors of the full candidate count
+    val cov = samp.size.toDouble / full.size
+    assert(full.nonEmpty &&
+      math.abs(cov - 0.25) <= 4 * math.sqrt(0.25 * 0.75 / full.size),
+      s"pair coverage $cov strays from f²=0.25 (${samp.size}/${full.size})")
     // f = 1 is the full audit verbatim
     val f1 = Dedup.minhashAccuracySampled(spark, sfDir,
       sampleFraction = 1.0).collect()
@@ -1909,6 +1918,21 @@ class DedupSimilaritySpec extends SparkSpec {
       if (n > 0) assert(math.abs(r.getDouble(10) - BigDecimal(1.0 /
         math.sqrt(n.toDouble)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // agreement within stated error — the estimator contract the 30×
+    // probe sessions proved (every banding within 3 standard errors,
+    // SCALE_r15), pinned at fixture scale: per banding, the 1/f²-scaled
+    // candidate expectation sits within 4 stated standard errors of the
+    // FULL planner's (absolute floor for near-empty rungs)
+    val fullP = Dedup.lshPlanner(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    p.foreach { r =>
+      val key = (r.getInt(0), r.getInt(1))
+      val est = r.getDouble(8)
+      val relErr = if (r.isNullAt(10)) 1.0 else r.getDouble(10)
+      val slack = math.max(4.0 * relErr * math.max(est, fullP(key)), 16.0)
+      assert(math.abs(est - fullP(key)) <= slack,
+        s"banding $key: est $est vs full ${fullP(key)} exceeds $slack")
     }
     // fraction domain validated loudly on both twins
     val e1 = intercept[IllegalArgumentException](
