@@ -280,6 +280,16 @@ object ScaleSmoke {
       "containment_sketch" -> ((d, m) => operators.Dedup
         .containmentSketchOfShingles(operators.Dedup.shinglesOf(
           Tables.documents(spark, d)), 500000L, 100 * m, k = 8)),
+      // the r16 k-LADDER rows: AutoK's refusal advice ("lower k") rests
+      // on the stated floor 1−(1−t′)^k — these rows MEASURE the floor's
+      // slack (rows_out vs the exact path's true pair count at the same
+      // decade: recall ≥ 75% at k=2, ≥ 93.75% at k=4 stated)
+      "containment_sketch_k4" -> ((d, m) => operators.Dedup
+        .containmentSketchOfShingles(operators.Dedup.shinglesOf(
+          Tables.documents(spark, d)), 500000L, 100 * m, k = 4)),
+      "containment_sketch_k2" -> ((d, m) => operators.Dedup
+        .containmentSketchOfShingles(operators.Dedup.shinglesOf(
+          Tables.documents(spark, d)), 500000L, 100 * m, k = 2)),
       "containment_t8" -> ((d, m) => operators.Dedup.containmentOf(
         operators.Dedup.shinglesOf(Tables.documents(spark, d)),
         thresholdPpm = 800000L, maxDf = 100 * m)),

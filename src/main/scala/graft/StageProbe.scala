@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *  - `spangram` — the q77 sliding-window gram stage, hex-string vs
   *    native-long fingerprint currency A/B'd in one session (the r13
   *    currency lever; the hex form lives only here, as the probe twin).
+  *  - `funnelgate` — commit-body A/B of the q88 funnel's df gate
+  *    (recomputed full-index aggregation vs the r16 maintained delta
+  *    state): times incrementalPairsOf at the replay's FINAL commit in
+  *    both gate shapes, interleaved in one session, after pinning the
+  *    outputs identical.
   *  - `sweepcompare` — the full threshold sweep (q105) vs the sampled
   *    form (q123) in ONE session at the same dir/maxDf: per-rung rows
   *    carrying the full n_pairs, the sampled n_pairs_est, the stated
@@ -46,7 +51,8 @@ object StageProbe {
     val laps = args.lift(3).map(_.toInt).getOrElse(3)
     require(stage == "ngraminter" || stage == "prefixcand" ||
       stage == "spangram" || stage == "containcand" ||
-      stage == "sweepcompare" || stage == "plancompare",
+      stage == "sweepcompare" || stage == "plancompare" ||
+      stage == "funnelgate",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
@@ -216,6 +222,68 @@ object StageProbe {
         s""""emissions_kept":$emisKept,"cand":$candCnt,""" +
         s""""cand_len_filtered":$candLen,"cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "funnelgate") {
+      // commit-body A/B of the q88 funnel's df gate (VERDICT r15 #3 →
+      // r16): the r15 anatomy measured the per-commit FULL-INDEX df
+      // aggregation at 52% of the commit body; the maintained gate sums
+      // increment-sized deltas instead. The probe times exactly the
+      // changed stage — incrementalPairsOf over the accumulated index at
+      // the replay's FINAL commit (the biggest gate input of the run) —
+      // in both gate shapes, interleaved in one session, after pinning
+      // the two outputs identical. The maintained variant's delta frames
+      // are checkpointed OUTSIDE the timed window: they stand in for the
+      // funnel's on-disk df/len state, a parquet read in production.
+      import org.apache.spark.sql.graft.Bridge
+      val D = operators.Dedup
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val sh = Bridge.dropOriginConstraints(
+        D.shinglesOf(docs).localCheckpoint())
+      val commits = 4 // q88's replay shape: 8 staged files, 2 per trigger
+      val part = pmod(col("doc_id"), lit(commits))
+      val newSh = sh.filter(part === commits - 1)
+      val dfState = Bridge.dropOriginConstraints(
+        (0 until commits).map(i => sh.filter(part === i)
+            .groupBy(col("s")).agg(count(lit(1)).as("dc")))
+          .reduce(_ unionByName _).localCheckpoint())
+      val lenState = Bridge.dropOriginConstraints(
+        (0 until commits).map(i => sh.filter(part === i)
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
+          .reduce(_ unionByName _).localCheckpoint())
+      def recompute = D.incrementalPairsOf(sh, newSh, 0.8, maxDf)
+      def maintained = D.incrementalPairsOf(sh, newSh, 0.8, maxDf,
+        docLenOpt = Some(lenState),
+        dfOpt = Some(dfState.groupBy(col("s"))
+          .agg(sum(col("dc")).as("df"))))
+      // order-insensitive content digest — the convergence contract,
+      // verified in-session before any timing is trusted
+      def digest(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("d1"), col("d2"),
+            col("jaccard").cast("string")).cast("decimal(38,0)"))).head()
+        (r.getLong(0),
+          if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+      }
+      val dR = digest(recompute)
+      require(digest(maintained) == dR,
+        s"gate shapes disagree at $dir maxDf=$maxDf")
+      for (lap <- 1 to laps;
+           (name, mk) <- Seq("recompute" -> (() => recompute),
+             "maintained" -> (() => maintained))) {
+        val obs = org.apache.spark.sql.Observation()
+        val t0 = System.nanoTime()
+        mk().observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").format("noop").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"funnelgate_$name","dir":"$dir",""" +
+          f""""maxDf":$maxDf,"lap":$lap,"sec":$s%.2f,""" +
+          s""""rows_out":${obs.get("rows")},"pairs_match":true,""" +
+          s""""load_1m":${Bench.loadavg1}}""")
+        System.gc()
+      }
       spark.stop()
       return
     }
