@@ -272,6 +272,12 @@ object ScaleSmoke {
       "ngram_prefix_merge_auto" -> ((d, m) => operators.Dedup
         .ngramJaccardPrefixOf(Tables.documents(spark, d),
           maxDf = 100 * m, verify = "merge")),
+      // the UNSLICED comparator (explicit verifyChunks bypasses pricing,
+      // candidate exchange unsliced — the r15 auto shape): same-day A/B
+      // against the auto row, attributing the candidate-slicing premium
+      "ngram_prefix_merge_vc3" -> ((d, m) => operators.Dedup
+        .ngramJaccardPrefixOf(Tables.documents(spark, d),
+          maxDf = 100 * m, verify = "merge", verifyChunks = 3)),
       // the sketch-gated LOW-threshold path (q126): candidates start
       // only from each contained doc's bottom-8-by-hash gated shingles
       // (miss prob <= (1-t')^k per qualifying pair; verify exact) — the
