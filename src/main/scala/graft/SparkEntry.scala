@@ -352,7 +352,22 @@ object SparkEntry {
     // gated shingles start candidates (miss prob ≤ (1-t')^k per
     // qualifying pair, verify exact) — the low-threshold scale path.
     // Deterministic md5 sample, so the oracle replays it bit-for-bit.
-    "q126_containment_sketch" -> ((s, d) => Dedup.containmentSketch(s, d))
+    "q126_containment_sketch" -> ((s, d) => Dedup.containmentSketch(s, d)),
+    // Sketch containment over a STRING-KEYED corpus (q127, r16): the same
+    // operator through the doc-id fingerprint dictionary — outputs in
+    // ORIGINAL id currency, and the bottom-k sample is shingle-hash-
+    // ranked (doc-id-independent), so the oracle recomputes the math
+    // over the string-keyed view directly with no fingerprint anywhere.
+    // k rides AutoK: the recall-sized default resolves 8 at the default
+    // t′ = 0.5 × target 0.995 — the oracle's r <= 8 — so the sizing rule
+    // itself is oracle-gated.
+    "q127_containment_sketch_fp" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+      Dedup.containmentSketchOf(
+        Tables.documents(s, d).select(
+          concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
+            .as("doc_id"), col("text")))
+    })
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -2634,6 +2649,52 @@ object SparkEntry {
       // integer score. The length filter is omitted — it never drops a
       // qualifying pair, and the exact score subsumes it.
       (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s
+        |         HAVING COUNT(*) BETWEEN 2 AND 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |rk AS (
+        |  SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(s), s)
+        |      AS r
+        |  FROM idx),
+        |bk AS (SELECT doc_id, s FROM rk WHERE r <= 8),
+        |cand AS (
+        |  SELECT DISTINCT bk.doc_id AS contained, idx.doc_id AS container
+        |  FROM bk JOIN idx ON bk.s = idx.s AND bk.doc_id <> idx.doc_id),
+        |inter AS (
+        |  SELECT cand.contained, cand.container, COUNT(*) AS i
+        |  FROM cand
+        |  JOIN idx a ON cand.contained = a.doc_id
+        |  JOIN idx b ON cand.container = b.doc_id AND a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT contained, container, i AS n_shared, ca.c AS n_shingles,
+        |  i * 1000000 // ca.c AS cont_ppm
+        |FROM inter JOIN docLen ca ON contained = ca.doc_id
+        |WHERE i * 1000000 // ca.c >= 500000
+        |ORDER BY contained, container""".stripMargin),
+
+    "q127_containment_sketch_fp" ->
+      // q126's math verbatim over the STRING-KEYED view of the corpus:
+      // the engine runs it through the fingerprint dictionary, but its
+      // output is in original-id currency and the bottom-k sample ranks
+      // shingle hashes (doc-id-independent), so the oracle needs no
+      // fingerprint anywhere — the strongest possible check that the
+      // dictionary route changes nothing observable.
+      ("""WITH docs2 AS (
+        |  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+        |    AS doc_id, text FROM documents),
+        |toks2 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+        |      AS t
+        |  FROM docs2),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(len(t) - 2),
+        |        i -> substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 16))) AS s
+        |    FROM toks2)),
         |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
         |rare AS (SELECT s FROM sh GROUP BY s
         |         HAVING COUNT(*) BETWEEN 2 AND 100),
