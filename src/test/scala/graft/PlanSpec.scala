@@ -317,6 +317,31 @@ class PlanSpec extends SparkSpec {
       s"native early-exit merge kernel expected in the verify:\n$p")
   }
 
+  test("q127 dictionary route keeps the sketch's merge shape: dict " +
+      "join-backs shuffled, no broadcast, no unkeyed join") {
+    StageMemo.clear()
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+    // the string-keyed route adds two corpus-sized dictionary join-backs
+    // after the verify — they are hinted shuffle_hash (the dictionary is
+    // corpus-sized at 100 TB; a silently-dropped hint would broadcast or
+    // sort-merge it) and nothing in the route may introduce a broadcast
+    // or an unkeyed join into the forced-merge shape
+    val docs = Tables.documents(spark, sfDir).select(
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
+        .as("doc_id"), col("text"))
+    val p = plan(operators.Dedup.containmentSketchOf(docs, k = 8,
+      verify = "merge", verifyChunks = 1))
+    assert(!p.contains("BroadcastExchange") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dict route must plan NO broadcast relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unkeyed join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dict join-backs must stay shuffled hash, not sort-merge:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"co-partitioned joins must be shuffled hash joins:\n$p")
+  }
+
   private def exchanges(p: String): Seq[String] =
     p.linesIterator.filter(_.contains("Exchange")).toSeq
 
