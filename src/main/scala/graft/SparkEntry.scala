@@ -367,7 +367,16 @@ object SparkEntry {
         Tables.documents(s, d).select(
           concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
             .as("doc_id"), col("text")))
-    })
+    }),
+    // Sketch-width calibration (q128, r17): the MeasuredK sizing rule as
+    // an oracle-checkable frame — the sampled recall ladder (true pairs
+    // of the md5-bucket contained-doc sample, each pair's minimal
+    // catching rank, per-k recall with its z=2 Wilson lower bound, the
+    // chosen minimal width clearing the 0.995 target). Deterministic end
+    // to end, so DuckDB recomputes every rung including the Wilson
+    // arithmetic.
+    "q128_sketch_calibration" ->
+      ((s, d) => Dedup.containmentSketchCalibration(s, d))
   )
 
   /** q21's oracle, shared verbatim by q119 (the prefix-filtered engine
@@ -2719,6 +2728,71 @@ object SparkEntry {
         |FROM inter JOIN docLen ca ON contained = ca.doc_id
         |WHERE i * 1000000 // ca.c >= 500000
         |ORDER BY contained, container""".stripMargin),
+
+    "q128_sketch_calibration" ->
+      // the MeasuredK recall ladder recomputed from scratch: true pairs
+      // of the md5-bucket contained-doc sample (f = 0.5, the q123
+      // idiom) through the exact containment math, each pair's minimal
+      // catching rank under q126's md5 rank order, per-k recall and its
+      // z=2 Wilson lower bound, the chosen minimal width clearing the
+      // 0.995 target (k ladder 1..8 — the analytic AutoK width at the
+      // defaults, the cap the measurement refines).
+      (s"""WITH $shinglesCte,
+        |docLen AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s
+        |         HAVING COUNT(*) BETWEEN 2 AND 100),
+        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+        |rk AS (
+        |  SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(s), s)
+        |      AS r
+        |  FROM idx),
+        |samp AS (
+        |  SELECT DISTINCT doc_id FROM idx
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT % 1000000 < 500000),
+        |candS AS (
+        |  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
+        |  FROM idx a JOIN samp ON a.doc_id = samp.doc_id
+        |  JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id),
+        |interS AS (
+        |  SELECT candS.contained, candS.container, COUNT(*) AS i
+        |  FROM candS
+        |  JOIN idx a ON candS.contained = a.doc_id
+        |  JOIN idx b ON candS.container = b.doc_id AND a.s = b.s
+        |  GROUP BY 1, 2),
+        |tp AS (
+        |  SELECT interS.contained, interS.container
+        |  FROM interS JOIN docLen ca ON contained = ca.doc_id
+        |  WHERE i * 1000000 // ca.c >= 500000),
+        |rmins AS (
+        |  SELECT tp.contained, tp.container, MIN(rk.r) AS rmin
+        |  FROM tp
+        |  JOIN rk ON tp.contained = rk.doc_id
+        |  JOIN idx b ON tp.container = b.doc_id AND rk.s = b.s
+        |  GROUP BY 1, 2),
+        |ks AS (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS k),
+        |stats AS (
+        |  SELECT k, COUNT(*) AS n_pairs,
+        |    COUNT(CASE WHEN rmin <= k THEN 1 END) AS caught
+        |  FROM rmins, ks GROUP BY k),
+        |lad AS (
+        |  SELECT ks.k, COALESCE(n_pairs, 0) AS n_pairs,
+        |    COALESCE(caught, 0) AS caught
+        |  FROM ks LEFT JOIN stats USING (k)),
+        |lad2 AS (
+        |  SELECT k, n_pairs, caught,
+        |    CASE WHEN n_pairs > 0
+        |         THEN ROUND(caught * 1.0 / n_pairs, 6) END AS recall,
+        |    CASE WHEN n_pairs > 0 THEN ROUND(
+        |      (caught + 2.0 - 2.0 * SQRT(
+        |        caught * (n_pairs - caught) / n_pairs + 1.0))
+        |      / (n_pairs + 4.0), 6) END AS recall_lcb
+        |  FROM lad)
+        |SELECT k, n_pairs, caught, recall, recall_lcb,
+        |  COALESCE(k = (SELECT MIN(k) FROM lad2 WHERE recall_lcb >= 0.995),
+        |    FALSE) AS chosen
+        |FROM lad2 ORDER BY k""".stripMargin),
 
     "q106_cluster_sizes" ->
       // the q50 component chain rolled up twice: cluster -> size,

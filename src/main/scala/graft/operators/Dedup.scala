@@ -1653,8 +1653,20 @@ object Dedup {
     // before hashes/_SUCCESS makes the index look complete.
     val d =
       if (docs.schema("doc_id").dataType ==
-          org.apache.spark.sql.types.LongType) docs
-      else {
+          org.apache.spark.sql.types.LongType) {
+        // a REBUILD over a formerly string-keyed index path must remove
+        // the old dictionary before anything else: a surviving dict/ dir
+        // makes indexHasDict misread the bigint rebuild as fingerprint-
+        // keyed — bigint increments get refused with a misleading
+        // message, string increments get fingerprinted and probed
+        // against raw-bigint postings where every dictionary join-back
+        // silently drops the pair (ADVICE r16). Same staleness class as
+        // ensureFixtureIndex's forest/inc cleanup, owned here because
+        // arbitrary callers rebuild through this entry point.
+        val (pfs, _) = protocolFs(path)
+        pfs.delete(new org.apache.hadoop.fs.Path(s"$path/dict"), true)
+        docs
+      } else {
         docIdFingerprints(docs, "writeDedupIndex")
           .write.mode("overwrite").parquet(s"$path/dict")
         docs.select(xxhash64(col("doc_id")).as("doc_id"), col("text"))
@@ -1705,9 +1717,15 @@ object Dedup {
     * the digest was added to close (ADVICE r13). Markers written by
     * [[writeMarkerAtomic]] land via an atomic rename, so the torn state
     * can only come from a pre-r14 writer or a truncated copy. */
-  private def markerDigest(path: String, v: Int): Option[String] = {
-    val (fs, _) = protocolFs(path)
-    val m = new org.apache.hadoop.fs.Path(s"$path/inc/v$v/_graft_commit")
+  private def markerDigest(path: String, v: Int): Option[String] =
+    dirMarkerContent(s"$path/inc/v$v")
+
+  /** A directory's committed-marker content, or None when the marker is
+    * missing, EMPTY or unreadable (the torn-write rule of
+    * [[markerDigest]], shared with compaction generations). */
+  private def dirMarkerContent(dir: String): Option[String] = {
+    val (fs, _) = protocolFs(dir)
+    val m = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
     try {
       val len = fs.getFileStatus(m).getLen
       if (len == 0L || len > (1L << 20)) None
@@ -1732,12 +1750,20 @@ object Dedup {
     * marker (ADVICE r13); [[markerDigest]]'s empty-is-uncommitted rule
     * covers markers that old writers already tore. */
   private def writeMarkerAtomic(path: String, v: Int,
-      digest: String): Unit = {
-    val (fs, _) = protocolFs(path)
-    val dir = s"$path/inc/v$v"
+      digest: String): Unit =
+    writeDirMarkerAtomic(s"$path/inc/v$v", digest)
+
+  /** The atomic-rename marker write shared by increment commits and
+    * compaction generations ([[compactDedupIndex]]): content lands in a
+    * same-directory temp file, then renames onto `_graft_commit` — on
+    * every Hadoop filesystem that rename is atomic, so readers observe
+    * no marker or the complete content, never a torn one. */
+  private[graft] def writeDirMarkerAtomic(dir: String,
+      content: String): Unit = {
+    val (fs, _) = protocolFs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_commit.tmp")
     val out = fs.create(tmp, true)
-    try out.write(digest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(dir, "_graft_commit")
     // a retry over a pre-r14 torn marker must replace it; the delete
@@ -1747,15 +1773,18 @@ object Dedup {
       s"atomic commit-marker rename failed under $dir")
   }
 
-  /** Version-numbered `vN` subdirectories of `base`, via the index's own
-    * filesystem. */
-  private def versionDirs(path: String, sub: String): Seq[Int] = {
+  /** Version-numbered `<prefix>N` subdirectories of `base` (`vN`
+    * increments / forests, `gN` compaction generations), via the index's
+    * own filesystem. */
+  private def versionDirs(path: String, sub: String,
+      prefix: String = "v"): Seq[Int] = {
     val (fs, _) = protocolFs(path)
     val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.drop(1).toInt)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches(prefix + "\\d+"))
+      .map(_.getPath.getName.drop(prefix.length).toInt)
   }
 
   /** Highest COMMITTED increment version of a persisted index (0 = the
@@ -1782,14 +1811,52 @@ object Dedup {
     latest
   }
 
-  /** The committed increments' frames of one index component
-    * (`shingles` / `hashes`) — versions above [[committedVersion]] are
+  /** Highest committed COMPACTION generation of a persisted index and
+    * the increment version it covers, or None for a never-compacted
+    * index. A generation `compact/gN` is committed iff its
+    * `_graft_commit` marker exists, is non-empty, and parses as
+    * `covers:<v>` with v ≤ the committed increment trail — a torn
+    * compaction (crash before the marker) is invisible and readers keep
+    * serving the prior state, exactly the increment protocol's rule. */
+  private[graft] def latestCompaction(path: String): Option[(Int, Int)] = {
+    val covers = "covers:(\\d+)".r
+    val v = committedVersion(path)
+    versionDirs(path, "compact", "g").sorted.reverse.iterator.flatMap {
+      g =>
+        dirMarkerContent(s"$path/compact/g$g").map(_.trim).collect {
+          case covers(n) if n.toInt <= v => (g, n.toInt)
+        }
+    }.nextOption()
+  }
+
+  /** A reader's resolution of the persisted-state layout: the BASE
+    * component location (the latest committed compaction generation when
+    * one exists, the [[writeDedupIndex]] base otherwise) plus the
+    * committed increment versions still to union on top. This is what
+    * bounds read cost under long commit trails (VERDICT r16 #1): without
+    * compaction every read plan grows one union leg and one file listing
+    * per commit, forever. Versions above [[committedVersion]] are
     * invisible even when their files exist (staged by an in-flight or
     * crashed commit). */
-  private def committedIncParts(spark: SparkSession, path: String,
-      what: String): Seq[DataFrame] =
-    (1 to committedVersion(path)).map(v =>
-      spark.read.parquet(s"$path/inc/v$v/$what"))
+  private def indexReadPlan(path: String): (String => String, Range) = {
+    val v = committedVersion(path)
+    latestCompaction(path) match {
+      case Some((g, covered)) =>
+        ((what: String) => s"$path/compact/g$g/$what", (covered + 1) to v)
+      case None =>
+        ((what: String) => s"$path/$what", 1 to v)
+    }
+  }
+
+  /** One component (`shingles`/`hashes`/`dict`) of the committed index
+    * state: the resolved base plus every still-uncompacted committed
+    * increment part. */
+  private def readIndexComponent(spark: SparkSession, path: String,
+      what: String): DataFrame = {
+    val (base, legs) = indexReadPlan(path)
+    legs.map(v => spark.read.parquet(s"$path/inc/v$v/$what"))
+      .foldLeft(spark.read.parquet(base(what)))(_ unionByName _)
+  }
 
   /** Read a persisted index's shingle frame (base + committed increments),
     * REFUSING a key-type mismatch: the engine hashes an increment's
@@ -1801,23 +1868,21 @@ object Dedup {
     * hands an arbitrary (possibly pre-r12, hex-keyed) index location. */
   private def readIndexShingles(spark: SparkSession,
       indexPath: String): DataFrame = {
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val idxSh = readIndexComponent(spark, indexPath, "shingles")
     val got = idxSh.schema("s").dataType
     require(got == org.apache.spark.sql.types.LongType,
       s"persisted dedup index at $indexPath stores ${got.simpleString} " +
         "shingle keys but the engine hashes increments to bigint — " +
         "rebuild the index with writeDedupIndex (legacy hex-keyed " +
         "indexes predate the r12 key currency)")
-    committedIncParts(spark, indexPath, "shingles")
-      .foldLeft(idxSh)(_ unionByName _)
+    idxSh
   }
 
-  /** Read a persisted index's digest frame (base + committed
+  /** Read a persisted index's digest frame (resolved base + committed
     * increments). */
   private def readIndexHashes(spark: SparkSession,
       indexPath: String): DataFrame =
-    committedIncParts(spark, indexPath, "hashes")
-      .foldLeft(spark.read.parquet(s"$indexPath/hashes"))(_ unionByName _)
+    readIndexComponent(spark, indexPath, "hashes")
 
   /** Whether a persisted index carries the doc-id fingerprint dictionary
     * — i.e. was written from a string/UUID-keyed corpus and stores its
@@ -1827,12 +1892,79 @@ object Dedup {
     fs.exists(new org.apache.hadoop.fs.Path(s"$path/dict"))
   }
 
-  /** Read a dict-backed index's dictionary (base + committed increments)
-    * — one `(orig_id, doc_id)` row per doc ever committed, the exact id
-    * set of [[readIndexHashes]] in both currencies. */
+  /** Read a dict-backed index's dictionary (resolved base + committed
+    * increments) — one `(orig_id, doc_id)` row per doc ever committed,
+    * the exact id set of [[readIndexHashes]] in both currencies. */
   private def readIndexDict(spark: SparkSession, path: String): DataFrame =
-    committedIncParts(spark, path, "dict")
-      .foldLeft(spark.read.parquet(s"$path/dict"))(_ unionByName _)
+    readIndexComponent(spark, path, "dict")
+
+  /** COMPACT a persisted index's committed state (VERDICT r16 #1): fold
+    * the resolved base plus every committed increment part into ONE new
+    * compaction generation per component (`compact/gN/shingles`,
+    * `/hashes`, `/dict` on dict-backed indexes), made visible by the
+    * same atomic content marker the increment protocol uses (content
+    * `covers:<v>`, the committed version the generation folds in).
+    * Without this, [[readIndexShingles]]/[[readIndexHashes]]/
+    * [[readIndexDict]] union one leg and list one directory per commit
+    * FOREVER — at daily-commit cadence, thousands of plan legs within a
+    * few years, re-growing in file-listing form the read cost the
+    * maintained structures removed.
+    *
+    * Crash-safety is the increment protocol's: the generation's files
+    * are staged overwrites, invisible until the marker lands (a torn
+    * compaction serves the PRIOR state exactly); a retry overwrites the
+    * staged files idempotently; a crash after the marker re-enters
+    * through the early return and finishes the garbage collection.
+    * After the marker, superseded state is dropped — older compaction
+    * generations, the covered increments' data parts, and forest
+    * versions below the committed tail — while every increment's
+    * `_graft_commit` marker is KEPT: the markers are the committed
+    * trail ([[committedVersion]] contiguity) and the replay-refusal
+    * digest set, and they are bytes, not data. The forest seed `v0` is
+    * kept as the [[latestForestVersion]] protocol witness.
+    *
+    * Returns the covered version. Compacting a never-incremented index
+    * (v = 0) is a no-op — the base IS the compact form. */
+  def compactDedupIndex(spark: SparkSession, path: String): Int = {
+    val v = committedVersion(path)
+    val cur = latestCompaction(path)
+    if (v == 0 && cur.isEmpty) return 0
+    if (cur.exists(_._2 == v)) { gcCompacted(path); return v }
+    val g = cur.map(_._1 + 1).getOrElse(1)
+    val dst = s"$path/compact/g$g"
+    readIndexShingles(spark, path)
+      .write.mode("overwrite").parquet(s"$dst/shingles")
+    readIndexHashes(spark, path)
+      .write.mode("overwrite").parquet(s"$dst/hashes")
+    if (indexHasDict(path))
+      readIndexDict(spark, path)
+        .write.mode("overwrite").parquet(s"$dst/dict")
+    writeDirMarkerAtomic(dst, s"covers:$v")
+    gcCompacted(path)
+    v
+  }
+
+  /** Drop state a committed compaction superseded (idempotent — also the
+    * recovery path for a crash between the compaction marker and this
+    * GC): older compaction generations, covered increments' data parts
+    * (markers kept — they are the committed trail and the replay digest
+    * set), and forest versions strictly between the v0 seed witness and
+    * the committed tail (only the tail is ever read). */
+  private def gcCompacted(path: String): Unit = {
+    val (fs, _) = protocolFs(path)
+    def rm(p: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    latestCompaction(path).foreach { case (g, covered) =>
+      for (m <- versionDirs(path, "compact", "g") if m < g)
+        rm(s"$path/compact/g$m")
+      for (k <- 1 to covered; sub <- Seq("shingles", "hashes", "dict"))
+        rm(s"$path/inc/v$k/$sub")
+      val tail = committedVersion(path)
+      for (fv <- versionDirs(path, "forest") if fv > 0 && fv < tail)
+        rm(s"$path/forest/v$fv")
+    }
+  }
 
   /** Resolve an increment's id currency against a persisted index's:
     * a dict-backed index fingerprints the incoming ids and RE-RUNS the
@@ -1885,15 +2017,32 @@ object Dedup {
     * fingerprint order is arbitrary in original-id order, and every
     * min-id verdict rule downstream compares original ids. Dictionary
     * joins pinned shuffled — the dictionary is corpus-sized at 100 TB.
-    * Columns beyond (d1, d2) pass through. */
-  private def pairsToOriginal(pairs: DataFrame,
+    * Columns beyond (d1, d2) pass through.
+    *
+    * The joins are LEFT + loud-on-null, not inner: a fingerprint absent
+    * from the dictionary (state skew — a partially copied index, a
+    * legacy stale dict) must fail the job, never silently drop the pair
+    * — an inner join here was the mechanism turning dictionary gaps
+    * into silent recall loss (ADVICE r16). `raise_error` keeps the
+    * check zero-extra-actions: it rides the translate projection
+    * itself. */
+  private[graft] def pairsToOriginal(pairs: DataFrame,
       dict: DataFrame): DataFrame = {
     val rest = pairs.columns.filterNot(Set("d1", "d2")).map(col).toSeq
+    def checked(o: Column, d: Column): Column =
+      when(o.isNull, raise_error(concat(
+        lit("dedup fingerprint dictionary has no entry for pair " +
+          "endpoint "), d.cast("string"),
+        lit(" — the index's dict/ state is incomplete (partial copy or " +
+          "stale dictionary); rebuild the index with writeDedupIndex"))))
+        .otherwise(o)
     pairs
       .join(dict.select(col("doc_id").as("d1"), col("orig_id").as("o1"))
-        .hint("shuffle_hash"), Seq("d1"))
+        .hint("shuffle_hash"), Seq("d1"), "left")
       .join(dict.select(col("doc_id").as("d2"), col("orig_id").as("o2"))
-        .hint("shuffle_hash"), Seq("d2"))
+        .hint("shuffle_hash"), Seq("d2"), "left")
+      .select(checked(col("o1"), col("d1")).as("o1") +:
+        checked(col("o2"), col("d2")).as("o2") +: rest: _*)
       .select(least(col("o1"), col("o2")).as("d1") +:
         greatest(col("o1"), col("o2")).as("d2") +: rest: _*)
   }
@@ -2004,6 +2153,7 @@ object Dedup {
       }
       rm(new java.io.File(s"$path/forest"))
       rm(new java.io.File(s"$path/inc"))
+      rm(new java.io.File(s"$path/compact"))
       writeDedupIndex(shipped, path)
     }
     if (withForest && !freshAt(s"$path/forest/v0/_SUCCESS"))
@@ -2213,10 +2363,19 @@ object Dedup {
     * once at entry so the digest and both staged writes read one
     * materialization. `commit = false` is
     * the read-only fixture form (q118) — same output frame, no
-    * mutation, idempotent across verify/bench laps. */
+    * mutation, idempotent across verify/bench laps.
+    *
+    * `compactEvery = N ≥ 1` bounds long-trail read cost: once ≥ N
+    * committed increments sit above the last compaction, the commit
+    * triggers [[compactDedupIndex]] (after its own marker — the commit
+    * is durable first), so every reader's union stays ≤ N + 1 legs no
+    * matter how many increments ever shipped. 0 (the default) never
+    * compacts — the r12–r16 behavior. */
   def incrementalClustersAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
-      commit: Boolean = true): DataFrame = {
+      commit: Boolean = true, compactEvery: Int = 0): DataFrame = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 1 commits, or 0 to disable: $compactEvery")
     val v = latestForestVersion(indexPath)
     // in commit mode, ONE deterministic materialization of the incoming
     // frame: the digest, the replay scan and both staged writes below all
@@ -2300,9 +2459,25 @@ object Dedup {
         dictOpt.foreach { case (_, incDict) =>
           incDict.write.mode("overwrite").parquet(s"$incDir/dict") }
         writeMarkerAtomic(indexPath, v + 1, dig)
+        // THRESHOLD-TRIGGERED COMPACTION (VERDICT r16 #1), sitting AFTER
+        // the marker (the commit is durable either way — a crash inside
+        // the compaction leaves a torn, invisible generation) and BEFORE
+        // the assembled frame is built, so the returned plan reads the
+        // post-compaction layout and can never lazily touch increment
+        // parts the GC below it just dropped.
+        if (compactEvery > 0 && v + 1 -
+            latestCompaction(indexPath).map(_._2).getOrElse(0) >=
+            compactEvery)
+          compactDedupIndex(spark, indexPath)
         // assemble from the committed files: hashes/dict now carry every
-        // seen doc id, the forest file is this commit's contraction
-        assembleClusters(spark, indexPath, v + 1, dictOpt.map(_._1))
+        // seen doc id, the forest file is this commit's contraction. The
+        // dictionary is RE-READ from the committed state rather than
+        // reusing the lazy pre-commit union (identical content — the
+        // commit staged the increment's dict rows), so its read plan
+        // resolves against the post-compaction layout instead of
+        // increment parts the GC above may have just dropped.
+        assembleClusters(spark, indexPath, v + 1,
+          dictOpt.map(_ => readIndexDict(spark, indexPath)))
       } else {
         val labeled = labels.withColumnRenamed("id", "doc_id")
         dictOpt match {
@@ -2866,6 +3041,27 @@ object Dedup {
     * pattern — explicit k still pins it verbatim). */
   val AutoK: Int = 0
 
+  /** `k` sentinel for [[containmentSketch]]: size the sketch from a
+    * MEASURED sampled recall ladder instead of the analytic per-pair
+    * floor (VERDICT r16 #3 — the measured 30× ladder showed the floor
+    * loose by orders of magnitude in miss rate: k=2's stated 75% floor
+    * against an observed 0.99988, so [[AutoK]]'s k=8 overpays 4× in
+    * candidate volume on corpora whose true containment overlaps sit
+    * far above t′, which is most of them). The ladder
+    * ([[containmentSketchCalibration]]) hash-samples contained docs at
+    * `measureFraction` (the q123 md5-bucket idiom), computes their TRUE
+    * qualifying pairs exactly (the k = ∞ candidate set restricted to
+    * the sample, verified through the shared engine), reads each pair's
+    * minimal catching rank, and picks the smallest k whose Wilson lower
+    * confidence bound (z = 2, ~97.7% one-sided) on recall clears the
+    * target — never above the analytic k, which remains the worst case
+    * the measurement refines. Honest caveats: the bound is binomial
+    * over sampled PAIRS while the sample clusters by contained doc
+    * (pairs sharing a contained doc survive together), and a sample too
+    * small to clear the bound at any k falls back to the analytic
+    * width. */
+  val MeasuredK: Int = -1
+
   /** The recall-sized sketch width: the smallest k with
     * 1 − (1−t′)^k ≥ target, i.e. k = ⌈ln(1−target) / ln(1−t′)⌉.
     * Unlike [[Similarity.autoBitsFor]] this pays ZERO pricing actions —
@@ -2891,15 +3087,107 @@ object Dedup {
     else {
       val target = recallTargetPpm / 1e6
       def recallAt(n: Int) = 1.0 - math.pow(missPpm / 1e6, n)
-      // the log ratio's fp noise can overshoot by one on exact-boundary
-      // targets ((1−t′)^(k−1) = 1−target lands the ratio a few ulps
-      // above an integer); step down while the floor still holds — the
-      // returned k is the MINIMAL width clearing the stated floor
+      // the log ratio's fp noise can land a few ulps on EITHER side of
+      // an exact integer boundary ((1−t′)^(k−1) = 1−target): overshoot
+      // returns k+1, undershoot returns a k whose stated floor is
+      // silently violated. Correct in both directions — step down while
+      // the floor still holds at k−1, then step up until it holds at k
+      // (ADVICE r16: the r16 form only stepped down) — so the returned
+      // k is the MINIMAL width clearing the stated floor regardless of
+      // fp rounding direction.
       var k = math.max(1, math.ceil(
         math.log(1.0 - target) / math.log(missPpm / 1e6)).toInt)
       while (k > 1 && recallAt(k - 1) >= target) k -= 1
+      while (recallAt(k) < target) k += 1
       k
     }
+  }
+
+  /** The measured recall ladder behind [[MeasuredK]] (q128): one row per
+    * candidate sketch width k = 1..kMax. Ground truth is the sampled
+    * contained docs' TRUE qualifying pair set — the k = ∞ candidate set
+    * restricted to the md5-bucket doc sample (complete: a qualifying
+    * pair shares ≥ 1 gated shingle), verified exactly through the
+    * shared engine — so per pair the smallest catching rank `rmin` (the
+    * minimal hash rank among the contained side's shared gated
+    * shingles) decides the WHOLE ladder in one pass: a bottom-k sketch
+    * enumerates the pair iff rmin ≤ k. Every rung reports the sampled
+    * pair count, the caught count, recall, and its Wilson lower
+    * confidence bound at z = 2; `chosen` marks the minimal k whose
+    * bound clears the target (false everywhere when none does — the
+    * caller falls back to the analytic width). Deterministic end to end
+    * (md5 sample, md5 rank order), so DuckDB replays it bit-for-bit.
+    * Probe cost rides `sampleFraction` × the EXACT path's candidate
+    * volume — size f so that cost fits (the measured saving repays it
+    * on every later run of the sized sketch). */
+  private def sketchLadderOf(spark: SparkSession, ranked: DataFrame,
+      docLen: DataFrame, arrays: DataFrame, mode: String,
+      thresholdPpm: Long, sampleFraction: Double, kMax: Int,
+      recallTargetPpm: Long): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val sppm = math.round(sampleFraction * 1e6)
+    val truePairs = verifyPrefixCandidates(
+      sketchCandOf(ranked, docLen, thresholdPpm, Int.MaxValue,
+        docSamplePred(sppm)),
+      arrays, containNeededExpr(thresholdPpm), mode, 1,
+      "containmentSketchCalibration", suffixBound = false)(
+      containmentScoreOf(_, thresholdPpm))
+    val rmin = truePairs.select(col("contained"), col("container"))
+      .join(ranked.select(col("doc_id").as("contained"), col("s"),
+        (col("g") - col("rem")).as("r")), Seq("contained"))
+      .join(ranked.select(col("doc_id").as("container"), col("s"))
+        .hint("shuffle_hash"), Seq("container", "s"), "left_semi")
+      .groupBy(col("contained"), col("container"))
+      .agg(min(col("r")).as("rmin"))
+    val stats = rmin
+      .select(explode(sequence(lit(1), lit(kMax))).as("k"), col("rmin"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("rmin") <= col("k"), lit(1))).as("caught"))
+    import org.apache.spark.sql.expressions.Window
+    spark.range(1, kMax + 1L).select(col("id").cast("int").as("k"))
+      .join(stats, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("caught"), lit(0L)).as("caught"))
+      .withColumn("recall", when(col("n_pairs") > 0,
+        round(col("caught") * lit(1.0) / col("n_pairs"), 6)))
+      // Wilson lower bound at z = 2 (z² = 4 exact in doubles):
+      // (x + z²/2 − z·√(x(n−x)/n + z²/4)) / (n + z²) — the plain normal
+      // bound reads lcb = 1 at p̂ = 1 regardless of n, exactly the
+      // small-sample overconfidence a sizing rule must not have
+      .withColumn("recall_lcb", when(col("n_pairs") > 0, round(
+        (col("caught") + lit(2.0) - lit(2.0) *
+          sqrt(col("caught") * (col("n_pairs") - col("caught")) /
+            col("n_pairs") + lit(1.0))) /
+          (col("n_pairs") + lit(4.0)), 6)))
+      .withColumn("chosen", coalesce(
+        col("k") === min(when(col("recall_lcb") >=
+            lit(recallTargetPpm / 1e6), col("k")))
+          .over(Window.partitionBy()),
+        lit(false)))
+  }
+
+  /** Sampled sketch-width calibration (q128) — the [[MeasuredK]] sizing
+    * rule as a first-class, oracle-checkable frame: the recall ladder
+    * [[sketchLadderOf]] over the fixture corpus at the q123 sample
+    * fraction. A pipeline owner reads it to claim the ladder's measured
+    * saving (run the sketch at the `chosen` width) WITHOUT trusting the
+    * engine: every column replays in DuckDB. */
+  def containmentSketchCalibration(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 500000L, maxDf: Int = 100,
+      sampleFraction: Double = 0.5, recallTargetPpm: Long = 995000L,
+      verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    val (docLen, ranked, arrays, _, _, _) =
+      sketchFrames(shingles(spark, dir), thresholdPpm, maxDf)
+    val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
+      "containmentSketchCalibration")
+    sketchLadderOf(spark, ranked, docLen, arrays, mode, thresholdPpm,
+        sampleFraction, autoKFor(thresholdPpm, recallTargetPpm),
+        recallTargetPpm)
+      .orderBy(col("k"))
   }
 
   def containmentSketch(spark: SparkSession, dir: String,
@@ -2907,10 +3195,11 @@ object Dedup {
       verify: String = "auto", maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0,
       diskBudgetBytes: Long = defaultDiskBudgetBytes,
-      recallTargetPpm: Long = 995000L): DataFrame =
+      recallTargetPpm: Long = 995000L,
+      measureFraction: Double = 0.1): DataFrame =
     containmentSketchOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
         k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-        recallTargetPpm)
+        recallTargetPpm, measureFraction)
       .orderBy(col("contained"), col("container"))
 
   /** [[containmentSketch]] over an arbitrary `(doc_id, text)` frame —
@@ -2930,12 +3219,13 @@ object Dedup {
       maxDf: Int = 100, k: Int = AutoK, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20, verifyChunks: Int = 0,
       diskBudgetBytes: Long = defaultDiskBudgetBytes,
-      recallTargetPpm: Long = 995000L): DataFrame =
+      recallTargetPpm: Long = 995000L,
+      measureFraction: Double = 0.1): DataFrame =
     if (docs.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType)
       containmentSketchOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
           k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-          recallTargetPpm)
+          recallTargetPpm, measureFraction)
         .orderBy(col("contained"), col("container"))
     else {
       val dict = docIdFingerprints(docs, "containmentSketch")
@@ -2943,7 +3233,7 @@ object Dedup {
         col("text"))
       containmentSketchOfShingles(shinglesOf(fp), thresholdPpm, maxDf,
           k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-          recallTargetPpm)
+          recallTargetPpm, measureFraction)
         .join(dict.select(col("doc_id").as("contained"),
           col("orig_id").as("oc")).hint("shuffle_hash"), Seq("contained"))
         .join(dict.select(col("doc_id").as("container"),
@@ -2953,28 +3243,16 @@ object Dedup {
         .orderBy(col("contained"), col("container"))
     }
 
-  private[graft] def containmentSketchOfShingles(sh: DataFrame,
-      thresholdPpm: Long, maxDf: Int, k: Int = AutoK,
-      verify: String = "auto",
-      maxBroadcastBytes: Long = 256L << 20,
-      verifyChunks: Int = 0,
-      diskBudgetBytes: Long = defaultDiskBudgetBytes,
-      recallTargetPpm: Long = 995000L): DataFrame = {
-    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
-      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
-    require(k >= 0,
-      s"sketch size k must be >= 1, or AutoK (0) for recall-sized: $k")
-    val sk = if (k >= 1) k else autoKFor(thresholdPpm, recallTargetPpm)
-    require(verifyChunks >= 0,
-      s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
-    require(diskBudgetBytes > 0,
-      s"diskBudgetBytes must be positive: $diskBudgetBytes")
-    require(sh.schema("doc_id").dataType ==
-        org.apache.spark.sql.types.LongType,
-      "containmentSketch requires bigint doc ids (the shared verify " +
-        s"engine's currency); got ${sh.schema("doc_id").dataType
-          .simpleString} — use containmentSketchOf (the fingerprint-" +
-        "dictionary route) for other doc-id types")
+  /** The sketch family's shared frames over a `(doc_id, s)` shingle
+    * frame: the checkpointed per-doc length frame, the hash-RANKED gated
+    * frame, the verify array table, plus the sizing stats (total gated
+    * input rows, doc count, unroll byte estimate) the pricing rails
+    * read. The per-doc rank is md5 of the 16-lowercase-hex shingle form
+    * — the exact string the oracle's shingle CTE carries, so DuckDB
+    * replays the same bottom-k sample; ties break on the shingle key, so
+    * the order is total in practice. */
+  private def sketchFrames(sh: DataFrame, thresholdPpm: Long, maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame, Long, Long, Long) = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.expressions.Window
     val docLen = Bridge.dropOriginConstraints(
@@ -2982,15 +3260,10 @@ object Dedup {
     val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .hint("shuffle_hash")
-    // per-doc HASH rank (not the df-rarest prefix rank): md5 of the
-    // 16-lowercase-hex shingle form — the exact string the oracle's
-    // shingle CTE carries, so DuckDB replays the same sample. Ties
-    // break on the shingle key; md5 collisions are the only way two
-    // rows tie, so the order is total in practice.
     val byDoc = Window.partitionBy(col("doc_id"))
     // ONE head() over the checkpointed docs-sized length frame feeds both
     // the unroll estimate (scaleCheckpoint's input) and the doc count the
-    // cheap emission rail below needs
+    // cheap emission rail reads
     val lenStats = docLen.agg(sum(col("c")), count(lit(1))).head()
     val totalShingleRows = if (lenStats.isNullAt(0)) 0L else lenStats.getLong(0)
     val nDocs = math.max(1L, lenStats.getLong(1))
@@ -3010,27 +3283,78 @@ object Dedup {
     // sort_array — rank-order-independent; pfx/sfx are unused here,
     // suffixBound is hard-off on the sketch path)
     val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
-    // candidates: the contained side's bottom-k rows (r ≤ k ⇔
-    // rem ≥ g − k) probe the FULL gated index on the shingle key; one
-    // distinct-pair shuffle; the one-sided length filter (a qualifying
-    // pair needs i ≥ ⌈t′c1⌉ yet i ≤ c2) prunes before the verify.
-    // `slice` restricts which CONTAINED docs start candidates — the
-    // candidate-stage chunking lever (disjoint emission partitions,
-    // union == unsliced, exactly the exact path's candChunks argument)
-    def candOf(slice: Column): DataFrame = ranked
-      .filter(col("rem") >= col("g") - lit(sk) && slice)
-      .select(col("doc_id").as("d1"), col("s"))
-      .join(ranked.select(col("doc_id").as("d2"), col("s"))
-        .hint("shuffle_hash"), Seq("s"))
-      .filter(col("d1") =!= col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-      .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
-        .hint("shuffle_hash"), Seq("d1"))
-      .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
-        .hint("shuffle_hash"), Seq("d2"))
-      .filter(expr(s"${thresholdPpm}L * c1 <= 1000000L * c2"))
+    (docLen, ranked, arrays, totalShingleRows, nDocs, estBytes)
+  }
+
+  /** The sketch's candidate stage: the contained side's bottom-`kCap`
+    * rows (rank ≤ k ⇔ rem ≥ g − k) probe the FULL gated index on the
+    * shingle key; one distinct-pair shuffle; the one-sided length filter
+    * (a qualifying pair needs i ≥ ⌈t′c1⌉ yet i ≤ c2) prunes before the
+    * verify. `slice` restricts which CONTAINED docs start candidates —
+    * the chunking lever of the priced path AND the doc-sample lever of
+    * the recall ladder; `kCap = Int.MaxValue` degenerates to the full
+    * co-occurrence candidate set (the ladder's ground-truth source). */
+  private def sketchCandOf(ranked: DataFrame, docLen: DataFrame,
+      thresholdPpm: Long, kCap: Int, slice: Column): DataFrame = ranked
+    .filter(col("rem") >= col("g") - lit(kCap) && slice)
+    .select(col("doc_id").as("d1"), col("s"))
+    .join(ranked.select(col("doc_id").as("d2"), col("s"))
+      .hint("shuffle_hash"), Seq("s"))
+    .filter(col("d1") =!= col("d2"))
+    .select(col("d1"), col("d2")).distinct()
+    .join(docLen.select(col("doc_id").as("d1"), col("c").as("c1"))
+      .hint("shuffle_hash"), Seq("d1"))
+    .join(docLen.select(col("doc_id").as("d2"), col("c").as("c2"))
+      .hint("shuffle_hash"), Seq("d2"))
+    .filter(expr(s"${thresholdPpm}L * c1 <= 1000000L * c2"))
+
+  private[graft] def containmentSketchOfShingles(sh: DataFrame,
+      thresholdPpm: Long, maxDf: Int, k: Int = AutoK,
+      verify: String = "auto",
+      maxBroadcastBytes: Long = 256L << 20,
+      verifyChunks: Int = 0,
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      recallTargetPpm: Long = 995000L,
+      measureFraction: Double = 0.1): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
+    require(k >= MeasuredK,
+      s"sketch size k must be >= 1, AutoK (0) for recall-sized, or " +
+        s"MeasuredK (-1) for sample-measured: $k")
+    require(verifyChunks >= 0,
+      s"verifyChunks must be >= 1, or 0 for auto-priced: $verifyChunks")
+    require(diskBudgetBytes > 0,
+      s"diskBudgetBytes must be positive: $diskBudgetBytes")
+    require(sh.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType,
+      "containmentSketch requires bigint doc ids (the shared verify " +
+        s"engine's currency); got ${sh.schema("doc_id").dataType
+          .simpleString} — use containmentSketchOf (the fingerprint-" +
+        "dictionary route) for other doc-id types")
+    import org.apache.spark.sql.graft.Bridge
+    val (docLen, ranked, arrays, totalShingleRows, nDocs, estBytes) =
+      sketchFrames(sh, thresholdPpm, maxDf)
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "containmentSketch")
+    // the sketch width: explicit k verbatim; AutoK = the analytic
+    // per-pair floor; MeasuredK = the sampled recall ladder's minimal k
+    // whose Wilson lower bound clears the target (never above the
+    // analytic k — the measurement can only SAVE candidate volume, the
+    // analytic floor is the worst case it refines; VERDICT r16 #3)
+    val sk =
+      if (k >= 1) k
+      else if (k == AutoK) autoKFor(thresholdPpm, recallTargetPpm)
+      else {
+        val kA = autoKFor(thresholdPpm, recallTargetPpm)
+        val ladder = sketchLadderOf(sh.sparkSession, ranked, docLen,
+          arrays, mode, thresholdPpm, measureFraction, kA,
+          recallTargetPpm)
+        val chosen = ladder.filter(col("chosen"))
+          .agg(min(col("k"))).head()
+        if (chosen.isNullAt(0)) kA else math.min(chosen.getInt(0), kA)
+      }
+    def candOf(slice: Column): DataFrame =
+      sketchCandOf(ranked, docLen, thresholdPpm, sk, slice)
     def outOf(slice: Column, vChunks: Int): DataFrame =
       verifyPrefixCandidates(candOf(slice), arrays,
         containNeededExpr(thresholdPpm), mode, vChunks,

@@ -550,11 +550,12 @@ class DedupSimilaritySpec extends SparkSpec {
         verify = "merge", verifyChunks = 2)
       .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
     assert(skM === sk8)
-    // 5. domain refusals — and the AutoK sentinel (k = 0, the r16
-    //    default) resolves the recall-sized width: 8 at t′ = 0.5 ×
-    //    target 0.995, so q126's output is unchanged by the default flip
+    // 5. domain refusals (below the MeasuredK sentinel, -1, since r17)
+    //    — and the AutoK sentinel (k = 0, the r16 default) resolves the
+    //    recall-sized width: 8 at t′ = 0.5 × target 0.995, so q126's
+    //    output is unchanged by the default flip
     val e = intercept[IllegalArgumentException](
-      Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = -1))
+      Dedup.containmentSketchOfShingles(sh, 500000L, 100, k = -2))
     assert(e.getMessage.contains("k"))
     val skAuto = Dedup.containmentSketchOfShingles(sh, 500000L, 100)
       .orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
@@ -2179,5 +2180,207 @@ class DedupSimilaritySpec extends SparkSpec {
       s"median norm ratio $median outside the JL band")
     val mean = ratios.sum / ratios.length
     assert(mean > 0.6 && mean < 1.6, s"mean norm ratio $mean drifted")
+  }
+
+  test("index compaction folds committed state bit-identically — torn " +
+      "generations invisible, retries idempotent, the replay trail " +
+      "preserved, superseded parts dropped") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val part = pmod($"doc_id", lit(4))
+    val path = s"target/testidx/compact${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(docs.filter(part === 0), path)
+      Dedup.writeClusterForest(docs.filter(part === 0), path)
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 1)).collect()
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 2)).collect()
+      // the UNCOMPACTED read-world, all three consumer families
+      def verdicts() = Dedup.incrementalDedupAgainstIndex(spark, path,
+        docs.filter(part === 3)).collect().map(_.toSeq).toSeq
+      def clustersRO() = Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 3), commit = false)
+        .collect().map(_.toSeq).toSeq
+      val v0 = verdicts()
+      val c0 = clustersRO()
+      assert(v0.nonEmpty && c0.nonEmpty)
+      // a TORN compaction (crash before the marker: files staged, no
+      // _graft_commit) must be invisible — readers keep the r16 layout
+      docs.filter(part === 0).limit(1)
+        .select($"doc_id", xxhash64($"text").as("s"))
+        .write.mode("overwrite").parquet(s"$path/compact/g1/shingles")
+      assert(Dedup.latestCompaction(path) === None)
+      assert(verdicts() === v0, "a torn compaction must serve prior state")
+      // the real compaction: covers the committed tail, read-world
+      // unchanged bit for bit
+      assert(Dedup.compactDedupIndex(spark, path) === 2)
+      assert(Dedup.latestCompaction(path) === Some((1, 2)))
+      assert(verdicts() === v0)
+      assert(clustersRO() === c0)
+      // superseded state dropped, protocol witnesses kept: increment
+      // data parts gone, their markers (the committed trail + replay
+      // digest set) kept; forest v0 seed + committed tail kept, the
+      // mid-version gone
+      for (k <- 1 to 2) {
+        assert(!new java.io.File(s"$path/inc/v$k/shingles").exists())
+        assert(!new java.io.File(s"$path/inc/v$k/hashes").exists())
+        assert(new java.io.File(s"$path/inc/v$k/_graft_commit").isFile)
+      }
+      assert(new java.io.File(s"$path/forest/v0").isDirectory)
+      assert(!new java.io.File(s"$path/forest/v1").exists())
+      assert(new java.io.File(s"$path/forest/v2").isDirectory)
+      // retry idempotency (a crash after the marker re-enters here)
+      assert(Dedup.compactDedupIndex(spark, path) === 2)
+      assert(verdicts() === v0)
+      // the replay-refusal digest scan must survive compaction: the data
+      // parts are gone but the marker digests are the refusal evidence
+      val e = intercept[IllegalArgumentException](
+        Dedup.incrementalClustersAgainstIndex(spark, path,
+          docs.filter(part === 1)))
+      assert(e.getMessage.contains("already committed"))
+      // a LATER commit rides the compacted base: threshold-triggered
+      // compaction (compactEvery = 1) folds it immediately, and the
+      // committed-cluster frame equals the read-only preview taken over
+      // the uncompacted layout
+      val c3 = Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 3), compactEvery = 1)
+        .collect().map(_.toSeq).toSeq
+      assert(c3 === c0,
+        "commit output must equal its read-only preview across compaction")
+      assert(Dedup.latestCompaction(path) === Some((2, 3)))
+      assert(!new java.io.File(s"$path/compact/g1").exists(),
+        "the superseded compaction generation must be dropped")
+      assert(!new java.io.File(s"$path/inc/v3/shingles").exists())
+    } finally rmrf(path)
+  }
+
+  test("dict-backed index compaction keeps the dictionary next to the " +
+      "folded state, string-twin-identical") {
+    import spark.implicits._
+    val docsS = Tables.documents(spark, sfDir).select(
+      concat(lit("doc-"), lpad($"doc_id".cast("string"), 9, "0"))
+        .as("doc_id"), $"text")
+    val isInc = substring($"doc_id", -1, 1) === "0"
+    val path = s"target/testidx/compactfp${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(docsS.filter(!isInc), path)
+      Dedup.writeClusterForest(docsS.filter(!isInc), path)
+      val c1 = Dedup.incrementalClustersAgainstIndex(spark, path,
+        docsS.filter(isInc)).collect().map(_.toSeq).toSeq
+      val v1 = Dedup.incrementalDedupAgainstIndex(spark, path,
+        docsS.filter(isInc)).collect().map(_.toSeq).toSeq
+      assert(Dedup.compactDedupIndex(spark, path) === 1)
+      // the folded dictionary carries EVERY seen doc (base + increment)
+      // in fingerprint currency — the collision guard's and the
+      // join-back's world
+      val dict = spark.read.parquet(s"$path/compact/g1/dict")
+      assert(dict.count() === docsS.count())
+      assert(dict.schema("doc_id").dataType ===
+        org.apache.spark.sql.types.LongType)
+      // retry of the compacted commit re-serves the same frame; the
+      // verdict family reads the same world
+      val c2 = Dedup.incrementalClustersAgainstIndex(spark, path,
+        docsS.filter(isInc)).collect().map(_.toSeq).toSeq
+      assert(c2 === c1)
+      assert(Dedup.incrementalDedupAgainstIndex(spark, path,
+        docsS.filter(isInc)).collect().map(_.toSeq).toSeq === v1)
+    } finally rmrf(path)
+  }
+
+  test("a bigint rebuild over a formerly string-keyed index path clears " +
+      "the stale dictionary (no silent cross-currency probes)") {
+    import spark.implicits._
+    val docsL = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val docsS = docsL.select(concat(lit("doc-"),
+      lpad($"doc_id".cast("string"), 9, "0")).as("doc_id"), $"text")
+    val isIncL = pmod($"doc_id", lit(10)) === 0
+    val isIncS = substring($"doc_id", -1, 1) === "0"
+    val path = s"target/testidx/rebuild${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(docsS.filter(!isIncS), path)
+      // string-keyed world: bigint increments refused
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.incrementalDedupAgainstIndex(spark, path,
+          docsL.filter(isIncL)))
+      assert(e1.getMessage.contains("fingerprint-keyed"))
+      // REBUILD with a bigint corpus at the same path (ADVICE r16: the
+      // r16 form left dict/ behind — bigint increments were refused
+      // with a misleading message and string increments silently lost
+      // every cross-index pair through the dictionary join)
+      Dedup.writeDedupIndex(docsL.filter(!isIncL), path)
+      assert(!new java.io.File(s"$path/dict").exists(),
+        "the stale dictionary must be removed by the rebuild")
+      val v = Dedup.incrementalDedupAgainstIndex(spark, path,
+        docsL.filter(isIncL)).collect()
+      assert(v.nonEmpty && v.exists(_.getInt(3) == 0))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.incrementalDedupAgainstIndex(spark, path,
+          docsS.filter(isIncS)))
+      assert(e2.getMessage.contains("bigint-keyed"))
+    } finally rmrf(path)
+  }
+
+  test("dictionary gaps fail pair translation loudly instead of " +
+      "dropping pairs") {
+    import spark.implicits._
+    val pairs = Seq((11L, 22L), (33L, 44L)).toDF("d1", "d2")
+    val dict = Seq((11L, "a"), (22L, "b"), (33L, "c"))
+      .toDF("doc_id", "orig_id") // 44 missing: a partial copy / stale dict
+    val full = dict.unionByName(Seq((44L, "d")).toDF("doc_id", "orig_id"))
+    assert(Dedup.pairsToOriginal(pairs, full).collect().length === 2)
+    val e = intercept[Exception](
+      Dedup.pairsToOriginal(pairs, dict).collect())
+    assert(e.getMessage.contains("no entry for pair endpoint") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("no entry for pair endpoint")))
+  }
+
+  test("MeasuredK sizes the sketch from the sampled recall ladder — " +
+      "never above the analytic width, falling back when the sample " +
+      "cannot certify the target") {
+    import spark.implicits._
+    val sh = Dedup.shingles(spark, sfDir)
+    // the ladder frame (q128's): one row per k up to the analytic
+    // width; n_pairs constant across rungs; recall non-decreasing;
+    // Wilson bound strictly below the point estimate
+    val lad = Dedup.containmentSketchCalibration(spark, sfDir)
+      .collect()
+    assert(lad.length === Dedup.autoKFor(500000L, 995000L))
+    assert(lad.map(_.getLong(1)).distinct.length === 1)
+    val recalls = lad.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    lad.foreach(r => assert(r.getDouble(4) < r.getDouble(3) ||
+      r.getLong(1) == 0))
+    // at the fixture's sample size the z=2 Wilson bound cannot certify
+    // 0.995 at ANY k (34 pairs, all caught -> lcb 34/38 ~0.895), so
+    // chosen is all-false and measured mode falls back to the analytic
+    // width: output == AutoK's
+    assert(lad.forall(!_.getBoolean(5)))
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy($"contained", $"container").collect().map(_.toSeq).toSeq
+    val auto = rows(Dedup.containmentSketchOfShingles(sh, 500000L, 100))
+    val measured = rows(Dedup.containmentSketchOfShingles(sh, 500000L, 100,
+      k = Dedup.MeasuredK, measureFraction = 0.5))
+    assert(measured === auto)
+    // a target the sample CAN certify (0.6 < the fixture's lcb 0.895 at
+    // k = 1) picks the measured minimal width — the sketch then runs at
+    // k = 1, bit-identical to the explicit-k call, 2x under the
+    // analytic width for that target
+    val ladLow = Dedup.containmentSketchCalibration(spark, sfDir,
+      recallTargetPpm = 600000L).collect()
+    assert(ladLow.length === Dedup.autoKFor(500000L, 600000L))
+    assert(ladLow.count(_.getBoolean(5)) === 1)
+    val chosen = ladLow.find(_.getBoolean(5)).get.getInt(0)
+    val mLow = rows(Dedup.containmentSketchOfShingles(sh, 500000L, 100,
+      k = Dedup.MeasuredK, recallTargetPpm = 600000L,
+      measureFraction = 0.5))
+    val kLow = rows(Dedup.containmentSketchOfShingles(sh, 500000L, 100,
+      k = chosen))
+    assert(mLow === kLow)
+    // the measured width's output stays an exact-verified SUBSET of the
+    // exact path (misses only, no false positives)
+    val exact = rows(Dedup.containmentPrefixOfShingles(sh, 500000L, 100))
+    assert(mLow.forall(exact.contains))
   }
 }
