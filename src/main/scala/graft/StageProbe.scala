@@ -52,7 +52,8 @@ object StageProbe {
     require(stage == "ngraminter" || stage == "prefixcand" ||
       stage == "spangram" || stage == "containcand" ||
       stage == "sweepcompare" || stage == "plancompare" ||
-      stage == "funnelgate",
+      stage == "funnelgate" || stage == "commitgrowth" ||
+      stage == "deltastate" || stage == "sketchfp",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
@@ -222,6 +223,123 @@ object StageProbe {
         s""""emissions_kept":$emisKept,"cand":$candCnt,""" +
         s""""cand_len_filtered":$candLen,"cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "commitgrowth") {
+      // many-commit read-cost anatomy of the persisted index family
+      // (VERDICT r16 #1): drive N incremental cluster commits against a
+      // fresh index per variant — compaction OFF (the r12–r16 layout:
+      // every read unions base + one leg per commit, forever) vs
+      // threshold-triggered compactDedupIndex — in ONE session, and
+      // record each commit's wall seconds plus the read plan's leg
+      // count. The flat-vs-linear delta at the tail commits is the read
+      // cost compaction exists to bound. argv: [dir] [maxDf] [commits]
+      // [compactEvery]; the corpus splits into commits+1 hash parts,
+      // part `commits` seeds the index.
+      val commits = args.lift(3).map(_.toInt).getOrElse(40)
+      val every = args.lift(4).map(_.toInt).getOrElse(10)
+      val D = operators.Dedup
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val part = pmod(col("doc_id"), lit(commits + 1))
+      for ((label, ce) <- Seq("nocompact" -> 0, s"compact$every" -> every)) {
+        val path = s"target/stateprobe/commitgrowth_$label"
+        graft.streaming.Continuous.deleteRecursively(path)
+        D.writeDedupIndex(docs.filter(part === commits), path)
+        D.writeClusterForest(docs.filter(part === commits), path, 0.8, maxDf)
+        for (i <- 0 until commits) {
+          val t0 = System.nanoTime()
+          val out = D.incrementalClustersAgainstIndex(spark, path,
+            docs.filter(part === i), 0.8, maxDf, commit = true,
+            compactEvery = ce)
+          val rows = out.count()
+          val s = (System.nanoTime() - t0) / 1e9
+          val legs = 1 + (i + 1) -
+            D.latestCompaction(path).map(_._2).getOrElse(0)
+          println(f"""{"op":"commitgrowth_$label","dir":"$dir",""" +
+            f""""maxDf":$maxDf,"commit":${i + 1},"sec":$s%.2f,""" +
+            s""""rows_out":$rows,"read_legs":$legs,""" +
+            s""""load_1m":${Bench.loadavg1}}""")
+        }
+        graft.streaming.Continuous.deleteRecursively(path)
+      }
+      spark.stop()
+      return
+    }
+    if (stage == "deltastate") {
+      // many-commit read-cost anatomy of the funnel's maintained df
+      // gate state (VERDICT r16 #1): N increment-sized (s, dc) delta
+      // appends into a DeltaState, timing the gate's sum-over-deltas
+      // read after every append, compaction OFF vs every-K folding, one
+      // session. The append stream is the q88 shape (per-commit
+      // df deltas of a corpus slice); the read is exactly the gate's
+      // aggregation input. argv: [dir] [maxDf(unused)] [commits]
+      // [compactEvery].
+      val commits = args.lift(3).map(_.toInt).getOrElse(60)
+      val every = args.lift(4).map(_.toInt).getOrElse(8)
+      val sh = operators.Dedup.shinglesOf(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val part = pmod(col("doc_id"), lit(commits))
+      for ((label, ce) <- Seq("nocompact" -> 0, s"compact$every" -> every)) {
+        val root = s"target/stateprobe/deltastate_$label"
+        graft.streaming.Continuous.deleteRecursively(root)
+        val st = new graft.streaming.Continuous.DeltaState(spark, root,
+          _.groupBy(col("s")).agg(sum(col("dc")).as("dc")))
+        var folded = 0
+        for (i <- 0 until commits) {
+          st.append(sh.filter(part === i).groupBy(col("s"))
+            .agg(count(lit(1)).as("dc")).coalesce(2))
+          folded += 1
+          if (ce > 0 && folded >= ce) { folded = 0; st.compact() }
+          val t0 = System.nanoTime()
+          val n = st.read().groupBy(col("s")).agg(sum(col("dc")).as("df"))
+            .count()
+          val s = (System.nanoTime() - t0) / 1e9
+          val files = new java.io.File(st.dir).listFiles()
+            .count(_.getName.endsWith(".parquet"))
+          println(f"""{"op":"deltastate_$label","dir":"$dir",""" +
+            f""""commit":${i + 1},"gate_sec":$s%.3f,"gate_rows":$n,""" +
+            s""""state_files":$files,"load_1m":${Bench.loadavg1}}""")
+        }
+        graft.streaming.Continuous.deleteRecursively(root)
+      }
+      spark.stop()
+      return
+    }
+    if (stage == "sketchfp") {
+      // string-keyed decade lap for the sketch's fingerprint-dictionary
+      // route (VERDICT r16 stretch): containmentSketchOf over the
+      // bigint corpus vs the SAME corpus under q127's string-keyed view
+      // ('doc-' || zero-padded id), interleaved in one session at the
+      // same k — the measured dictionary premium (fingerprint map + two
+      // corpus-sized shuffled join-backs) next to the bigint anchor.
+      // Row counts must agree exactly (the dictionary changes nothing
+      // observable — q127's oracle proof, re-checked here at decade
+      // scale). argv: [dir] [maxDf] [laps] [k] [thresholdPpm].
+      val k = args.lift(4).map(_.toInt).getOrElse(2)
+      val tppm = args.lift(5).map(_.toLong).getOrElse(500000L)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val stringView = docs.select(
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0"))
+          .as("doc_id"), col("text"))
+      for (lap <- 1 to laps;
+           (label, frame) <- Seq("bigint" -> docs, "string" -> stringView)) {
+        StageMemo.clear()
+        val obs = org.apache.spark.sql.Observation()
+        val t0 = System.nanoTime()
+        operators.Dedup.containmentSketchOf(frame, tppm, maxDf, k = k)
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").format("noop").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"sketchfp_$label","dir":"$dir","maxDf":$maxDf,""" +
+          f""""thresholdPpm":$tppm,"k":$k,"lap":$lap,"sec":$s%.1f,""" +
+          s""""rows_out":${obs.get("rows")},""" +
+          s""""load_1m":${Bench.loadavg1}}""")
+        System.gc()
+      }
       spark.stop()
       return
     }

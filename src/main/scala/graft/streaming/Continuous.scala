@@ -485,9 +485,80 @@ object Continuous {
   }
 
   /** A [[streamedCurationFunnel]] run: per-commit cumulative funnel
-    * snapshots plus the emitted frame's schema. */
+    * snapshots plus the emitted frame's schema and the run's state root
+    * (exposed for state-shape inspection when `keepState` was set — the
+    * default run deletes it). */
   private[graft] case class FunnelRun(snapshots: Seq[Snapshot],
-      schema: StructType)
+      schema: StructType, stateRoot: String)
+
+  /** An append-only ADDITIVE state store with threshold-triggered,
+    * crash-safe compaction (VERDICT r16 #1) — the funnel's df/docLen
+    * delta dirs and loser set. Layout: generation directories
+    * `root/gN`; appends land in the highest COMMITTED generation (g0 is
+    * implicitly committed — the store's seed); [[compact]] rewrites the
+    * current generation through `fold` (sum the deltas / distinct the
+    * set — any aggregation whose output rows are valid input rows) as a
+    * staged overwrite of `g(N+1)`, flips visibility with an atomic
+    * `_graft_state_commit` marker (the index protocol's rename rule:
+    * parquet readers skip `_`-prefixed files), then drops the old
+    * generation. A crash before the marker leaves a torn, INVISIBLE
+    * g(N+1) — readers and appenders keep using gN, and the next compact
+    * harmlessly overwrites the torn stage; a crash after the marker
+    * before the delete leaves two committed generations — the reader
+    * takes the max and the next compact's GC sweep drops the stale one.
+    * Single-writer by contract (the funnel's foreachBatch commits are
+    * sequential), like the persisted-index protocol it mirrors.
+    *
+    * Without compaction the gate's read cost creeps back in
+    * file-listing/union form: one increment-sized parquet append per
+    * commit, summed in full at EVERY gate read, forever — thousands of
+    * files within a year of daily commits. With it, the current
+    * generation holds one folded base plus at most `compactEvery`
+    * deltas. */
+  private[graft] final class DeltaState(spark: SparkSession, root: String,
+      fold: DataFrame => DataFrame) {
+    private def fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    private def committedGens: Seq[Int] = {
+      val dir = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(dir)) Seq(0)
+      else {
+        val gens = fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+"))
+          .map(_.getPath.getName.drop(1).toInt)
+          .filter(g => g == 0 || fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/g$g/_graft_state_commit")))
+        if (gens.isEmpty) Seq(0) else gens
+      }
+    }
+    /** The generation reads and appends resolve to. */
+    private[graft] def currentGen: Int = committedGens.max
+    private[graft] def dir: String = s"$root/g$currentGen"
+    def append(df: DataFrame): Unit =
+      df.write.mode("append").parquet(dir)
+    def read(): DataFrame = spark.read.parquet(dir)
+    /** Fold the current generation into the next and drop the old one —
+      * bit-equivalent to reading the unfolded deltas (`fold` must be
+      * idempotent over its own output, which sums and distincts are). */
+    def compact(): Unit = {
+      val g = currentGen
+      fold(read()).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/g${g + 1}")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/g${g + 1}", "._graft_state_commit.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"folds:g$g".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$root/g${g + 1}", "_graft_state_commit")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"atomic state-generation marker rename failed under $root")
+      for (m <- committedGens if m < g + 1)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/g$m"), true)
+    }
+  }
 
   /** Continuous curation (q88): the q81 funnel as a REAL incremental
     * streaming job — the documents table streamed 2 files per trigger
@@ -521,7 +592,21 @@ object Continuous {
   private[graft] def runStreamedCurationFunnel(spark: SparkSession,
       dir: String, qualityMin: Double = 0.5, lang: String = "en",
       threshold: Double = 0.8, maxDf: Int = 100,
-      maxFunnelRows: Int = 100000): FunnelRun = {
+      maxFunnelRows: Int = 100000, filesPerTrigger: Int = 2,
+      compactEvery: Int = 8, keepState: Boolean = false): FunnelRun = {
+    // per-trigger increment width — a PARAMETER since r17 (VERDICT r16
+    // #5: the literal 2 drove three state-append widths and the commit
+    // count; a deployment widening its triggers had to edit source). It
+    // sizes the micro-batches AND the loser/df/len state-append widths
+    // below, which must track the increment size, not the shuffle
+    // setting. compactEvery ≥ 1 folds the df/len/loser delta stores
+    // every N commits ([[DeltaState]] — VERDICT r16 #1); the fixture
+    // replay (4 commits at the default width) stays below the default
+    // threshold, so q88's per-commit plans are unchanged.
+    require(filesPerTrigger >= 1,
+      s"filesPerTrigger must be >= 1: $filesPerTrigger")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 1 commits, or 0 to disable: $compactEvery")
     val staged = stageChunks(spark, dir, "documents")
     val schema = stagedSchema(spark, staged)
     val run = runSeq.incrementAndGet()
@@ -529,7 +614,6 @@ object Continuous {
     val ckpt = s"target/streamstage/ckpt/funnel$run"
     val flagsDir = s"$stateRoot/flags"
     val indexDir = s"$stateRoot/index"
-    val losersDir = s"$stateRoot/losers"
     // MAINTAINED df/docLen state (r16, VERDICT r15 #3): the r15 anatomy
     // measured the per-commit full-index df aggregation at 52% of q88's
     // commit body — yet df counts and per-doc shingle lengths are
@@ -538,13 +622,16 @@ object Continuous {
     // (doc_id, c) and the gate reads a sum over deltas (state rows ~
     // distinct shingles per increment) instead of re-shuffling the full
     // (doc, shingle) posting index. Spec-pinned equal to the recomputed
-    // gate (DedupSimilaritySpec's convergence differential).
-    val dfDir = s"$stateRoot/df"
-    val lenDir = s"$stateRoot/len"
-    // per-trigger increment width, the one knob the loser-state append
-    // width below must track (ADVICE r15: a literal 2 would serialize
-    // the incrementalPairsOf write on deployments with wider triggers)
-    val filesPerTrigger = 2
+    // gate (DedupSimilaritySpec's convergence differential). Since r17
+    // the three delta stores are [[DeltaState]] generations, compacted
+    // every `compactEvery` commits so the gate's file fan-in stays
+    // bounded under long-lived streams.
+    val losersState = new DeltaState(spark, s"$stateRoot/losers",
+      _.distinct())
+    val dfState = new DeltaState(spark, s"$stateRoot/df",
+      _.groupBy(col("s")).agg(sum(col("dc")).as("dc")))
+    val lenState = new DeltaState(spark, s"$stateRoot/len",
+      _.groupBy(col("doc_id")).agg(sum(col("c")).as("c")))
     val files = new java.io.File(staged).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val totalChunks = math.ceil(files.toDouble / filesPerTrigger)
@@ -561,6 +648,7 @@ object Continuous {
     // size it by raising this floor, not fighting a hardcode.
     try withStreamShuffle(spark, 8) {
       val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val commitsSinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(staged)
@@ -599,12 +687,10 @@ object Continuous {
               // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
               incSh.write.mode("append").parquet(indexDir)
-              incSh.groupBy(col("s")).agg(count(lit(1)).as("dc"))
-                .coalesce(losersCoalesce)
-                .write.mode("append").parquet(dfDir)
-              incSh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-                .coalesce(losersCoalesce)
-                .write.mode("append").parquet(lenDir)
+              dfState.append(incSh.groupBy(col("s"))
+                .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
+              lenState.append(incSh.groupBy(col("doc_id"))
+                .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
               // near-dup losers involving the increment vs the whole
               // index: the posting join still reads the full index (the
               // intersection evidence lives there), but the df gate and
@@ -612,22 +698,26 @@ object Continuous {
               // aggregation input shrinks from every (doc, shingle) row
               // ever shipped to the delta state
               val index = spark.read.parquet(indexDir)
-              val docLen = spark.read.parquet(lenDir)
-              val dfm = spark.read.parquet(dfDir)
+              val docLen = lenState.read()
+              val dfm = dfState.read()
                 .groupBy(col("s")).agg(sum(col("dc")).as("df"))
-              graft.operators.Dedup
+              losersState.append(graft.operators.Dedup
                 .incrementalPairsOf(index, incSh, threshold, maxDf,
                   docLenOpt = Some(docLen), dfOpt = Some(dfm))
                 .select(col("d2").as("doc_id"))
-                .coalesce(losersCoalesce)
-                .write.mode("append").parquet(losersDir)
+                .coalesce(losersCoalesce))
+              if (compactEvery > 0 &&
+                  commitsSinceCompact.incrementAndGet() >= compactEvery) {
+                commitsSinceCompact.set(0)
+                dfState.compact(); lenState.compact(); losersState.compact()
+              }
             } finally { incSh.unpersist(); () }
             // emit the cumulative funnel over the flag store
             val flags = spark.read.parquet(flagsDir)
             val keepers = flags.groupBy(col("h"))
               .agg(min(col("doc_id")).as("doc_id"))
               .select(col("doc_id"), lit(1).as("f_ex"))
-            val losers = spark.read.parquet(losersDir).distinct()
+            val losers = losersState.read().distinct()
               .withColumn("is_loser", lit(1))
             val out = graft.operators.Curation.funnelAgg(
               flags
@@ -650,10 +740,10 @@ object Continuous {
         }
         .start()
       q.awaitTermination()
-      FunnelRun(snapshots.toSeq, outSchema)
+      FunnelRun(snapshots.toSeq, outSchema, stateRoot)
     } finally {
       deleteRecursively(ckpt)
-      deleteRecursively(stateRoot)
+      if (!keepState) deleteRecursively(stateRoot)
     }
   }
 

@@ -679,4 +679,84 @@ class StreamingSpec extends SparkSpec {
           s"(> 2x chunk ${2 * perChunk + 2})"))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("DeltaState: folded generations read bit-identically, torn " +
+      "generations invisible, fan-in bounded") {
+    import spark.implicits._
+    val root = s"target/tmp/deltastate${System.nanoTime()}"
+    try {
+      val st = new Continuous.DeltaState(spark, root,
+        _.groupBy($"s").agg(sum($"dc").as("dc")))
+      def gate() = st.read().groupBy($"s").agg(sum($"dc").as("df"))
+        .orderBy($"s").collect().map(_.toSeq).toSeq
+      st.append(Seq(("a", 1L), ("b", 2L)).toDF("s", "dc").coalesce(1))
+      st.append(Seq(("a", 3L), ("c", 1L)).toDF("s", "dc").coalesce(1))
+      val before = gate()
+      st.compact()
+      assert(st.currentGen === 1)
+      assert(gate() === before,
+        "a folded generation must read bit-identically to its deltas")
+      // the folded generation is ONE file; the old one is dropped
+      assert(new java.io.File(s"$root/g1").listFiles()
+        .count(_.getName.endsWith(".parquet")) === 1)
+      assert(!new java.io.File(s"$root/g0").exists())
+      // appends land in the committed generation; a TORN next
+      // generation (files staged, no marker — the crash-before-marker
+      // window) is invisible to reads and appends
+      st.append(Seq(("b", 1L)).toDF("s", "dc").coalesce(1))
+      val after = gate()
+      Seq(("z", 99L)).toDF("s", "dc")
+        .write.mode("overwrite").parquet(s"$root/g2")
+      assert(st.currentGen === 1)
+      assert(gate() === after, "a torn generation must serve prior state")
+      // the next compact overwrites the torn stage and commits it; a
+      // further compact is idempotent over its own output
+      st.compact()
+      assert(st.currentGen === 2 && gate() === after)
+      st.compact()
+      assert(gate() === after)
+    } finally rmrf(root)
+  }
+
+  test("q88 funnel: trigger width is a knob (commit count and state-" +
+      "append widths track it) and delta-store compaction changes " +
+      "nothing observable") {
+    // batch twin for the final frames (q88's oracle contract)
+    val batch = graft.operators.Curation.curationFunnel(spark, sfDir)
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.toString)
+    def parquets(p: String) = {
+      val fs = new java.io.File(p).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+    }
+    // width 1 over the 8 staged chunks: 8 commits, each appending ONE
+    // increment-width file per delta store — the append width tracks
+    // the trigger knob, not the shuffle setting
+    val runA = Continuous.runStreamedCurationFunnel(spark, sfDir,
+      filesPerTrigger = 1, compactEvery = 0, keepState = true)
+    try {
+      assert(runA.snapshots.size === 8)
+      assert(parquets(s"${runA.stateRoot}/df/g0") === 8)
+      assert(parquets(s"${runA.stateRoot}/len/g0") === 8)
+      assert(runA.snapshots.last.rows.map(_.toSeq).toSeq
+        .sortBy(_.head.toString) === batch)
+    } finally rmrf(runA.stateRoot)
+    // width 3 + fold-every-commit: ceil(8/3) = 3 commits, the delta
+    // stores end as ONE committed generation holding ONE folded file,
+    // and the funnel's emitted frames are unchanged (the gate reads
+    // sums either way)
+    val runB = Continuous.runStreamedCurationFunnel(spark, sfDir,
+      filesPerTrigger = 3, compactEvery = 1, keepState = true)
+    try {
+      assert(runB.snapshots.size === 3)
+      for (store <- Seq("df", "len")) {
+        val gens = new java.io.File(s"${runB.stateRoot}/$store").listFiles()
+          .filter(_.isDirectory).map(_.getName).toSeq
+        assert(gens === Seq("g3"),
+          s"$store should hold exactly the last folded generation, got $gens")
+        assert(parquets(s"${runB.stateRoot}/$store/g3") === 1)
+      }
+      assert(runB.snapshots.last.rows.map(_.toSeq).toSeq
+        .sortBy(_.head.toString) === batch)
+    } finally rmrf(runB.stateRoot)
+  }
 }
