@@ -53,7 +53,8 @@ object StageProbe {
       stage == "spangram" || stage == "containcand" ||
       stage == "sweepcompare" || stage == "plancompare" ||
       stage == "funnelgate" || stage == "commitgrowth" ||
-      stage == "deltastate" || stage == "sketchfp",
+      stage == "deltastate" || stage == "sketchfp" ||
+      stage == "funnelop" || stage == "sketchcal",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
@@ -223,6 +224,68 @@ object StageProbe {
         s""""emissions_kept":$emisKept,"cand":$candCnt,""" +
         s""""cand_len_filtered":$candLen,"cand_pos_filtered":$candPos,""" +
         s""""load_1m":${Bench.loadavg1}}""")
+      spark.stop()
+      return
+    }
+    if (stage == "funnelop") {
+      // WHOLE-OP A/B of the q88 funnel's gate swap (VERDICT r16 defect
+      // #1: the isolated probe read the maintained gate -22% on the
+      // changed stage, but the bench-grain q88 number never confirmed
+      // it): the full streamed funnel — staging, commits, state
+      // appends, emission — lapped in both gate shapes, interleaved in
+      // one session. "maintained" pays two delta appends + delta-sum
+      // reads per commit; "recomputed" (the r15 twin) re-aggregates the
+      // full posting index per commit. The final frames must agree
+      // (both converge to the batch funnel). argv: [dir] [maxDf] [laps].
+      val C = graft.streaming.Continuous
+      def finalRows(run: C.FunnelRun): Seq[Seq[Any]] =
+        run.snapshots.last.rows.map(_.toSeq).toSeq
+          .sortBy(_.head.toString)
+      val pin = finalRows(C.runStreamedCurationFunnel(spark, dir,
+        maxDf = maxDf))
+      require(pin == finalRows(C.runStreamedCurationFunnel(spark, dir,
+          maxDf = maxDf, gate = "recomputed")),
+        s"gate shapes disagree at $dir maxDf=$maxDf")
+      for (lap <- 1 to laps;
+           shape <- Seq("maintained", "recomputed")) {
+        val t0 = System.nanoTime()
+        val run = C.runStreamedCurationFunnel(spark, dir, maxDf = maxDf,
+          gate = shape)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"funnelop_$shape","dir":"$dir",""" +
+          f""""maxDf":$maxDf,"lap":$lap,"sec":$s%.2f,""" +
+          s""""commits":${run.snapshots.size},"rows_match":true,""" +
+          s""""load_1m":${Bench.loadavg1}}""")
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+    if (stage == "sketchcal") {
+      // the MeasuredK sizing rule at decade scale (VERDICT r16 #3's
+      // confirmation row): the sampled recall ladder over `dir`,
+      // printed rung by rung with the probe's own wall time — the
+      // measured justification for running the sketch below the
+      // analytic k=8. argv: [dir] [maxDf] [laps(unused)] [fraction]
+      // [recallTargetPpm].
+      val f = args.lift(4).map(_.toDouble).getOrElse(0.02)
+      val target = args.lift(5).map(_.toLong).getOrElse(995000L)
+      val t0 = System.nanoTime()
+      val lad = operators.Dedup.containmentSketchCalibration(spark, dir,
+        maxDf = maxDf, sampleFraction = f, recallTargetPpm = target)
+        .collect()
+      val s = (System.nanoTime() - t0) / 1e9
+      for (r <- lad) {
+        val recall = if (r.isNullAt(3)) "null" else f"${r.getDouble(3)}%.6f"
+        val lcb = if (r.isNullAt(4)) "null" else f"${r.getDouble(4)}%.6f"
+        println(s"""{"op":"sketchcal","dir":"$dir","maxDf":$maxDf,""" +
+          s""""fraction":$f,"target_ppm":$target,"k":${r.getInt(0)},""" +
+          s""""n_pairs":${r.getLong(1)},"caught":${r.getLong(2)},""" +
+          s""""recall":$recall,"recall_lcb":$lcb,""" +
+          s""""chosen":${r.getBoolean(5)}}""")
+      }
+      println(f"""{"op":"sketchcal_cost","dir":"$dir","maxDf":$maxDf,""" +
+        f""""fraction":$f,"sec":$s%.1f,"load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return
     }

@@ -593,7 +593,16 @@ object Continuous {
       dir: String, qualityMin: Double = 0.5, lang: String = "en",
       threshold: Double = 0.8, maxDf: Int = 100,
       maxFunnelRows: Int = 100000, filesPerTrigger: Int = 2,
-      compactEvery: Int = 8, keepState: Boolean = false): FunnelRun = {
+      compactEvery: Int = 8, keepState: Boolean = false,
+      gate: String = "maintained"): FunnelRun = {
+    // `gate` exists for ATTRIBUTION (VERDICT r16 defect #1): "maintained"
+    // is the shipped shape (df/docLen summed from the delta stores);
+    // "recomputed" replicates the r15 commit body — no delta stores, the
+    // gate re-aggregates the full posting index every commit — so the
+    // whole-OP cost of the gate swap is measurable in one session
+    // (StageProbe `funnelop`), not only the isolated stage.
+    require(gate == "maintained" || gate == "recomputed",
+      s"gate must be 'maintained' or 'recomputed', got '$gate'")
     // per-trigger increment width — a PARAMETER since r17 (VERDICT r16
     // #5: the literal 2 drove three state-append widths and the commit
     // count; a deployment widening its triggers had to edit source). It
@@ -687,10 +696,12 @@ object Continuous {
               // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
               incSh.write.mode("append").parquet(indexDir)
-              dfState.append(incSh.groupBy(col("s"))
-                .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
-              lenState.append(incSh.groupBy(col("doc_id"))
-                .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
+              if (gate == "maintained") {
+                dfState.append(incSh.groupBy(col("s"))
+                  .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
+                lenState.append(incSh.groupBy(col("doc_id"))
+                  .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
+              }
               // near-dup losers involving the increment vs the whole
               // index: the posting join still reads the full index (the
               // intersection evidence lives there), but the df gate and
@@ -698,18 +709,25 @@ object Continuous {
               // aggregation input shrinks from every (doc, shingle) row
               // ever shipped to the delta state
               val index = spark.read.parquet(indexDir)
-              val docLen = lenState.read()
-              val dfm = dfState.read()
-                .groupBy(col("s")).agg(sum(col("dc")).as("df"))
-              losersState.append(graft.operators.Dedup
-                .incrementalPairsOf(index, incSh, threshold, maxDf,
-                  docLenOpt = Some(docLen), dfOpt = Some(dfm))
+              val pairs =
+                if (gate == "maintained")
+                  graft.operators.Dedup.incrementalPairsOf(index, incSh,
+                    threshold, maxDf, docLenOpt = Some(lenState.read()),
+                    dfOpt = Some(dfState.read().groupBy(col("s"))
+                      .agg(sum(col("dc")).as("df"))))
+                else // the r15 twin: full-index re-aggregation per commit
+                  graft.operators.Dedup.incrementalPairsOf(index, incSh,
+                    threshold, maxDf)
+              losersState.append(pairs
                 .select(col("d2").as("doc_id"))
                 .coalesce(losersCoalesce))
               if (compactEvery > 0 &&
                   commitsSinceCompact.incrementAndGet() >= compactEvery) {
                 commitsSinceCompact.set(0)
-                dfState.compact(); lenState.compact(); losersState.compact()
+                if (gate == "maintained") {
+                  dfState.compact(); lenState.compact()
+                }
+                losersState.compact()
               }
             } finally { incSh.unpersist(); () }
             // emit the cumulative funnel over the flag store

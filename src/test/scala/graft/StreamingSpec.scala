@@ -680,6 +680,20 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("q88 funnel: the recomputed-gate attribution twin emits " +
+      "per-commit frames identical to the maintained gate") {
+    // the funnelop probe's convergence contract, pinned at fixture
+    // scale: both gate shapes read the same df/docLen VALUES (sums of
+    // additive deltas == full re-aggregation), so every cumulative
+    // snapshot — not just the final one — must agree
+    val m = Continuous.runStreamedCurationFunnel(spark, sfDir)
+    val r = Continuous.runStreamedCurationFunnel(spark, sfDir,
+      gate = "recomputed")
+    assert(m.snapshots.nonEmpty &&
+      m.snapshots.map(_.rows.map(_.toSeq)) ===
+        r.snapshots.map(_.rows.map(_.toSeq)))
+  }
+
   test("DeltaState: folded generations read bit-identically, torn " +
       "generations invisible, fan-in bounded") {
     import spark.implicits._
