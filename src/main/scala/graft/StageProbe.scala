@@ -286,6 +286,22 @@ object StageProbe {
       }
       println(f"""{"op":"sketchcal_cost","dir":"$dir","maxDf":$maxDf,""" +
         f""""fraction":$f,"sec":$s%.1f,"load_1m":${Bench.loadavg1}}""")
+      // end-to-end measured mode: the operator sizes itself from the
+      // same ladder and runs the sketch at the chosen width — rows_out
+      // must equal the explicit-k run at that width
+      StageMemo.clear()
+      val obs = org.apache.spark.sql.Observation()
+      val t1 = System.nanoTime()
+      operators.Dedup.containmentSketch(spark, dir, 500000L, maxDf,
+          k = operators.Dedup.MeasuredK, measureFraction = f,
+          recallTargetPpm = target)
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").format("noop").save()
+      val s2 = (System.nanoTime() - t1) / 1e9
+      println(f"""{"op":"sketch_measured_e2e","dir":"$dir",""" +
+        f""""maxDf":$maxDf,"fraction":$f,"sec":$s2%.1f,""" +
+        s""""rows_out":${obs.get("rows")},""" +
+        s""""load_1m":${Bench.loadavg1}}""")
       spark.stop()
       return
     }
