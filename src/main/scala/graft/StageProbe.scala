@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   *    the measured is-the-calibration-contract-honest check at a decade
   *    where both still run. sampleFraction rides argv position 4
   *    (default 0.1), echoed in every row.
+  *  - `funnelop` — WHOLE-OP A/B of the q88 funnel's gate shapes
+  *    (maintained delta state vs the r15 full-index re-aggregation
+  *    twin), interleaved, frames pinned identical before timing.
+  *  - `commitgrowth` / `deltastate` — many-commit read-cost anatomy of
+  *    the two persisted state families (index version trail, funnel
+  *    delta stores), compaction OFF vs threshold-triggered, per-commit
+  *    rows with read legs / file fan-in.
+  *  - `sketchcal` — the MeasuredK recall ladder at decade scale plus an
+  *    end-to-end self-sized sketch run.
+  *  - `sketchfp` — the sketch over bigint vs string-keyed views of the
+  *    same corpus (the fingerprint-dictionary premium), same k, one
+  *    session.
   * Each lap clears [[StageMemo]] and sinks the stage to the noop writer
   * with an observe row counter, exactly like ScaleSmoke's protocol;
   * passing several variants A/Bs them in the SAME session (same JIT,
