@@ -256,10 +256,12 @@ object StageProbe {
       val pin = finalRows(C.runStreamedCurationFunnel(spark, dir,
         maxDf = maxDf))
       require(pin == finalRows(C.runStreamedCurationFunnel(spark, dir,
-          maxDf = maxDf, gate = "recomputed")),
+          maxDf = maxDf, gate = "recomputed")) &&
+          pin == finalRows(C.runStreamedCurationFunnel(spark, dir,
+            maxDf = maxDf, gate = "maintained")),
         s"gate shapes disagree at $dir maxDf=$maxDf")
       for (lap <- 1 to laps;
-           shape <- Seq("maintained", "recomputed")) {
+           shape <- Seq("auto", "maintained", "recomputed")) {
         val t0 = System.nanoTime()
         val run = C.runStreamedCurationFunnel(spark, dir, maxDf = maxDf,
           gate = shape)

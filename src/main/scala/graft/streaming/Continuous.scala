@@ -594,15 +594,31 @@ object Continuous {
       threshold: Double = 0.8, maxDf: Int = 100,
       maxFunnelRows: Int = 100000, filesPerTrigger: Int = 2,
       compactEvery: Int = 8, keepState: Boolean = false,
-      gate: String = "maintained"): FunnelRun = {
-    // `gate` exists for ATTRIBUTION (VERDICT r16 defect #1): "maintained"
-    // is the shipped shape (df/docLen summed from the delta stores);
-    // "recomputed" replicates the r15 commit body — no delta stores, the
-    // gate re-aggregates the full posting index every commit — so the
-    // whole-OP cost of the gate swap is measurable in one session
-    // (StageProbe `funnelop`), not only the isolated stage.
-    require(gate == "maintained" || gate == "recomputed",
-      s"gate must be 'maintained' or 'recomputed', got '$gate'")
+      gate: String = "auto",
+      gateStateBudgetBytes: Long = 32L << 20): FunnelRun = {
+    // THE GATE IS SIZE-ADAPTIVE (r17, from the whole-op A/B the r16
+    // verdict asked for): the maintained delta-state gate trades a
+    // full-index re-aggregation per commit for two delta appends + two
+    // delta-sum reads — a trade that WINS when the gate input is
+    // data-bound (−12% at the 30× binding cap, SCALE_r17 session A;
+    // unboundedly more at 100 TB, where re-aggregating the posting
+    // index per commit is absurd) and LOSES when it is job-bound
+    // (+17% whole-op at sf0.1, session E: ~12 extra fixture-scale jobs
+    // per run against a megabytes-sized aggregation). "auto" picks per
+    // commit: while the accumulated index sits under
+    // `gateStateBudgetBytes` (~16 B/posting row; default 32 MiB — the
+    // measured sf0.1-vs-30× crossover splits at ~4 MB vs ~125 MB) the
+    // gate re-aggregates and the delta stores stay EMPTY; the first
+    // commit over budget BOOTSTRAPS them by folding the whole
+    // accumulated index once (the same aggregation a recomputed commit
+    // pays anyway), and every later commit appends increment-sized
+    // deltas. "maintained"/"recomputed" pin either shape for
+    // attribution (StageProbe `funnelop`); all three are spec-pinned
+    // snapshot-identical.
+    require(gate == "auto" || gate == "maintained" || gate == "recomputed",
+      s"gate must be 'auto', 'maintained' or 'recomputed', got '$gate'")
+    require(gateStateBudgetBytes > 0,
+      s"gateStateBudgetBytes must be positive: $gateStateBudgetBytes")
     // per-trigger increment width — a PARAMETER since r17 (VERDICT r16
     // #5: the literal 2 drove three state-append widths and the commit
     // count; a deployment widening its triggers had to edit source). It
@@ -658,6 +674,13 @@ object Continuous {
     try withStreamShuffle(spark, 8) {
       val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val commitsSinceCompact = new java.util.concurrent.atomic.AtomicInteger(0)
+      // auto-gate accounting, driver-side (the funnel is a bounded run:
+      // state root and counters are per-run; requireFreshBatch refuses
+      // replays within it): accumulated index posting rows, and whether
+      // the delta stores were bootstrapped yet
+      val idxRowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val bootstrapped = new java.util.concurrent.atomic.AtomicBoolean(
+        gate == "maintained")
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(staged)
@@ -696,11 +719,35 @@ object Continuous {
               // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
               incSh.write.mode("append").parquet(indexDir)
-              if (gate == "maintained") {
-                dfState.append(incSh.groupBy(col("s"))
-                  .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
-                lenState.append(incSh.groupBy(col("doc_id"))
-                  .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
+              val index = spark.read.parquet(indexDir)
+              // the auto gate's pick (scaladoc above): one cheap count
+              // over the persisted increment keeps the accumulated-rows
+              // estimate; maintained wins once the index is data-bound
+              // once over budget the gate never flips back (the index
+              // only grows), so the count is paid only in the cheap
+              // under-budget regime — a decade run prices its increments
+              // exactly once, at the crossing
+              val useMaintained = gate == "maintained" ||
+                (gate == "auto" && (bootstrapped.get() ||
+                  idxRowsSeen.addAndGet(incSh.count()) * 16L >
+                    gateStateBudgetBytes))
+              if (useMaintained) {
+                if (!bootstrapped.getAndSet(true)) {
+                  // first over-budget commit: fold the WHOLE accumulated
+                  // index into the delta stores once — the same
+                  // aggregation the recomputed gate pays per commit —
+                  // so later commits append increment-sized deltas onto
+                  // complete history
+                  dfState.append(index.groupBy(col("s"))
+                    .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
+                  lenState.append(index.groupBy(col("doc_id"))
+                    .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
+                } else {
+                  dfState.append(incSh.groupBy(col("s"))
+                    .agg(count(lit(1)).as("dc")).coalesce(losersCoalesce))
+                  lenState.append(incSh.groupBy(col("doc_id"))
+                    .agg(count(lit(1)).as("c")).coalesce(losersCoalesce))
+                }
               }
               // near-dup losers involving the increment vs the whole
               // index: the posting join still reads the full index (the
@@ -708,9 +755,8 @@ object Continuous {
               // docLen come from the MAINTAINED sums — per-commit
               // aggregation input shrinks from every (doc, shingle) row
               // ever shipped to the delta state
-              val index = spark.read.parquet(indexDir)
               val pairs =
-                if (gate == "maintained")
+                if (useMaintained)
                   graft.operators.Dedup.incrementalPairsOf(index, incSh,
                     threshold, maxDf, docLenOpt = Some(lenState.read()),
                     dfOpt = Some(dfState.read().groupBy(col("s"))
@@ -724,7 +770,7 @@ object Continuous {
               if (compactEvery > 0 &&
                   commitsSinceCompact.incrementAndGet() >= compactEvery) {
                 commitsSinceCompact.set(0)
-                if (gate == "maintained") {
+                if (bootstrapped.get) {
                   dfState.compact(); lenState.compact()
                 }
                 losersState.compact()

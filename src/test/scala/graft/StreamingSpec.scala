@@ -680,18 +680,33 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
-  test("q88 funnel: the recomputed-gate attribution twin emits " +
-      "per-commit frames identical to the maintained gate") {
+  test("q88 funnel: all three gate shapes emit identical per-commit " +
+      "frames, including an auto gate that crosses mid-stream") {
     // the funnelop probe's convergence contract, pinned at fixture
-    // scale: both gate shapes read the same df/docLen VALUES (sums of
+    // scale: every gate shape reads the same df/docLen VALUES (sums of
     // additive deltas == full re-aggregation), so every cumulative
     // snapshot — not just the final one — must agree
-    val m = Continuous.runStreamedCurationFunnel(spark, sfDir)
-    val r = Continuous.runStreamedCurationFunnel(spark, sfDir,
-      gate = "recomputed")
-    assert(m.snapshots.nonEmpty &&
-      m.snapshots.map(_.rows.map(_.toSeq)) ===
-        r.snapshots.map(_.rows.map(_.toSeq)))
+    def snaps(run: Continuous.FunnelRun) =
+      run.snapshots.map(_.rows.map(_.toSeq))
+    val auto = snaps(Continuous.runStreamedCurationFunnel(spark, sfDir))
+    assert(auto.nonEmpty)
+    assert(snaps(Continuous.runStreamedCurationFunnel(spark, sfDir,
+      gate = "maintained")) === auto)
+    assert(snaps(Continuous.runStreamedCurationFunnel(spark, sfDir,
+      gate = "recomputed")) === auto)
+    // force the auto gate to CROSS mid-stream (the fixture's 4 commits
+    // accumulate ~26k posting rows; a ~3-commit budget lands the
+    // bootstrap on a commit with real history) and to bootstrap on the
+    // FIRST commit (1-byte budget — the maintained-from-start twin):
+    // the fold-the-whole-index bootstrap must reproduce the same
+    // history the per-commit deltas would have
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.operators.Dedup.shinglesOf(
+      docs.select(col("doc_id"), col("text"))).count()
+    assert(snaps(Continuous.runStreamedCurationFunnel(spark, sfDir,
+      gateStateBudgetBytes = rows * 16L / 2)) === auto)
+    assert(snaps(Continuous.runStreamedCurationFunnel(spark, sfDir,
+      gateStateBudgetBytes = 1L)) === auto)
   }
 
   test("DeltaState: folded generations read bit-identically, torn " +
@@ -744,9 +759,12 @@ class StreamingSpec extends SparkSpec {
     }
     // width 1 over the 8 staged chunks: 8 commits, each appending ONE
     // increment-width file per delta store — the append width tracks
-    // the trigger knob, not the shuffle setting
+    // the trigger knob, not the shuffle setting (gate pinned maintained:
+    // the default auto gate keeps the delta stores empty under the
+    // fixture's tiny index, which is its own test below)
     val runA = Continuous.runStreamedCurationFunnel(spark, sfDir,
-      filesPerTrigger = 1, compactEvery = 0, keepState = true)
+      filesPerTrigger = 1, compactEvery = 0, keepState = true,
+      gate = "maintained")
     try {
       assert(runA.snapshots.size === 8)
       assert(parquets(s"${runA.stateRoot}/df/g0") === 8)
@@ -759,7 +777,8 @@ class StreamingSpec extends SparkSpec {
     // and the funnel's emitted frames are unchanged (the gate reads
     // sums either way)
     val runB = Continuous.runStreamedCurationFunnel(spark, sfDir,
-      filesPerTrigger = 3, compactEvery = 1, keepState = true)
+      filesPerTrigger = 3, compactEvery = 1, keepState = true,
+      gate = "maintained")
     try {
       assert(runB.snapshots.size === 3)
       for (store <- Seq("df", "len")) {
@@ -772,5 +791,16 @@ class StreamingSpec extends SparkSpec {
       assert(runB.snapshots.last.rows.map(_.toSeq).toSeq
         .sortBy(_.head.toString) === batch)
     } finally rmrf(runB.stateRoot)
+    // the DEFAULT auto gate under the fixture's tiny index: recompute
+    // mode, delta stores never created — the +17% fixture-scale premium
+    // session E measured is not paid below the budget
+    val runC = Continuous.runStreamedCurationFunnel(spark, sfDir,
+      keepState = true)
+    try {
+      assert(!new java.io.File(s"${runC.stateRoot}/df").exists())
+      assert(!new java.io.File(s"${runC.stateRoot}/len").exists())
+      assert(runC.snapshots.last.rows.map(_.toSeq).toSeq
+        .sortBy(_.head.toString) === batch)
+    } finally rmrf(runC.stateRoot)
   }
 }
