@@ -342,6 +342,23 @@ class PlanSpec extends SparkSpec {
       s"co-partitioned joins must be shuffled hash joins:\n$p")
   }
 
+  test("q128 calibration ladder plans keyed joins only — no unkeyed " +
+      "join, no corpus-sized broadcast") {
+    StageMemo.clear()
+    // the ladder's ground-truth stage is the sketch's candidate/verify
+    // machinery (already plan-disciplined); the ladder-specific joins —
+    // the rmin rank join and its container left_semi — are keyed and
+    // the semi side is hinted shuffled (corpus-sized at 100 TB). The
+    // only permissible broadcast is the 8-row k frame.
+    val p = plan(operators.Dedup.containmentSketchCalibration(
+      spark, sfDir, verify = "merge"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ladder must plan no unkeyed join:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"the rmin/semi joins must stay shuffled hash:\n$p")
+  }
+
   private def exchanges(p: String): Seq[String] =
     p.linesIterator.filter(_.contains("Exchange")).toSeq
 
