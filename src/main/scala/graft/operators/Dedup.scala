@@ -1651,18 +1651,31 @@ object Dedup {
     // commit ([[resolveIncomingCurrency]]). The dict lands FIRST: a
     // dict-less index reads as bigint-keyed, so the dict must exist
     // before hashes/_SUCCESS makes the index look complete.
+    // a REBUILD over a path carrying committed increment/compaction state
+    // must clear that state first: inc/vN markers survive data-part GC (they
+    // are the committed trail), so a fresh base under surviving markers
+    // reads as committedVersion = old N, and latestCompaction keeps
+    // accepting the stale covers:N generation — every reader then silently
+    // serves the PRE-REBUILD compacted corpus while the fresh base is never
+    // read (ADVICE r17). The forest is derived from the old corpus's pairs,
+    // equally stale. Owned here because arbitrary callers rebuild through
+    // this entry point (ensureFixtureIndex's own cleanup is now redundant
+    // but harmless).
+    locally {
+      val (pfs, _) = protocolFs(path)
+      for (sub <- Seq("inc", "compact", "forest"))
+        pfs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+    }
     val d =
       if (docs.schema("doc_id").dataType ==
           org.apache.spark.sql.types.LongType) {
-        // a REBUILD over a formerly string-keyed index path must remove
-        // the old dictionary before anything else: a surviving dict/ dir
-        // makes indexHasDict misread the bigint rebuild as fingerprint-
-        // keyed — bigint increments get refused with a misleading
-        // message, string increments get fingerprinted and probed
-        // against raw-bigint postings where every dictionary join-back
-        // silently drops the pair (ADVICE r16). Same staleness class as
-        // ensureFixtureIndex's forest/inc cleanup, owned here because
-        // arbitrary callers rebuild through this entry point.
+        // a rebuild over a formerly string-keyed index path must also
+        // remove the old dictionary: a surviving dict/ dir makes
+        // indexHasDict misread the bigint rebuild as fingerprint-keyed —
+        // bigint increments get refused with a misleading message, string
+        // increments get fingerprinted and probed against raw-bigint
+        // postings where every dictionary join-back silently drops the
+        // pair (ADVICE r16).
         val (pfs, _) = protocolFs(path)
         pfs.delete(new org.apache.hadoop.fs.Path(s"$path/dict"), true)
         docs

@@ -1215,6 +1215,37 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally rmrf(path)
   }
 
+  test("rebuilding over committed increment/compaction state serves the fresh base") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val part = pmod($"doc_id", lit(3))
+    val path = s"target/testidx/rebuild${System.nanoTime()}"
+    try {
+      Dedup.writeDedupIndex(docs.filter(part === 0), path)
+      Dedup.writeClusterForest(docs.filter(part === 0), path)
+      Dedup.incrementalClustersAgainstIndex(spark, path,
+        docs.filter(part === 1)).collect()
+      // compaction GCs the increment's data parts but KEEPS its marker
+      // (the committed trail); a rebuild that only rewrites the base would
+      // leave committedVersion = 1 and the covers:1 generation accepted —
+      // every reader silently serving the pre-rebuild corpus (ADVICE r17)
+      Dedup.compactDedupIndex(spark, path)
+      assert(Dedup.committedVersion(path) == 1)
+      val fresh = docs.filter(part === 2)
+      Dedup.writeDedupIndex(fresh, path)
+      assert(Dedup.committedVersion(path) == 0,
+        "rebuild must clear surviving increment markers")
+      assert(Dedup.latestCompaction(path).isEmpty,
+        "rebuild must clear stale compaction generations")
+      assert(!new java.io.File(s"$path/forest").exists(),
+        "rebuild must clear the stale forest")
+      // functional witness: the rebuilt index serves EXACTLY the fresh
+      // corpus's digests, not the compacted pre-rebuild state
+      val served = spark.read.parquet(s"$path/hashes")
+      assert(served.count() == fresh.count())
+    } finally rmrf(path)
+  }
+
   test("forest versions above v0 on an unstamped index are refused") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
