@@ -363,10 +363,13 @@ object SparkEntry {
     // itself is oracle-gated.
     "q127_containment_sketch_fp" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+      // framesKey: this fixture view is deterministic per dir, so the
+      // checkpointed sketch frames cache for the session like q126's
       Dedup.containmentSketchOf(
         Tables.documents(s, d).select(
           concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
-            .as("doc_id"), col("text")))
+            .as("doc_id"), col("text")),
+        framesKey = Some(s"sketchfp:$d"))
     }),
     // Sketch-width calibration (q128, r17): the MeasuredK sizing rule as
     // an oracle-checkable frame — the sampled recall ladder (true pairs

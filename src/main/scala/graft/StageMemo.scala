@@ -28,12 +28,13 @@ private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
     * frame stages per corpus are counted by StageMemoSpec from the main
-    * sources (12 today: shingles, ngraminter, ngram, minhash, bands,
-    * simhash, dupspan_grams, blockhash, bm25_topdocs, vecs, lshpairs,
-    * kmeans), and the spec asserts `2 × keys + 4 ≤ maxEntries` — a bench
-    * run pins a warm-up corpus plus a measured corpus, and 4 headroom
-    * keeps a new stage from silently evicting a live entry mid-lap. */
-  @volatile private[graft] var maxEntries: Int = 28
+    * sources (13 today: shingles, ngraminter, ngraminterS, ngram,
+    * minhash, bands, simhash, dupspan_grams, blockhash, bm25_topdocs,
+    * vecs, lshpairs, kmeans), and the spec asserts
+    * `2 × keys + 4 ≤ maxEntries` — a bench run pins a warm-up corpus
+    * plus a measured corpus, and 4 headroom keeps a new stage from
+    * silently evicting a live entry mid-lap. */
+  @volatile private[graft] var maxEntries: Int = 32
 
   /** When true, a memo miss materializes the persisted frame immediately
     * (`count()` populates every cache partition) so the recorded build-ms

@@ -37,6 +37,24 @@ object Dedup {
       build: => DataFrame): DataFrame =
     graft.StageMemo(spark, key)(build)
 
+  /** Session-scoped stash for the prefix/sketch families' CHECKPOINTED
+    * frame tuples (docLen / ranked / arrays and their sizing stats).
+    * These frames are localCheckpoints — already materialized, so the
+    * frame memo's persist-on-top would be redundant; the scalar side of
+    * [[graft.StageMemo]] keeps the tuple for the session (cleared with
+    * the frame memo, so the bench's cold laps still pay every build).
+    * Keyed EXPLICITLY by the fixture entry points (dir + the gate
+    * parameters baked into the frames); library callers handing
+    * arbitrary frames pass None and keep per-call builds — a caller's
+    * ad-hoc frame has no stable identity to cache under. Before this,
+    * each half of the paired fixture entries (q119/q120, q121/q122,
+    * q126/q128) re-built identical checkpointed frames per invocation. */
+  private def cachedFrames[T](spark: SparkSession, key: Option[String])(
+      build: => T): T = key match {
+    case Some(k) => graft.StageMemo.scalar(spark, s"frames:$k")(build)
+    case None => build
+  }
+
   /** Drop and unpersist every memoized stage (all operators' — dedup,
     * similarity). The memo assumes input directories are immutable for the
     * session (the fixture contract); call this after rewriting an input dir
@@ -238,6 +256,21 @@ object Dedup {
       interCountsOfShingles(shingles(spark, dir), maxDf)
     }
 
+  /** Memoized SAMPLED intersection stage over the md5-bucket doc sample —
+    * the shared intermediate of the sampled calibration family
+    * (q123/q125). Unpersisted, each consumer re-ran the whole sampled
+    * chain, and worse: a single sweep/planner plan consumes the pair
+    * frame through several aggregation branches (pairs, docs-union,
+    * losers), each re-executing the unpersisted subtree — the memo's
+    * persist collapses those to one build per session, exactly like the
+    * full stage's. */
+  private[graft] def interCountsSampled(spark: SparkSession, dir: String,
+      sppm: Long, capS: Int): DataFrame =
+    memo(spark, s"ngraminterS:$dir:$sppm:$capS") {
+      interCountsOfShingles(
+        shingles(spark, dir).filter(docSamplePred(sppm)), capS)
+    }
+
   private def jaccardOfInter(inter: DataFrame,
       threshold: Double): DataFrame =
     inter.select(col("d1"), col("d2"),
@@ -380,7 +413,8 @@ object Dedup {
     * production dedup (which runs ONE threshold) would choose. */
   def ngramJaccardPrefix(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
-    ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf)
+    ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf,
+        framesKey = Some(s"jprefix:$dir:$threshold:$maxDf"))
       .orderBy(col("d1"), col("d2"))
 
   /** [[ngramJaccardPrefix]] with the verify stage FORCED to the
@@ -391,7 +425,8 @@ object Dedup {
   def ngramJaccardPrefixMerge(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDf: Int = 100): DataFrame =
     ngramJaccardPrefixOfShingles(shingles(spark, dir), threshold, maxDf,
-        verify = "merge")
+        verify = "merge",
+        framesKey = Some(s"jprefix:$dir:$threshold:$maxDf"))
       .orderBy(col("d1"), col("d2"))
 
   /** [[ngramJaccardPrefix]] over an arbitrary `(doc_id, text)` frame.
@@ -729,7 +764,8 @@ object Dedup {
       threshold: Double, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0, suffixBound: Boolean = false,
-      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      framesKey: Option[String] = None): DataFrame = {
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
       s"verify must be 'auto', 'broadcast' or 'merge', got '$verify'")
     require(verifyChunks >= 0,
@@ -758,11 +794,6 @@ object Dedup {
     // frames keep their stats but shed the stale origin constraints
     // Spark 4.1 chokes on (the q50 contraction lesson).
     import org.apache.spark.sql.graft.Bridge
-    val docLen = Bridge.dropOriginConstraints(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
-    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .hint("shuffle_hash")
     // ONE window exchange ranks the gated frame for both consumers (the
     // prefix posting frame and the verify's array table) — checkpointed
     // so the budget-gate action and the candidate job share it. Storage
@@ -774,22 +805,36 @@ object Dedup {
     // estimate the blocks stream straight to disk; at fixture scale the
     // frame stays in memory (r14's unconditional DISK_ONLY taxed
     // q119/q120 +19-24% warm for an OOM that only exists at decades).
-    val estBytes = estUnrollBytes(docLen)
-    val ranked = Bridge.dropOriginConstraints(
-      scaleCheckpoint(
-        rankedOfGated(sh.join(keep, Seq("s")), docLen, jaccardAlpha(tn)),
-        estBytes))
-    // exact verification against per-doc sorted gated-shingle arrays with
-    // the native merge-count kernel. Two shapes (scaladoc above): the
-    // broadcast map-side form under a MEASURED byte budget, and the
-    // co-partitioned merge form with no broadcast anywhere. The r12
-    // ENOSPC death was the ROW fan-out verify (candidates × d1's shingle
-    // rows); the merge form ships one packed array per candidate-side
-    // instead, and only for candidates the positional filter kept.
-    // Alongside each full array: the doc's PREFIX as its own sorted
-    // array plus the suffix size — the r14 pre-verify bound's inputs
-    // (see mergeVerify below).
-    val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
+    // The whole checkpointed set is session-cached for the paired
+    // fixture entries (q119/q120 share it — [[cachedFrames]]).
+    val (docLen, ranked, arrays, estBytes) =
+      cachedFrames(sh.sparkSession, framesKey) {
+        val docLen0 = Bridge.dropOriginConstraints(
+          sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+            .localCheckpoint())
+        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxDf))
+          .hint("shuffle_hash")
+        val est = estUnrollBytes(docLen0)
+        val ranked0 = Bridge.dropOriginConstraints(
+          scaleCheckpoint(
+            rankedOfGated(sh.join(keep, Seq("s")), docLen0,
+              jaccardAlpha(tn)),
+            est))
+        // exact verification against per-doc sorted gated-shingle arrays
+        // with the native merge-count kernel. Two shapes (scaladoc
+        // above): the broadcast map-side form under a MEASURED byte
+        // budget, and the co-partitioned merge form with no broadcast
+        // anywhere. The r12 ENOSPC death was the ROW fan-out verify
+        // (candidates × d1's shingle rows); the merge form ships one
+        // packed array per candidate-side instead, and only for
+        // candidates the positional filter kept. Alongside each full
+        // array: the doc's PREFIX as its own sorted array plus the
+        // suffix size — the r14 pre-verify bound's inputs (see
+        // mergeVerify below).
+        val arrays0 = scaleCheckpoint(arraysOfRanked(ranked0), est)
+        (docLen0, ranked0, arrays0, est)
+      }
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "ngramJaccardPrefix")
     // the overlap every qualifying pair MUST reach, per candidate
@@ -1347,8 +1392,7 @@ object Dedup {
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val sppm = math.round(sampleFraction * 1e6)
     val capS = math.max(2L, math.round(sampleFraction * maxDf)).toInt
-    val shS = shingles(spark, dir).filter(docSamplePred(sppm))
-    val jd = jaccardOfInter(interCountsOfShingles(shS, capS),
+    val jd = jaccardOfInter(interCountsSampled(spark, dir, sppm, capS),
       thresholds.min)
     // 1/f² as the exact double n_pairs·1e12/sppm² — at the default
     // f = 0.5 the factor is exactly 4.0; round() half-up cases need a
@@ -1430,12 +1474,12 @@ object Dedup {
       s"sampleFraction must be in (0, 1], got $sampleFraction")
     val sppm = math.round(sampleFraction * 1e6)
     val capS = math.max(2L, math.round(sampleFraction * maxDf)).toInt
-    val shS = shingles(spark, dir).filter(docSamplePred(sppm))
     // 1/f² as the exact double 1e12/sppm² (exactly 4.0 at the default
     // f = 0.5), applied to the ALREADY-ROUNDED planner columns with the
     // same double ops the oracle runs — deterministic, hash-checkable
     lshPlannerOfJd(
-        jaccardOfInter(interCountsOfShingles(shS, capS), floor), threshold)
+        jaccardOfInter(interCountsSampled(spark, dir, sppm, capS), floor),
+        threshold)
       .withColumn("n_pairs_est", expr(
         s"cast(round(n_pairs * 1e12 / (${sppm}e0 * ${sppm}e0)) as bigint)"))
       .withColumn("exp_candidates_est", round(expr(
@@ -3193,8 +3237,11 @@ object Dedup {
       sampleFraction: Double = 0.5, recallTargetPpm: Long = 995000L,
       verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    // same frames cache key as containmentSketch (q126): the ladder reads
+    // exactly the sketch's hash-ranked frames, so one build serves both
     val (docLen, ranked, arrays, _, _, _) =
-      sketchFrames(shingles(spark, dir), thresholdPpm, maxDf)
+      cachedFrames(spark, Some(s"sketch:$dir:$thresholdPpm:$maxDf"))(
+        sketchFrames(shingles(spark, dir), thresholdPpm, maxDf))
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "containmentSketchCalibration")
     sketchLadderOf(spark, ranked, docLen, arrays, mode, thresholdPpm,
@@ -3212,7 +3259,8 @@ object Dedup {
       measureFraction: Double = 0.1): DataFrame =
     containmentSketchOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
         k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-        recallTargetPpm, measureFraction)
+        recallTargetPpm, measureFraction,
+        framesKey = Some(s"sketch:$dir:$thresholdPpm:$maxDf"))
       .orderBy(col("contained"), col("container"))
 
   /** [[containmentSketch]] over an arbitrary `(doc_id, text)` frame —
@@ -3233,20 +3281,27 @@ object Dedup {
       maxBroadcastBytes: Long = 256L << 20, verifyChunks: Int = 0,
       diskBudgetBytes: Long = defaultDiskBudgetBytes,
       recallTargetPpm: Long = 995000L,
-      measureFraction: Double = 0.1): DataFrame =
+      measureFraction: Double = 0.1,
+      framesKey: Option[String] = None): DataFrame =
     if (docs.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType)
       containmentSketchOfShingles(shinglesOf(docs), thresholdPpm, maxDf,
           k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-          recallTargetPpm, measureFraction)
+          recallTargetPpm, measureFraction, framesKey)
         .orderBy(col("contained"), col("container"))
     else {
-      val dict = docIdFingerprints(docs, "containmentSketch")
+      // the collision-guard aggregation inside docIdFingerprints is one
+      // corpus-sized action — cached with the frames when the caller
+      // supplies a session key (the validated dictionary frame itself
+      // stays lazy; only the validation action is worth a cache)
+      val dict = cachedFrames(docs.sparkSession,
+        framesKey.map(k0 => s"dict:$k0"))(
+        docIdFingerprints(docs, "containmentSketch"))
       val fp = docs.select(xxhash64(col("doc_id")).as("doc_id"),
         col("text"))
       containmentSketchOfShingles(shinglesOf(fp), thresholdPpm, maxDf,
           k, verify, maxBroadcastBytes, verifyChunks, diskBudgetBytes,
-          recallTargetPpm, measureFraction)
+          recallTargetPpm, measureFraction, framesKey)
         .join(dict.select(col("doc_id").as("contained"),
           col("orig_id").as("oc")).hint("shuffle_hash"), Seq("contained"))
         .join(dict.select(col("doc_id").as("container"),
@@ -3328,7 +3383,8 @@ object Dedup {
       verifyChunks: Int = 0,
       diskBudgetBytes: Long = defaultDiskBudgetBytes,
       recallTargetPpm: Long = 995000L,
-      measureFraction: Double = 0.1): DataFrame = {
+      measureFraction: Double = 0.1,
+      framesKey: Option[String] = None): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
     require(k >= MeasuredK,
@@ -3346,7 +3402,8 @@ object Dedup {
         "dictionary route) for other doc-id types")
     import org.apache.spark.sql.graft.Bridge
     val (docLen, ranked, arrays, totalShingleRows, nDocs, estBytes) =
-      sketchFrames(sh, thresholdPpm, maxDf)
+      cachedFrames(sh.sparkSession, framesKey)(
+        sketchFrames(sh, thresholdPpm, maxDf))
     val mode = resolveVerifyMode(arrays, verify, maxBroadcastBytes,
       "containmentSketch")
     // the sketch width: explicit k verbatim; AutoK = the analytic
@@ -3497,7 +3554,8 @@ object Dedup {
     * decade exceeds the disk budget instead of ENOSPCing into it. */
   def containmentPrefix(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
-    containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf)
+    containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
+        framesKey = Some(s"cprefix:$dir:$thresholdPpm:$maxDf"))
       .orderBy(col("contained"), col("container"))
 
   /** [[containmentPrefix]] with the verify FORCED to the no-broadcast
@@ -3506,7 +3564,8 @@ object Dedup {
   def containmentPrefixMerge(spark: SparkSession, dir: String,
       thresholdPpm: Long = 500000L, maxDf: Int = 100): DataFrame =
     containmentPrefixOfShingles(shingles(spark, dir), thresholdPpm, maxDf,
-        verify = "merge")
+        verify = "merge",
+        framesKey = Some(s"cprefix:$dir:$thresholdPpm:$maxDf"))
       .orderBy(col("contained"), col("container"))
 
   /** [[containmentPrefix]] over an arbitrary `(doc_id, text)` frame —
@@ -3557,7 +3616,8 @@ object Dedup {
       thresholdPpm: Long, maxDf: Int, verify: String = "auto",
       maxBroadcastBytes: Long = 256L << 20,
       verifyChunks: Int = 0, candChunks: Int = 0,
-      diskBudgetBytes: Long = defaultDiskBudgetBytes): DataFrame = {
+      diskBudgetBytes: Long = defaultDiskBudgetBytes,
+      framesKey: Option[String] = None): DataFrame = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
       s"thresholdPpm must be in (0, 1e6], got $thresholdPpm")
     require(verify == "auto" || verify == "broadcast" || verify == "merge",
@@ -3578,19 +3638,25 @@ object Dedup {
     // the budget-gate action and the candidate job share one ranked
     // window exchange and one docs-sized length frame
     import org.apache.spark.sql.graft.Bridge
-    val docLen = Bridge.dropOriginConstraints(
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")).localCheckpoint())
-    val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .hint("shuffle_hash")
     // size-adaptive level for the corpus-sized frames, as on the Jaccard
     // path (the measured 100× unroll OOM vs the fixture-scale disk tax —
-    // scaladoc at scaleCheckpoint)
-    val estBytes = estUnrollBytes(docLen)
-    val ranked = Bridge.dropOriginConstraints(
-      scaleCheckpoint(rankedOfGated(sh.join(keep, Seq("s")), docLen,
-        containAlpha(thresholdPpm)), estBytes))
-    val arrays = scaleCheckpoint(arraysOfRanked(ranked), estBytes)
+    // scaladoc at scaleCheckpoint); session-cached for the paired
+    // fixture entries (q121/q122 share it — [[cachedFrames]])
+    val (docLen, ranked, arrays, estBytes) =
+      cachedFrames(sh.sparkSession, framesKey) {
+        val docLen0 = Bridge.dropOriginConstraints(
+          sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+            .localCheckpoint())
+        val keep = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, maxDf))
+          .hint("shuffle_hash")
+        val est = estUnrollBytes(docLen0)
+        val ranked0 = Bridge.dropOriginConstraints(
+          scaleCheckpoint(rankedOfGated(sh.join(keep, Seq("s")), docLen0,
+            containAlpha(thresholdPpm)), est))
+        val arrays0 = scaleCheckpoint(arraysOfRanked(ranked0), est)
+        (docLen0, ranked0, arrays0, est)
+      }
     def score(v: DataFrame): DataFrame =
       containmentScoreOf(v, thresholdPpm)
     // broadcast/merge resolved ONCE — the candChunks loop below calls the
