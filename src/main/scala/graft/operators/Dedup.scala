@@ -2110,9 +2110,27 @@ object Dedup {
     * side read from the index files. The candidate join still touches
     * only increment-vs-postings; df is computed over index ∪ increment,
     * exactly the full-corpus gate the batch pipeline applies. */
+  /** The increment-vs-index near-dup pair stage shared by the read-only
+    * fixture twins (q94's verdicts and q118's clusters both fold the
+    * SAME mod-10 increment against the SAME shipped index, so their
+    * pair frames are content-identical): with a `pairsKey` the frame
+    * rides the stage memo like every other shared stage — one candidate
+    * join per session, cold laps still pay their own. Never keyed on a
+    * commit path: an appending caller's index mutates under the plan. */
+  private def incPairsVsIndex(spark: SparkSession, indexPath: String,
+      idxSh: DataFrame, newSh: DataFrame, threshold: Double, maxDf: Int,
+      pairsKey: Option[String]): DataFrame = pairsKey match {
+    case Some(k) => memo(spark, s"incpairs:$k")(
+      incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold,
+        maxDf))
+    case None =>
+      incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold,
+        maxDf)
+  }
+
   def incrementalDedupAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100, pairsKey: Option[String] = None): DataFrame = {
     // string/UUID-keyed corpora run the POSTING machinery in fingerprint
     // currency (the index's stored currency — resolveIncomingCurrency
     // fingerprints the increment and re-runs the collision guard), while
@@ -2127,8 +2145,8 @@ object Dedup {
     val idxHashes = readIndexHashes(spark, indexPath)
     val newSh = shinglesOf(incW)
     val newHashes = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-    val pairsW = incrementalPairsOf(idxSh.unionByName(newSh), newSh,
-      threshold, maxDf)
+    val pairsW = incPairsVsIndex(spark, indexPath, idxSh, newSh,
+      threshold, maxDf, pairsKey)
     val pairs = dictOpt.map { case (dictU, _) =>
       pairsToOriginal(pairsW, dictU) }.getOrElse(pairsW)
     val incIds = incoming.select(col("doc_id"))
@@ -2230,8 +2248,12 @@ object Dedup {
     val isInc = pmod(col("doc_id"), lit(10)) === 0
     val path = ensureFixtureIndex(spark, dir, docs.filter(!isInc), "mod10",
       withForest = false)
+    // pairsKey: q94 and q118 fold the SAME increment against the SAME
+    // shipped content (their fixture indexes differ only in whether a
+    // forest sits beside them), so the pair stage is one shared memo
     incrementalDedupAgainstIndex(spark, path, docs.filter(isInc),
-      threshold, maxDf)
+      threshold, maxDf,
+      pairsKey = Some(s"$dir:mod10:$threshold:$maxDf"))
   }
 
   // ---------------------------------------------------------------------
@@ -2430,7 +2452,8 @@ object Dedup {
     * compacts — the r12–r16 behavior. */
   def incrementalClustersAgainstIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, threshold: Double = 0.8, maxDf: Int = 100,
-      commit: Boolean = true, compactEvery: Int = 0): DataFrame = {
+      commit: Boolean = true, compactEvery: Int = 0,
+      pairsKey: Option[String] = None): DataFrame = {
     require(compactEvery >= 0,
       s"compactEvery must be >= 1 commits, or 0 to disable: $compactEvery")
     val v = latestForestVersion(indexPath)
@@ -2492,10 +2515,20 @@ object Dedup {
     // indexes this frame — like the forest it contracts into — is
     // fingerprint currency throughout; original ids surface only in the
     // assembled output.
-    val pairs = org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
-      incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold, maxDf)
-        .select(col("d1"), col("d2"))
-        .localCheckpoint())
+    // in read-only mode with a pairsKey, the memoized shared stage (its
+    // persist) provides the single materialization; otherwise the
+    // checkpoint does
+    val pairs = (if (commit) None else pairsKey) match {
+      case Some(_) =>
+        incPairsVsIndex(spark, indexPath, idxSh, newSh, threshold, maxDf,
+          pairsKey).select(col("d1"), col("d2"))
+      case None =>
+        org.apache.spark.sql.graft.Bridge.dropOriginConstraints(
+          incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold,
+            maxDf)
+            .select(col("d1"), col("d2"))
+            .localCheckpoint())
+    }
     val prev = spark.read.parquet(s"$indexPath/forest/v$v")
     val labels = Curation.connectedComponentsStar(
       prev.unionByName(pairs).distinct())
@@ -2574,7 +2607,8 @@ object Dedup {
     val path = ensureFixtureIndex(spark, dir, docs.filter(!isInc), "mod10",
       withForest = true, threshold = threshold, maxDf = maxDf)
     incrementalClustersAgainstIndex(spark, path, docs.filter(isInc),
-      threshold, maxDf, commit = false)
+      threshold, maxDf, commit = false,
+      pairsKey = Some(s"$dir:mod10:$threshold:$maxDf"))
   }
 
   /** Fixture form (q87): the increment is every 10th document

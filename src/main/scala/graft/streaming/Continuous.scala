@@ -581,7 +581,10 @@ object Continuous {
     * generation holds one folded base plus at most `compactEvery`
     * deltas. */
   private[graft] final class DeltaState(spark: SparkSession, root: String,
-      fold: DataFrame => DataFrame) {
+      fold: DataFrame => DataFrame,
+      targetFoldBytes: Long = 128L << 20) {
+    require(targetFoldBytes > 0,
+      s"targetFoldBytes must be positive: $targetFoldBytes")
     private def fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     private def committedGens: Seq[Int] = {
@@ -607,7 +610,19 @@ object Continuous {
       * idempotent over its own output, which sums and distincts are). */
     def compact(): Unit = {
       val g = currentGen
-      fold(read()).coalesce(1)
+      // fold width sized from the generation's on-disk bytes (the fold's
+      // input bounds its output, and the deltas are the same rows the
+      // fold emits): one output file per `targetFoldBytes`, floor 1.
+      // The r17 hard coalesce(1) serialized the whole folded state
+      // through ONE task — fine at fixture/30× megabytes, a single-task
+      // bottleneck at a corpus-sized df store (ADVICE r17); the byte
+      // estimate keeps the fixture's one-file fan-in bound while letting
+      // a corpus-scale fold fan out.
+      val bytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir)).getLength
+      val width = math.max(1L,
+        (bytes + targetFoldBytes - 1) / targetFoldBytes).toInt
+      fold(read()).coalesce(width)
         .write.mode("overwrite").parquet(s"$root/g${g + 1}")
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/g${g + 1}", "._graft_state_commit.tmp")
@@ -763,11 +778,12 @@ object Continuous {
             // per-row flags for the increment, appended once per doc —
             // quality as an ADDED column (withQualityScore), so the flag
             // stage is a zero-shuffle map instead of a per-commit join
-            graft.operators.TextAnalysis.withQualityScore(docs)
+            val flagFrame = graft.operators.TextAnalysis
+              .withQualityScore(docs)
               .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
                 when(col("quality") >= qualityMin, 1).otherwise(0).as("f_q"),
                 when(col("lang") === lang, 1).otherwise(0).as("f_lang"))
-              .write.mode("append").parquet(flagsDir)
+            flagFrame.write.mode("append").parquet(flagsDir)
             // candidate index += the increment's shingles; the SAME
             // materialized frame feeds the df/docLen delta appends below
             // (persist pins one evaluation across the three writes)
@@ -784,7 +800,11 @@ object Continuous {
               // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
               incSh.write.mode("append").parquet(indexDir)
-              val index = spark.read.parquet(indexDir)
+              // explicit schemas on the per-commit state reads: the
+              // index/flag dirs grow one file set per commit, and
+              // schema-less reads re-infer footers across all of them
+              // every commit
+              val index = spark.read.schema(incSh.schema).parquet(indexDir)
               // the auto gate's pick (scaladoc above): one cheap count
               // over the persisted increment keeps the accumulated-rows
               // estimate; maintained wins once the index is data-bound
@@ -842,7 +862,7 @@ object Continuous {
               }
             } finally { incSh.unpersist(); () }
             // emit the cumulative funnel over the flag store
-            val flags = spark.read.parquet(flagsDir)
+            val flags = spark.read.schema(flagFrame.schema).parquet(flagsDir)
             val keepers = flags.groupBy(col("h"))
               .agg(min(col("doc_id")).as("doc_id"))
               .select(col("doc_id"), lit(1).as("f_ex"))

@@ -747,6 +747,45 @@ class StreamingSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("DeltaState: the fold width follows the generation's bytes — " +
+      "multi-file generations read identically") {
+    import spark.implicits._
+    val root = s"target/tmp/deltawide${System.nanoTime()}"
+    try {
+      // a 1-byte target forces width = ceil(bytes / 1) > 1, the corpus-
+      // scale shape the default 128 MiB target produces on a real df
+      // store; the r17 hard coalesce(1) could never produce it
+      val st = new Continuous.DeltaState(spark, root,
+        _.groupBy($"s").agg(sum($"dc").as("dc")), targetFoldBytes = 1L)
+      def gate() = st.read().groupBy($"s").agg(sum($"dc").as("df"))
+        .orderBy($"s").collect().map(_.toSeq).toSeq
+      st.append((1 to 64).map(i => (s"s$i", i.toLong)).toDF("s", "dc")
+        .repartition(4))
+      st.append((1 to 64).map(i => (s"s$i", 1L)).toDF("s", "dc")
+        .repartition(4))
+      val before = gate()
+      // the width is a BOUND (coalesce), not a forcer: at test scale AQE
+      // coalesces the fold's aggregate to one partition, so hold AQE's
+      // partition coalescing off for the compact to expose the fan-out
+      // the byte target permits — the corpus-scale shape, where the
+      // fold's natural width is real and only the r17 coalesce(1)
+      // collapsed it
+      val key = "spark.sql.adaptive.coalescePartitions.enabled"
+      val old = spark.conf.get(key)
+      try { spark.conf.set(key, "false"); st.compact() }
+      finally spark.conf.set(key, old)
+      assert(st.currentGen === 1)
+      assert(new java.io.File(s"$root/g1").listFiles()
+        .count(_.getName.endsWith(".parquet")) > 1,
+        "a byte-sized target must let the fold fan out over several files")
+      assert(gate() === before,
+        "a multi-file folded generation must read bit-identically")
+      // folding again over the multi-file generation stays idempotent
+      st.compact()
+      assert(gate() === before)
+    } finally rmrf(root)
+  }
+
   test("q88 funnel: trigger width is a knob (commit count and state-" +
       "append widths track it) and delta-store compaction changes " +
       "nothing observable") {
