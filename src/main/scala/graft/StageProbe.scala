@@ -50,6 +50,10 @@ import org.apache.spark.sql.functions._
   *  - `sketchfp` — the sketch over bigint vs string-keyed views of the
   *    same corpus (the fingerprint-dictionary premium), same k, one
   *    session.
+  *  - `opjobs` — per-JOB anatomy of one declared query (argv position 4
+  *    names it): duration, idle gaps and call site of every Spark job a
+  *    lap runs — the streaming operators are chains of many small jobs,
+  *    and this is the trace that says which links carry the wall clock.
   * Each lap clears [[StageMemo]] and sinks the stage to the noop writer
   * with an observe row counter, exactly like ScaleSmoke's protocol;
   * passing several variants A/Bs them in the SAME session (same JIT,
@@ -66,7 +70,8 @@ object StageProbe {
       stage == "sweepcompare" || stage == "plancompare" ||
       stage == "funnelgate" || stage == "commitgrowth" ||
       stage == "deltastate" || stage == "sketchfp" ||
-      stage == "funnelop" || stage == "sketchcal",
+      stage == "funnelop" || stage == "sketchcal" ||
+      stage == "opjobs",
       s"unknown stage: $stage")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // same top-decade knob as ScaleSmoke: 32 reduce partitions over a 30×
@@ -83,6 +88,77 @@ object StageProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (stage == "opjobs") {
+      // Per-job anatomy of ONE declared query: wall time, every Spark
+      // job's duration, the idle gap before it, task count and call
+      // site. A foreachBatch operator's cost is a CHAIN of many small
+      // jobs; only a job-grain trace says which links carry the wall
+      // clock, which are scheduler idle, and which are independent
+      // enough to overlap (guide §2.6). argv:
+      //   [opjobs] [dir] [ignored] [laps] [queryName]
+      // One untraced warm lap first (JIT + fixture staging), then
+      // `laps` traced laps — one JSON row per lap with the job list.
+      val qname = args.lift(4).getOrElse("q117_stream_crossmodal")
+      val fn = SparkEntry.queries(qname)
+      final case class J(id: Int, start: Long, var end: Long,
+          var site: String, var ntasks: Int)
+      val jobs = scala.collection.mutable.LinkedHashMap.empty[Int, J]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.synchronized {
+            jobs(js.jobId) = J(js.jobId, js.time, -1L,
+              Option(js.properties.getProperty("spark.job.description"))
+                .orElse(Option(
+                  js.properties.getProperty("callSite.short")))
+                .getOrElse("") + " | ex" +
+                Option(js.properties.getProperty("spark.sql.execution.id"))
+                  .getOrElse("-"),
+              js.stageInfos.map(_.numTasks).sum)
+          }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.synchronized {
+            jobs.get(je.jobId).foreach(_.end = je.time); ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      for (lap <- 1 to laps) {
+        jobs.synchronized(jobs.clear())
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(800) // the listener bus is async; let it drain
+        jobs.synchronized {
+          val done = jobs.values.filter(_.end > 0).toSeq
+          // idle = wall the driver spent with NO job running (the
+          // scheduling/plan/commit floor between chained actions);
+          // overlapping jobs are merged interval-union style
+          val iv = done.map(j => (j.start, j.end)).sortBy(_._1)
+          val busyMs = iv.foldLeft((0L, 0L)) { case ((acc, hi), (s, e)) =>
+            if (s > hi) (acc + (e - s), e)
+            else (acc + math.max(0L, e - hi), math.max(hi, e))
+          }._1
+          val rows = done.map { j =>
+            // JSON-safe label: descriptions can carry newlines/quotes
+            val site = j.site.replaceAll("[\\\\\"]", "'")
+              .replaceAll("\\s+", " ").take(80)
+            s"""{"id":${j.id},"ms":${j.end - j.start},""" +
+              s""""tasks":${j.ntasks},"site":"$site"}"""
+          }
+          println(s"""{"op":"opjobs","q":"$qname","dir":"$dir",""" +
+            s""""lap":$lap,"wall_s":${Bench.fmt(wall, 2)},""" +
+            s""""n_jobs":${done.size},""" +
+            s""""busy_s":${Bench.fmt(busyMs / 1000.0, 2)},""" +
+            s""""idle_s":${Bench.fmt(wall - busyMs / 1000.0, 2)},""" +
+            s""""load_1m":${Bench.loadavg1},""" +
+            s""""jobs":${rows.mkString("[", ",", "]")}}""")
+        }
+      }
+      spark.stop()
+      return
+    }
     if (stage == "prefixcand") {
       // candidate-volume anatomy of the prefix-filtered pair path (q119):
       // prefix rows, the RAW pair volume its posting lists would emit

@@ -335,6 +335,34 @@ object Continuous {
         "idempotent; key state versions off batchId before making this " +
         "stream restartable")
 
+  /** Run independent driver-side actions CONCURRENTLY (guide §2.6) and
+    * wait for ALL of them to settle before rethrowing the first failure —
+    * callers' finally blocks delete state dirs and unpersist frames, so
+    * no action may still be in flight when control returns. Use only for
+    * actions whose inputs are already materialized (persisted frames'
+    * cached blocks, written state): separate Spark actions do NOT share
+    * un-materialized shuffle stages, so racing two consumers of an
+    * un-built persisted frame duplicates its whole upstream pipeline
+    * (measured on the q117 commit body: +35 jobs/lap and +5 s wall). */
+  private def concurrently(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val settled = work.map(w => Future(w()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.foreach(_.get)
+  }
+
+  /** Run `body` under a UI/trace job description (guide §1.5): the
+    * foreachBatch operators chain many small jobs per commit, and the
+    * label is what lets a job-grain trace (StageProbe `opjobs`) say which
+    * phase of the commit each job belongs to. Thread-local, so it holds
+    * only for actions `body` itself triggers. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   private[graft] def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
@@ -1159,10 +1187,15 @@ object Continuous {
                   .unionByName(bHashes)
                 val allFp = stateOrEmpty(spark, fpDir, eFp.schema)
                   .unionByName(bFp)
+                // no per-frame distinct here: every canon() consumer
+                // below already sits under a distinct, whose partial
+                // (map-side) aggregation dedups the per-shared-bucket
+                // pair multiplicity before its exchange — the old inner
+                // distincts were a whole extra exchange per edge frame
+                // feeding another distinct (guide §2.4)
                 def canon(df: DataFrame) = df.select(
                   least(col("n.doc_id"), col("o.doc_id")).as("d1"),
                   greatest(col("n.doc_id"), col("o.doc_id")).as("d2"))
-                  .distinct()
                 val tEdges = canon(bBands.as("n")
                   .join(allBands.as("o").hint("shuffle_hash"),
                     col("n.band") === col("o.band") &&
@@ -1194,62 +1227,121 @@ object Continuous {
                 // unpersisted, the three state-probe joins above re-ran
                 // once per consumer, tripling the commit's dominant jobs
                 val textPairs = tEdges.union(dEdges).distinct().persist()
-                val mE = mEdges.persist()
+                val mE = mEdges.distinct().persist()
                 try {
-                  // modality participation (feeds n_modalities), appended
-                  // before the snapshot below reads the parts state back
-                  textPairs.select(explode(array(col("d1"), col("d2")))
-                      .as("doc_id")).distinct()
-                    .withColumn("modality", lit("text"))
-                    .union(mE.select(explode(array(col("d1"), col("d2")))
-                        .as("doc_id")).distinct()
-                      .withColumn("modality", lit("media")))
-                    .write.mode("append").parquet(partsDir)
-                  // contract (previous forest ∪ new edges) — the previous
-                  // contraction's star edges stand in for all prior
-                  // history. The contraction distincts its edge input, so
-                  // the text ∪ media union needs no pre-distinct here.
-                  val prevForest =
-                    if (i == 1) eForest
-                    else spark.read.schema(eForest.schema)
-                      .parquet(s"$stateRoot/forest/v${i - 1}")
-                  val labels =
-                    graft.operators.Curation.connectedComponentsStar(
-                      prevForest.unionByName(textPairs.union(mE)))
-                  labels.filter(col("id") =!= col("label"))
-                    .select(col("id").as("d1"), col("label").as("d2"))
-                    .write.mode("overwrite")
-                    .parquet(s"$stateRoot/forest/v$i")
+                  // OVERLAP the commit's independent actions (guide §2.6)
+                  // — measured sequential, 38% of the q117 wall had NO
+                  // job running (driver planning/commit gaps between ~10
+                  // chained actions per commit). Phase 0 materializes the
+                  // two shared edge frames concurrently (the expensive
+                  // state probes; disjoint inputs — text reads
+                  // bands/hashes, media reads fp). Phase 1 then overlaps
+                  // every consumer: all read cached blocks, the state
+                  // RELATIONS above pinned their file lists at creation
+                  // (a concurrent append cannot leak this batch into its
+                  // own probe), and the parquet appends write UUID part
+                  // files into four distinct dirs. The verdict snapshot
+                  // below stays behind the barrier: it reads the
+                  // parts/seen/forest state phase 1 writes.
+                  concurrently(Seq(
+                    () => labeled(spark, "q117: probe text edges") {
+                      textPairs.count(); () },
+                    () => labeled(spark, "q117: probe media edges") {
+                      mE.count(); () }))
+                  concurrently(Seq(
+                    // modality participation (feeds n_modalities),
+                    // appended before the snapshot reads the parts state
+                    () => labeled(spark, "q117: parts append") {
+                      textPairs.select(explode(array(col("d1"), col("d2")))
+                          .as("doc_id")).distinct()
+                        .withColumn("modality", lit("text"))
+                        .union(mE.select(explode(array(col("d1"), col("d2")))
+                            .as("doc_id")).distinct()
+                          .withColumn("modality", lit("media")))
+                        .coalesce(1) // increment-width, as the state appends
+                        .write.mode("append").parquet(partsDir)
+                    },
+                    // contract (previous forest ∪ new edges) — the
+                    // previous contraction's star edges stand in for all
+                    // prior history. The contraction distincts its edge
+                    // input, so the union needs no pre-distinct here.
+                    () => labeled(spark, "q117: contract forest") {
+                      val prevForest =
+                        if (i == 1) eForest
+                        else spark.read.schema(eForest.schema)
+                          .parquet(s"$stateRoot/forest/v${i - 1}")
+                      // CHECKPOINT the contraction input: starContract
+                      // reads it twice (the canonical edge set and the
+                      // vertex frame), and handed the raw union its
+                      // vertex pass re-ran the whole state-probe chain —
+                      // measured 12 jobs/1.7-2.1 s per commit for the
+                      // forest write, vs 3 jobs/0.2 s over a pinned
+                      // input; a persist() did NOT close it (the cached
+                      // union still re-planned into probe re-execution),
+                      // a LogicalRDD leaf does. Near-forest-sized at any
+                      // scale: prior history rides the star forest, new
+                      // edges are increment-bounded. Bridge drops the
+                      // union's stale origin constraints — the same
+                      // Spark 4.1 guard starContract's own checkpoints
+                      // need (q86's union shape).
+                      val contractIn =
+                        org.apache.spark.sql.graft.Bridge
+                          .dropOriginConstraints(prevForest
+                            .unionByName(textPairs.union(mE))
+                            .localCheckpoint())
+                      val labels =
+                        graft.operators.Curation.connectedComponentsStar(
+                          contractIn)
+                      labels.filter(col("id") =!= col("label"))
+                        .select(col("id").as("d1"), col("label").as("d2"))
+                        .write.mode("overwrite")
+                        .parquet(s"$stateRoot/forest/v$i")
+                    },
+                    // index += the whole batch; later arrivals must match
+                    // it. Append width tracks the INCREMENT (one staged
+                    // file per trigger), not the shuffle setting — the
+                    // q88 idiom (r15 anatomy: ~6% off the whole op):
+                    // narrower appends cut the per-write commit and every
+                    // later per-commit state scan's file fan-in.
+                    () => labeled(spark, "q117: state appends") {
+                      bBands.coalesce(1).write.mode("append")
+                        .parquet(bandsDir) },
+                    () => labeled(spark, "q117: state appends") {
+                      bHashes.coalesce(1).write.mode("append")
+                        .parquet(hashesDir) },
+                    () => labeled(spark, "q117: state appends") {
+                      bFp.coalesce(1).write.mode("append")
+                        .parquet(fpDir) },
+                    () => labeled(spark, "q117: state appends") {
+                      b.select(col("doc_id")).coalesce(1)
+                        .write.mode("append").parquet(seenDir) }))
                 } finally { textPairs.unpersist(); mE.unpersist(); () }
-                // index += the whole batch; later arrivals must match it
-                bBands.write.mode("append").parquet(bandsDir)
-                bHashes.write.mode("append").parquet(hashesDir)
-                bFp.write.mode("append").parquet(fpDir)
-                b.select(col("doc_id")).write.mode("append").parquet(seenDir)
                 // cumulative decision snapshot: every doc seen so far,
                 // current cluster/keep/n_modalities (earlier verdicts may
                 // legitimately flip when clusters merge)
-                val forest = spark.read.schema(eForest.schema)
-                  .parquet(s"$stateRoot/forest/v$i")
-                val parts = stateOrEmpty(spark, partsDir, eParts.schema)
-                  .groupBy(col("doc_id"))
-                  .agg(max(when(col("modality") === "text", 1).otherwise(0))
-                      .as("in_text"),
-                    max(when(col("modality") === "media", 1).otherwise(0))
-                      .as("in_media"))
-                stateOrEmpty(spark, seenDir, eSeen.schema)
-                  .join(forest.withColumnRenamed("d1", "doc_id")
-                    .hint("shuffle_hash"), Seq("doc_id"), "left")
-                  .join(parts.hint("shuffle_hash"), Seq("doc_id"), "left")
-                  .select(col("doc_id"),
-                    coalesce(col("d2"), col("doc_id")).as("cluster"),
-                    when(coalesce(col("d2"), col("doc_id")) === col("doc_id"),
-                      1).otherwise(0).as("keep"),
-                    (coalesce(col("in_text"), lit(0))
-                      + coalesce(col("in_media"), lit(0)))
-                      .as("n_modalities"))
-                  .write.mode("overwrite")
-                  .parquet(s"$stateRoot/verdicts/v$i")
+                labeled(spark, "q117: verdict snapshot") {
+                  val forest = spark.read.schema(eForest.schema)
+                    .parquet(s"$stateRoot/forest/v$i")
+                  val parts = stateOrEmpty(spark, partsDir, eParts.schema)
+                    .groupBy(col("doc_id"))
+                    .agg(max(when(col("modality") === "text", 1).otherwise(0))
+                        .as("in_text"),
+                      max(when(col("modality") === "media", 1).otherwise(0))
+                        .as("in_media"))
+                  stateOrEmpty(spark, seenDir, eSeen.schema)
+                    .join(forest.withColumnRenamed("d1", "doc_id")
+                      .hint("shuffle_hash"), Seq("doc_id"), "left")
+                    .join(parts.hint("shuffle_hash"), Seq("doc_id"), "left")
+                    .select(col("doc_id"),
+                      coalesce(col("d2"), col("doc_id")).as("cluster"),
+                      when(coalesce(col("d2"), col("doc_id")) === col("doc_id"),
+                        1).otherwise(0).as("keep"),
+                      (coalesce(col("in_text"), lit(0))
+                        + coalesce(col("in_media"), lit(0)))
+                        .as("n_modalities"))
+                    .write.mode("overwrite")
+                    .parquet(s"$stateRoot/verdicts/v$i")
+                }
               } finally {
                 bBands.unpersist(); bHashes.unpersist(); bFp.unpersist(); ()
               }
