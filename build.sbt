@@ -39,6 +39,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // forked-JVM heap: the DECLARED bench regime (SPARK_GRAFT_BENCH_HEAP_MB,
+  // the pin Bench records heap_pinned against) takes precedence when set;
+  // SPARK_DRIVER_MEM stays the scale-session override; default 8g — the
+  // regime every round's artifact is compared at. Bench additionally
+  // re-execs itself onto the pin if the launcher sized the JVM some other
+  // way (three rounds of driver artifacts ran off-pin at ~91 GiB).
+  s"-Xmx${sys.env.get("SPARK_GRAFT_BENCH_HEAP_MB").map(_ + "m")
+    .orElse(sys.env.get("SPARK_DRIVER_MEM")).getOrElse("8g")}",
 )
 scalacOptions += "-deprecation"

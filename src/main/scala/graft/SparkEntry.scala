@@ -364,12 +364,15 @@ object SparkEntry {
     "q127_containment_sketch_fp" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, concat, lit, lpad}
       // framesKey: this fixture view is deterministic per dir, so the
-      // checkpointed sketch frames cache for the session like q126's
+      // checkpointed sketch frames cache for the session like q126's.
+      // The gate params ride the key (thresholdPpm:maxDf — this call's
+      // defaults), matching the sketch/jprefix/cprefix key schema so a
+      // param change can never serve stale frames (ADVICE r18 low).
       Dedup.containmentSketchOf(
         Tables.documents(s, d).select(
           concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
             .as("doc_id"), col("text")),
-        framesKey = Some(s"sketchfp:$d"))
+        framesKey = Some(s"sketchfp:$d:500000:100"))
     }),
     // Sketch-width calibration (q128, r17): the MeasuredK sizing rule as
     // an oracle-checkable frame — the sampled recall ladder (true pairs

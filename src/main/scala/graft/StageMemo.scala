@@ -109,9 +109,11 @@ private[graft] object StageMemo {
   /** Small scalar companion memo (e.g. the corpus count a budget gate
     * needs): same lifetime as the frames, cleared together. Keeps an eager
     * `count()` job from re-running on every warm invocation of a gated
-    * operator. Unbounded by design — entries are a few bytes and keyed by
-    * the same per-corpus stage names as the frame memo. Not counted in
-    * [[Stats]]: the frames are where the build cost lives. */
+    * operator. Unbounded by design — entries are a FEW BYTES (counts,
+    * byte estimates, validation flags; anything holding pinned storage
+    * belongs in [[frames]]) and keyed by the same per-corpus stage names
+    * as the frame memo. Not counted in [[Stats]]: the frames are where
+    * the build cost lives. */
   private val scalars =
     new java.util.HashMap[(SparkSession, String), Any]()
 
@@ -123,6 +125,53 @@ private[graft] object StageMemo {
       else { val v = build; scalars.put(k, v); v }
     }
 
+  /** Eviction budget for [[frames]] tuples. The distinct framesKey
+    * families the fixture entries stash per corpus are counted by
+    * StageMemoSpec from the main sources (jprefix, cprefix, sketch,
+    * sketchfp + its dict companion — 5 today); the spec asserts
+    * `2 × families + 4 ≤ maxFrameTuples`, the same two-corpus-plus-
+    * headroom arithmetic as [[maxEntries]]. */
+  @volatile private[graft] var maxFrameTuples: Int = 16
+
+  private val frameStash =
+    new java.util.LinkedHashMap[(SparkSession, String), (Any, Any => Unit)](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), (Any, Any => Unit)])
+          : Boolean =
+        if (this.size() > maxFrameTuples) {
+          val (v, release) = e.getValue; release(v); true
+        } else false
+    }
+
+  /** Bounded session stash for CHECKPOINTED frame tuples (the prefix/
+    * sketch families' docLen/ranked/arrays sets). These are
+    * localCheckpoints — already materialized, so the frame memo's
+    * persist-on-top would be redundant — but they pin corpus-sized RDD
+    * blocks, so unlike [[scalar]] entries they MUST be bounded and
+    * released: eviction (least-recently-used past [[maxFrameTuples]])
+    * and [[clear]] invoke `release`, which unpersists the tuple's
+    * checkpointed RDDs (r18 stashed these on the scalar side, which is
+    * unbounded and never unpersists — the ADVICE-r18 storage-budget
+    * leak). A released tuple CANNOT be recomputed (checkpoints have no
+    * lineage); callers must re-invoke the builder, which is what a
+    * stash miss does. */
+  def frames[T](spark: SparkSession, key: String)(build: => T)(
+      release: T => Unit): T =
+    memo.synchronized {
+      val k = (spark, key)
+      val cached = frameStash.get(k) // get() refreshes LRU order
+      if (cached != null) cached._1.asInstanceOf[T]
+      else {
+        val v = build
+        frameStash.put(k, (v, release.asInstanceOf[Any => Unit]))
+        v
+      }
+    }
+
+  private[graft] def frameStashSize: Int =
+    memo.synchronized(frameStash.size())
+
   /** Drop and unpersist every memoized stage. Counters survive — they are
     * windowed by [[statsSnapshot]], not by cache lifetime (the cold bench
     * lap clears the cache before every query and still wants one lap-wide
@@ -131,6 +180,8 @@ private[graft] object StageMemo {
     memo.values().forEach(_.unpersist())
     memo.clear()
     scalars.clear()
+    frameStash.values().forEach { case (v, release) => release(v) }
+    frameStash.clear()
   }
 
   /** Read the counters accumulated since the last reset; `reset = true`

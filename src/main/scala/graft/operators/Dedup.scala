@@ -40,19 +40,37 @@ object Dedup {
   /** Session-scoped stash for the prefix/sketch families' CHECKPOINTED
     * frame tuples (docLen / ranked / arrays and their sizing stats).
     * These frames are localCheckpoints — already materialized, so the
-    * frame memo's persist-on-top would be redundant; the scalar side of
-    * [[graft.StageMemo]] keeps the tuple for the session (cleared with
-    * the frame memo, so the bench's cold laps still pay every build).
+    * frame memo's persist-on-top would be redundant; [[graft.StageMemo.frames]]
+    * keeps the tuple for the session (cleared with the frame memo, so
+    * the bench's cold laps still pay every build), BOUNDED and released
+    * on eviction/clear — the r18 scalar-side stash was unbounded and
+    * never unpersisted the pinned checkpoint blocks (ADVICE r18 medium).
     * Keyed EXPLICITLY by the fixture entry points (dir + the gate
     * parameters baked into the frames); library callers handing
     * arbitrary frames pass None and keep per-call builds — a caller's
     * ad-hoc frame has no stable identity to cache under. Before this,
     * each half of the paired fixture entries (q119/q120, q121/q122,
-    * q126/q128) re-built identical checkpointed frames per invocation. */
+    * q126/q128) re-built identical checkpointed frames per invocation.
+    * `SPARK_GRAFT_FRAMES_STASH=0` disables the stash entirely — the
+    * cache-pressure A/B knob (OPTIMIZATION_r19), not a tuning setting. */
   private def cachedFrames[T](spark: SparkSession, key: Option[String])(
       build: => T): T = key match {
-    case Some(k) => graft.StageMemo.scalar(spark, s"frames:$k")(build)
-    case None => build
+    case Some(k) if framesStashEnabled =>
+      graft.StageMemo.frames(spark, s"frames:$k")(build)(releaseFrames)
+    case _ => build
+  }
+
+  private val framesStashEnabled =
+    sys.env.get("SPARK_GRAFT_FRAMES_STASH").forall(_ != "0")
+
+  /** Release walker for stashed frame tuples: unpersist every
+    * checkpointed DataFrame reachable through the tuple (non-checkpoint
+    * frames and scalars pass through untouched). */
+  private def releaseFrames(v: Any): Unit = v match {
+    case df: DataFrame =>
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(df)
+    case p: Product => p.productIterator.foreach(releaseFrames)
+    case _ => ()
   }
 
   /** Drop and unpersist every memoized stage (all operators' — dedup,

@@ -47,4 +47,20 @@ object Bridge {
         org.apache.spark.sql.classic.Dataset.ofRows(spark, clean)
       case _ => df
     }
+
+  /** Unpersist a `localCheckpoint`ed frame's pinned RDD blocks. A
+    * checkpointed frame's LogicalRDD has NO recompute lineage — its
+    * blocks are the only copy — so `DataFrame.unpersist()` never
+    * releases them and a long session accumulates pinned storage until
+    * the RDD reference happens to be GC'd. Call this only when the
+    * frame is DEAD (evicted from a cache, session torn down): any later
+    * action on it, or on a plan built over it, fails with a missing
+    * checkpoint block instead of recomputing. Frames that are not a
+    * bare LogicalRDD pass through untouched (no-op). */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 }

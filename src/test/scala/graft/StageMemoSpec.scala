@@ -105,6 +105,72 @@ class StageMemoSpec extends SparkSpec {
         "would silently evict a live stage mid-lap; raise maxEntries")
   }
 
+  test("frames stash: memoizes, evicts LRU past its budget, and releases " +
+      "evicted/cleared tuples") {
+    StageMemo.clear()
+    import spark.implicits._
+    val old = StageMemo.maxFrameTuples
+    StageMemo.maxFrameTuples = 2
+    try {
+      var builds = Map.empty[String, Int].withDefaultValue(0)
+      var released = Set.empty[String]
+      def get(k: String) = StageMemo.frames(spark, k) {
+        builds += k -> (builds(k) + 1)
+        (Seq(k).toDF("x").localCheckpoint(), 42L)
+      } { case (df, _) =>
+        released += k
+        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(df)
+      }
+      val (aDf, _) = get("fa")
+      get("fb"); get("fa") // refresh fa: fb is now LRU
+      get("fc") // evicts + releases fb
+      assert(StageMemo.frameStashSize === 2)
+      assert(released === Set("fb"), "eviction must invoke the release thunk")
+      get("fb")
+      assert(builds("fb") === 2, "an evicted tuple must rebuild")
+      // fa survived both evictions (fc evicted fb, fb's rebuild evicted fa?
+      // no: after fc, order is fa, fc; fb's insert evicts fa)
+      assert(released === Set("fb", "fa"))
+      // the released checkpoint's blocks are gone: an action on the dead
+      // frame must fail (checkpoints have no recompute lineage)
+      intercept[Exception] { aDf.count() }
+      StageMemo.clear()
+      assert(StageMemo.frameStashSize === 0)
+      assert(released === Set("fa", "fb", "fc"),
+        "clear() must release every stashed tuple")
+    } finally {
+      StageMemo.maxFrameTuples = old
+      StageMemo.clear()
+    }
+  }
+
+  test("the frames-stash budget is self-checking against the framesKey families") {
+    // same rationale as the maxEntries self-check: count the distinct
+    // framesKey families from the sources (plus their derived dict:
+    // companions) so a new stashed family fails HERE until
+    // maxFrameTuples grows with it.
+    val src = java.nio.file.Paths.get("src/main/scala/graft")
+    assume(java.nio.file.Files.isDirectory(src), s"run from the repo root: $src")
+    val keyRe = """[Ff]ramesKey = Some\(s"([A-Za-z0-9_]+):""".r
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.walk(src)
+    val families =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap(p => keyRe.findAllMatchIn(new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).map(_.group(1)))
+        .toSet
+      finally stream.close()
+    assert(families.size >= 4, s"framesKey scan looks broken, found: $families")
+    // +1: containmentSketchOf derives a "dict:<key>" companion entry
+    assert(2 * (families.size + 1) + 4 <= StageMemo.maxFrameTuples,
+      s"${families.size} framesKey families ($families) + the dict " +
+        s"companion x 2 bench corpora + 4 headroom exceeds " +
+        s"maxFrameTuples=${StageMemo.maxFrameTuples} — a bench lap would " +
+        "evict live frames mid-lap; raise maxFrameTuples")
+  }
+
   test("evicts least-recently-used beyond the budget and unpersists it") {
     StageMemo.clear()
     import spark.implicits._
