@@ -28,9 +28,10 @@ private[graft] object StageMemo {
 
   /** Eviction budget: max stages kept pinned. The engine's distinct shared
     * frame stages per corpus are counted by StageMemoSpec from the main
-    * sources (14 today: shingles, ngraminter, ngraminterS, ngram,
-    * incpairs, minhash, bands, simhash, dupspan_grams, blockhash,
-    * bm25_topdocs, vecs, lshpairs, kmeans), and the spec asserts
+    * sources (13 today: shingles, ngraminter, ngraminterS, incpairs,
+    * minhash, bands, simhash, dupspan_grams, blockhash, bm25_topdocs,
+    * vecs, lshpairs, kmeans — the ngram view was de-memoized in r19), and
+    * the spec asserts
     * `2 × keys + 4 ≤ maxEntries` — a bench run pins a warm-up corpus
     * plus a measured corpus, and 4 headroom keeps a new stage from
     * silently evicting a live entry mid-lap. */

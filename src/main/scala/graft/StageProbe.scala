@@ -107,13 +107,16 @@ object StageProbe {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobs.synchronized {
+            // properties is NULLABLE on SparkListenerJobStart — an NPE in
+            // a listener is swallowed by the bus and silently drops the
+            // job's row (ADVICE r18)
+            def prop(k: String): Option[String] =
+              Option(js.properties).flatMap(p => Option(p.getProperty(k)))
             jobs(js.jobId) = J(js.jobId, js.time, -1L,
-              Option(js.properties.getProperty("spark.job.description"))
-                .orElse(Option(
-                  js.properties.getProperty("callSite.short")))
+              prop("spark.job.description")
+                .orElse(prop("callSite.short"))
                 .getOrElse("") + " | ex" +
-                Option(js.properties.getProperty("spark.sql.execution.id"))
-                  .getOrElse("-"),
+                prop("spark.sql.execution.id").getOrElse("-"),
               js.stageInfos.map(_.numTasks).sum)
           }
         override def onJobEnd(
@@ -129,7 +132,10 @@ object StageProbe {
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(800) // the listener bus is async; let it drain
+        // the listener bus is async — drain it DETERMINISTICALLY before
+        // snapshotting (the old fixed Thread.sleep(800) undercounted jobs
+        // on a loaded driver, ADVICE r18)
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
         jobs.synchronized {
           val done = jobs.values.filter(_.end > 0).toSeq
           // idle = wall the driver spent with NO job running (the
@@ -494,6 +500,10 @@ object StageProbe {
       val stringView = docs.select(
         concat(lit("doc-"), lpad(col("doc_id").cast("string"), 12, "0"))
           .as("doc_id"), col("text"))
+      // the dictionary-changes-nothing-observable contract is REQUIRED,
+      // not just printed (ADVICE r18): the probe's timing comparison is
+      // meaningless if the two currencies disagree on output volume
+      var rowsSeen = Map.empty[String, Any]
       for (lap <- 1 to laps;
            (label, frame) <- Seq("bigint" -> docs, "string" -> stringView)) {
         StageMemo.clear()
@@ -503,9 +513,15 @@ object StageProbe {
           .observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite").format("noop").save()
         val s = (System.nanoTime() - t0) / 1e9
+        val rows = obs.get("rows")
+        rowsSeen.foreach { case (seenLabel, seenRows) =>
+          require(seenRows == rows,
+            s"sketchfp currency twins disagree: $seenLabel=$seenRows vs " +
+              s"$label=$rows at $dir k=$k tppm=$tppm") }
+        rowsSeen += label -> rows
         println(f"""{"op":"sketchfp_$label","dir":"$dir","maxDf":$maxDf,""" +
           f""""thresholdPpm":$tppm,"k":$k,"lap":$lap,"sec":$s%.1f,""" +
-          s""""rows_out":${obs.get("rows")},""" +
+          s""""rows_out":$rows,"rows_match":true,""" +
           s""""load_1m":${Bench.loadavg1}}""")
         System.gc()
       }

@@ -172,6 +172,86 @@ case class DocIdRemPairs(child: Expression)
     copy(child = c)
 }
 
+/** [[DocIdPairs]] with each doc's FULL (ungated) shingle count carried as
+  * payload: streams the C(n,2) unordered doc pairs of one posting list as
+  * `(d1, d2, c1, c2)` rows, where each input element is a
+  * `struct<doc_id: bigint, c: bigint>` and `c1`/`c2` ride with their
+  * (sorted) ids. This is what lets the intersection stage
+  * (`Dedup.interCountsOfShingles`) compute Jaccard's denominator WITHOUT
+  * joining the pair frame back to the doc-length table twice: the r18
+  * shape exchanged the corpus-pair frame by d1 and again by d2 (the two
+  * largest exchanges of the stage — 34.5 + 43.1 MiB at sf0.1 against a
+  * 117 KiB join side that scale-safety pins to a shuffled join) purely to
+  * attach two longs; attaching them on the posting entry costs one
+  * idx-sized exchange (6 MiB) plus two longs on the count aggregation's
+  * partial rows instead (guide §2.3/§2.4 — and the imbalance grows with
+  * scale: pair volume is ~maxDf/2 × the posting volume at the cap).
+  *
+  * Same contracts as [[DocIdPairs]]: sorts by doc id once (payload
+  * carried through the sort), O(df) peak per posting list, pair multiset
+  * invariant under input permutation, nulls rejected loudly. */
+case class DocIdLenPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("c1", LongType, nullable = false),
+    StructField("c2", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_doc_id_len_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "graft_doc_id_len_pairs requires array<struct<bigint, bigint>>, " +
+        s"got ${other.simpleString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val cs = new Array[Long](n)
+    val order = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i),
+        "graft_doc_id_len_pairs: null element in posting list")
+      val s = arr.getStruct(i, 2)
+      require(!s.isNullAt(0) && !s.isNullAt(1),
+        "graft_doc_id_len_pairs: null doc id or count in posting list")
+      ids(i) = s.getLong(0)
+      cs(i) = s.getLong(1)
+      order(i) = i
+      i += 1
+    }
+    java.util.Arrays.sort(order,
+      (a: Integer, b: Integer) => java.lang.Long.compare(ids(a), ids(b)))
+    new scala.collection.AbstractIterator[InternalRow] {
+      private var x = 0
+      private var y = 1
+      override def hasNext: Boolean = y < n
+      override def next(): InternalRow = {
+        val (ox, oy) = (order(x), order(y))
+        val r = new GenericInternalRow(Array[Any](ids(ox), ids(oy),
+          cs(ox), cs(oy)))
+        y += 1
+        if (y == n) { x += 1; y = x + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** [[DocIdRemPairs]]' ORIENTED twin for asymmetric containment
   * (`Dedup.containmentPrefixOfShingles`): streams the ordered
   * (contained → container) doc pairs of one posting list as

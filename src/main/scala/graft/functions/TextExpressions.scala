@@ -416,6 +416,13 @@ object TextFunctions {
   def docIdPairs(postings: Column): Column =
     Bridge.column(DocIdPairs(Bridge.expression(postings)))
 
+  /** Streaming C(n,2) pair generator over an array<struct<doc_id, c>>
+    * posting list — yields `(d1, d2, c1, c2)` rows, `d1 < d2`, each
+    * doc's count carried alongside its id; alias with
+    * `.as(Seq("d1", "d2", "c1", "c2"))`. */
+  def docIdLenPairs(postings: Column): Column =
+    Bridge.column(DocIdLenPairs(Bridge.expression(postings)))
+
   /** Streaming C(n,2) pair generator over an
     * array<struct<doc_id, rem, g>> prefix posting list — yields
     * `(d1, d2, minrem, gsum)` rows, `d1 < d2`; alias with

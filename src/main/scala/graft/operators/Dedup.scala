@@ -222,18 +222,48 @@ object Dedup {
       .select(col("s"))
       .hint("shuffle_hash")
     val idx = sh.join(keep, Seq("s"), "left_semi")
-    val inter = emitPostingPairs(idx)
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    // docLen is O(corpus documents) — broadcast would die at scale just
-    // like the keep-list; keep these as shuffled joins on the doc id
-    inter
-      .join(docLen.as("ca").hint("shuffle_hash"),
-        col("d1") === col("ca.doc_id"))
-      .join(docLen.as("cb").hint("shuffle_hash"),
-        col("d2") === col("cb.doc_id"))
-      .select(col("d1"), col("d2"), col("i"),
-        col("ca.c").as("c1"), col("cb.c").as("c2"))
+    val docIdIsLong = sh.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (docIdIsLong) {
+      // r19 shape (§2.3/§2.4): each doc's FULL length rides the posting
+      // entry, and the [[graft.functions.DocIdLenPairs]] generator emits
+      // it with the pair — Jaccard's denominator then falls out of the
+      // count aggregation itself. The r18 shape joined the PAIR frame
+      // back to docLen twice (exchange by d1, again by d2 — the stage's
+      // two largest exchanges: 34.5 + 43.1 MiB vs 117 KiB of docLen at
+      // sf0.1, both pinned shuffled because docLen is O(corpus docs) and
+      // a broadcast dies at scale); attaching c on the GATED index costs
+      // one idx-sized exchange (6 MiB) plus two longs on the count agg's
+      // partial rows. The imbalance grows with scale: at the df cap,
+      // pair volume runs up to maxDf/2 × posting volume. docLen stays a
+      // shuffled join — its agg output is already hashed by doc_id.
+      idx
+        .join(docLen.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy(col("s"))
+        .agg(collect_list(struct(col("doc_id"), col("c"))).as("ds"))
+        .select(graft.functions.TextFunctions.docIdLenPairs(col("ds"))
+          .as(Seq("d1", "d2", "c1", "c2")))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("i"),
+          // c1/c2 are functions of d1/d2 — min is just the agg that rides
+          // the same partial aggregation as the count
+          min(col("c1")).as("c1"), min(col("c2")).as("c2"))
+        .select(col("d1"), col("d2"), col("i"), col("c1"), col("c2"))
+    } else {
+      // portable library branch (string/int doc ids): the interpreted HOF
+      // pair chain plus the two docLen joins — multiset-identical to the
+      // generator shape, spec-pinned as its golden twin
+      val inter = emitPostingPairs(idx)
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(docLen.as("ca").hint("shuffle_hash"),
+          col("d1") === col("ca.doc_id"))
+        .join(docLen.as("cb").hint("shuffle_hash"),
+          col("d2") === col("cb.doc_id"))
+        .select(col("d1"), col("d2"), col("i"),
+          col("ca.c").as("c1"), col("cb.c").as("c2"))
+    }
   }
 
   /** Unordered `(d1 < d2)` co-occurrence pairs of a `(doc_id, s)` frame:
@@ -241,31 +271,25 @@ object Dedup {
     * shingle (a pair sharing k shingles appears k times — the groupBy
     * count downstream IS the intersection count).
     *
-    * Pair emission: the streaming [[graft.functions.DocIdPairs]]
-    * generator hands each of the ≤ C(maxDf, 2) pairs of a posting list to
-    * GenerateExec lazily — O(df) peak per posting list. A non-long doc_id
-    * frame (library callers with string/int keys) takes the portable HOF
-    * form instead, which interprets ~df² CodegenFallback lambda calls and
-    * materializes the whole pair array per row (multiset-identical,
-    * spec-pinned as the generator's golden twin; the conf-selected HOF
-    * path for LONG ids was retired in r13 after the r12 differential
-    * round). */
-  private def emitPostingPairs(idx: DataFrame): DataFrame = {
-    val postings = idx.groupBy(col("s"))
+    * Pair emission (LONG doc ids — the engine currency): the streaming
+    * [[graft.functions.DocIdLenPairs]] generator hands each of the
+    * ≤ C(maxDf, 2) pairs of a posting list to GenerateExec lazily —
+    * O(df) peak per posting list — with both docs' lengths carried as
+    * payload. A non-long doc_id frame (library callers with string/int
+    * keys) takes [[emitPostingPairs]]' portable HOF form instead, which
+    * interprets ~df² CodegenFallback lambda calls and materializes the
+    * whole pair array per row (multiset-identical, spec-pinned as the
+    * generator's golden twin; the conf-selected HOF path for LONG ids
+    * was retired in r13 after the r12 differential round). */
+  private def emitPostingPairs(idx: DataFrame): DataFrame =
+    idx.groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds"))
-    val docIdIsLong = idx.schema("doc_id").dataType ==
-      org.apache.spark.sql.types.LongType
-    if (docIdIsLong)
-      postings.select(graft.functions.TextFunctions
-        .docIdPairs(col("ds")).as(Seq("d1", "d2")))
-    else
-      postings.select(explode(expr(
+      .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
           |    y -> struct(least(x, y) as d1, greatest(x, y) as d2))))"""
           .stripMargin)).as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-  }
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
 
   /** Memoized intersection stage over the fixture corpus. */
   private[graft] def interCounts(spark: SparkSession, dir: String,
@@ -300,15 +324,18 @@ object Dedup {
       threshold: Double, maxDf: Int): DataFrame =
     jaccardOfInter(interCountsOfShingles(sh, maxDf), threshold)
 
-  /** Memoized, persisted pair stage over the fixture corpus — shared by
-    * [[ngramJaccard]] (q21) and [[deduplicate]] (q35) so a verify/bench
-    * round computes the shingle pipeline once. Rides the memoized
-    * [[interCounts]] stage, which [[containment]] (q78) shares. */
+  /** Thresholded pair view over the memoized [[interCounts]] stage —
+    * shared by [[ngramJaccard]] (q21), [[deduplicate]] (q35) and the
+    * cluster family, which [[containment]] (q78) shares through the same
+    * inter stage. NOT memoized itself (r19): the view is one
+    * filter+projection over the persisted inter frame (an
+    * InMemoryTableScan per consumer — no recompute), and persisting it
+    * separately materialized a SECOND pair-sized cache copy whose build
+    * charged every consuming query's cold lap ~0.75 s (13 redundant
+    * builds / 9.7 s of the r19-baseline cold lap) for no warm win. */
   private[graft] def ngramPairs(spark: SparkSession, dir: String,
       threshold: Double, maxDf: Int): DataFrame =
-    memo(spark, s"ngram:$dir:$threshold:$maxDf") {
-      jaccardOfInter(interCounts(spark, dir, maxDf), threshold)
-    }
+    jaccardOfInter(interCounts(spark, dir, maxDf), threshold)
 
   /** N-gram (3-shingle) Jaccard near-dup pairs via a df-gated inverted
     * shingle index. `maxDf` drops shingles present in more than that many
@@ -1964,7 +1991,12 @@ object Dedup {
     * shingles/hashes/forest in fingerprint currency. */
   private def indexHasDict(path: String): Boolean = {
     val (fs, _) = protocolFs(path)
-    fs.exists(new org.apache.hadoop.fs.Path(s"$path/dict"))
+    // resolve through the read plan, NOT the writeDedupIndex base: once a
+    // compaction commits, the GC drops the superseded base components, so
+    // the dict's existence witness lives wherever the current base does
+    // (the r18 base-path probe is why the GC had to RETAIN the dead base)
+    val (base, _) = indexReadPlan(path)
+    fs.exists(new org.apache.hadoop.fs.Path(base("dict")))
   }
 
   /** Read a dict-backed index's dictionary (resolved base + committed
@@ -1990,9 +2022,11 @@ object Dedup {
     * compaction serves the PRIOR state exactly); a retry overwrites the
     * staged files idempotently; a crash after the marker re-enters
     * through the early return and finishes the garbage collection.
-    * After the marker, superseded state is dropped — older compaction
-    * generations, the covered increments' data parts, and forest
-    * versions below the committed tail — while every increment's
+    * After the marker, superseded state is dropped — the original
+    * [[writeDedupIndex]] base components (the read plan resolves
+    * compact/gN from the first committed generation on), older
+    * compaction generations, the covered increments' data parts, and
+    * forest versions below the committed tail — while every increment's
     * `_graft_commit` marker is KEPT: the markers are the committed
     * trail ([[committedVersion]] contiguity) and the replay-refusal
     * digest set, and they are bytes, not data. The forest seed `v0` is
@@ -2033,6 +2067,13 @@ object Dedup {
     latestCompaction(path).foreach { case (g, covered) =>
       for (m <- versionDirs(path, "compact", "g") if m < g)
         rm(s"$path/compact/g$m")
+      // the writeDedupIndex base is superseded the moment ANY compaction
+      // commits (the read plan resolves compact/gN from then on): drop
+      // its data components too — r18 retained them forever because
+      // indexHasDict probed the base dict path (since fixed to resolve
+      // through the read plan)
+      for (sub <- Seq("shingles", "hashes", "dict"))
+        rm(s"$path/$sub")
       for (k <- 1 to covered; sub <- Seq("shingles", "hashes", "dict"))
         rm(s"$path/inc/v$k/$sub")
       val tail = committedVersion(path)
@@ -2138,7 +2179,14 @@ object Dedup {
   private def incPairsVsIndex(spark: SparkSession, indexPath: String,
       idxSh: DataFrame, newSh: DataFrame, threshold: Double, maxDf: Int,
       pairsKey: Option[String]): DataFrame = pairsKey match {
-    case Some(k) => memo(spark, s"incpairs:$k")(
+    // the index's committed version stamps the memo key: correctness no
+    // longer rests on the comment-level convention that every caller
+    // sharing a pairsKey probes content-identical index files — a future
+    // caller reusing a key against an index that has since taken a
+    // commit misses instead of silently reading the stale pair frame
+    // (ADVICE r18; one cheap marker listing per memoized call).
+    case Some(k) => memo(spark,
+      s"incpairs:$k:v${committedVersion(indexPath)}")(
       incrementalPairsOf(idxSh.unionByName(newSh), newSh, threshold,
         maxDf))
     case None =>

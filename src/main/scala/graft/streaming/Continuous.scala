@@ -161,6 +161,27 @@ object Continuous {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Hadoop FileSystem + Path for a state/staging location. Every
+    * existence/mtime probe and recursive delete in this file goes through
+    * the Hadoop FS API (like [[DeltaState]] always has) so a state root
+    * on HDFS/S3 behaves exactly like the local `target/` harness default
+    * — java.io.File probes silently answered "missing" for any
+    * non-local URI. Uses a plain Configuration (scheme-resolved), so no
+    * SparkSession is needed at call sites that don't have one. */
+  private def hfs(path: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
+
+  /** mtime of `path`, or -1 when it does not exist — the freshness
+    * probe's one-RPC form (exists + getFileStatus would be two). */
+  private def mtimeOrMissing(path: String): Long = {
+    val (fs, p) = hfs(path)
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
+  }
+
   /** Stage `table` from `dir` as a `files`-file parquet copy under
     * `target/streamstage/` so the file stream source yields real multi-batch
     * incremental execution — the fixture tables are single-file, which would
@@ -176,12 +197,10 @@ object Continuous {
       files: Int = 8): String = {
     val key = fixtureKey(dir)
     val out = s"target/streamstage/$key/$table"
-    val success = java.nio.file.Paths.get(s"$out/_SUCCESS")
     // re-stage when missing OR older than the source table — a regenerated
     // fixture must never stream from a stale copy
     val srcMtime = sourceTableMtime(dir, table)
-    val fresh = java.nio.file.Files.exists(success) &&
-      java.nio.file.Files.getLastModifiedTime(success).toMillis >= srcMtime
+    val fresh = mtimeOrMissing(s"$out/_SUCCESS") >= srcMtime
     if (!fresh) {
       graft.Tables.tableOf(spark, dir, table)
         .repartition(files).write.mode("overwrite").parquet(out)
@@ -204,38 +223,88 @@ object Continuous {
   /** Newest mtime under `dir/<table>.parquet` — the staleness witness every
     * fixture-staging cache compares its marker against. */
   private def sourceTableMtime(dir: String, table: String): Long = {
-    val walk = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$dir/$table.parquet"))
-    try walk
-      .mapToLong(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      .max.orElse(Long.MaxValue)
-    finally walk.close()
+    val (fs, p) = hfs(s"$dir/$table.parquet")
+    val it = fs.listFiles(p, /*recursive=*/ true)
+    var newest = Long.MinValue
+    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    if (newest == Long.MinValue) Long.MaxValue else newest
   }
 
+  /** THE fixture-staging registry — the ring fence around what may be
+    * cached across runs (VERDICT r18 "what's wrong" #3). A staged family
+    * must be a PURE FUNCTION OF THE FIXTURE that models scenario INPUT
+    * state (replay chunks standing in for an arrival stream, a shipped
+    * index the scenario declares pre-existing) — never computation the
+    * operator is being measured on. Everything else (every mutable state
+    * dir, every checkpoint) stays per-run. This set is the single
+    * allowed-families list: `StagingRegistrySpec` scans the main sources
+    * for [[stagedFixtureDir]]/[[stageOrderedChunksCached]] labels and
+    * [[stageChunks]] tables and FAILS on any label not registered here,
+    * so the staged class cannot quietly grow.
+    *
+    *  - `events`, `lineitem`, `documents` — [[stageChunks]] multi-file
+    *    replay copies of fixture tables (q51-q54, q88 arrival streams);
+    *  - `lshinc`, `xmodal` — [[stageOrderedChunksCached]] ascending-id
+    *    replay chunks (q99/q117 arrival order = id order);
+    *  - `lshseed` — the q99 shipped-corpus seed index (the scenario is a
+    *    stream against a DURABLE pre-shipped index);
+    *  - `mod10` — [[graft.operators.Dedup.ensureFixtureIndex]]'s shipped
+    *    index tag (q94/q118's pre-existing index, the precedent family),
+    *    scanned from its call sites by the same spec. */
+  private[graft] val stagedFamilies: Set[String] =
+    Set("events", "lineitem", "documents", "lshinc", "xmodal", "lshseed",
+      "mod10")
+
   /** Stage fixture-derived REPLAY INPUT once per (fixture dir, label),
-    * refreshed when the source table is regenerated — the [[stageChunks]]
-    * idempotence contract generalized to arbitrary staged artifacts (the
-    * q99 seed index, the q99/q117 ordered replay chunks). `build` writes
-    * into the returned root; a `_GRAFT_STAGED` marker written LAST makes a
-    * torn staging re-run instead of being served. This is harness staging
-    * plumbing, not operator work: every per-run mutable STATE dir stays
-    * per-run, only the pure function of the fixture is cached — the same
-    * line [[stageChunks]] (q51-q54/q88 replay input) and
-    * [[graft.operators.Dedup.ensureFixtureIndex]] (the q94 shipped index)
-    * already draw. */
+    * refreshed when the source table is regenerated OR the caller's
+    * derivation changes — the [[stageChunks]] idempotence contract
+    * generalized to arbitrary staged artifacts (the q99 seed index, the
+    * q99/q117 ordered replay chunks). `build` writes into the returned
+    * root; a `_GRAFT_STAGED` marker written LAST makes a torn staging
+    * re-run instead of being served. The marker's CONTENT carries
+    * `derivation` — the caller's version stamp for the code path that
+    * derives the artifact (bumped whenever that pipeline changes), so an
+    * operator-code change after staging restages instead of silently
+    * probing new-code state against an old-code artifact (ADVICE r18:
+    * the mtime-only check could not see code changes). `sourceTable`
+    * names the fixture table the artifact derives from. This is harness
+    * staging plumbing, not operator work: every per-run mutable STATE
+    * dir stays per-run, only the pure function of the fixture is cached
+    * — the same line [[stageChunks]] (q51-q54/q88 replay input) and
+    * [[graft.operators.Dedup.ensureFixtureIndex]] (the q94 shipped
+    * index) already draw. */
   private def stagedFixtureDir(spark: SparkSession, dir: String,
-      label: String)(build: String => Unit): String = {
+      label: String, derivation: String, sourceTable: String = "documents")(
+      build: String => Unit): String = {
     val out = s"target/streamstage/${fixtureKey(dir)}/$label"
-    val marker = java.nio.file.Paths.get(s"$out/_GRAFT_STAGED")
-    val srcMtime = sourceTableMtime(dir, "documents")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.getLastModifiedTime(marker).toMillis >= srcMtime
+    val marker = s"$out/_GRAFT_STAGED"
+    val srcMtime = sourceTableMtime(dir, sourceTable)
+    val want = s"staged:$derivation"
+    def markerContent: Option[String] = {
+      val (fs, p) = hfs(marker)
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](256)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    val fresh = mtimeOrMissing(marker) >= srcMtime &&
+      markerContent.contains(want)
     if (!fresh) {
       deleteRecursively(out)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val (fs, outP) = hfs(out)
+      fs.mkdirs(outP)
       build(out)
-      java.nio.file.Files.write(marker,
-        "staged\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val mOut = fs.create(new org.apache.hadoop.fs.Path(marker), true)
+      try mOut.write(
+        (want + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mOut.close()
       // drop cached schemas for the root AND any staged subdir under it —
       // a regenerated fixture may carry a changed schema
       schemaCache.keySet.removeIf(_.startsWith(out))
@@ -250,7 +319,9 @@ object Continuous {
     * measurement overhead, not operator work. */
   private def stageOrderedChunksCached(spark: SparkSession, dir: String,
       label: String, df: => DataFrame, chunks: Int): String =
-    stagedFixtureDir(spark, dir, s"${label}_c$chunks") { out =>
+    stagedFixtureDir(spark, dir, s"${label}_c$chunks",
+      // the chunking device itself: id-ordered ntile split, 2s mtime lag
+      derivation = "orderedchunks-v1") { out =>
       stageOrderedChunks(df, chunks, s"$out/chunks", s"$out/_tmp")
     } + "/chunks"
 
@@ -261,7 +332,7 @@ object Continuous {
     * footer inference on every per-commit state read. */
   private def stateOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
-    if (new java.io.File(dir).exists())
+    if (hfs(dir) match { case (fs, p) => fs.exists(p) })
       spark.read.schema(schema).parquet(dir)
     else
       spark.createDataFrame(
@@ -298,21 +369,21 @@ object Continuous {
     // window is the scale-safe shape.
     val chunked = df.withColumn("chunk",
       ntile(chunks).over(Window.orderBy(col("doc_id"))) - 1)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stagedDir))
+    val (fs, stagedP) = hfs(stagedDir)
+    fs.mkdirs(stagedP)
     val base = System.currentTimeMillis()
     for (i <- 0 until chunks) {
       val tmp = s"$tmpRoot/tmp$i"
       chunked.filter(col("chunk") === i).drop("chunk")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one staged file, got " +
-        part.map(_.getName).mkString("[", ", ", "]"))
-      val dst = java.nio.file.Paths.get(s"$stagedDir/chunk$i.parquet")
-      java.nio.file.Files.move(part.head.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000))
+        part.map(_.getPath.getName).mkString("[", ", ", "]"))
+      val dst = new org.apache.hadoop.fs.Path(s"$stagedDir/chunk$i.parquet")
+      require(fs.rename(part.head.getPath, dst),
+        s"staging rename failed: ${part.head.getPath} -> $dst")
+      fs.setTimes(dst, base + i * 2000, -1)
       deleteRecursively(tmp)
     }
   }
@@ -353,6 +424,21 @@ object Continuous {
     settled.foreach(_.get)
   }
 
+  /** Driver-local snapshot rows back to a DataFrame, SINGLE-partition:
+    * every streaming operator's returned frame is a bounded driver-side
+    * snapshot (collected behind a loud maxRows cap), but
+    * `createDataFrame` slices a local list over defaultParallelism — so
+    * each downstream consumer (the final orderBy, the cq statistics, the
+    * bench's noop write) scheduled 32 near-empty tasks PER STAGE over a
+    * few dozen rows (opjobs q54: five 32-task jobs after the stream).
+    * One partition is the scale-honest width here: the row count is
+    * capped, the data is already on the driver. */
+  private def localFrame(spark: SparkSession,
+      rows: Seq[Row], schema: StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).coalesce(1)
+  }
+
   /** Run `body` under a UI/trace job description (guide §1.5): the
     * foreachBatch operators chain many small jobs per commit, and the
     * label is what lets a job-grain trace (StageProbe `opjobs`) say which
@@ -364,13 +450,8 @@ object Continuous {
   }
 
   private[graft] def deleteRecursively(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.delete(f); () })
-      finally walk.close()
-    }
+    val (fs, p) = hfs(path)
+    if (fs.exists(p)) { fs.delete(p, /*recursive=*/ true); () }
   }
 
   /** Shared driver-facing bounded-run shape: start `streaming` into a
@@ -395,8 +476,7 @@ object Continuous {
         require(rows.length <= maxRows,
           s"$name aggregate exceeds $maxRows rows — widen the window")
         val schemaOut = spark.table(name).schema
-        import scala.jdk.CollectionConverters._
-        spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+        localFrame(spark, rows.toSeq, schemaOut)
       } finally {
         spark.catalog.dropTempView(name)
         deleteRecursively(ckpt) // each invocation is a fresh bounded run
@@ -464,9 +544,8 @@ object Continuous {
     }
     require(snaps.nonEmpty && snaps.last.progress >= 1.0,
       s"online aggregation did not reach progress 1.0 (got ${snaps.map(_.progress)})")
-    import scala.jdk.CollectionConverters._
     val outSchema = agg(spark.read.parquet(staged)).schema
-    spark.createDataFrame(snaps.last.rows.asJava, outSchema)
+    localFrame(spark, snaps.last.rows, outSchema)
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -565,8 +644,7 @@ object Continuous {
         queryName = name)
       val rows = out.collect() // grouped by event type: a handful of rows
       val schemaOut = out.schema
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, schemaOut)
+      localFrame(spark, rows.toSeq, schemaOut)
         .orderBy(col("event_type"))
     } finally {
       // the view may not exist if stage 1/2 failed before the sink started
@@ -745,8 +823,15 @@ object Continuous {
     val run = runSeq.incrementAndGet()
     val stateRoot = s"target/streamstage/funnel/run$run"
     val ckpt = s"target/streamstage/ckpt/funnel$run"
-    val flagsDir = s"$stateRoot/flags"
-    val indexDir = s"$stateRoot/index"
+    // ONE kind-partitioned state dir for the two plain append families
+    // (the q117/q99 idiom): the flag rows and the shingle index were two
+    // separate write jobs + commit protocols per commit; the union write
+    // keeps each family's rows identical and readers directory-pruned.
+    // The three DeltaState stores below keep their own generation dirs —
+    // that protocol owns its layout.
+    val stateDir = s"$stateRoot/state"
+    val flagsDir = s"$stateDir/kind=flags"
+    val indexDir = s"$stateDir/kind=index"
     // MAINTAINED df/docLen state (r16, VERDICT r15 #3): the r15 anatomy
     // measured the per-commit full-index df aggregation at 52% of q88's
     // commit body — yet df counts and per-doc shingle lengths are
@@ -765,8 +850,8 @@ object Continuous {
       _.groupBy(col("s")).agg(sum(col("dc")).as("dc")))
     val lenState = new DeltaState(spark, s"$stateRoot/len",
       _.groupBy(col("doc_id")).agg(sum(col("c")).as("c")))
-    val files = new java.io.File(staged).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val files = hfs(staged) match { case (fs, p) =>
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) }
     val totalChunks = math.ceil(files.toDouble / filesPerTrigger)
     val snapshots = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     @volatile var outSchema: StructType = null
@@ -811,7 +896,6 @@ object Continuous {
               .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
                 when(col("quality") >= qualityMin, 1).otherwise(0).as("f_q"),
                 when(col("lang") === lang, 1).otherwise(0).as("f_lang"))
-            flagFrame.write.mode("append").parquet(flagsDir)
             // candidate index += the increment's shingles; the SAME
             // materialized frame feeds the df/docLen delta appends below
             // (persist pins one evaluation across the three writes)
@@ -827,7 +911,14 @@ object Continuous {
               // session interleaved A/B at sf0.1): ~6% off the whole op.
               // The df/len deltas are increment-sized too.
               val losersCoalesce = filesPerTrigger
-              incSh.write.mode("append").parquet(indexDir)
+              labeled(spark, "q88: flags + index append") {
+                flagFrame.withColumn("kind", lit("flags"))
+                  .unionByName(incSh.withColumn("kind", lit("index")),
+                    allowMissingColumns = true)
+                  .coalesce(losersCoalesce) // increment width, as ever
+                  .write.mode("append").partitionBy("kind")
+                  .parquet(stateDir)
+              }
               // explicit schemas on the per-commit state reads: the
               // index/flag dirs grow one file set per commit, and
               // schema-less reads re-infer footers across all of them
@@ -842,7 +933,8 @@ object Continuous {
               // exactly once, at the crossing
               val useMaintained = gate == "maintained" ||
                 (gate == "auto" && (bootstrapped.get() ||
-                  idxRowsSeen.addAndGet(incSh.count()) * 16L >
+                  idxRowsSeen.addAndGet(labeled(spark, "q88: gate count") {
+                    incSh.count() }) * 16L >
                     gateStateBudgetBytes))
               if (useMaintained) {
                 if (!bootstrapped.getAndSet(true)) {
@@ -877,16 +969,20 @@ object Continuous {
                 else // the r15 twin: full-index re-aggregation per commit
                   graft.operators.Dedup.incrementalPairsOf(index, incSh,
                     threshold, maxDf)
-              losersState.append(pairs
-                .select(col("d2").as("doc_id"))
-                .coalesce(losersCoalesce))
+              labeled(spark, "q88: pairs + losers append") {
+                losersState.append(pairs
+                  .select(col("d2").as("doc_id"))
+                  .coalesce(losersCoalesce))
+              }
               if (compactEvery > 0 &&
                   commitsSinceCompact.incrementAndGet() >= compactEvery) {
                 commitsSinceCompact.set(0)
-                if (bootstrapped.get) {
-                  dfState.compact(); lenState.compact()
+                labeled(spark, "q88: state compact") {
+                  if (bootstrapped.get) {
+                    dfState.compact(); lenState.compact()
+                  }
+                  losersState.compact()
                 }
-                losersState.compact()
               }
             } finally { incSh.unpersist(); () }
             // emit the cumulative funnel over the flag store
@@ -905,7 +1001,9 @@ object Continuous {
                   when(col("is_loser").isNull, 1).otherwise(0).as("f_near"),
                   col("f_q"), col("f_lang")))
             outSchema = out.schema
-            val rows = out.limit(maxFunnelRows + 1).collect()
+            val rows = labeled(spark, "q88: funnel emit") {
+              out.limit(maxFunnelRows + 1).collect()
+            }
             require(rows.length <= maxFunnelRows,
               s"funnel commit $id exceeds $maxFunnelRows rows")
             snapshots.synchronized {
@@ -934,8 +1032,7 @@ object Continuous {
     require(run.snapshots.nonEmpty && run.snapshots.last.progress >= 1.0,
       s"funnel stream did not complete " +
         s"(progress ${run.snapshots.map(_.progress)})")
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(run.snapshots.last.rows.asJava, run.schema)
+    localFrame(spark, run.snapshots.last.rows, run.schema)
       .orderBy(col("source"))
   }
 
@@ -984,15 +1081,28 @@ object Continuous {
     // ensureFixtureIndex line) instead of re-derived per invocation —
     // the seed signature build over 90% of the corpus was the largest
     // scale-independent cost of every q99 lap
-    val bandsDir = s"$stateRoot/bands"
-    val hashesDir = s"$stateRoot/hashes"
-    val verdictDir = s"$stateRoot/verdicts"
+    // ONE kind-partitioned state dir (the q117 idiom): the three
+    // per-commit writes (verdict rows, band increments, hash increments)
+    // were three write jobs + three commit protocols per commit; one
+    // union write keeps each family's rows identical, readers stay
+    // directory-pruned to their kind= subdir, and coalesce(1) keeps the
+    // appends increment-width (the band/hash increments previously
+    // appended at shuffle width — 8 near-empty files per commit that
+    // every later probe re-listed).
+    val stateDir = s"$stateRoot/state"
+    val bandsDir = s"$stateDir/kind=bands"
+    val hashesDir = s"$stateDir/kind=hashes"
+    val verdictDir = s"$stateDir/kind=verdicts"
     val ckpt = s"target/streamstage/ckpt/lsh$run"
     val D = graft.operators.Dedup
     try withStreamShuffle(spark, 8) {
       // durable index seeded from the shipped corpus (inc=0 rows win
       // against any increment id)
-      val seedRoot = stagedFixtureDir(spark, dir, "lshseed") { out =>
+      // derivation stamp: BUMP when shinglesOf/signaturesOf/bandBuckets
+      // (or this seed's 90%-split / schema) change — the staged seed must
+      // never outlive the pipeline that derived it (ADVICE r18)
+      val seedRoot = stagedFixtureDir(spark, dir, "lshseed",
+        derivation = "shingle3-minhashK8-band4-mod10seed-v1") { out =>
         val prior = docs.filter(!isInc)
         D.bandBuckets(D.signaturesOf(D.shinglesOf(prior)))
           .withColumn("inc", lit(0))
@@ -1011,6 +1121,12 @@ object Continuous {
         .withColumn("inc", lit(1))
       val eHashes = e.select(col("doc_id"), md5(col("text")).as("h"))
         .withColumn("inc", lit(1))
+      // verdict-family schema twin (nullable like the parquet it reads
+      // back — the kind= data files carry the other families' columns as
+      // nulls, so the final read MUST project by explicit schema)
+      val eVerd = StructType(e.select(col("doc_id"),
+          lit(0).as("exact_dup"), lit(0).as("band_dup"), lit(0).as("keep"))
+        .schema.map(_.copy(nullable = true)))
       val seedBands = spark.read.schema(eBands.schema)
         .parquet(s"$seedRoot/bands")
       val seedHashes = spark.read.schema(eHashes.schema)
@@ -1058,7 +1174,7 @@ object Continuous {
                       col("n.bh") === col("o.bh") && (col("o.inc") === 0 ||
                       col("o.doc_id") < col("n.doc_id")), "left_semi")
                   .select(col("doc_id")).distinct()
-                b.select(col("doc_id"))
+                val verd = b.select(col("doc_id"))
                   .join(ex.withColumn("ex", lit(1)).hint("shuffle_hash"),
                     Seq("doc_id"), "left")
                   .join(bd.withColumn("bd", lit(1)).hint("shuffle_hash"),
@@ -1071,12 +1187,21 @@ object Continuous {
                   .withColumn("keep",
                     when(col("exact_dup") + col("band_dup") > 0, 0)
                       .otherwise(1))
-                  .write.mode("append").parquet(verdictDir)
-                // index += the WHOLE batch (dups included): later
-                // arrivals must match the first-seen copy even when a
-                // middle copy was dropped
-                bBands.write.mode("append").parquet(bandsDir)
-                bHashes.write.mode("append").parquet(hashesDir)
+                // the commit's three durable writes in ONE union job
+                // (kind-partitioned — see stateDir above): the verdict
+                // rows, and the index += the WHOLE batch (dups included:
+                // later arrivals must match the first-seen copy even
+                // when a middle copy was dropped)
+                def tagged(df: DataFrame, kind: String) =
+                  df.withColumn("kind", lit(kind))
+                tagged(verd, "verdicts")
+                  .unionByName(tagged(bBands, "bands"),
+                    allowMissingColumns = true)
+                  .unionByName(tagged(bHashes, "hashes"),
+                    allowMissingColumns = true)
+                  .coalesce(1)
+                  .write.mode("append").partitionBy("kind")
+                  .parquet(stateDir)
               } finally { bBands.unpersist(); bHashes.unpersist(); () }
             } finally { b.unpersist(); () }
           }
@@ -1084,14 +1209,13 @@ object Continuous {
         }
         .start()
       q.awaitTermination()
-      val out = spark.read.parquet(verdictDir)
+      val out = spark.read.schema(eVerd).parquet(verdictDir)
       val rows = out.limit(maxVerdictRows + 1).collect()
       require(rows.length <= maxVerdictRows,
         s"verdict frame exceeds $maxVerdictRows rows")
       require(rows.length.toLong == inc.count(),
         "one verdict per incoming doc")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, out.schema)
+      localFrame(spark, rows.toSeq, out.schema)
         .orderBy(col("doc_id"))
     } finally {
       deleteRecursively(ckpt)
@@ -1134,11 +1258,21 @@ object Continuous {
     val docs = graft.Tables.documents(spark, dir)
     val run = runSeq.incrementAndGet()
     val stateRoot = s"target/streamstage/crossmodal/run$run"
-    val bandsDir = s"$stateRoot/bands"
-    val hashesDir = s"$stateRoot/hashes"
-    val fpDir = s"$stateRoot/fp"
-    val partsDir = s"$stateRoot/parts"
-    val seenDir = s"$stateRoot/seen"
+    // ONE state dir, hive-partitioned by family (kind=bands/hashes/fp/
+    // parts): the four per-commit appends were four separate write JOBS
+    // plus four commit protocols per commit — fixed per-action cost, the
+    // dominant term of the streaming floor after r18 (opjobs: 46 jobs and
+    // ~1 s of driver idle per commit). A single union write per commit
+    // keeps each family's rows and read schema identical (readers scan
+    // only their kind= subdir — directory-pruned, so a probe never pays
+    // for another family's bytes), and the former `seen` family IS the
+    // hashes family's doc_id column (one row per ingested doc), so it is
+    // read from there instead of appended separately (guide §2.4).
+    val stateDir = s"$stateRoot/state"
+    val bandsDir = s"$stateDir/kind=bands"
+    val hashesDir = s"$stateDir/kind=hashes"
+    val fpDir = s"$stateDir/kind=fp"
+    val partsDir = s"$stateDir/kind=parts"
     val ckpt = s"target/streamstage/ckpt/xmodal$run"
     val D = graft.operators.Dedup
     def textState(b: DataFrame) =
@@ -1154,7 +1288,6 @@ object Continuous {
       val (eBands, eHashes) = textState(e)
       val eFp = graft.operators.Multimodal.blockhashOf(e)
       val eParts = e.select(col("doc_id"), lit("text").as("modality"))
-      val eSeen = e.select(col("doc_id"))
       val eForest = e.select(col("doc_id").as("d1"), col("doc_id").as("d2"))
       val stagedDir = stageOrderedChunksCached(spark, dir, "xmodal",
         docs.select(col("doc_id"), col("text")), chunks)
@@ -1249,17 +1382,34 @@ object Continuous {
                     () => labeled(spark, "q117: probe media edges") {
                       mE.count(); () }))
                   concurrently(Seq(
-                    // modality participation (feeds n_modalities),
-                    // appended before the snapshot reads the parts state
-                    () => labeled(spark, "q117: parts append") {
-                      textPairs.select(explode(array(col("d1"), col("d2")))
+                    // ALL four durable families in ONE union write per
+                    // commit (kind-partitioned — see stateDir above): the
+                    // bands/hashes/fp index increments, plus the modality
+                    // participation rows (feeds n_modalities), appended
+                    // before the snapshot reads the parts state. coalesce(1)
+                    // keeps each family's append increment-width; the
+                    // dynamic-partition writer fans the single task's rows
+                    // into the four kind= files.
+                    () => labeled(spark, "q117: state append (unified)") {
+                      val parts = textPairs
+                        .select(explode(array(col("d1"), col("d2")))
                           .as("doc_id")).distinct()
                         .withColumn("modality", lit("text"))
                         .union(mE.select(explode(array(col("d1"), col("d2")))
                             .as("doc_id")).distinct()
                           .withColumn("modality", lit("media")))
-                        .coalesce(1) // increment-width, as the state appends
-                        .write.mode("append").parquet(partsDir)
+                      def tagged(df: DataFrame, kind: String) =
+                        df.withColumn("kind", lit(kind))
+                      tagged(bBands, "bands")
+                        .unionByName(tagged(bHashes, "hashes"),
+                          allowMissingColumns = true)
+                        .unionByName(tagged(bFp, "fp"),
+                          allowMissingColumns = true)
+                        .unionByName(tagged(parts, "parts"),
+                          allowMissingColumns = true)
+                        .coalesce(1)
+                        .write.mode("append").partitionBy("kind")
+                        .parquet(stateDir)
                     },
                     // contract (previous forest ∪ new edges) — the
                     // previous contraction's star edges stand in for all
@@ -1296,25 +1446,7 @@ object Continuous {
                         .select(col("id").as("d1"), col("label").as("d2"))
                         .write.mode("overwrite")
                         .parquet(s"$stateRoot/forest/v$i")
-                    },
-                    // index += the whole batch; later arrivals must match
-                    // it. Append width tracks the INCREMENT (one staged
-                    // file per trigger), not the shuffle setting — the
-                    // q88 idiom (r15 anatomy: ~6% off the whole op):
-                    // narrower appends cut the per-write commit and every
-                    // later per-commit state scan's file fan-in.
-                    () => labeled(spark, "q117: state appends") {
-                      bBands.coalesce(1).write.mode("append")
-                        .parquet(bandsDir) },
-                    () => labeled(spark, "q117: state appends") {
-                      bHashes.coalesce(1).write.mode("append")
-                        .parquet(hashesDir) },
-                    () => labeled(spark, "q117: state appends") {
-                      bFp.coalesce(1).write.mode("append")
-                        .parquet(fpDir) },
-                    () => labeled(spark, "q117: state appends") {
-                      b.select(col("doc_id")).coalesce(1)
-                        .write.mode("append").parquet(seenDir) }))
+                    }))
                 } finally { textPairs.unpersist(); mE.unpersist(); () }
                 // cumulative decision snapshot: every doc seen so far,
                 // current cluster/keep/n_modalities (earlier verdicts may
@@ -1328,7 +1460,11 @@ object Continuous {
                         .as("in_text"),
                       max(when(col("modality") === "media", 1).otherwise(0))
                         .as("in_media"))
-                  stateOrEmpty(spark, seenDir, eSeen.schema)
+                  // "seen so far" = the hashes family's doc_id column
+                  // (exactly one (doc_id, h) row per ingested doc), so no
+                  // separate seen family is appended
+                  stateOrEmpty(spark, hashesDir, eHashes.schema)
+                    .select(col("doc_id"))
                     .join(forest.withColumnRenamed("d1", "doc_id")
                       .hint("shuffle_hash"), Seq("doc_id"), "left")
                     .join(parts.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -1359,8 +1495,7 @@ object Continuous {
         s"decision frame exceeds $maxVerdictRows rows")
       require(rows.length.toLong == docs.count(),
         "one decision per ingested doc")
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.toSeq.asJava, out.schema)
+      localFrame(spark, rows.toSeq, out.schema)
         .orderBy(col("doc_id"))
     } finally {
       deleteRecursively(ckpt)
@@ -1382,8 +1517,8 @@ object Continuous {
       aggregate: DataFrame => DataFrame,
       filesPerTrigger: Int = 1,
       maxSnapshotRows: Int = 100000): Seq[Snapshot] = {
-    val files = new java.io.File(inputDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    val files = hfs(inputDir) match { case (fs, p) =>
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) }
     val totalChunks = math.ceil(files.toDouble / filesPerTrigger)
     val snapshots = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     val stream = spark.readStream.schema(schema)

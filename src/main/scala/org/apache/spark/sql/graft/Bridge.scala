@@ -63,4 +63,10 @@ object Bridge {
         lr.rdd.unpersist(false); ()
       case _ => ()
     }
+
+  /** Block until the async listener bus has delivered every queued event
+    * — the deterministic drain a listener-snapshotting probe needs
+    * (`listenerBus` is private[spark], hence the bridge). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -161,6 +161,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(longSh) === sigs(hexFrame))
   }
 
+  test("interCounts: the length-carrying generator path equals the HOF " +
+      "library twin row for row") {
+    import spark.implicits._
+    // doc ids kept single-digit so the string twin's lexicographic
+    // (d1, d2) orientation matches the numeric one
+    val shL = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 13L), (4L, 13L), (4L, 10L), (4L, 11L), (5L, 99L))
+      .toDF("doc_id", "s")
+    val viaGen = Dedup.interCountsOfShingles(shL, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val viaHof = Dedup.interCountsOfShingles(
+      shL.select($"doc_id".cast("string").as("doc_id"), $"s"), maxDf = 10)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(viaGen === viaHof)
+    assert(viaGen.nonEmpty)
+    // spot-pin the carried lengths: doc 1 has 3 shingles total, doc 2
+    // has 2, sharing {10, 11} -> (1, 2, i=2, c1=3, c2=2)
+    assert(viaGen.contains((1L, 2L, 2L, 3L, 2L)))
+  }
+
   test("pair generator golden fence: streams sorted pairs, " +
       "multiset-identical to the inline HOF formulation") {
     import spark.implicits._
@@ -2258,6 +2280,13 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(!new java.io.File(s"$path/inc/v$k/hashes").exists())
         assert(new java.io.File(s"$path/inc/v$k/_graft_commit").isFile)
       }
+      // the original writeDedupIndex base is superseded by the committed
+      // generation (the read plan resolves compact/g1): its data parts
+      // must be GC'd too, not retained forever (ADVICE r18 deferred low)
+      assert(!new java.io.File(s"$path/shingles").exists(),
+        "a committed compaction must drop the superseded base shingles")
+      assert(!new java.io.File(s"$path/hashes").exists(),
+        "a committed compaction must drop the superseded base hashes")
       assert(new java.io.File(s"$path/forest/v0").isDirectory)
       assert(!new java.io.File(s"$path/forest/v1").exists())
       assert(new java.io.File(s"$path/forest/v2").isDirectory)
@@ -2309,6 +2338,12 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(dict.count() === docsS.count())
       assert(dict.schema("doc_id").dataType ===
         org.apache.spark.sql.types.LongType)
+      // the superseded base dict is GC'd with the base — the dict-ness
+      // witness must resolve through the read plan (the commits below
+      // would throw a "bigint increments" refusal if it read the dead
+      // base path and misread this index as dict-less)
+      assert(!new java.io.File(s"$path/dict").exists(),
+        "a committed compaction must drop the superseded base dict")
       // retry of the compacted commit re-serves the same frame; the
       // verdict family reads the same world
       val c2 = Dedup.incrementalClustersAgainstIndex(spark, path,

@@ -230,10 +230,17 @@ class PlanSpec extends SparkSpec {
   test("ngram pair emission runs the streaming generator, not the HOF chain") {
     StageMemo.clear() // cached AQE plans render Initial+Final sections
     val p = plan(Dedup.ngramJaccardOf(Tables.documents(spark, sfDir)))
-    assert(p.contains("graft_doc_id_pairs"),
-      s"the DocIdPairs generator must carry the pair explode:\n$p")
+    assert(p.contains("graft_doc_id_len_pairs"),
+      s"the DocIdLenPairs generator must carry the pair explode:\n$p")
     assert(!p.contains("slice("),
       "the interpreted HOF pair chain must be gone from the default plan")
+    // the r19 shape: doc lengths ride the emission, so the pair frame is
+    // joined back to docLen ZERO times (the r18 plan exchanged the pair
+    // frame by d1 and again by d2 against a tiny pinned-shuffled side)
+    val joins = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins <= 2,
+      s"expected only the df-gate semi-join and the docLen-on-postings " +
+        s"join, got $joins shuffled joins:\n$p")
   }
 
   test("q119 prefix path: broadcast array verify, no cartesian, gated gen") {
